@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — the engine's declared query surface (SURVEY.md §2).
+  *
+  * Every entry in [[queries]] is a pure `(SparkSession, sfDir) => DataFrame`
+  * over the driver-provided parquet tables; entries with SQL-expressible
+  * semantics have a matching DuckDB oracle in [[oracleSql]] with IDENTICAL
+  * output column names (the driver's compare sorts columns by name and
+  * hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's 1-min OHLCV+VWAP aggregation as a batch
+    * query (reference: spark_processor/processor.py:78-101), on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AggOps.ohlcv1min(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference pipeline, batch form (SURVEY §2.2-2.3) ----
+    "ohlcv_1min"        -> (AggOps.ohlcv1min _),
+    "open_close"        -> (AggOps.openClose _),
+    "vwap"              -> (AggOps.vwap _),
+    "count_rows"        -> (AggOps.countRows _),
+    "freshness_check"   -> (AggOps.freshnessCheck _),
+    "json_parse"        -> (ParseOps.jsonParse _),
+    "decimal_cast"      -> (ParseOps.decimalCast _),
+    "epoch_to_ts"       -> (ParseOps.epochToTs _),
+    "filter_event_type" -> (ParseOps.filterEventType _),
+    "derived_mul"       -> (ParseOps.derivedMul _),
+    // ---- scalar function families (SURVEY §2.5) ----
+    "string_funcs"      -> (ParseOps.stringFuncs _),
+    "date_funcs"        -> (ParseOps.dateFuncs _),
+    "math_funcs"        -> (ParseOps.mathFuncs _),
+    "json_extract"      -> (ParseOps.jsonExtract _),
+    // ---- aggregation surface (SURVEY §2.5) ----
+    "agg_groupby"       -> (AggOps.aggGroupBy _),
+    "count_distinct"    -> (AggOps.countDistinctUsers _),
+    "approx_distinct"   -> (AggOps.approxDistinctUsers _),
+    "rollup_sales"      -> (AggOps.rollupSales _),
+    "cube_sales"        -> (AggOps.cubeSales _),
+    // ---- relational surface (SURVEY §2.5) ----
+    "join_inner"        -> (RelationalOps.joinInner _),
+    "join_left"         -> (RelationalOps.joinLeft _),
+    "join_semi"         -> (RelationalOps.joinSemi _),
+    "join_anti"         -> (RelationalOps.joinAnti _),
+    "join_dims"         -> (RelationalOps.joinDims _),
+    "topk_rank"         -> (RelationalOps.topkRank _),
+    "moving_avg"        -> (RelationalOps.movingAvg _),
+    "orderby_limit"     -> (RelationalOps.orderbyLimit _),
+    "union_all"         -> (RelationalOps.unionAll _),
+    "intersect_keys"    -> (RelationalOps.intersectKeys _),
+    "except_keys"       -> (RelationalOps.exceptKeys _),
+    "array_funcs"       -> (RelationalOps.arrayFuncs _),
+    "dedup_exact"       -> (RelationalOps.dedupExact _),
+    "asof_price"        -> (RelationalOps.asofPrice _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ohlcv_1min" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price,
+        |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
+        |  FROM events)
+        |SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |  CAST(arg_min(price, ts) AS DOUBLE) AS open_price,
+        |  CAST(max(price) AS DOUBLE) AS high_price,
+        |  CAST(min(price) AS DOUBLE) AS low_price,
+        |  CAST(arg_max(price, ts) AS DOUBLE) AS close_price,
+        |  CAST(sum(quantity) AS DOUBLE) AS total_volume,
+        |  count(*) AS n_trades,
+        |  CASE WHEN sum(quantity) <> 0
+        |       THEN CAST(sum(price * quantity) AS DOUBLE) / CAST(sum(quantity) AS DOUBLE)
+        |  END AS vwap
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "open_close" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol, CAST(value AS DECIMAL(18,2)) AS price
+        |  FROM events)
+        |SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |  CAST(arg_min(price, ts) AS DOUBLE) AS open_price,
+        |  CAST(arg_max(price, ts) AS DOUBLE) AS close_price
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "vwap" ->
+      """WITH t AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price,
+        |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
+        |  FROM events)
+        |SELECT symbol,
+        |  CAST(sum(quantity) AS DOUBLE) AS total_volume,
+        |  CASE WHEN sum(quantity) <> 0
+        |       THEN CAST(sum(price * quantity) AS DOUBLE) / CAST(sum(quantity) AS DOUBLE)
+        |  END AS vwap
+        |FROM t GROUP BY 1""".stripMargin,
+    "count_rows" ->
+      "SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1",
+    "freshness_check" ->
+      """SELECT count(*) AS fresh_rows FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 3 MINUTE
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "json_parse" ->
+      """SELECT event_id, event_type,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "decimal_cast" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS DECIMAL(20,8)) AS k_dec
+        |FROM events""".stripMargin,
+    "epoch_to_ts" ->
+      """SELECT event_id, epoch_ms(ts) AS epoch_ms,
+        |  make_timestamp(epoch_ms(ts) * 1000) AS ts_ms
+        |FROM events""".stripMargin,
+    "filter_event_type" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "derived_mul" ->
+      """SELECT event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2))
+        |       * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS DOUBLE)
+        |    AS trade_value
+        |FROM events""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        |  trim(c_name) AS name_trim,
+        |  replace(c_name, 'Customer', 'Cust') AS name_repl
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  date_trunc('month', o_orderdate) AS o_month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |    AS days_since_95
+        |FROM orders""".stripMargin,
+    "math_funcs" ->
+      """SELECT l_orderkey,
+        |  abs(l_extendedprice * -1) AS abs_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS round_price,
+        |  sqrt(l_extendedprice) AS sqrt_price,
+        |  pow(l_quantity, 2) AS qty_sq
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "join_inner" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "join_left" ->
+      """SELECT o_orderkey,
+        |  COALESCE(cnt, 0) AS n_items,
+        |  COALESCE(CAST(qty AS DOUBLE), 0.0) AS sum_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS cnt,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1) l ON o_orderkey = l_orderkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "topk_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin,
+    "moving_avg" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w_frame AS DOUBLE)
+        |    / count(*) OVER w_frame AS moving_avg,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "orderby_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "union_all" ->
+      """SELECT kind, count(*) AS n, CAST(sum(key) AS BIGINT) AS key_sum FROM (
+        |  SELECT 'customer' AS kind, c_custkey AS key FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, s_suppkey AS key FROM supplier) t
+        |GROUP BY 1""".stripMargin,
+    "intersect_keys" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+    "except_keys" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+    "array_funcs" ->
+      """SELECT user_id,
+        |  list_sort(list(event_type)) AS types,
+        |  CAST(len(list(event_type)) AS INTEGER) AS n_types,
+        |  list_sort(list(DISTINCT event_type)) AS distinct_types
+        |FROM events GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT user_id, event_type,
+        |  arg_min(event_id, ts) AS first_event_id,
+        |  arg_min(value, ts) AS first_value,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "asof_price" ->
+      """SELECT event_id, user_id, ts, asof_value FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM events) t WHERE event_type = 'signup'""".stripMargin,
+  )
 }

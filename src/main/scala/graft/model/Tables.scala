@@ -1,0 +1,59 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst gets a full
+  * `FileSourceScanExec`: column pruning and filter pushdown reach the scan
+  * (the reference declares a fixed schema for its stream source,
+  * reference: spark_processor/processor.py:43-52; for parquet the footer
+  * schema is authoritative and explicit StructTypes would only disable
+  * schema evolution).
+  *
+  * At 100 TB these would be partitioned/bucketed tables behind the same
+  * function signature — every operator downstream is written
+  * partition-count-agnostic so nothing here changes with scale.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md) which Spark 4 has
+    * no native type for — it either throws PARQUET_TYPE_ILLEGAL or, with the
+    * legacy conf, reads INT64 nanos. We read nanos and truncate to
+    * microsecond TimestampType with integer arithmetic (`div`, not double
+    * division — epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range).
+    * DuckDB truncates ns→µs the same way, so the oracle agrees.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Case class for the reference's wire-format trade event
+    * (reference: producer/producer.py:51-58): price/quantity arrive as
+    * decimal strings, trade_time as epoch millis.
+    */
+  final case class Trade(
+      trade_id: Long,
+      symbol: String,
+      price: String,
+      quantity: String,
+      trade_time: Long,
+      is_buyer_maker: Boolean)
+}

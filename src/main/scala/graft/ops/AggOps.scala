@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Aggregation layer — batch forms of the reference's windowed OHLCV/VWAP
+  * pipeline (reference: spark_processor/processor.py:78-101) plus the batch
+  * aggregation surface from SURVEY §2.5.
+  *
+  * Scale posture: every query is a single partial+final hash aggregation —
+  * one shuffle on the group key, map-side combine for free. Money math is
+  * decimal-exact (sum of DECIMAL, cast to DOUBLE only at the output
+  * boundary) so results are deterministic under any partitioning — a
+  * requirement at 1000 executors, and what makes the DuckDB oracle
+  * hash-match bit-exactly.
+  */
+object AggOps {
+
+  /** events → the reference's trade shape: ts, symbol, decimal price,
+    * decimal quantity, derived trade_value (processor.py:70-75; mapping per
+    * FIXTURES.md — value→price, props.k→quantity, event_type→symbol).
+    */
+  private def trades(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("ts"),
+      col("event_type").as("symbol"),
+      col("value").cast(DecimalType(18, 2)).as("price"),
+      get_json_object(col("props"), "$.k").cast(DecimalType(18, 0)).as("quantity"))
+      .withColumn("trade_value", col("price") * col("quantity"))
+
+  /** FLAGSHIP — A1-A7 + P6-P8: 1-minute OHLCV + VWAP per symbol
+    * (processor.py:78-101 as a batch query).
+    *
+    * Divergence from the reference, by design (SURVEY §2.3 note): the
+    * reference's `first`/`last` are encounter-order and nondeterministic
+    * under shuffle; we declare the intended semantics — price at min/max
+    * event time — via `min_by`/`max_by`, which are deterministic on any
+    * partitioning (and oracle-checkable as DuckDB arg_min/arg_max).
+    * VWAP guards the zero-volume case explicitly so Spark and DuckDB agree
+    * (SURVEY §7.4, non-ANSI div-by-zero).
+    */
+  def ohlcv1min(spark: SparkSession, dir: String): DataFrame = {
+    val vol = sum(col("quantity"))
+    trades(spark, dir)
+      .groupBy(
+        date_trunc("minute", col("ts")).as("window_start"),
+        col("symbol"))
+      .agg(
+        expr("min_by(price, ts)").cast(DoubleType).as("open_price"),
+        max(col("price")).cast(DoubleType).as("high_price"),
+        min(col("price")).cast(DoubleType).as("low_price"),
+        expr("max_by(price, ts)").cast(DoubleType).as("close_price"),
+        vol.cast(DoubleType).as("total_volume"),
+        count(lit(1)).as("n_trades"),
+        when(vol =!= 0,
+          sum(col("trade_value")).cast(DoubleType) / vol.cast(DoubleType))
+          .as("vwap"))
+  }
+
+  /** A4/A5 isolated: deterministic open/close per (minute, symbol). */
+  def openClose(spark: SparkSession, dir: String): DataFrame =
+    trades(spark, dir)
+      .groupBy(
+        date_trunc("minute", col("ts")).as("window_start"),
+        col("symbol"))
+      .agg(
+        expr("min_by(price, ts)").cast(DoubleType).as("open_price"),
+        expr("max_by(price, ts)").cast(DoubleType).as("close_price"))
+
+  /** P7 isolated: VWAP per symbol over the whole table. */
+  def vwap(spark: SparkSession, dir: String): DataFrame = {
+    val vol = sum(col("quantity"))
+    trades(spark, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        vol.cast(DoubleType).as("total_volume"),
+        when(vol =!= 0,
+          sum(col("trade_value")).cast(DoubleType) / vol.cast(DoubleType))
+          .as("vwap"))
+  }
+
+  /** A8: grouped row count (the sink guard's count, made useful). */
+  def countRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** A9: freshness check — the monitor DAG's COUNT over the trailing window
+    * (reference: airflow/dags/crypto_pipeline_monitor_dag.py:25-27), with a
+    * fixed anchor instead of NOW() for determinism (SURVEY §5).
+    */
+  def freshnessCheck(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("2024-01-15 00:00:00").cast(TimestampType)
+    Tables.events(spark, dir)
+      .filter(col("ts") >= anchor - expr("INTERVAL 3 MINUTES") && col("ts") < anchor)
+      .agg(count(lit(1)).as("fresh_rows"))
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-shape grouped aggregation (SURVEY §2.5 agg_groupby):
+    * decimal-exact sums surfaced as DOUBLE, averages as exact-sum / count.
+    */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        (sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Exact + approximate distinct (SURVEY §2.5). The approximate variant is
+    * HLL++ and intentionally has no SQL oracle (estimator-specific); exact
+    * is oracle-checked. `countDistinct` plans as a two-stage
+    * partial-distinct aggregation — no full-row shuffle of events.
+    */
+  def countDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** ROLLUP over returnflag/linestatus (SURVEY §2.5 rollup_sales).
+    * Spark emits NULL for rolled-up levels; the oracle uses the same ROLLUP.
+    */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n_items"))
+
+  /** CUBE variant — full grouping-set lattice. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Scalar/parse layer — batch analogs of the reference's projection chain
+  * (reference: spark_processor/processor.py:65-75 — CAST value, from_json,
+  * flatten, decimal casts, epoch-ms→timestamp, derived multiply).
+  *
+  * All expressions are Spark built-ins so they stay inside whole-stage
+  * codegen and their input columns prune down to the parquet scan.
+  */
+object ParseOps {
+
+  /** P2/P3/P10: parse the JSON `props` payload of events.
+    * The reference parses the Kafka JSON value against a declared schema
+    * (processor.py:66-67); here the JSON column is `events.props`.
+    * `get_json_object` is PERMISSIVE like `from_json`: malformed → NULL.
+    */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+
+  /** P4: decimal-string → DecimalType(20,8), the reference's price/quantity
+    * cast (processor.py:71-72). Non-numeric input → NULL (non-ANSI).
+    */
+  def decimalCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(DecimalType(20, 8)).as("k_dec"))
+
+  /** P5: epoch-ms ↔ timestamp. The reference does
+    * `(trade_time / 1000).cast("timestamp")` (processor.py:73); we use the
+    * exact integer form `unix_millis`/`timestamp_millis` (SURVEY §1.3).
+    */
+  def epochToTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+
+  /** P9: event-type filter — the producer keeps only `e == "trade"` messages
+    * (reference: producer/producer.py:50); in-engine for us so it pushes
+    * down to the parquet scan.
+    */
+  def filterEventType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** P6: derived multiply — `trade_value = price * quantity`
+    * (processor.py:74). Decimal-exact product, surfaced as DOUBLE so the
+    * DuckDB oracle hashes bit-identically.
+    */
+  def derivedMul(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) *
+          get_json_object(col("props"), "$.k").cast(DecimalType(18, 0)))
+          .cast(DoubleType).as("trade_value"))
+
+  /** String functions over part/customer (SURVEY §2.5 string_funcs). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        trim(col("c_name")).as("name_trim"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_repl"))
+
+  /** Date functions over orders (SURVEY §2.5 date_funcs). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        date_trunc("month", col("o_orderdate")).as("o_month_start"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType))
+          .as("days_since_95"))
+
+  /** Math functions over lineitem (SURVEY §2.5 math_funcs).
+    * Restricted to operations whose numeric semantics are bit-identical in
+    * Spark and DuckDB: abs / floor / ceil / pow-of-int / IEEE-exact sqrt,
+    * and round applied to DECIMAL (double-round half-cases differ between
+    * BigDecimal HALF_UP and C rounding, decimal-round does not).
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        abs(col("l_extendedprice") * -1).as("abs_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        round(col("l_extendedprice").cast(DecimalType(18, 2)), 1)
+          .cast(DoubleType).as("round_price"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        pow(col("l_quantity"), 2).as("qty_sq"))
+
+  /** JSON extraction variants (SURVEY §2.5 json_extract). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .filter(col("k") > 50)
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Relational batch surface (SURVEY §2.5): joins, window functions, sort /
+  * top-k, set ops, array functions, deduplication, as-of.
+  *
+  * Scale notes, per operator family:
+  *  - Equi-joins are declared, never hand-scheduled: Catalyst + AQE pick
+  *    broadcast vs shuffled-hash vs sort-merge from runtime stats. Genuinely
+  *    small dimensions (region/nation) get an explicit `broadcast()` hint.
+  *  - Ranking / top-k per key is one shuffle on the partition key; global
+  *    top-k compiles to TakeOrderedAndProject (no global sort).
+  *  - Dedup is expressed as hash-groupBy (partial agg combines duplicates
+  *    map-side before the shuffle — at 100 TB this is the only shape that
+  *    works; `dropDuplicates` would be nondeterministic anyway).
+  */
+object RelationalOps {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Inner 3-way equi-join: customer ⋈ orders ⋈ lineitem → revenue per
+    * market segment. Join order (fact last, dims first) and strategy are
+    * left to Catalyst/AQE; at sf0.x customer broadcasts, at 100 TB AQE
+    * would pick SMJ — same declared plan either way.
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left outer join: every order with its lineitem count (0 for none) and
+    * exact quantity sum. Aggregate-then-join: lineitem is pre-aggregated to
+    * one row per orderkey BEFORE the join, so the join input is minimal —
+    * the shape that survives a 100× fact-table scale-up.
+    */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val lAgg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec2(col("l_quantity"))).as("qty"))
+    o.join(lAgg, o("o_orderkey") === lAgg("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_items"),
+        coalesce(col("qty").cast(DoubleType), lit(0.0)).as("sum_qty"))
+  }
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Dimension join with explicit broadcast: customer → nation → region
+    * rollup. nation/region are bounded-cardinality dimensions (25/5 rows at
+    * ANY scale factor) — always broadcast, never shuffled.
+    */
+  def joinDims(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+  }
+
+  /** Ranking window: top-3 orders per customer by totalprice
+    * (SURVEY §2.5 topk_rank). Tiebreak on o_orderkey — o_totalprice has
+    * duplicates in the data, and rank determinism is a correctness
+    * requirement under shuffle.
+    */
+  def topkRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Analytic window with frame: 3-row moving average of event value per
+    * user, plus lag/lead (SURVEY §2.5 moving_avg). The frame sum is
+    * decimal-exact before the final divide so it is deterministic under
+    * any partitioning.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        (sum(dec2(col("value"))).over(frame).cast(DoubleType)
+          / count(lit(1)).over(frame)).as("moving_avg"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+  }
+
+  /** Global top-k: compiles to TakeOrderedAndProject — per-partition heap
+    * then a k-row merge on the driver, NOT a global sort. Tiebreak on key.
+    */
+  def orderbyLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Set op: UNION ALL of tagged key sets (customer ∪ supplier). */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("kind"), col("c_custkey").as("key"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("kind"), col("s_suppkey").as("key"))
+    c.unionAll(s).groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+  }
+
+  /** Set op: customers that placed orders, as INTERSECT (distinct). */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .intersect(Tables.orders(spark, dir).select(col("o_custkey")))
+
+  /** Set op: customers that never ordered, as EXCEPT (distinct). */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey")))
+
+  /** Array functions: per-user sorted event-type list via collect_list.
+    * collect_list order is nondeterministic under shuffle, so the result is
+    * canonicalized with sort_array — the only deterministic (and therefore
+    * scale-safe) way to surface a collected array.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_list(col("event_type"))).as("types"),
+        size(sort_array(collect_list(col("event_type")))).as("n_types"),
+        sort_array(collect_set(col("event_type"))).as("distinct_types"))
+
+  /** Exact dedup as hash-groupBy (SURVEY §2.5 dedup): one row per
+    * (user_id, event_type), keeping the earliest event deterministically.
+    * Equivalent to dropDuplicates but with defined keep-semantics; partial
+    * aggregation collapses duplicates before the shuffle.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        expr("min_by(event_id, ts)").as("first_event_id"),
+        expr("min_by(value, ts)").as("first_value"),
+        count(lit(1)).as("n_dups"))
+
+  /** As-of join (SURVEY §2.5 joins: range/as-of): each signup event gets
+    * the user's most recent prior-or-equal purchase value. Implemented as
+    * the union + last(ignoreNulls) over an ordered window — the standard
+    * scalable as-of pattern: ONE shuffle on the partition key, no range
+    * self-join blow-up.
+    */
+  def asofPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("asof_value", last(col("purchase_value"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
+  }
+}
