@@ -57,6 +57,24 @@ object SparkEntry {
     "array_funcs"       -> (RelationalOps.arrayFuncs _),
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
+    // ---- text analysis (north-star extensions) ----
+    "text_stats"        -> (TextOps.textStats _),
+    "token_count"       -> (TextOps.tokenCount _),
+    "lang_id"           -> (TextOps.langId _),
+    "quality_score"     -> (TextOps.qualityScore _),
+    "doc_fingerprint"   -> (TextOps.docFingerprint _),
+    "dedup_doc_exact"   -> (TextOps.dedupDocExact _),
+    // ---- near-dup dedup (north-star extensions) ----
+    "minhash_neardup"   -> (DedupOps.minhashNeardup _),
+    "simhash"           -> (DedupOps.simhash _),
+    "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
+    // ---- similarity search (north-star extensions) ----
+    "knn_cosine"        -> (SimilarityOps.knnCosine _),
+    "ann_lsh"           -> (SimilarityOps.annLsh _),
+    "embed_neardup"     -> (SimilarityOps.embedNeardup _),
+    // ---- multimodal plumbing (north-star extensions) ----
+    "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
+    "frame_sample"      -> (MultimodalOps.frameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -263,5 +281,107 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |  FROM events) t WHERE event_type = 'signup'""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sum_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER)
+        |    AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' la ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' los ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' das ') THEN 1 ELSE 0 END) AS de,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' et ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' des ') THEN 1 ELSE 0 END) AS fr
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred_lang
+        |FROM h""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / n_chars AS punct_ratio,
+        |  CAST(len(list_filter(string_split(trim(text), ' '),
+        |        t -> t = 'the' OR t = 'and' OR t = 'a' OR t = 'of' OR t = 'to'
+        |             OR t = 'data' OR t = 'scan')) AS DOUBLE)
+        |    / len(string_split(trim(text), ' ')) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / len(string_split(trim(text), ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
+    "dedup_doc_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "knn_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM s) t WHERE rk <= 10""".stripMargin,
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id, nb, 64 + nb % 512 AS width, 64 + (nb // 2) % 512 AS height,
+        |        CASE nb % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |      FROM m)
+        |SELECT format, count(*) AS n_media,
+        |  CAST(sum(nb) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(nb) AS DOUBLE) / count(*) AS avg_bytes
+        |FROM x GROUP BY 1""".stripMargin,
+    "frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    greatest(octet_length(encode(text)) // 100, 1) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames, frame_idx, frame_idx * 100 AS byte_offset FROM (
+        |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |    CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+        |  FROM f) t""".stripMargin,
   )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Near-duplicate detection over `documents`: MinHash+LSH, SimHash, and
+  * exact n-gram Jaccard — the dedup layer of a training-data pipeline
+  * (BASELINE.json north star).
+  *
+  * Scale design: the all-pairs O(n²) comparison is never materialized.
+  * MinHash signatures are computed per-document (embarrassingly parallel,
+  * higher-order array expressions, no UDFs); LSH banding turns similarity
+  * search into an equi-join on (band, band_hash) — a hash shuffle where
+  * only same-bucket documents meet. At 100 TB the candidate-pair join is
+  * the only shuffle, keyed on band hashes that are uniform by construction
+  * (no skew), and the verify step touches only candidate pairs.
+  */
+object DedupOps {
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** doc_id + distinct word-3-gram shingles. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+
+  /** MinHash signature: for seed j, min over shingles of xxhash64(j, s).
+    * One pass over the shingle array per document — no shuffle.
+    */
+  private def signed(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).withColumn("sig", expr(
+      s"transform(sequence(0, ${NumHashes - 1}), j -> array_min(transform(shingles, s -> xxhash64(j, s))))"))
+
+  /** MinHash + LSH near-dup pairs: band the signature, equi-join on band
+    * buckets, estimate Jaccard as the fraction of agreeing minhashes, keep
+    * pairs ≥ 0.5 (the corpus has planted near-dups at ~0.9+ true Jaccard
+    * and background below 0.2, so the estimator threshold is forgiving).
+    */
+  def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val banded = signed(spark, dir)
+      .select(col("doc_id"), col("sig"), expr(
+        s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
+      ).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    x.join(y,
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Bit j of the simhash
+    * is the sign of sum over tokens of ±1 by bit j of the token hash.
+    * Pure expression fold — per-document, no shuffle, codegen-friendly.
+    * `band16_*` chunks support banded hamming-distance search downstream.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .withColumn("hashes", expr("transform(w, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(aggregate(hashes, 0L, (a, h) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        expr("shiftright(simhash, 48) & 65535").as("band16_0"),
+        expr("shiftright(simhash, 32) & 65535").as("band16_1"),
+        expr("shiftright(simhash, 16) & 65535").as("band16_2"),
+        expr("simhash & 65535").as("band16_3"))
+
+  /** Exact n-gram Jaccard between adjacent doc_ids — the verify-step
+    * primitive, oracle-checkable (set sizes only, so engine list ordering
+    * doesn't matter). The LSH pipeline above is how candidates are found
+    * at scale; this op pins the exact-similarity semantics.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast(DoubleType)
+          / size(array_union(col("a.shingles"), col("b.shingles"))))
+          .as("jaccard"))
+  }
+}

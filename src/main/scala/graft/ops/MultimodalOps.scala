@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded partition-wise (BASELINE.json north star).
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container
+  * has no image/audio codecs); everything around it — the binary column,
+  * the typed Dataset boundary, `mapPartitions` batching, the metadata
+  * schema, downstream relational ops — is the real production shape. A
+  * deployment swaps [[MultimodalOps.stubDecode]] for a JNI/codec call
+  * without touching the plan: decode stays embarrassingly parallel
+  * (per-partition, no shuffle), and only the small typed metadata rows
+  * flow into the aggregation shuffle.
+  */
+object MultimodalOps {
+
+  /** Opaque media payload (doc text bytes stand in for image bytes). */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata produced by the decoder. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, format: String)
+
+  /** STUB decoder — deterministic fake of an image header parse.
+    * Real implementation would be e.g. `ImageIO.read`/ffmpeg over the
+    * payload bytes; the derived fields are a pure function of payload
+    * length so the pipeline is oracle-checkable end to end.
+    */
+  def stubDecode(r: MediaRow): MediaMeta = {
+    val n = r.payload.length
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      width = 64 + n % 512,
+      height = 64 + (n / 2) % 512,
+      format = (n % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      })
+  }
+
+  /** documents → binary payload column → partition-wise decode. */
+  def decoded(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(stubDecode)) // batch boundary: one decoder init per partition
+  }
+
+  /** Per-format media stats over the decoded metadata. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir).toDF()
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast(LongType)).as("sum_bytes"),
+        sum(col("width").cast(LongType) * col("height").cast(LongType))
+          .as("sum_pixels"),
+        (sum(col("n_bytes").cast(LongType)).cast(DoubleType) / count(lit(1)))
+          .as("avg_bytes"))
+
+  /** Frame sampling for video-like payloads: every 10th frame index,
+    * exploded to one row per sampled frame with its byte offset. The
+    * explode multiplies rows BEFORE any shuffle — downstream ops see
+    * (doc, frame) rows that partition freely.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir).toDF()
+      .withColumn("n_frames", greatest(floor(col("n_bytes") / 100), lit(1L)))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 10)")).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * 100)
+}

