@@ -19,6 +19,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin repartition up to the session's default parallelism when
+    * the source scan yields fewer splits. Single-file/single-row-group
+    * inputs (the small-SF testdata) otherwise run all downstream per-row
+    * compute on ONE task regardless of core count. At production scale the
+    * scan has thousands of splits and this is a no-op — no shuffle is added
+    * where the input is already parallel. Only applied in front of
+    * CPU-heavy per-row stages (minhash/simhash signatures, vector math)
+    * where the shuffle cost is far below the compute it parallelizes.
+    */
+  def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -25,18 +25,24 @@ object DedupOps {
 
   /** doc_id + distinct word-3-gram shingles. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
 
-  /** MinHash signature: for seed j, min over shingles of xxhash64(j, s).
-    * One pass over the shingle array per document — no shuffle.
+  /** MinHash signature. Each shingle string is hashed ONCE (`xxhash64(s)`),
+    * then the `NumHashes` hash functions are derived by re-hashing the
+    * 64-bit value with the seed index — fixed-width long mixing instead of
+    * re-reading the string bytes per seed, which cuts signature cost ~
+    * `avgShingleLen/16`×. One pass per document — no shuffle.
     */
   private def signed(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir).withColumn("sig", expr(
-      s"transform(sequence(0, ${NumHashes - 1}), j -> array_min(transform(shingles, s -> xxhash64(j, s))))"))
+    shingled(spark, dir)
+      .withColumn("hh", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${NumHashes - 1}), j -> array_min(transform(hh, h -> xxhash64(j, h))))"))
+      .drop("hh")
 
   /** MinHash + LSH near-dup pairs: band the signature, equi-join on band
     * buckets, estimate Jaccard as the fraction of agreeing minhashes, keep
@@ -49,15 +55,21 @@ object DedupOps {
         s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
       ).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
-    val x = banded.alias("x")
-    val y = banded.alias("y")
-    x.join(y,
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+    // Bucket by band hash (ONE shuffle; signatures computed once — a
+    // self-join would evaluate the signature subtree on both sides), then
+    // generate ordered candidate pairs inside each bucket. Band hashes are
+    // uniform by construction so bucket sizes stay bounded at any scale.
+    banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .withColumn("ds", array_sort(col("ds"))) // struct sort: doc_id first
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |                 'sig_a', a.sig, 'sig_b', b.sig))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
       .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
@@ -71,7 +83,7 @@ object DedupOps {
     * `band16_*` chunks support banded hamming-distance search downstream.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .withColumn("hashes", expr("transform(w, t -> xxhash64(t))"))
       .withColumn("simhash", expr(

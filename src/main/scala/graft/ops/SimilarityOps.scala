@@ -18,19 +18,23 @@ import graft.model.Tables
   */
 object SimilarityOps {
 
-  /** embeddings with double-precision vectors. */
+  /** embeddings with double-precision vectors and the L2 norm materialized
+    * per vector BELOW any join — per-pair work is then one zip_with fold
+    * plus a multiply/divide, instead of re-folding both norms for every
+    * candidate pair. `cos = dot / (nrm_v * nrm_q)` is the same IEEE op
+    * sequence as computing the norms inline, so results (and the DuckDB
+    * oracle match) are bit-identical.
+    */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.balanced(Tables.embeddings(spark, dir))
       .select(
         col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
 
   private val dotVQ =
     "aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-  private val normV =
-    "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"
-  private val normQ =
-    "sqrt(aggregate(transform(qv, a -> a * a), 0D, (acc, x) -> acc + x))"
 
   /** Brute-force exact top-10 cosine neighbors for a small query set
     * (vec_id < 10). The query side is broadcast — the corpus side streams
@@ -40,12 +44,12 @@ object SimilarityOps {
   def knnCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("vec_id"), col("cosine"),
@@ -75,12 +79,12 @@ object SimilarityOps {
     val e = withBucket(vecs(spark, dir))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("bucket").as("q_bucket"))
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") &&
         col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id"), col("bucket"), col("cosine"),
@@ -94,11 +98,12 @@ object SimilarityOps {
     */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = withBucket(vecs(spark, dir))
-    val x = e.select(col("vec_id").as("id_a"), col("v"), col("bucket")).alias("x")
+    val x = e.select(col("vec_id").as("id_a"), col("v"), col("nrm"),
+      col("bucket")).alias("x")
     val y = e.select(col("vec_id").as("id_b"), col("v").as("qv"),
-      col("bucket").as("bucket_b")).alias("y")
+      col("nrm").as("nrm_b"), col("bucket").as("bucket_b")).alias("y")
     x.join(y, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(s"$dotVQ / ($normV * $normQ)"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * nrm_b)"))
       .filter(col("cosine") > 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
