@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference's streaming pipeline re-expressed Spark-first: JSON trade
+  * events → typed decimal rows → watermarked 1-minute tumbling-window
+  * OHLCV+VWAP aggregation → update-mode output, 60 s trigger
+  * (reference: spark_processor/processor.py:43-112).
+  *
+  * Composable as pure `DataFrame => DataFrame` stages so the same graph runs
+  * over a Kafka source in production, a `MemoryStream` in tests, or a batch
+  * DataFrame for backfill — Structured Streaming's unified batch/stream
+  * semantics make the aggregation identical in all three.
+  *
+  * Deliberate divergence from the reference (SURVEY.md §2.3): open/close use
+  * `min_by`/`max_by` over `(trade_time, trade_id)` instead of encounter-order
+  * `first`/`last` (processor.py:83-84), which is nondeterministic under
+  * multi-partition shuffle. Deterministic aggregates are the only kind that
+  * scale to a real cluster without silent result drift.
+  */
+object OhlcvStream {
+
+  /** Wire-format schema (reference: spark_processor/processor.py:43-52).
+    * price/quantity arrive as decimal STRINGS — the exchange sends decimals
+    * as strings to avoid float loss; we cast after parse exactly like the
+    * reference.
+    */
+  val tradeSchema: StructType = StructType(Seq(
+    StructField("trade_id", LongType),
+    StructField("symbol", StringType),
+    StructField("price", StringType),
+    StructField("quantity", StringType),
+    StructField("trade_time", LongType), // epoch milliseconds
+    StructField("is_buyer_maker", BooleanType)))
+
+  /** Kafka source (reference: processor.py:54-60). Production entry point;
+    * tests substitute a MemoryStream upstream of [[parseTrades]].
+    */
+  def fromKafka(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS json")
+
+  /** JSON line → typed trade row (reference: processor.py:65-75).
+    * `from_json` is PERMISSIVE: malformed input → NULL fields, matching the
+    * reference's explicit-schema behavior. Epoch-ms → timestamp uses
+    * `timestamp_millis` (exact integer semantics; the reference's
+    * `/1000` + cast round-trips through double).
+    */
+  def parseTrades(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("json"), tradeSchema).as("data"))
+      .select(col("data.*"))
+      .withColumn("price", col("price").cast(DecimalType(20, 8)))
+      .withColumn("quantity", col("quantity").cast(DecimalType(20, 8)))
+      .withColumn("trade_time", timestamp_millis(col("trade_time")))
+      .withColumn("trade_value", col("price") * col("quantity"))
+
+  /** Watermarked tumbling-window OHLCV+VWAP (reference: processor.py:78-101).
+    * State for a window is dropped once the watermark passes its end; rows
+    * later than the watermark are discarded — identical semantics to the
+    * reference's 2-minute bound. The aggregation is partial+final: partial
+    * OHLCV state combines map-side, so the shuffle carries one row per
+    * (window, symbol) per partition, not per trade — at 100 TB the shuffle
+    * volume is bounded by key cardinality, not event count.
+    */
+  def ohlcv(trades: DataFrame,
+            watermark: String = "2 minutes",
+            windowWidth: String = "1 minute"): DataFrame = {
+    val orderKey: Column = struct(col("trade_time"), col("trade_id"))
+    trades
+      .withWatermark("trade_time", watermark)
+      .groupBy(window(col("trade_time"), windowWidth), col("symbol"))
+      .agg(
+        min_by(col("price"), orderKey).as("open_price"),
+        max(col("price")).as("high_price"),
+        min(col("price")).as("low_price"),
+        max_by(col("price"), orderKey).as("close_price"),
+        sum(col("quantity")).as("total_volume"),
+        sum(col("trade_value")).as("total_trade_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("symbol"),
+        col("open_price"),
+        col("high_price"),
+        col("low_price"),
+        col("close_price"),
+        col("total_volume"),
+        when(col("total_volume") =!= 0,
+          col("total_trade_value") / col("total_volume")).as("vwap"))
+  }
+
+  /** Start the query: update mode + 60 s trigger + checkpoint, foreachBatch
+    * sink (reference: processor.py:103-112). `sink` runs in the driver JVM —
+    * no Py4J hop, unlike the reference's Python callback.
+    */
+  def start(agg: DataFrame,
+            sink: (DataFrame, Long) => Unit,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

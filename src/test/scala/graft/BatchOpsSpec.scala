@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.OhlcvStream
+
+/** Batch operator specs: every registered query executes at sf0.001, core
+  * queries return rows, and the OHLCV aggregation satisfies its algebraic
+  * invariants on randomized inputs (SURVEY.md §5 test strategy).
+  */
+class BatchOpsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("core queries are non-empty at sf0.001") {
+    val core = Seq("ohlcv_1min", "agg_groupby", "join_inner", "topk_rank",
+      "text_stats", "token_count", "knn_cosine", "dedup_exact")
+    core.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+
+  test("every oracleSql key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("OHLCV invariants hold on randomized trades") {
+    import spark.implicits._
+    val T0 = 1705276800000L
+    for (seed <- Seq(1, 42, 2024)) {
+      val rnd = new Random(seed)
+      val syms = Array("AAA", "BBB", "CCC")
+      val trades = (1 to 2000).map { i =>
+        (i.toLong, syms(rnd.nextInt(3)),
+          (50 + rnd.nextInt(10000) / 100.0).toString,
+          (1 + rnd.nextInt(500) / 100.0).toString,
+          T0 + rnd.nextInt(600000).toLong, rnd.nextBoolean())
+      }
+      val df = trades.toDF("trade_id", "symbol", "price", "quantity",
+        "trade_time", "is_buyer_maker")
+        .withColumn("price", col("price").cast("decimal(20,8)"))
+        .withColumn("quantity", col("quantity").cast("decimal(20,8)"))
+        .withColumn("trade_time", timestamp_millis(col("trade_time")))
+        .withColumn("trade_value", col("price") * col("quantity"))
+      val agg = OhlcvStream.ohlcv(df).collect()
+      assert(agg.nonEmpty)
+      agg.foreach { r =>
+        def d(c: String) = r.getAs[java.math.BigDecimal](c).doubleValue()
+        assert(d("low_price") <= d("open_price") && d("open_price") <= d("high_price"), r.toString)
+        assert(d("low_price") <= d("close_price") && d("close_price") <= d("high_price"), r.toString)
+        assert(d("low_price") - 1e-9 <= d("vwap") && d("vwap") <= d("high_price") + 1e-9, r.toString)
+        assert(d("total_volume") > 0)
+        // tumbling windows: start is minute-aligned, end = start + 1 min
+        val ws = r.getAs[Timestamp]("window_start").getTime
+        val we = r.getAs[Timestamp]("window_end").getTime
+        assert(ws % 60000 == 0 && we - ws == 60000)
+      }
+      // volume conservation: sum over windows = sum over input
+      val aggVol = agg.map(_.getAs[java.math.BigDecimal]("total_volume").doubleValue()).sum
+      val inVol = df.agg(sum("quantity")).collect()(0).getDecimal(0).doubleValue()
+      assert(math.abs(aggVol - inVol) < 1e-6)
+    }
+  }
+
+  test("dedup_exact keeps exactly one row per (user_id, event_type)") {
+    val out = SparkEntry.queries("dedup_exact")(spark, sf)
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("topk_rank emits at most 3 rows per customer, rank-ordered by price") {
+    val out = SparkEntry.queries("topk_rank")(spark, sf).collect()
+    val byCust = out.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      val prices = sorted.map(_.getAs[Number]("o_totalprice").doubleValue())
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("minhash est_jaccard is within [0,1] and pairs are ordered") {
+    val rows = SparkEntry.queries("minhash_neardup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("knn_cosine returns exactly 10 ranked neighbors per query vector") {
+    val rows = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val cos = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
