@@ -57,6 +57,19 @@ object SparkEntry {
     "array_funcs"       -> (RelationalOps.arrayFuncs _),
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
+    "part_revenue"      -> (RelationalOps.partRevenue _),
+    // ---- statistical / analytical surface (SURVEY §2.5) ----
+    "stats_agg"         -> (StatsOps.statsAgg _),
+    "percentiles"       -> (StatsOps.percentiles _),
+    "ntile_buckets"     -> (StatsOps.ntileBuckets _),
+    "sessionize"        -> (StatsOps.sessionize _),
+    "grouping_sets"     -> (StatsOps.groupingSetsSales _),
+    "pivot_sales"       -> (StatsOps.pivotSales _),
+    // ---- user-extension proof points (SURVEY §2.5 UDF/UDAF/UDTF) ----
+    "udf_score"         -> (CustomOps.udfScore _),
+    "agg_custom_vwap"   -> (CustomOps.aggCustomVwap _),
+    "explode_tokens"    -> (CustomOps.explodeTokens _),
+    "json_map_keys"     -> (CustomOps.jsonMapKeys _),
     // ---- text analysis (north-star extensions) ----
     "text_stats"        -> (TextOps.textStats _),
     "token_count"       -> (TextOps.tokenCount _),
@@ -363,6 +376,114 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    "part_revenue" ->
+      """WITH l AS (
+        |  SELECT p_brand, p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS disc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(disc) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(disc) AS DOUBLE) AS promo_share
+        |FROM l GROUP BY 1""".stripMargin,
+    "stats_agg" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx,
+        |    sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(sx AS DOUBLE) / n AS mean_value,
+        |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) AS stddev_value,
+        |  CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1)) AS var_value,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |    AS corr_value_k
+        |FROM s""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "ntile_buckets" ->
+      """SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket
+        |      FROM orders) t
+        |GROUP BY 1""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |              OR us - lag(us, 1) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS session_start_us, max(us) AS session_end_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "pivot_sales" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "udf_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(string_split(trim(text), ' ')) AS INTEGER)
+        |    / (CAST(len(string_split(trim(text), ' ')) AS INTEGER) + 50.0) AS score
+        |FROM documents""".stripMargin,
+    "agg_custom_vwap" ->
+      """WITH t AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price,
+        |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT symbol,
+        |  CASE WHEN sum(quantity) <> 0
+        |       THEN CAST(sum(price * quantity) AS DOUBLE) / CAST(sum(quantity) AS DOUBLE)
+        |  END AS vwap
+        |FROM t GROUP BY 1""".stripMargin,
+    "explode_tokens" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, w[pos + 1] AS token FROM (
+        |  SELECT doc_id, unnest(range(len(w))) AS pos, w
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))
+        |WHERE length(w[pos + 1]) >= 6""".stripMargin,
+    "json_map_keys" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  json_extract_string(props, '$.k') AS k_value
+        |FROM events""".stripMargin,
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
         |           FROM documents),

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** User-extension surface (SURVEY §2.5 "UDF/UDAF/UDTF"): the reference has
+  * zero custom functions — everything it computes is built-ins — so these
+  * are the engine's declared proof points for each extension mechanism:
+  * a scalar `udf`, a typed `Aggregator` (UDAF), and a Generator-style
+  * explode (UDTF). Each is still oracle-checkable.
+  *
+  * Scale guidance encoded here: a Scala UDF breaks whole-stage codegen at
+  * the call site (rows are materialized to invoke the closure), so UDFs are
+  * for logic that genuinely can't be expressed with built-ins; the
+  * surrounding pipeline stays declarative so Catalyst still prunes/pushes
+  * around the opaque call.
+  */
+object CustomOps {
+
+  /** Scalar UDF proof point: a rational quality score
+    * tokens/(tokens + 50) — pure double arithmetic (no transcendentals, so
+    * any engine computes identical bits).
+    */
+  def udfScore(spark: SparkSession, dir: String): DataFrame = {
+    val score = udf((nTokens: Int) => nTokens / (nTokens + 50.0))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+      .select(col("doc_id"), col("n_tokens"),
+        score(col("n_tokens")).as("score"))
+  }
+
+  private type PQ = (String, java.math.BigDecimal, java.math.BigDecimal)
+
+  /** Typed UDAF: decimal-exact VWAP as an `Aggregator`. The buffer is the
+    * pair of exact decimal sums (Σ price·qty, Σ qty); merge is associative
+    * and commutative, so partial aggregation combines map-side and the
+    * shuffle carries one buffer per key per partition. The single
+    * double-precision step happens once at `finish`.
+    */
+  object VwapAggregator extends Aggregator[
+      PQ,
+      (java.math.BigDecimal, java.math.BigDecimal),
+      java.lang.Double] {
+    private val Z = java.math.BigDecimal.ZERO
+    def zero: (java.math.BigDecimal, java.math.BigDecimal) = (Z, Z)
+    def reduce(b: (java.math.BigDecimal, java.math.BigDecimal), a: PQ) =
+      if (a._2 == null || a._3 == null) b
+      else (b._1.add(a._2.multiply(a._3)), b._2.add(a._3))
+    def merge(x: (java.math.BigDecimal, java.math.BigDecimal),
+              y: (java.math.BigDecimal, java.math.BigDecimal)) =
+      (x._1.add(y._1), x._2.add(y._2))
+    def finish(b: (java.math.BigDecimal, java.math.BigDecimal)): java.lang.Double =
+      if (b._2.signum == 0) null
+      else java.lang.Double.valueOf(b._1.doubleValue() / b._2.doubleValue())
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.DECIMAL, org.apache.spark.sql.Encoders.DECIMAL)
+    def outputEncoder = org.apache.spark.sql.Encoders.DOUBLE
+  }
+
+  /** VWAP per symbol through the typed-Dataset Aggregator path —
+    * semantically identical to the declarative `vwap` query, proving the
+    * UDAF mechanism against the same oracle.
+    */
+  def aggCustomVwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        col("value").cast(DecimalType(18, 2)),
+        get_json_object(col("props"), "$.k").cast(DecimalType(18, 0)))
+      .as[PQ]
+      .groupByKey(_._1)
+      .agg(VwapAggregator.toColumn.name("vwap"))
+      .toDF("symbol", "vwap")
+  }
+
+  /** Generator (UDTF-shape) proof point: posexplode of the token array —
+    * one (doc_id, pos, token) row per token. Row expansion happens BEFORE
+    * any shuffle; downstream ops see rows that partition freely.
+    */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "token")))
+      .filter(length(col("token")) >= 6)
+
+  /** Map-function family: props JSON → map<string,string>, surfacing sorted
+    * keys and a point lookup.
+    */
+  def jsonMapKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+      .select(
+        col("event_id"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+        col("m").getItem("k").as("k_value"))
+}

@@ -178,6 +178,25 @@ object RelationalOps {
         expr("min_by(value, ts)").as("first_value"),
         count(lit(1)).as("n_dups"))
 
+  /** Fact ⋈ part dimension: revenue per brand, with the TPC-H Q14-style
+    * promo share as a conditional aggregate. Declared equi-join — Catalyst
+    * broadcasts part at small SF; at 100 TB part scales with SF so AQE
+    * picks a shuffled join on the same plan.
+    */
+  def partRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val disc = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(disc).cast(DoubleType).as("revenue"),
+        (sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(dec2(lit(0))))
+          .cast(DoubleType) * 100.0
+          / sum(disc).cast(DoubleType)).as("promo_share"))
+  }
+
   /** As-of join (SURVEY §2.5 joins: range/as-of): each signup event gets
     * the user's most recent prior-or-equal purchase value. Implemented as
     * the union + last(ignoreNulls) over an ordered window — the standard

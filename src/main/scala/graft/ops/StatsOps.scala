@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Statistical / analytical operator surface: moment statistics, exact
+  * percentiles, ntile bucketing, gap-based sessionization, grouping sets,
+  * pivot. All deterministic and DuckDB-oracle-checkable.
+  *
+  * Determinism note: moment statistics (stddev/corr) are computed from
+  * DECIMAL-exact power sums with ONE final double-precision step, instead
+  * of the built-in streaming-moment aggregates, whose float accumulation
+  * order varies with partitioning — the decimal route gives identical bits
+  * on any cluster layout AND in the oracle engine.
+  */
+object StatsOps {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Per-event-type moment statistics from exact decimal power sums:
+    * mean, sample stddev/variance (n·Σx² − (Σx)² form), plus correlation
+    * between value and the props.k payload.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec2(col("value"))
+    val y = get_json_object(col("props"), "$.k").cast(DecimalType(18, 2))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(
+        col("event_type"), col("n"),
+        (col("sx").cast(DoubleType) / col("n")).as("mean_value"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+          / (col("n") * (col("n") - 1))).as("stddev_value"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+          / (col("n") * (col("n") - 1))).as("var_value"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
+          .as("corr_value_k"))
+  }
+
+  /** Exact interpolated percentiles (p50/p90/p99) of lineitem quantity per
+    * returnflag. `percentile` is the exact order-statistic form — both
+    * engines interpolate linearly between adjacent order statistics.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+
+  /** ntile(4) quartile bucketing of orders by totalprice (deterministic
+    * total order via the orderkey tiebreak), with per-bucket stats.
+    */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 minutes. Classic two-window formulation — ONE shuffle on
+    * user_id, then per-session aggregation; no self-join, no state blow-up,
+    * works identically at any scale because sessions never cross the
+    * partition key.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        sum(dec2(col("value"))).cast(DoubleType).as("session_value"))
+  }
+
+  /** GROUPING SETS — the general form behind rollup/cube: aggregate by
+    * returnflag, by linestatus, and grand total in one pass.
+    */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n_items"))
+
+  /** Pivot: returnflag × linestatus matrix of exact quantity sums. The
+    * pivot values are declared, so the plan is a single groupBy with one
+    * conditional aggregate per value — no extra pass over the data.
+    */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec2(col("l_quantity"))).cast(DoubleType))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+}
