@@ -25,16 +25,22 @@ object SimilarityOps {
     * sequence as computing the norms inline, so results (and the DuckDB
     * oracle match) are bit-identical.
     */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.balanced(Tables.embeddings(spark, dir))
       .select(
         col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr(
         "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+  }
 
-  private val dotVQ =
-    "aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+  /** Per-pair dot product through the native codegen'd
+    * [[graft.functions.DotProduct]] expression — a primitive double loop in
+    * whole-stage codegen instead of an interpreted zip_with/aggregate fold
+    * (identical index-order summation, so results are bit-equal).
+    */
+  private val dotVQ = "dot_product(v, qv)"
 
   /** Brute-force exact top-10 cosine neighbors for a small query set
     * (vec_id < 10). The query side is broadcast — the corpus side streams

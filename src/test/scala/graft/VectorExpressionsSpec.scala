@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Specs for the native codegen vector expressions: correctness against
+  * hand-computed values, agreement with the higher-order-function form
+  * (bit-exact), null propagation, and SQL registration.
+  */
+class VectorExpressionsSpec extends SparkSuite {
+
+  test("dot_product and cosine_sim match hand-computed values") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, -5.0, 6.0)))
+      .toDF("x", "y")
+      .select(
+        expr("dot_product(x, y)").as("dot"),
+        expr("cosine_sim(x, y)").as("cos"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 1.0 * 4 - 2 * 5 + 3 * 6) // 12
+    val expected = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(r.getDouble(1) == expected)
+  }
+
+  test("dot_product is bit-identical to the zip_with/aggregate fold") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      (Array.fill(64)(rnd.nextDouble()), Array.fill(64)(rnd.nextDouble()))
+    }
+    val diff = rows.toDF("x", "y")
+      .select(
+        expr("dot_product(x, y)").as("native"),
+        expr("aggregate(zip_with(x, y, (a, b) -> a * b), 0D, (acc, v) -> acc + v)")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("null inputs propagate to null") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("x", "y")
+      .select(expr("dot_product(x, y)").as("dot"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100)
+      .selectExpr(
+        "transform(sequence(0, 7), i -> cast(id + i as double)) AS x",
+        "transform(sequence(0, 7), i -> cast(id * i as double)) AS y")
+      .selectExpr("cosine_sim(x, y) AS c", "dot_product(x, y) AS d")
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"), plan)
+    assert(df.count() == 100)
+  }
+}
