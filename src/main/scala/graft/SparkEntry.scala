@@ -42,6 +42,8 @@ object SparkEntry {
     "approx_distinct"   -> (AggOps.approxDistinctUsers _),
     "rollup_sales"      -> (AggOps.rollupSales _),
     "cube_sales"        -> (AggOps.cubeSales _),
+    "sliding_ohlcv"     -> (AggOps.slidingOhlcv _),
+    "session_window"    -> (AggOps.sessionWindowAgg _),
     // ---- relational surface (SURVEY §2.5) ----
     "join_inner"        -> (RelationalOps.joinInner _),
     "join_left"         -> (RelationalOps.joinLeft _),
@@ -376,6 +378,41 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    "sliding_ohlcv" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price,
+        |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
+        |  FROM events),
+        |w AS (
+        |  SELECT date_trunc('minute', ts) - to_minutes(k) AS window_start,
+        |         symbol, price, quantity
+        |  FROM t, (SELECT unnest(range(5)) AS k))
+        |SELECT window_start, symbol,
+        |  CAST(max(price) AS DOUBLE) AS high_price,
+        |  CAST(min(price) AS DOUBLE) AS low_price,
+        |  CAST(sum(quantity) AS DOUBLE) AS total_volume,
+        |  count(*) AS n_trades
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(ts AS TIMESTAMP) AS ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |              OR us - lag(us, 1) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, value, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "part_revenue" ->
       """WITH l AS (
         |  SELECT p_brand, p_type,

@@ -152,4 +152,38 @@ object AggOps {
       .agg(
         sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         count(lit(1)).as("n_items"))
+
+  /** Sliding (hopping) window extension — SURVEY §2.4 W2 lists tumbling as
+    * the reference's only window shape; sliding is the declared extension.
+    * 5-minute windows every 1 minute: each row lands in 5 windows via the
+    * same `window()` primitive (the expansion happens before the shuffle,
+    * exactly like tumbling, so the plan shape is unchanged).
+    */
+  def slidingOhlcv(spark: SparkSession, dir: String): DataFrame =
+    trades(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("symbol"))
+      .agg(
+        max(col("price")).cast(DoubleType).as("high_price"),
+        min(col("price")).cast(DoubleType).as("low_price"),
+        sum(col("quantity")).cast(DoubleType).as("total_volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("window.start").as("window_start"), col("symbol"),
+        col("high_price"), col("low_price"), col("total_volume"), col("n_trades"))
+
+  /** Session window extension (SURVEY §2.4 W2): gap-merged sessions per
+    * user via the native `session_window` primitive — same semantics as the
+    * two-window sessionize formulation (StatsOps), state-store-backed when
+    * streaming. `window.start` is exactly the session's first event time.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DoubleType).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        col("session_value"))
 }
