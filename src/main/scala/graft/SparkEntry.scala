@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
+    "sql_q3"            -> (RelationalOps.sqlQ3 _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
     "percentiles"       -> (StatsOps.percentiles _),
@@ -378,6 +379,20 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    "sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "sliding_ohlcv" ->
       """WITH t AS (
         |  SELECT ts, event_type AS symbol,

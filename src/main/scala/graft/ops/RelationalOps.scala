@@ -178,6 +178,30 @@ object RelationalOps {
         expr("min_by(value, ts)").as("first_value"),
         count(lit(1)).as("n_dups"))
 
+  /** SQL entry point: the engine's surface is DataFrame AND SQL — same
+    * Catalyst plan either way. TPC-H Q3 shape (shipping priority) through
+    * `spark.sql` over temp views of the loaded tables.
+    */
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   /** Fact ⋈ part dimension: revenue per brand, with the TPC-H Q14-style
     * promo share as a conditional aggregate. Declared equi-join — Catalyst
     * broadcasts part at small SF; at 100 TB part scales with SF so AQE

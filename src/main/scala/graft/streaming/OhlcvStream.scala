@@ -98,6 +98,19 @@ object OhlcvStream {
           col("total_trade_value") / col("total_volume")).as("vwap"))
   }
 
+  /** Streaming dedup: the producer is at-least-once into Kafka
+    * (reference: producer/producer.py — async send, reconnect loop, no
+    * idempotence), so duplicate trade_ids are possible.
+    * `dropDuplicatesWithinWatermark` keeps first-seen per trade_id with
+    * state bounded by the watermark horizon — dedup state for a trade_id is
+    * dropped once the watermark passes it, so state size tracks the late-
+    * data window, not the stream's history.
+    */
+  def dedupTrades(trades: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    trades
+      .withWatermark("trade_time", watermark)
+      .dropDuplicatesWithinWatermark("trade_id")
+
   /** Start the query: update mode + 60 s trigger + checkpoint, foreachBatch
     * sink (reference: processor.py:103-112). `sink` runs in the driver JVM —
     * no Py4J hop, unlike the reference's Python callback.

@@ -137,6 +137,37 @@ class OhlcvStreamSpec extends SparkSuite {
     assert(got == Set(("BTCUSDT", 110.0, 3.0), ("ETHUSDT", 10.0, 2.0)))
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed trade_ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val deduped = OhlcvStream.dedupTrades(
+      OhlcvStream.parseTrades(input.toDF().select(col("value").as("json"))))
+    val out = mutable.Buffer[Long]()
+    val query = deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= df.collect().map(_.getAs[Long]("trade_id"))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedup_ckpt").toString)
+      .start()
+    try {
+      input.addData(Seq(
+        jsonTrade(1, "BTCUSDT", "100.0", "1", T0 + 1000),
+        jsonTrade(1, "BTCUSDT", "100.0", "1", T0 + 1000), // same-batch dup
+        jsonTrade(2, "BTCUSDT", "101.0", "1", T0 + 2000)))
+      query.processAllAvailable()
+      input.addData(Seq(
+        jsonTrade(2, "BTCUSDT", "101.0", "1", T0 + 2000), // cross-batch dup
+        jsonTrade(3, "BTCUSDT", "102.0", "1", T0 + 3000)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(out.sorted == Seq(1L, 2L, 3L), s"got $out")
+  }
+
   test("stream sustains >= 1k events/s end-to-end (BASELINE.md parity bar)") {
     val n = 100000
     val syms = Array("BTCUSDT", "ETHUSDT", "SOLUSDT", "XRPUSDT")
