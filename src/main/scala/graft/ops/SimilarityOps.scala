@@ -62,38 +62,53 @@ object SimilarityOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
-  /** Sign-LSH bucket id: 4 pseudo-random hyperplanes with components
+  /** Multi-table sign-LSH (L tables × k hyperplanes): plane components are
     * derived from xxhash64(plane, dim) — deterministic, no stored model.
-    * bucket = 4-bit signature of dot-product signs (16 buckets; more planes
-    * at higher corpus cardinality — the bucket count should track corpus
-    * size so per-bucket candidate sets stay bounded).
+    * Each vector lands in ONE bucket per table; a candidate pair meets if
+    * it collides in ANY table (OR over tables lifts recall, AND over the k
+    * planes inside a bucket keeps buckets selective). Tuning follows the
+    * standard collision math: per-plane agreement is 1−θ/π, so recall at
+    * similarity θ is 1−(1−(1−θ/π)^k)^L — k tracks corpus cardinality
+    * (buckets = 2^k per table), L tracks the recall target. The explode is
+    * L rows per vector BEFORE the shuffle; the join stays an equi-join on
+    * (table, bucket) with uniform keys.
     */
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", expr(
-      """aggregate(sequence(0, 3), 0, (acc, p) ->
-        |  acc + if(aggregate(sequence(0, 63), 0D,
-        |             (s, j) -> s + v[j] * (cast(xxhash64(p, j) % 1000 as double) / 1000.0)) > 0D,
-        |           cast(shiftleft(1, p) as int), 0))""".stripMargin))
+  private val Tables_L = 8
+  private val Planes_K = 4
 
-  /** ANN via sign-LSH: top-3 cosine neighbors searched only within the
-    * query's bucket. This is the scale path: the corpus is hash-partitioned
-    * by bucket (256 buckets here; more planes at higher cardinality), so
-    * each query probes ~1/256 of the data instead of all of it, and the
-    * join is a bucket equi-join instead of a cross join.
+  private def withBuckets(df: DataFrame): DataFrame =
+    df.select(col("*"), expr(
+      s"""explode(transform(sequence(0, ${Tables_L - 1}), t ->
+         |  named_struct('tbl', t,
+         |    'bucket', aggregate(sequence(0, ${Planes_K - 1}), 0, (acc, p) ->
+         |      acc + if(aggregate(sequence(0, 63),
+         |                 0D, (s, j) -> s + v[j] *
+         |                   (cast(xxhash64(t * $Planes_K + p, j) % 1000 as double) / 1000.0)) > 0D,
+         |               cast(shiftleft(1, p) as int), 0)))))""".stripMargin).as("b"))
+      .select(col("*"), col("b.tbl"), col("b.bucket")).drop("b")
+
+  /** ANN via multi-table sign-LSH: top-3 cosine neighbors searched only
+    * among candidates that share a bucket with the query in at least one
+    * table. The scale path: each query probes ~L/2^k of the corpus instead
+    * of all of it, and the search is an equi-join on (table, bucket) +
+    * candidate dedup instead of a cross join.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBucket(vecs(spark, dir))
+    val e = withBuckets(vecs(spark, dir))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"),
+        col("bucket").as("q_bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(q), col("bucket") === col("q_bucket") &&
-        col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id") // collisions in >1 table
       .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"), col("bucket"), col("cosine"),
+      .select(col("q_id"), col("vec_id"), col("cosine"),
         col("rk").cast(IntegerType).as("rk"))
   }
 
@@ -103,12 +118,15 @@ object SimilarityOps {
     * ≈ 0.48); a dedup deployment would use ~0.95 on real embeddings.
     */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBucket(vecs(spark, dir))
+    val e = withBuckets(vecs(spark, dir))
     val x = e.select(col("vec_id").as("id_a"), col("v"), col("nrm"),
-      col("bucket")).alias("x")
+      col("tbl"), col("bucket")).alias("x")
     val y = e.select(col("vec_id").as("id_b"), col("v").as("qv"),
-      col("nrm").as("nrm_b"), col("bucket").as("bucket_b")).alias("y")
-    x.join(y, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      col("nrm").as("nrm_b"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b")).alias("y")
+    x.join(y, col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+        && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // collisions in >1 table
       .withColumn("cosine", expr(s"$dotVQ / (nrm * nrm_b)"))
       .filter(col("cosine") > 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -104,6 +104,21 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("ann_lsh recall@3 vs exact kNN ground truth") {
+    val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+    val ann = SparkEntry.queries("ann_lsh")(spark, sf).collect()
+    val truth = knn.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Int]("rk")).take(3).map(_.getAs[Long]("vec_id")).toSet
+    }
+    val got = ann.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val recall = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"ann_lsh recall@3 = $recall%.2f (deterministic: hash-based LSH)")
+    assert(recall >= 0.5, f"recall@3 $recall%.2f below floor")
+  }
+
   test("knn_cosine returns exactly 10 ranked neighbors per query vector") {
     val rows = SparkEntry.queries("knn_cosine")(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
