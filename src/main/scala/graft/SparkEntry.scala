@@ -56,6 +56,9 @@ object SparkEntry {
     "union_all"         -> (RelationalOps.unionAll _),
     "intersect_keys"    -> (RelationalOps.intersectKeys _),
     "except_keys"       -> (RelationalOps.exceptKeys _),
+    "except_all_keys"   -> (RelationalOps.exceptAllKeys _),
+    "intersect_all_keys" -> (RelationalOps.intersectAllKeys _),
+    "null_funcs"        -> (RelationalOps.nullFuncs _),
     "array_funcs"       -> (RelationalOps.arrayFuncs _),
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
@@ -278,6 +281,27 @@ object SparkEntry {
       "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
     "except_keys" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+    "except_all_keys" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_orderkey % 100 AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT l_orderkey % 100 AS k FROM lineitem) t
+        |GROUP BY 1""".stripMargin,
+    "intersect_all_keys" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_orderkey % 100 AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT l_orderkey % 100 AS k FROM lineitem) t
+        |GROUP BY 1""".stripMargin,
+    "null_funcs" ->
+      """SELECT o_orderkey,
+        |  COALESCE(cnt, 0) AS cnt_or_zero,
+        |  cnt IS NULL AS is_missing,
+        |  NULLIF(o_orderstatus, 'O') AS status_nullif_o,
+        |  CASE WHEN cnt IS NOT NULL THEN 'has_items' ELSE 'empty' END AS nvl2_style
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1) l
+        |  ON o_orderkey = l_orderkey""".stripMargin,
     "array_funcs" ->
       """SELECT user_id,
         |  list_sort(list(event_type)) AS types,

@@ -152,6 +152,37 @@ object RelationalOps {
     Tables.customer(spark, dir).select(col("c_custkey"))
       .except(Tables.orders(spark, dir).select(col("o_custkey")))
 
+  /** Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve multiplicity —
+    * order keys minus one occurrence per lineitem order key, and the
+    * multiset intersection, summarized for a stable small result.
+    */
+  def exceptAllKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select((col("o_orderkey") % 100).as("k"))
+      .exceptAll(Tables.lineitem(spark, dir).select((col("l_orderkey") % 100).as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  def intersectAllKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select((col("o_orderkey") % 100).as("k"))
+      .intersectAll(Tables.lineitem(spark, dir).select((col("l_orderkey") % 100).as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** Null-handling function family: coalesce / nullif / nvl2 / nanvl-style
+    * guards over the left join's null side.
+    */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val lAgg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    o.join(lAgg, o("o_orderkey") === lAgg("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("cnt"), lit(0L)).as("cnt_or_zero"),
+        col("cnt").isNull.as("is_missing"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nullif_o"),
+        when(col("cnt").isNotNull, lit("has_items"))
+          .otherwise(lit("empty")).as("nvl2_style"))
+  }
+
   /** Array functions: per-user sorted event-type list via collect_list.
     * collect_list order is nondeterministic under shuffle, so the result is
     * canonicalized with sort_array — the only deterministic (and therefore

@@ -37,7 +37,9 @@ object OhlcvStream {
     StructField("is_buyer_maker", BooleanType)))
 
   /** Kafka source (reference: processor.py:54-60). Production entry point;
-    * tests substitute a MemoryStream upstream of [[parseTrades]].
+    * tests substitute a MemoryStream upstream of [[parseTrades]]. Requires
+    * the `spark-sql-kafka-0-10` connector on the classpath (not bundled in
+    * spark's default jars) — the rest of the pipeline is source-agnostic.
     */
   def fromKafka(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream
