@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.ops.CustomOps.VwapAggregator
+import graft.ops.MultimodalOps
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** ScalaCheck properties (SURVEY §5): the algebraic laws that make the
+  * engine's aggregation and expressions correct under ANY partitioning —
+  * partial aggregation is only sound if merge is commutative, associative,
+  * and zero-neutral; expressions must agree with their reference math.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private type Buf = (java.math.BigDecimal, java.math.BigDecimal)
+  private def bd(d: BigDecimal) = d.underlying()
+
+  private val genRow: Gen[(String, java.math.BigDecimal, java.math.BigDecimal)] =
+    for {
+      s <- Gen.oneOf("A", "B", "C")
+      p <- Gen.choose(1, 100000).map(n => bd(BigDecimal(n) / 100))
+      q <- Gen.choose(0, 1000).map(n => bd(BigDecimal(n)))
+    } yield (s, p, q)
+
+  private val genBuf: Gen[Buf] = for {
+    pv <- Gen.choose(0L, 1000000L).map(n => bd(BigDecimal(n) / 100))
+    v <- Gen.choose(0L, 10000L).map(n => bd(BigDecimal(n)))
+  } yield (pv, v)
+
+  property("VwapAggregator.merge is commutative") = forAll(genBuf, genBuf) { (x, y) =>
+    VwapAggregator.merge(x, y) == VwapAggregator.merge(y, x)
+  }
+
+  property("VwapAggregator.merge is associative") =
+    forAll(genBuf, genBuf, genBuf) { (x, y, z) =>
+      VwapAggregator.merge(VwapAggregator.merge(x, y), z) ==
+        VwapAggregator.merge(x, VwapAggregator.merge(y, z))
+    }
+
+  property("VwapAggregator zero is neutral") = forAll(genBuf) { x =>
+    VwapAggregator.merge(x, VwapAggregator.zero) == x &&
+      VwapAggregator.merge(VwapAggregator.zero, x) == x
+  }
+
+  property("VwapAggregator: any partitioning yields the direct result") =
+    forAll(Gen.listOfN(20, genRow), Gen.choose(1, 5)) { (rows, nParts) =>
+      // direct single-pass fold
+      val direct = rows.foldLeft(VwapAggregator.zero)(VwapAggregator.reduce)
+      // partitioned: reduce per partition, then merge (what executors do)
+      val partitioned = rows.grouped(math.max(1, rows.size / nParts))
+        .map(_.foldLeft(VwapAggregator.zero)(VwapAggregator.reduce))
+        .foldLeft(VwapAggregator.zero)(VwapAggregator.merge)
+      VwapAggregator.finish(direct) == VwapAggregator.finish(partitioned)
+    }
+
+  private val genVec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 7.0)).map(_.toArray)
+
+  property("DotProduct eval equals reference sum") = forAll(genVec, genVec) { (x, y) =>
+    val e = DotProduct(Literal(1), Literal(1)) // children unused by nullSafeEval
+    val got = e.nullSafeEval(new GenericArrayData(x), new GenericArrayData(y))
+      .asInstanceOf[Double]
+    val want = x.zip(y).foldLeft(0.0) { case (a, (xi, yi)) => a + xi * yi }
+    got == want
+  }
+
+  property("CosineSimilarity is within [-1, 1] (+eps) and symmetric") =
+    forAll(genVec, genVec) { (x, y) =>
+      val nonZero = x.exists(_ != 0.0) && y.exists(_ != 0.0)
+      val e = CosineSimilarity(Literal(1), Literal(1))
+      val a = e.nullSafeEval(new GenericArrayData(x), new GenericArrayData(y))
+        .asInstanceOf[Double]
+      val b = e.nullSafeEval(new GenericArrayData(y), new GenericArrayData(x))
+        .asInstanceOf[Double]
+      !nonZero || (a == b && a >= -1.0000001 && a <= 1.0000001)
+    }
+
+  property("stubDecode is deterministic with bounded dimensions") =
+    forAll(Gen.choose(0, 100000), Gen.choose(0L, 1000000L)) { (n, id) =>
+      val row = MultimodalOps.MediaRow(id, Array.fill(n)(7.toByte))
+      val m1 = MultimodalOps.stubDecode(row)
+      val m2 = MultimodalOps.stubDecode(row)
+      m1 == m2 && m1.width >= 64 && m1.width < 576 &&
+        m1.height >= 64 && m1.height < 576 && m1.n_bytes == n
+    }
+}
