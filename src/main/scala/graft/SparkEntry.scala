@@ -90,6 +90,7 @@ object SparkEntry {
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
+    "ann_ivf"           -> (SimilarityOps.annIvf _),
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties the engine depends on
+  * are visible in the executed plan — pushdown, pruning, broadcast, top-k
+  * without global sort. If a refactor silently loses one of these, the query
+  * still returns correct rows but stops scaling; these specs fail instead.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_event_type pushes the predicate into the parquet scan") {
+    val p = plan("filter_event_type")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("agg_groupby prunes columns and pushes the shipdate filter") {
+    val p = plan("agg_groupby")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "scan must not read join keys it doesn't need")
+  }
+
+  test("join_dims broadcasts the bounded dimensions") {
+    val p = plan("join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("orderby_limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("knn_cosine broadcasts the query side (corpus never shuffles)") {
+    val p = plan("knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("ohlcv_1min is one partial+final aggregation (single exchange)") {
+    val p = plan("ohlcv_1min")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+}
