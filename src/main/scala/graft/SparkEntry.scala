@@ -87,6 +87,7 @@ object SparkEntry {
     "minhash_neardup"   -> (DedupOps.minhashNeardup _),
     "simhash"           -> (DedupOps.simhash _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
+    "dedup_clusters"    -> (DedupOps.dedupClusters _),
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
@@ -391,6 +392,28 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, w.label FROM walk w JOIN e ON e.t = w.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1) t""".stripMargin,
     "knn_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

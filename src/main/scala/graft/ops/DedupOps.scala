@@ -98,6 +98,55 @@ object DedupOps {
         expr("shiftright(simhash, 16) & 65535").as("band16_2"),
         expr("simhash & 65535").as("band16_3"))
 
+  /** Duplicate-cluster formation: connected components over the near-dup
+    * pair graph, labeling every document with the smallest doc_id in its
+    * component (the canonical survivor) plus the cluster size. This is the
+    * step that turns pairwise similarity into actual dedup decisions.
+    *
+    * Implementation is iterative min-label propagation — per round, each
+    * doc takes the min of its own label and its neighbors' labels; stop at
+    * fixpoint. Each round is one equi-join + groupBy (shuffle on doc_id);
+    * rounds needed = graph diameter, which for near-dup clusters is tiny.
+    * `localCheckpoint` truncates the growing lineage each round — the same
+    * shape MLlib uses for iterative algorithms. The edge set here is the
+    * oracle-computable n-gram-Jaccard pairs; at scale the MinHash+LSH pair
+    * generator plugs in identically.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   /** Exact n-gram Jaccard between adjacent doc_ids — the verify-step
     * primitive, oracle-checkable (set sizes only, so engine list ordering
     * doesn't matter). The LSH pipeline above is how candidates are found
