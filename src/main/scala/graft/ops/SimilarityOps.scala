@@ -94,17 +94,27 @@ object SimilarityOps {
     * candidate dedup instead of a cross join.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBuckets(vecs(spark, dir))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"),
+    val e = vecs(spark, dir)
+    // Candidate generation carries ONLY ids + bucket keys — the dedup
+    // shuffle moves 16-byte rows, never vectors. Vectors are re-joined for
+    // the exact re-rank afterwards (the verification-join structure every
+    // candidate-generation system uses at scale).
+    val b = withBuckets(e).select(col("vec_id"), col("tbl"), col("bucket"))
+    val qb = withBuckets(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"),
         col("bucket").as("q_bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(q),
+    val cand = b.join(broadcast(qb),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
           col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id") // collisions in >1 table
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
       .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -162,15 +172,23 @@ object SimilarityOps {
   }
 
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBuckets(vecs(spark, dir))
-    val x = e.select(col("vec_id").as("id_a"), col("v"), col("nrm"),
-      col("tbl"), col("bucket")).alias("x")
-    val y = e.select(col("vec_id").as("id_b"), col("v").as("qv"),
-      col("nrm").as("nrm_b"), col("tbl").as("tbl_b"),
+    val e = vecs(spark, dir)
+    // id-only candidate generation (see annLsh): the bucket self-join and
+    // pair dedup shuffle never carry vectors; exact cosine verification
+    // joins the vectors back per side.
+    val b = withBuckets(e).select(col("vec_id"), col("tbl"), col("bucket"))
+    val x = b.select(col("vec_id").as("id_a"), col("tbl"), col("bucket")).alias("x")
+    val y = b.select(col("vec_id").as("id_b"), col("tbl").as("tbl_b"),
       col("bucket").as("bucket_b")).alias("y")
-    x.join(y, col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
-        && col("id_a") < col("id_b"))
+    val cand = x.join(y,
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+          && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // collisions in >1 table
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v"), col("nrm")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("qv"),
+        col("nrm").as("nrm_b")), "id_b")
       .withColumn("cosine", expr(s"$dotVQ / (nrm * nrm_b)"))
       .filter(col("cosine") > 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))
