@@ -83,6 +83,9 @@ object SparkEntry {
     "quality_score"     -> (TextOps.qualityScore _),
     "doc_fingerprint"   -> (TextOps.docFingerprint _),
     "dedup_doc_exact"   -> (TextOps.dedupDocExact _),
+    "text_normalize"    -> (TextOps.textNormalize _),
+    "pii_redact"        -> (TextOps.piiRedact _),
+    "length_histogram"  -> (TextOps.lengthHistogram _),
     // ---- near-dup dedup (north-star extensions) ----
     "minhash_neardup"   -> (DedupOps.minhashNeardup _),
     "simhash"           -> (DedupOps.simhash _),
@@ -380,6 +383,28 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
     "dedup_doc_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(
+        |       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g'))) AS INTEGER) AS norm_chars
+        |FROM documents""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER) AS n_long_nums
+        |FROM documents""".stripMargin,
+    "length_histogram" ->
+      """SELECT CAST(n_chars // 100 AS INTEGER) * 100 AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (

@@ -89,6 +89,47 @@ object TextOps {
           / col("n_tokens")).as("avg_token_len"))
   }
 
+  /** Text normalization — the canonical cleaning pass before dedup /
+    * tokenization: lowercase, strip non-alphanumerics to spaces, collapse
+    * whitespace runs, trim. Pure codegen'd regexp expressions, no UDF.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_chars", length(col("norm_text")))
+
+  /** PII-style redaction: mask email-shaped and long-digit-run tokens —
+    * the scrub pass every training corpus runs. Redaction counts surface
+    * per doc so downstream filters can drop PII-heavy documents.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
+    val digitRe = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          digitRe, "<NUM>").as("redacted"),
+        size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$digitRe', 0)")).as("n_long_nums"))
+  }
+
+  /** Length histogram: fixed-width binning of document length — the
+    * corpus-profiling pass (manual bin arithmetic, no engine-specific
+    * width_bucket, so any SQL oracle agrees).
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bin", (col("n_chars") / 100).cast(IntegerType) * 100)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
   /** Document fingerprinting: cryptographic (md5/sha256) content hashes —
     * the join key for exact dedup across corpus shards.
     */
