@@ -75,10 +75,18 @@ object OhlcvStream {
     */
   def ohlcv(trades: DataFrame,
             watermark: String = "2 minutes",
-            windowWidth: String = "1 minute"): DataFrame = {
+            windowWidth: String = "1 minute"): DataFrame =
+    ohlcvWatermarked(trades.withWatermark("trade_time", watermark), windowWidth)
+
+  /** Aggregation body over an ALREADY-watermarked stream — use when
+    * composing after another stateful stage (e.g. [[dedupTrades]]):
+    * Structured Streaming allows one watermark definition per column, set
+    * at the first stateful operator.
+    */
+  def ohlcvWatermarked(trades: DataFrame,
+                       windowWidth: String = "1 minute"): DataFrame = {
     val orderKey: Column = struct(col("trade_time"), col("trade_id"))
     trades
-      .withWatermark("trade_time", watermark)
       .groupBy(window(col("trade_time"), windowWidth), col("symbol"))
       .agg(
         min_by(col("price"), orderKey).as("open_price"),
