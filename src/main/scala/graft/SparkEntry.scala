@@ -99,6 +99,8 @@ object SparkEntry {
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "frame_sample"      -> (MultimodalOps.frameSample _),
+    "media_resize"      -> (MultimodalOps.mediaResize _),
+    "feature_extract"   -> (MultimodalOps.featureExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -620,6 +622,30 @@ object SparkEntry {
         |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
         |  CAST(sum(nb) AS DOUBLE) / count(*) AS avg_bytes
         |FROM x GROUP BY 1""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id,
+        |        CAST(64 + nb % 512 AS INTEGER) AS width,
+        |        CAST(64 + (nb // 2) % 512 AS INTEGER) AS height FROM m)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 256 THEN width
+        |       ELSE CAST(floor(width * 256.0 / greatest(width, height)) AS INTEGER)
+        |  END AS out_width,
+        |  CASE WHEN greatest(width, height) <= 256 THEN height
+        |       ELSE CAST(floor(height * 256.0 / greatest(width, height)) AS INTEGER)
+        |  END AS out_height
+        |FROM x""".stripMargin,
+    "feature_extract" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |        list_transform(range(8),
+        |          i -> CAST((nb * 31 + i * 7) % 1000 AS DOUBLE) / 1000.0) AS features
+        |      FROM m)
+        |SELECT doc_id, features,
+        |  sqrt(list_sum(list_transform(features, x -> x * x))) AS feat_norm
+        |FROM f""".stripMargin,
     "frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

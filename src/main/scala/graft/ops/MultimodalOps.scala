@@ -66,6 +66,43 @@ object MultimodalOps {
         (sum(col("n_bytes").cast(LongType)).cast(DoubleType) / count(lit(1)))
           .as("avg_bytes"))
 
+  /** Resize planning: map decoded dimensions to a target box (max side
+    * 256, aspect-preserving integer arithmetic) — the metadata half of an
+    * image-resize stage; the pixel work would live in the decoder slot.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir).toDF()
+      .withColumn("scale_num", lit(256))
+      .withColumn("scale_den", greatest(col("width"), col("height")))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        when(col("scale_den") <= 256, col("width"))
+          .otherwise((col("width") * col("scale_num") / col("scale_den"))
+            .cast(IntegerType)).as("out_width"),
+        when(col("scale_den") <= 256, col("height"))
+          .otherwise((col("height") * col("scale_num") / col("scale_den"))
+            .cast(IntegerType)).as("out_height"))
+
+  /** STUB feature extraction: payload → fixed-width feature vector
+    * (8 deterministic hash-derived doubles standing in for a CNN/CLIP
+    * embedding). The Spark-side contract — binary in, array<double> out,
+    * partition-wise, no shuffle — is the real shape; a deployment swaps
+    * the body for the model call. Output is summarized (vector norm) so
+    * the op is oracle-checkable end to end.
+    */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r => // one "model init" per partition
+        val n = r.payload.length
+        val feats = Array.tabulate(8)(i => ((n * 31 + i * 7) % 1000) / 1000.0)
+        (r.doc_id, feats, math.sqrt(feats.map(x => x * x).sum))
+      })
+      .toDF("doc_id", "features", "feat_norm")
+  }
+
   /** Frame sampling for video-like payloads: every 10th frame index,
     * exploded to one row per sampled frame with its byte offset. The
     * explode multiplies rows BEFORE any shuffle — downstream ops see
