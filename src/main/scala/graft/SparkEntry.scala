@@ -36,6 +36,8 @@ object SparkEntry {
     "date_funcs"        -> (ParseOps.dateFuncs _),
     "math_funcs"        -> (ParseOps.mathFuncs _),
     "json_extract"      -> (ParseOps.jsonExtract _),
+    "bitwise_funcs"     -> (ParseOps.bitwiseFuncs _),
+    "date_format_funcs" -> (ParseOps.dateFormatFuncs _),
     // ---- aggregation surface (SURVEY §2.5) ----
     "agg_groupby"       -> (AggOps.aggGroupBy _),
     "count_distinct"    -> (AggOps.countDistinctUsers _),
@@ -66,6 +68,7 @@ object SparkEntry {
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
+    "linreg_agg"        -> (StatsOps.linregAgg _),
     "percentiles"       -> (StatsOps.percentiles _),
     "ntile_buckets"     -> (StatsOps.ntileBuckets _),
     "sessionize"        -> (StatsOps.sessionize _),
@@ -533,6 +536,38 @@ object SparkEntry {
         |  CAST(n*sxy - sx*sy AS DOUBLE)
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
         |    AS corr_value_k
+        |FROM s""".stripMargin,
+    "bitwise_funcs" ->
+      """SELECT event_id,
+        |  event_id & 255 AS ev_and,
+        |  event_id | 16 AS ev_or,
+        |  xor(event_id, user_id) AS ev_xor,
+        |  event_id << 2 AS ev_shl,
+        |  event_id >> 1 AS ev_shr,
+        |  CAST(bit_count(event_id) AS INTEGER) AS ev_bits
+        |FROM events""".stripMargin,
+    "date_format_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts,
+        |  epoch(o_orderdate) AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str
+        |FROM orders""".stripMargin,
+    "linreg_agg" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx, sum(y) AS sy, sum(x*y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |   - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |     * CAST(sx AS DOUBLE)) / n AS intercept
         |FROM s""".stripMargin,
     "percentiles" ->
       """SELECT l_returnflag,

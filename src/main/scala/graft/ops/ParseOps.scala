@@ -121,4 +121,29 @@ object ParseOps {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .filter(col("k") > 50)
+
+  /** Bitwise function family over integer keys. */
+  def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        (col("event_id").bitwiseAND(lit(255L))).as("ev_and"),
+        (col("event_id").bitwiseOR(lit(16L))).as("ev_or"),
+        (col("event_id").bitwiseXOR(col("user_id"))).as("ev_xor"),
+        shiftleft(col("event_id"), 2).as("ev_shl"),
+        shiftright(col("event_id"), 1).as("ev_shr"),
+        bit_count(col("event_id")).as("ev_bits"))
+
+  /** Date formatting family: pattern-rendered strings + epoch round-trips.
+    * (Spark uses java patterns, oracle engines strftime — semantically
+    * aligned patterns chosen so both render identically.)
+    */
+  def dateFormatFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full_ts"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        to_date(col("o_orderdate")).cast("string").as("date_str"))
 }

@@ -47,6 +47,31 @@ object StatsOps {
           .as("corr_value_k"))
   }
 
+  /** Least-squares linear regression (slope/intercept of value over
+    * props.k) per event type, from the same decimal-exact power sums as
+    * [[statsAgg]] — the closed form regr_slope/regr_intercept would
+    * stream in floats; this is deterministic on any partitioning.
+    */
+  def linregAgg(spark: SparkSession, dir: String): DataFrame = {
+    val y = dec2(col("value"))
+    val x = get_json_object(col("props"), "$.k").cast(DecimalType(18, 2))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(x * y).as("sxy"))
+      .select(
+        col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("slope"),
+        ((col("sy").cast(DoubleType)
+          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+            * col("sx").cast(DoubleType)) / col("n")).as("intercept"))
+  }
+
   /** Exact interpolated percentiles (p50/p90/p99) of lineitem quantity per
     * returnflag. `percentile` is the exact order-statistic form — both
     * engines interpolate linearly between adjacent order statistics.
