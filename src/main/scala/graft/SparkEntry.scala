@@ -66,6 +66,7 @@ object SparkEntry {
     "asof_price"        -> (RelationalOps.asofPrice _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
+    "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
     "linreg_agg"        -> (StatsOps.linregAgg _),
@@ -457,6 +458,11 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin,
     "sql_q3" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -209,6 +209,21 @@ object RelationalOps {
         expr("min_by(value, ts)").as("first_value"),
         count(lit(1)).as("n_dups"))
 
+  /** Correlated scalar subquery: orders above their customer's average
+    * order value. Catalyst decorrelates this into an aggregate + join — a
+    * single shuffle pair instead of a per-row subquery execution, which is
+    * the only shape that survives at scale.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders_sq o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_sq i
+        |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   /** SQL entry point: the engine's surface is DataFrame AND SQL — same
     * Catalyst plan either way. TPC-H Q3 shape (shipping priority) through
     * `spark.sql` over temp views of the loaded tables.
