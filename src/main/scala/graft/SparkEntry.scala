@@ -93,6 +93,7 @@ object SparkEntry {
     // ---- near-dup dedup (north-star extensions) ----
     "minhash_neardup"   -> (DedupOps.minhashNeardup _),
     "simhash"           -> (DedupOps.simhash _),
+    "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
     // ---- similarity search (north-star extensions) ----

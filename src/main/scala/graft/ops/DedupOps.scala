@@ -98,6 +98,38 @@ object DedupOps {
         expr("shiftright(simhash, 16) & 65535").as("band16_2"),
         expr("simhash & 65535").as("band16_3"))
 
+  /** SimHash near-dup pairs via banded Hamming search: two docs within
+    * Hamming distance k < 4 of each other must agree exactly on at least
+    * one of the 4 16-bit bands (pigeonhole), so candidates meet on a band
+    * equi-join — ids only through the shuffle — and are verified with
+    * `bit_count(xor)` ≤ 3. The same LSH-banding shape as MinHash but for
+    * the Hamming metric.
+    */
+  def simhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir).localCheckpoint(true)
+    val banded = fp.select(col("doc_id"), expr(
+      """explode(array(
+        |  named_struct('band_id', 0, 'band_val', band16_0),
+        |  named_struct('band_id', 1, 'band_val', band16_1),
+        |  named_struct('band_id', 2, 'band_val', band16_2),
+        |  named_struct('band_id', 3, 'band_val', band16_3)))""".stripMargin).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_val"))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val cand = x.join(y,
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Duplicate-cluster formation: connected components over the near-dup
     * pair graph, labeling every document with the smallest doc_id in its
     * component (the canonical survivor) plus the cluster size. This is the
