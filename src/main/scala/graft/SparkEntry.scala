@@ -45,6 +45,7 @@ object SparkEntry {
     "rollup_sales"      -> (AggOps.rollupSales _),
     "cube_sales"        -> (AggOps.cubeSales _),
     "sliding_ohlcv"     -> (AggOps.slidingOhlcv _),
+    "gap_fill"          -> (AggOps.gapFill _),
     "session_window"    -> (AggOps.sessionWindowAgg _),
     // ---- relational surface (SURVEY §2.5) ----
     "join_inner"        -> (RelationalOps.joinInner _),
@@ -478,6 +479,30 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "gap_fill" ->
+      """WITH t AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+        |         event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price, ts
+        |  FROM events),
+        |obs AS (
+        |  SELECT minute, symbol,
+        |    CAST(arg_max(price, ts) AS DOUBLE) AS close_price,
+        |    count(*) AS n_trades
+        |  FROM t GROUP BY 1, 2),
+        |bounds AS (SELECT symbol, min(minute) AS lo, max(minute) AS hi
+        |           FROM obs GROUP BY 1),
+        |grid AS (SELECT symbol,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        |         FROM bounds)
+        |SELECT g.symbol, g.minute,
+        |  COALESCE(o.n_trades, 0) AS n_trades,
+        |  last_value(o.close_price IGNORE NULLS) OVER (
+        |    PARTITION BY g.symbol ORDER BY g.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+        |  o.close_price IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.symbol = o.symbol AND g.minute = o.minute""".stripMargin,
     "sliding_ohlcv" ->
       """WITH t AS (
         |  SELECT ts, event_type AS symbol,

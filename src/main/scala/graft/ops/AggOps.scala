@@ -153,6 +153,32 @@ object AggOps {
         sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         count(lit(1)).as("n_items"))
 
+  /** Time-series resampling: fill the minute grid per symbol, carrying the
+    * last observed close forward into empty minutes. The grid is generated
+    * per symbol with `sequence` + explode (rows expand BEFORE the shuffle),
+    * then one window pass forward-fills — no self-join, no driver loop.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = trades(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"), col("symbol"))
+      .agg(expr("max_by(price, ts)").cast(DoubleType).as("close_price"),
+        count(lit(1)).as("n_trades"))
+    val grid = observed
+      .groupBy(col("symbol"))
+      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      .select(col("symbol"), explode(expr(
+        "sequence(lo, hi, interval 1 minute)")).as("minute"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq("symbol", "minute"), "left")
+      .select(
+        col("symbol"), col("minute"),
+        coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+        last(col("close_price"), ignoreNulls = true).over(w).as("close_ffill"),
+        col("close_price").isNull.as("is_gap"))
+  }
+
   /** Sliding (hopping) window extension — SURVEY §2.4 W2 lists tumbling as
     * the reference's only window shape; sliding is the declared extension.
     * 5-minute windows every 1 minute: each row lands in 5 windows via the
