@@ -130,7 +130,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children(0), 64)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

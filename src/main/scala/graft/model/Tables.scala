@@ -30,7 +30,9 @@ object Tables {
     */
   def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // `inputFiles` reads only the file listing — unlike `df.rdd`, it never
+    // materializes the RDD lineage, so AQE still owns the physical plan.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

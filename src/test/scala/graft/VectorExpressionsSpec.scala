@@ -48,6 +48,24 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("minhash_sig is bit-identical to the interpreted transform/array_min form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 100).map(_ => Tuple1(Array.fill(1 + rnd.nextInt(40))(rnd.nextLong())))
+    val diff = rows.toDF("hh")
+      .select(
+        expr("minhash_sig(hh)").as("native"),
+        expr("transform(sequence(0, 63), j -> array_min(transform(hh, h -> xxhash64(j, h))))")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // empty input: no shingle hashes -> all-MaxValue signature, never null
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("hh")
+      .select(expr("minhash_sig(hh)").as("s")).collect()(0)
+    assert(empty.getSeq[Long](0).forall(_ == Long.MaxValue))
+  }
+
   test("expressions run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(100)
