@@ -6,13 +6,18 @@ import org.apache.spark.sql.DataFrame
 /** Idempotent JDBC key-upsert sink for `foreachBatch`
   * (reference: spark_processor/processor.py:116-172).
   *
-  * Semantics match the reference's staging-table + `ON CONFLICT DO UPDATE`
-  * merge: each micro-batch is staged via Spark's parallel JDBC writer, then
-  * one driver-side transaction deletes target rows whose keys appear in
-  * staging and inserts the staged rows. Delete+insert inside a transaction
-  * is the portable ANSI form of a key upsert — it runs on any JDBC database
-  * (tests use embedded Derby; production Postgres could swap in
-  * `INSERT ... ON CONFLICT` without changing semantics).
+  * Two dialects produce the same upsert semantics:
+  *
+  *  - [[Dialect.Portable]] — staging table + one driver-side transaction
+  *    that deletes target rows whose keys appear in staging and inserts the
+  *    staged rows. Delete+insert inside a transaction is the portable ANSI
+  *    form of a key upsert — it runs on any JDBC database (tests use
+  *    embedded Derby).
+  *  - [[Dialect.Postgres]] — staging table + the reference's native
+  *    `INSERT … ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col`
+  *    (processor.py:145-164), one round trip and row-level locking instead
+  *    of the delete window. Target DDL in [[ohlcvDdl]] mirrors the
+  *    reference's init script (postgres/init/init.sql:6-21).
   *
   * Exactly-once-ish delivery = streaming checkpoint (offsets + state) plus
   * this idempotence: replaying a batch after recovery converges to the same
@@ -24,11 +29,72 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcUpsertSink {
 
+  sealed trait Dialect
+  object Dialect {
+    /** ANSI delete+insert transaction — any JDBC database. */
+    case object Portable extends Dialect
+    /** Native `INSERT … ON CONFLICT DO UPDATE` (PostgreSQL ≥ 9.5). */
+    case object Postgres extends Dialect
+  }
+
+  private def q(id: String) = "\"" + id + "\""
+
+  /** The merge statements executed against a staged micro-batch, exposed as
+    * a pure function of (table, staging, columns, keys, dialect) so dialect
+    * SQL is unit-assertable without a live database.
+    */
+  def mergeStatements(
+      table: String,
+      staging: String,
+      columns: Seq[String],
+      keys: Seq[String],
+      dialect: Dialect): Seq[String] = {
+    val cols = columns.map(q).mkString(", ")
+    dialect match {
+      case Dialect.Portable =>
+        val keyPred = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        Seq(
+          s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyPred)",
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging",
+          s"DROP TABLE $staging")
+      case Dialect.Postgres =>
+        val conflictKeys = keys.map(q).mkString(", ")
+        val updates = columns.filterNot(keys.contains)
+          .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        Seq(
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
+            s"ON CONFLICT ($conflictKeys) DO UPDATE SET $updates",
+          s"DROP TABLE $staging")
+    }
+  }
+
+  /** Deployment DDL for the OHLCV target table — the analog of the
+    * reference's init script (postgres/init/init.sql:6-21): NUMERIC(20,8)
+    * price/volume columns, composite primary key on (symbol, window_start)
+    * backing the ON CONFLICT arbiter, and a window_start index for the
+    * freshness monitor's recency scan.
+    */
+  def ohlcvDdl(table: String): Seq[String] = Seq(
+    s"""CREATE TABLE $table (
+       |    "window_start"    TIMESTAMP NOT NULL,
+       |    "window_end"      TIMESTAMP NOT NULL,
+       |    "symbol"          VARCHAR(16) NOT NULL,
+       |    "open_price"      NUMERIC(20, 8),
+       |    "high_price"      NUMERIC(20, 8),
+       |    "low_price"       NUMERIC(20, 8),
+       |    "close_price"     NUMERIC(20, 8),
+       |    "total_volume"    NUMERIC(20, 8),
+       |    "vwap"            NUMERIC(20, 8),
+       |    PRIMARY KEY ("symbol", "window_start")
+       |)""".stripMargin,
+    s"""CREATE INDEX idx_${table}_window_start ON $table ("window_start" DESC)""")
+
   /** Returns a `foreachBatch`-shaped sink upserting into `table` on `keys`.
     * Columns of the batch DataFrame define the staged schema; `table` must
     * exist with a compatible schema.
     */
-  def upsert(url: String, table: String, keys: Seq[String])
+  def upsert(url: String, table: String, keys: Seq[String],
+             dialect: Dialect = Dialect.Portable)
       : (DataFrame, Long) => Unit = { (df, epochId) =>
     val staging = s"${table}_staging_$epochId"
     // Stage string columns as VARCHAR: some dialects (Derby) default
@@ -49,21 +115,13 @@ object JdbcUpsertSink {
     // COLUMN identifiers it creates, so the merge SQL does the same; the
     // target table must be created with case-matching (quoted/lowercase)
     // column names.
-    def q(id: String) = "\"" + id + "\""
-    val cols = df.columns.map(q)
-    val keyPred = keys
-      .map(k => s"t.${q(k)} = s.${q(k)}")
-      .mkString(" AND ")
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.executeUpdate(
-          s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyPred)")
-        st.executeUpdate(
-          s"INSERT INTO $table (${cols.mkString(", ")}) SELECT ${cols.mkString(", ")} FROM $staging")
-        st.executeUpdate(s"DROP TABLE $staging")
+        mergeStatements(table, staging, df.columns.toSeq, keys, dialect)
+          .foreach(st.executeUpdate)
         conn.commit()
       } catch {
         case e: Throwable =>

@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.{DriverManager, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{JdbcUpsertSink, OhlcvStream}
+import graft.streaming.JdbcUpsertSink.Dialect
+
+/** Postgres-dialect upsert artifact (reference: processor.py:145-164 and
+  * postgres/init/init.sql:6-21) plus a file-replay drill of the reference's
+  * full topology — a real `FileStreamSource` (not MemoryStream) feeding
+  * parse → watermark → OHLCV → JDBC upsert.
+  */
+class UpsertDialectSpec extends SparkSuite {
+
+  private val T0 = 1705276800000L // 2024-01-15 00:00:00 UTC, minute-aligned
+
+  private def jsonTrade(id: Long, sym: String, px: String, qty: String, t: Long) =
+    s"""{"trade_id":$id,"symbol":"$sym","price":"$px","quantity":"$qty",""" +
+      s""""trade_time":$t,"is_buyer_maker":false}"""
+
+  test("Postgres dialect generates the reference's ON CONFLICT DO UPDATE merge") {
+    val cols = Seq("window_start", "window_end", "symbol", "open_price",
+      "high_price", "low_price", "close_price", "total_volume", "vwap")
+    val stmts = JdbcUpsertSink.mergeStatements(
+      "trades_1min_agg", "trades_1min_agg_staging_7", cols,
+      Seq("symbol", "window_start"), Dialect.Postgres)
+    assert(stmts.length == 2)
+    val insert = stmts.head
+    assert(insert.contains("""ON CONFLICT ("symbol", "window_start") DO UPDATE SET"""))
+    // every non-key column takes EXCLUDED.<col>; key columns never do
+    cols.filterNot(Seq("symbol", "window_start").contains).foreach { c =>
+      assert(insert.contains(s""""$c" = EXCLUDED."$c""""), c)
+    }
+    assert(!insert.contains(""""symbol" = EXCLUDED"""))
+    assert(stmts(1) == "DROP TABLE trades_1min_agg_staging_7")
+  }
+
+  test("Portable dialect generates delete+insert+drop in key order") {
+    val stmts = JdbcUpsertSink.mergeStatements(
+      "t", "t_staging_0", Seq("k", "v"), Seq("k"), Dialect.Portable)
+    assert(stmts == Seq(
+      """DELETE FROM t t WHERE EXISTS (SELECT 1 FROM t_staging_0 s WHERE t."k" = s."k")""",
+      """INSERT INTO t ("k", "v") SELECT "k", "v" FROM t_staging_0""",
+      "DROP TABLE t_staging_0"))
+  }
+
+  test("OHLCV deployment DDL declares the composite key and recency index") {
+    val ddl = JdbcUpsertSink.ohlcvDdl("trades_1min_agg")
+    assert(ddl.head.contains("""PRIMARY KEY ("symbol", "window_start")"""))
+    Seq("open_price", "high_price", "low_price", "close_price",
+      "total_volume", "vwap").foreach { c =>
+      assert(ddl.head.matches(s"""(?s).*"$c"\\s+NUMERIC\\(20, 8\\).*"""), c)
+    }
+    assert(ddl(1).contains("""("window_start" DESC)"""))
+    // the DDL is valid SQL: Derby accepts the CREATE TABLE (index syntax
+    // minus DESC is dialect-specific, so only the table is round-tripped)
+    val url = "jdbc:derby:memory:graftDdl;create=true"
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(ddl.head)
+    finally conn.close()
+  }
+
+  test("file-replay stream: FileStreamSource -> parse -> OHLCV -> upsert end-to-end") {
+    val inDir = java.nio.file.Files.createTempDirectory("replay_in").toString
+    // two replay files = two source files the stream discovers; trades span
+    // two 1-minute windows across two symbols
+    val f1 = Seq(
+      jsonTrade(1, "BTCUSDT", "100.0", "1.0", T0 + 1000),
+      jsonTrade(2, "BTCUSDT", "104.0", "1.0", T0 + 30000),
+      jsonTrade(3, "ETHUSDT", "10.0", "2.0", T0 + 2000))
+    val f2 = Seq(
+      jsonTrade(4, "BTCUSDT", "102.0", "1.0", T0 + 59000),
+      jsonTrade(5, "BTCUSDT", "108.0", "3.0", T0 + 61000))
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "replay-0.json"),
+      f1.mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "replay-1.json"),
+      f2.mkString("\n").getBytes)
+
+    val url = "jdbc:derby:memory:graftReplay;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE ohlcv_replay (
+        |  "window_start" TIMESTAMP NOT NULL,
+        |  "window_end" TIMESTAMP NOT NULL,
+        |  "symbol" VARCHAR(16) NOT NULL,
+        |  "open_price" DECIMAL(20,8),
+        |  "high_price" DECIMAL(20,8),
+        |  "low_price" DECIMAL(20,8),
+        |  "close_price" DECIMAL(20,8),
+        |  "total_volume" DECIMAL(20,8),
+        |  "vwap" DECIMAL(20,8),
+        |  PRIMARY KEY ("symbol", "window_start"))""".stripMargin)
+    conn.close()
+
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: true replay
+      .text(inDir)
+      .select(col("value").as("json"))
+    val agg = OhlcvStream.ohlcv(OhlcvStream.parseTrades(raw))
+    val ck = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+    val q = OhlcvStream.start(agg,
+      JdbcUpsertSink.upsert(url, "ohlcv_replay", Seq("window_start", "symbol")),
+      ck, Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "ohlcv_replay").load()
+      .collect()
+      .map { r =>
+        (r.getAs[Timestamp]("window_start").getTime, r.getAs[String]("symbol"),
+          r.getAs[java.math.BigDecimal]("open_price").doubleValue(),
+          r.getAs[java.math.BigDecimal]("close_price").doubleValue(),
+          r.getAs[java.math.BigDecimal]("total_volume").doubleValue())
+      }.toSet
+    // window 0: BTC open 100 (t+1s) close 102 (t+59s) vol 3; ETH single
+    // trade; window 1: BTC single trade at t+61s
+    assert(got == Set(
+      (T0, "BTCUSDT", 100.0, 102.0, 3.0),
+      (T0, "ETHUSDT", 10.0, 10.0, 2.0),
+      (T0 + 60000, "BTCUSDT", 108.0, 108.0, 3.0)))
+  }
+}
