@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native MinHash signature: `minhash_sig(array<long>) -> array<long>`.
   *
@@ -85,5 +85,166 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Native SimHash: `simhash64(array<long>) -> bigint`.
+  *
+  * Bit j of the fingerprint is the sign of Σ over token hashes of ±1 by bit
+  * j of the hash — bit-identical to the interpreted double-`aggregate` fold
+  * in SQL (`acc + if((shiftright(h, j) & 1) = 1, 1, -1)`), pinned by spec.
+  * The HOF form walks a 64-step outer fold × full-array inner fold through
+  * interpreted lambda trees (O(64·n) tree walks per document); this is two
+  * primitive loops with a 64-int tally on the stack.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hh = input.asInstanceOf[ArrayData]
+    val n = hh.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hh.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1 // +1 if bit set, -1 otherwise
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hh => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $hh.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hh.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $counts[$j] += ((int) ((($h >>> $j) & 1L) << 1)) - 1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $out |= 1L << $j;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Native multi-table sign-LSH bucketing:
+  * `signlsh_buckets(array<double>) -> array<int>` of `numTables` bucket ids.
+  *
+  * Bucket bit p of table t is the sign of ⟨v, plane_{t·K+p}⟩, with plane
+  * components derived from `xxhash64(planeIdx, dim) % 1000 / 1000` —
+  * bit-identical to the interpreted triple-`aggregate` SQL form it
+  * replaces (pinned by spec), with the L·K×64 plane matrix precomputed
+  * once instead of re-hashed per row, and the projection running as a
+  * primitive double loop in whole-stage codegen. One row's bucketing cost
+  * drops from ~2·L·K·64 interpreted lambda steps to L·K fused dot
+  * products.
+  */
+case class SignLshBuckets(child: Expression, numTables: Int, numPlanes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  // planes[t*K + p][j] = (xxhash64(t*K + p, j) % 1000) / 1000.0 — the same
+  // composition Spark's xxhash64(int, int) evaluates (both args INT):
+  // hashInt(j, hashInt(planeIdx, 42)). Dim capped at 64 like the SQL form.
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numTables * numPlanes) { pi =>
+      val seed = XXH64.hashInt(pi, 42L)
+      Array.tabulate(64)(j => (XXH64.hashInt(j, seed) % 1000L).toDouble / 1000.0)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), 64)
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = planes(t * numPlanes + p)
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += v.getDouble(j) * plane(j); j += 1 }
+        if (s > 0.0) bucket += 1 << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val plane = ctx.freshName("plane")
+      val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = Math.min($v.numElements(), 64);
+         |int[] $out = new int[${numTables}];
+         |for (int $t = 0; $t < ${numTables}; $t++) {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < ${numPlanes}; $p++) {
+         |    double[] $plane = $planesRef[$t * ${numPlanes} + $p];
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $s += $v.getDouble($j) * $plane[$j];
+         |    }
+         |    if ($s > 0.0) $bucket += 1 << $p;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "signlsh_buckets"
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
     copy(child = newChild)
 }

@@ -133,7 +133,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSignature(children(0), 64)))
+      (children: Seq[Expression]) => MinHashSignature(children(0), 64)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("signlsh_buckets"),
+      new ExpressionInfo(classOf[SignLshBuckets].getName, "signlsh_buckets"),
+      (children: Seq[Expression]) => SignLshBuckets(children(0), 8, 4)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

@@ -101,18 +101,18 @@ object DedupOps {
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Bit j of the simhash
-    * is the sign of sum over tokens of ±1 by bit j of the token hash.
-    * Pure expression fold — per-document, no shuffle, codegen-friendly.
-    * `band16_*` chunks support banded hamming-distance search downstream.
+    * is the sign of sum over tokens of ±1 by bit j of the token hash, via
+    * the native codegen'd [[graft.functions.SimHash64]] expression
+    * (bit-identical to the interpreted double-aggregate fold — pinned by
+    * spec). Per-document, no shuffle. `band16_*` chunks support banded
+    * hamming-distance search downstream.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .withColumn("hashes", expr("transform(w, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(aggregate(hashes, 0L, (a, h) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
-          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .withColumn("simhash", expr("simhash64(hashes)"))
       .select(
         col("doc_id"),
         col("simhash"),
@@ -120,6 +120,7 @@ object DedupOps {
         expr("shiftright(simhash, 32) & 65535").as("band16_1"),
         expr("shiftright(simhash, 16) & 65535").as("band16_2"),
         expr("simhash & 65535").as("band16_3"))
+  }
 
   /** SimHash near-dup pairs via banded Hamming search: two docs within
     * Hamming distance k < 4 of each other must agree exactly on at least

@@ -76,16 +76,15 @@ object SimilarityOps {
   private val Tables_L = 8
   private val Planes_K = 4
 
+  /** One (tbl, bucket) row per table per vector, via the native codegen'd
+    * [[graft.functions.SignLshBuckets]] projection (bit-identical to the
+    * interpreted triple-aggregate SQL form — pinned by spec). `posexplode`
+    * position IS the table index, so nothing but the bucket array leaves
+    * the expression.
+    */
   private def withBuckets(df: DataFrame): DataFrame =
-    df.select(col("*"), expr(
-      s"""explode(transform(sequence(0, ${Tables_L - 1}), t ->
-         |  named_struct('tbl', t,
-         |    'bucket', aggregate(sequence(0, ${Planes_K - 1}), 0, (acc, p) ->
-         |      acc + if(aggregate(sequence(0, 63),
-         |                 0D, (s, j) -> s + v[j] *
-         |                   (cast(xxhash64(t * $Planes_K + p, j) % 1000 as double) / 1000.0)) > 0D,
-         |               cast(shiftleft(1, p) as int), 0)))))""".stripMargin).as("b"))
-      .select(col("*"), col("b.tbl"), col("b.bucket")).drop("b")
+    df.select(col("*"),
+      posexplode(expr("signlsh_buckets(v)")).as(Seq("tbl", "bucket")))
 
   /** ANN via multi-table sign-LSH: top-3 cosine neighbors searched only
     * among candidates that share a bucket with the query in at least one

@@ -66,6 +66,41 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(empty.getSeq[Long](0).forall(_ == Long.MaxValue))
   }
 
+  test("simhash64 is bit-identical to the interpreted double-aggregate fold") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 100).map(_ => Tuple1(Array.fill(1 + rnd.nextInt(60))(rnd.nextLong())))
+    val diff = rows.toDF("hashes")
+      .select(
+        expr("simhash64(hashes)").as("native"),
+        expr(
+          """aggregate(sequence(0, 63), 0L, (acc, j) ->
+            |  acc + if(aggregate(hashes, 0L, (a, h) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
+            |           shiftleft(1L, j), 0L))""".stripMargin).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("signlsh_buckets is bit-identical to the interpreted triple-aggregate form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 100).map(_ => Tuple1(Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val diff = rows.toDF("v")
+      .select(
+        expr("signlsh_buckets(v)").as("native"),
+        expr(
+          """transform(sequence(0, 7), t ->
+            |  aggregate(sequence(0, 3), 0, (acc, p) ->
+            |    acc + if(aggregate(sequence(0, 63),
+            |               0D, (s, j) -> s + v[j] *
+            |                 (cast(xxhash64(t * 4 + p, j) % 1000 as double) / 1000.0)) > 0D,
+            |             cast(shiftleft(1, p) as int), 0)))""".stripMargin).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("expressions run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(100)
