@@ -65,6 +65,8 @@ object SparkEntry {
     "array_funcs"       -> (RelationalOps.arrayFuncs _),
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
+    "range_join"        -> (RelationalOps.rangeJoinPriorHour _),
+    "window_first_last" -> (RelationalOps.windowFirstLast _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
@@ -102,6 +104,11 @@ object SparkEntry {
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
+    // ---- dataset preparation (north-star extensions) ----
+    "train_test_split"  -> (PipelineOps.trainTestSplit _),
+    "stratified_sample" -> (PipelineOps.stratifiedSample _),
+    "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
+    "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "frame_sample"      -> (MultimodalOps.frameSample _),
@@ -334,6 +341,77 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |  FROM events) t WHERE event_type = 'signup'""".stripMargin,
+    "range_join" ->
+      """WITH p AS (SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT p_event_id, count(*) AS n_prior,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS prior_value
+        |       FROM p JOIN events e ON e.user_id = p.p_user_id
+        |         AND e.ts >= p.p_ts - INTERVAL 1 HOUR AND e.ts < p.p_ts
+        |       GROUP BY 1)
+        |SELECT p.p_event_id AS event_id,
+        |  CAST(coalesce(pr.n_prior, 0) AS BIGINT) AS n_prior,
+        |  pr.prior_value
+        |FROM p LEFT JOIN pr USING (p_event_id)""".stripMargin,
+    "window_first_last" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_id) OVER full_w AS first_event,
+        |  last_value(event_id) OVER full_w AS last_event,
+        |  lag(value, 1) OVER ord_w AS prev_value,
+        |  lead(value, 1) OVER ord_w AS next_value
+        |FROM events
+        |WINDOW
+        |  ord_w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  full_w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 % 100 < 20""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks WHERE term <> '' GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT t.doc_id, t.term,
+        |        CAST(t.tf AS DOUBLE) * (nd + 1.0) / (dfreq + 1.0) AS score
+        |      FROM t JOIN d ON t.term = d.term CROSS JOIN n)
+        |SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM s) r WHERE rk <= 5""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, w.label FROM walk w JOIN e ON e.t = w.doc_id),
+        |c AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT c.cluster_id,
+        |  arg_max(c.doc_id, CAST(doc.n_chars AS BIGINT) * 1000000 + c.doc_id)
+        |    AS survivor_id,
+        |  CAST(count(*) AS BIGINT) AS cluster_size
+        |FROM c JOIN documents doc ON doc.doc_id = c.doc_id
+        |GROUP BY 1""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Dataset-preparation operators a training-data pipeline runs after
+  * cleaning/dedup: deterministic splits, stratified sampling, TF-based
+  * term scoring, and near-dup cluster collapse (BASELINE.json north star).
+  *
+  * Split/sample assignment is a pure function of the row key (multiplicative
+  * hashing, plain BIGINT arithmetic) — NOT `rand()`: at 100 TB a split must
+  * be reproducible across reruns, stable under repartitioning, and cheap to
+  * recompute on any engine (the oracle runs the same arithmetic), none of
+  * which holds for RNG-based sampling. The modulus keeps the product within
+  * int64 for any realistic key; a deployment hashing arbitrary keys would
+  * use `xxhash64` instead (not portable to the oracle, same structure).
+  */
+object PipelineOps {
+
+  /** Knuth multiplicative hash of the doc id, reduced mod 100 — the
+    * bucket both split and sample decisions read. Identical arithmetic is
+    * SQL-expressible in any engine: no RNG, no engine-specific hash.
+    */
+  private def hashBucket(c: org.apache.spark.sql.Column) =
+    pmod(pmod(c * lit(2654435761L), lit(1000000007L)), lit(100))
+
+  /** Deterministic 80/10/10 train/val/test split over documents. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(hashBucket(col("doc_id")) < 80, lit("train"))
+          .when(hashBucket(col("doc_id")) < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
+  /** Stratified ~20% sample: the rate applies within every `lang` stratum
+    * because the hash is independent of the stratum — no per-group pass, no
+    * shuffle, filter pushes to the scan.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(hashBucket(col("doc_id")) < 20)
+      .select(col("doc_id"), col("lang"))
+
+  /** Top-5 distinguishing terms per document, scored tf·(N+1)/(df+1) —
+    * reciprocal-df weighting instead of log-idf because +,·,/ are
+    * IEEE-deterministic across engines while `ln` is libm-dependent (the
+    * same reason every op surfaces DOUBLE only through exact arithmetic).
+    * Shape at scale: one token explode feeding two partial aggregations
+    * (per-(doc,term) and per-term), a broadcast-joined doc count, and a
+    * per-doc top-k window on the (doc_id-partitioned) scored rows.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * (col("nd") + lit(1.0)) / (col("dfreq") + lit(1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Near-dup cluster collapse: keep ONE document per cluster — the longest
+    * text, doc_id as tiebreak — the decision step that turns
+    * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.
+    * `max_by` over a composite integer key is deterministic under any
+    * partitioning (the reason the key isn't a (len, id) struct comparison:
+    * a single BIGINT compares identically in every engine).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("max_by(doc_id, cast(n_chars as bigint) * 1000000 + doc_id)")
+          .as("survivor_id"),
+        count(lit(1)).as("cluster_size"))
+  }
+}

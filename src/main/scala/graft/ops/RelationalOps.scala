@@ -286,4 +286,51 @@ object RelationalOps {
       .filter(col("event_type") === "signup")
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
   }
+
+  /** Range join (SURVEY §2.5 joins: range/as-of): per purchase event, the
+    * count and value of the same user's events in the preceding hour. The
+    * range predicate rides an EQUI-join on user_id, so the plan is a hash
+    * join whose per-key candidate set is one user's history — bounded and
+    * skew-safe — never an unbounded interval cross-product. Left join
+    * keeps purchases with an empty window (n_prior = 0).
+    */
+  def rangeJoinPriorHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val prior = purchases.join(e,
+        col("user_id") === col("p_user_id") &&
+          col("ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("ts") < col("p_ts"))
+      .groupBy(col("p_event_id"))
+      .agg(
+        count(lit(1)).as("n_prior"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("prior_value"))
+    purchases
+      .join(prior, Seq("p_event_id"), "left")
+      .select(
+        col("p_event_id").as("event_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("prior_value"))
+  }
+
+  /** Navigation window functions (SURVEY §2.5 window: first/last/lag/lead)
+    * over each user's event sequence, ordered deterministically by
+    * (ts, event_id). `last_value` takes the explicit full-partition frame —
+    * the default RANGE frame would see only the prefix.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        first(col("event_id")).over(full).as("first_event"),
+        last(col("event_id")).over(full).as("last_event"),
+        lag(col("value"), 1).over(ord).as("prev_value"),
+        lead(col("value"), 1).over(ord).as("next_value"))
+  }
 }
