@@ -67,6 +67,8 @@ object SparkEntry {
     "asof_price"        -> (RelationalOps.asofPrice _),
     "range_join"        -> (RelationalOps.rangeJoinPriorHour _),
     "window_first_last" -> (RelationalOps.windowFirstLast _),
+    "join_full"         -> (RelationalOps.joinFull _),
+    "join_skew_salted"  -> (RelationalOps.joinSkewSalted _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
@@ -74,6 +76,8 @@ object SparkEntry {
     "stats_agg"         -> (StatsOps.statsAgg _),
     "linreg_agg"        -> (StatsOps.linregAgg _),
     "percentiles"       -> (StatsOps.percentiles _),
+    "approx_percentiles" -> (StatsOps.approxPercentiles _),
+    "window_rank_funcs" -> (StatsOps.windowRankFuncs _),
     "ntile_buckets"     -> (StatsOps.ntileBuckets _),
     "sessionize"        -> (StatsOps.sessionize _),
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
@@ -108,6 +112,7 @@ object SparkEntry {
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
+    "char_ngrams"       -> (PipelineOps.charNgrams _),
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
@@ -364,6 +369,32 @@ object SparkEntry {
         |  ord_w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  full_w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "join_full" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 200000),
+        |l AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_big_items
+        |      FROM lineitem WHERE l_quantity > 45 GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_totalprice, l.l_orderkey, l.n_big_items
+        |FROM o FULL JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "window_rank_funcs" ->
+      """SELECT event_id, event_type, CAST(floor(value / 10) AS BIGINT) AS ord,
+        |  CAST(rank() OVER w AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY floor(value / 10))""".stripMargin,
+    "char_ngrams" ->
+      """SELECT gram, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, length(text) - 1),
+        |                i -> text[i:i+2])) AS gram
+        |  FROM documents WHERE length(text) >= 3) t
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'

@@ -72,6 +72,23 @@ object PipelineOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Corpus-wide top-20 character trigrams — the frequency table a
+    * BPE-style tokenizer trainer seeds from. Explode-then-count: the
+    * explode multiplies rows BEFORE the aggregation shuffle, partial
+    * counts combine map-side, and the final top-k is a 20-row
+    * TakeOrderedAndProject with a deterministic (count desc, gram) order.
+    */
+  def charNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3) // sequence(1, n) needs n >= 1
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.

@@ -287,6 +287,47 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
   }
 
+  /** Full outer join: high-value orders against orders having oversized
+    * line items — rows survive from BOTH unmatched sides (null-padded),
+    * the join form the reference lacks entirely. Both keys are surfaced
+    * unsmashed so the null pattern itself is oracle-checked.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_big_items"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "full")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_orderkey"), col("n_big_items"))
+  }
+
+  /** Hand-salted large-large equi-join: the probe side gets a
+    * deterministic salt in [0, S), the build side is replicated S× with
+    * every salt value, and the join key becomes (orderkey, salt) — the
+    * classic hot-key defuser when ONE key's rows exceed an executor
+    * (AQE's skew-join splits stragglers at runtime; explicit salting is
+    * the plan-level form that also covers aggregations and works without
+    * runtime statistics). The aggregated result is oracle-checked against
+    * the UNSALTED join — salting must never change semantics.
+    */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(lit((0 until S).toArray)).as("salt"))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("revenue"))
+  }
+
   /** Range join (SURVEY §2.5 joins: range/as-of): per purchase event, the
     * count and value of the same user's events in the preceding hour. The
     * range predicate rides an EQUI-join on user_id, so the plan is a hash

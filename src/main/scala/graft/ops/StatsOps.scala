@@ -84,6 +84,40 @@ object StatsOps {
         expr("percentile(l_quantity, 0.9)").as("p90"),
         expr("percentile(l_quantity, 0.99)").as("p99"))
 
+  /** Approximate percentiles via the Greenwald-Khanna sketch
+    * (`approx_percentile`) — the mergeable-summary form that scales: exact
+    * `percentile` buffers every value per group, the GK sketch is bounded
+    * memory and merges map-side. Estimator-specific output → no SQL oracle;
+    * ApproxOpsSpec bounds it against the exact op's order statistics.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90"),
+        expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99"))
+
+  /** Ranking-function family (rank / dense_rank / percent_rank / cume_dist)
+    * per event_type over a COARSE ordering key (value deciles) so tie
+    * semantics — where the four functions differ — are actually exercised.
+    * percent_rank/cume_dist surface as exact integer-ratio doubles,
+    * identical IEEE divisions in any engine.
+    */
+  def windowRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ord"))
+    Tables.events(spark, dir)
+      .withColumn("ord", floor(col("value") / 10))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("ord"),
+        rank().over(w).cast(IntegerType).as("rk"),
+        dense_rank().over(w).cast(IntegerType).as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+  }
+
   /** ntile(4) quartile bucketing of orders by totalprice (deterministic
     * total order via the orderkey tiebreak), with per-bucket stats.
     */

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream event-time interval join — the enrichment topology the
+  * reference's single-stream pipeline stops short of: a trade stream joined
+  * to a quote stream on symbol, with each trade matched to quotes in the
+  * preceding `lookback` of event time.
+  *
+  * State management is what makes this scale: BOTH sides are watermarked
+  * and the join condition bounds quote_time relative to trade_time, so
+  * Spark derives a state-eviction watermark per side — buffered rows are
+  * dropped once they can no longer match anything (state size tracks
+  * lookback + lateness horizon, never stream history). Without the time
+  * bound a stream-stream join must buffer forever; this operator refuses
+  * that shape by construction.
+  */
+object StreamJoin {
+
+  /** Inner interval join. `trades` needs (trade_id, symbol, price,
+    * trade_time); `quotes` needs (q_symbol, bid, ask, quote_time).
+    * Emits one row per (trade, in-window quote) with the quote spread —
+    * append-mode compatible (inner join, both sides watermarked).
+    */
+  def tradesWithQuotes(trades: DataFrame, quotes: DataFrame,
+                       lookback: String = "10 seconds",
+                       lateness: String = "1 minute"): DataFrame = {
+    val t = trades.withWatermark("trade_time", lateness)
+    val q = quotes.withWatermark("quote_time", lateness)
+    t.join(q,
+        col("symbol") === col("q_symbol") &&
+          col("quote_time") >= col("trade_time") - expr(s"INTERVAL $lookback") &&
+          col("quote_time") <= col("trade_time"))
+      .select(
+        col("trade_id"), col("symbol"), col("price"),
+        col("quote_time"), col("bid"), col("ask"),
+        (col("ask") - col("bid")).as("spread"))
+  }
+}

@@ -115,6 +115,22 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.5, f"recall $recall%.2f below floor (8-table sign-LSH)")
   }
 
+  test("approx_percentile within rank-error tolerance of exact percentiles per group") {
+    def byFlag(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        Seq("p50", "p90", "p99").map(c => r.getAs[Number](c).doubleValue())).toMap
+    val exact = byFlag("percentiles")
+    val approx = byFlag("approx_percentiles")
+    assert(approx.keySet == exact.keySet)
+    // GK sketch with accuracy=1000 bounds rank error at n/1000; on
+    // 1..50-quantity data that is well under 2 quantity units
+    exact.foreach { case (flag, e) =>
+      e.zip(approx(flag)).zipWithIndex.foreach { case ((ev, av), i) =>
+        assert(math.abs(ev - av) <= 2.0, s"$flag p${Seq(50, 90, 99)(i)}: exact $ev approx $av")
+      }
+    }
+  }
+
   test("approx_distinct within 5% of exact count_distinct per group") {
     val exact = SparkEntry.queries("count_distinct")(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
