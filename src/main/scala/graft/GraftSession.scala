@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession builder pre-loaded with the
+  * configuration the engine is designed against. A user of the reference
+  * switching to this library calls `GraftSession.builder(...)`, gets the
+  * native functions registered via `spark.sql.extensions`, and every
+  * operator in [[SparkEntry.queries]] runs with the intended plan shapes.
+  *
+  * `spark.sql.shuffle.partitions` is deliberately NOT set here: with AQE
+  * coalescing enabled the initial partition number only needs an upper
+  * bound, and the right bound is cluster-sized (set per deployment; the
+  * test/bench mains set it to the core count).
+  */
+object GraftSession {
+
+  /** The engine's recommended defaults, exposed for inspection/tests. */
+  val defaults: Map[String, String] = Map(
+    // deterministic timestamp semantics — every oracle-checked op assumes UTC
+    "spark.sql.session.timeZone" -> "UTC",
+    // runtime re-planning: partition coalescing, skew-join splitting, and
+    // join-strategy switching from observed sizes — the mechanisms the
+    // operator Scaladocs lean on at 100 TB
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // native expressions (dot_product, cosine_sim, minhash_sig, simhash64,
+    // signlsh_buckets) resolve in SQL without per-session registration
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    defaults.foldLeft(SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+}

@@ -35,6 +35,16 @@ object Tables {
     if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
+  /** Lineage cut for iterative/multi-use intermediates: a RELIABLE
+    * checkpoint when the session has a checkpoint dir configured (survives
+    * executor loss — localCheckpoint blocks die with their executor, which
+    * kills a long fixpoint job on a real cluster), localCheckpoint
+    * otherwise (single-JVM tests/bench, where reliability adds only I/O).
+    */
+  def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

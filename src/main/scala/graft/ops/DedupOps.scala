@@ -70,7 +70,7 @@ object DedupOps {
     * Buckets above [[MaxBucket]] are dropped with a logged count.
     */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = signed(spark, dir).localCheckpoint(true)
+    val fp = Tables.ckpt(signed(spark, dir))
     val buckets = fp
       .select(col("doc_id"), expr(
         s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
@@ -79,7 +79,7 @@ object DedupOps {
       .groupBy(col("band_id"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .localCheckpoint(true) // tiny (bucketed ids); reused by drop-count + pairs
+      .transform(Tables.ckpt) // tiny (bucketed ids); reused by drop-count + pairs
     val dropped = buckets.filter(size(col("ds")) > MaxBucket).count()
     if (dropped > 0)
       log.warn(s"minhashNeardup: dropped $dropped degenerate band buckets (> $MaxBucket docs)")
@@ -130,7 +130,7 @@ object DedupOps {
     * the Hamming metric.
     */
   def simhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir).localCheckpoint(true)
+    val fp = Tables.ckpt(simhash(spark, dir))
     val banded = fp.select(col("doc_id"), expr(
       """explode(array(
         |  named_struct('band_id', 0, 'band_val', band16_0),
@@ -163,7 +163,8 @@ object DedupOps {
     * doc takes the min of its own label and its neighbors' labels; stop at
     * fixpoint. Each round is one equi-join + groupBy (shuffle on doc_id);
     * rounds needed = graph diameter, which for near-dup clusters is tiny.
-    * `localCheckpoint` truncates the growing lineage each round — the same
+    * `Tables.ckpt` truncates the growing lineage each round (reliable
+    * checkpoint on a cluster, localCheckpoint in a single JVM) — the same
     * shape MLlib uses for iterative algorithms. The edge set here is the
     * oracle-computable n-gram-Jaccard pairs; at scale the MinHash+LSH pair
     * generator plugs in identically.
@@ -172,12 +173,10 @@ object DedupOps {
     val pairs = ngramJaccard(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    val edges = Tables.ckpt(pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = Tables.ckpt(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -189,7 +188,7 @@ object DedupOps {
         .select(labels("doc_id"),
           least(labels("label"), coalesce(col("nbr_min"), labels("label")))
             .as("label"))
-        .localCheckpoint(true)
+        .transform(Tables.ckpt)
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label"))

@@ -49,4 +49,31 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
   }
+
+  test("range_join rides the user_id equi-join, never an interval cross-product") {
+    val p = plan("range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("train_test_split and stratified_sample are pure maps (zero exchanges)") {
+    Seq("train_test_split", "stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("char_ngrams top-k compiles to TakeOrderedAndProject after partial counts") {
+    val p = plan("char_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), "counts must combine map-side")
+  }
+
+  test("dedup/similarity hot paths run the native codegen expressions") {
+    // minhash_neardup's signature stage is invisible here: it runs inside
+    // the eager checkpoint that cuts its lineage (bit-identity is pinned by
+    // VectorExpressionsSpec instead)
+    assert(plan("simhash").contains("simhash64"))
+    assert(plan("ann_lsh").contains("signlsh_buckets"))
+  }
 }
