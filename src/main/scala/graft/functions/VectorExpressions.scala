@@ -139,7 +139,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHash64(children(0))),
     (FunctionIdentifier("signlsh_buckets"),
       new ExpressionInfo(classOf[SignLshBuckets].getName, "signlsh_buckets"),
-      (children: Seq[Expression]) => SignLshBuckets(children(0), 8, 4)))
+      (children: Seq[Expression]) => SignLshBuckets(children(0), 8, 4)),
+    (FunctionIdentifier("char_ngrams3"),
+      new ExpressionInfo(classOf[CharNgrams3].getName, "char_ngrams3"),
+      (children: Seq[Expression]) => CharNgrams3(children(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

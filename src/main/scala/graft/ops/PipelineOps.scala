@@ -78,16 +78,18 @@ object PipelineOps {
     * counts combine map-side, and the final top-k is a 20-row
     * TakeOrderedAndProject with a deterministic (count desc, gram) order.
     */
-  def charNgrams(spark: SparkSession, dir: String): DataFrame =
+  def charNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 3) // sequence(1, n) needs n >= 1
-      .select(explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("gram"))
+      .filter(length(col("text")) >= 3)
+      // native one-pass extraction — the substring(text, i, 3)-per-position
+      // SQL form rescans the string per gram, O(len²) per document
+      .select(explode(expr("char_ngrams3(text)")).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
+  }
 
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns

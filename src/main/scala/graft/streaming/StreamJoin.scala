@@ -37,4 +37,13 @@ object StreamJoin {
         col("quote_time"), col("bid"), col("ask"),
         (col("ask") - col("bid")).as("spread"))
   }
+
+  /** Stream-static enrichment: each streaming trade joined to a static
+    * dimension table on symbol. The static side is broadcast — no state,
+    * no watermark needed (a static side can't be late), and the stream
+    * never shuffles: the canonical shape for reference-data enrichment.
+    * Left join keeps trades whose symbol is missing from the dimension.
+    */
+  def enrichWithDim(trades: DataFrame, symbolDim: DataFrame): DataFrame =
+    trades.join(broadcast(symbolDim), Seq("symbol"), "left")
 }

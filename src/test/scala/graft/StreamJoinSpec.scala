@@ -55,6 +55,33 @@ class StreamJoinSpec extends SparkSuite {
       s"got $matched from ${out.size} rows")
   }
 
+  test("stream-static enrichment broadcasts the dim and keeps unmatched trades") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(Long, String, Double, Timestamp)]
+    val dim = Seq(("BTCUSDT", "Bitcoin", 8), ("ETHUSDT", "Ethereum", 18))
+      .toDF("symbol", "asset_name", "decimals")
+    val enriched = StreamJoin.enrichWithDim(
+      trades.toDF().toDF("trade_id", "symbol", "price", "trade_time"), dim)
+    val out = mutable.Buffer[Row]()
+    val q = enriched.writeStream
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) => out ++= df.collect(); () }
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("enrich_ckpt").toString)
+      .start()
+    try {
+      trades.addData(Seq(
+        (1L, "BTCUSDT", 100.0, new Timestamp(T0)),
+        (2L, "UNKNOWN", 5.0, new Timestamp(T0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = out.map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[String]("asset_name"))).toMap
+    assert(byId == Map(1L -> Some("Bitcoin"), 2L -> None))
+  }
+
   test("join state is bounded: plan carries watermarks on both sides") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

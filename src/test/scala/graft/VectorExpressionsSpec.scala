@@ -101,6 +101,28 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("char_ngrams3 is identical to the substring-per-position form, incl. multi-byte") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abc déß€?! é世界"
+    val rows = (1 to 200).map { _ =>
+      Tuple1((0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val diff = rows.toDF("text")
+      .filter(length(col("text")) >= 3)
+      .select(
+        expr("char_ngrams3(text)").as("native"),
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // short inputs yield an empty array, not null
+    val empty = Seq(Tuple1("ab")).toDF("text")
+      .select(expr("char_ngrams3(text)").as("g")).collect()(0)
+    assert(empty.getSeq[String](0).isEmpty)
+  }
+
   test("expressions run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(100)
