@@ -26,8 +26,15 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     // native expressions (dot_product, cosine_sim, minhash_sig, simhash64,
-    // signlsh_buckets) resolve in SQL without per-session registration
-    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
+    // signlsh_buckets, char_ngrams3) resolve in SQL without per-session
+    // registration
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // streaming state off-heap: the default HDFS-backed provider holds all
+    // state in executor heap — at production key cardinality (state per
+    // (window, symbol) × lateness horizon) RocksDB keeps heap flat and
+    // makes state size a disk problem, which scales
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     defaults.foldLeft(SparkSession.builder().appName(appName)) {

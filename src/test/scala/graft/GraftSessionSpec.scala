@@ -12,6 +12,8 @@ class GraftSessionSpec extends SparkSuite {
     assert(d("spark.sql.adaptive.enabled") == "true")
     assert(d("spark.sql.adaptive.skewJoin.enabled") == "true")
     assert(d("spark.sql.extensions") == "graft.functions.GraftExtensions")
+    // the configured state-store provider must exist on this Spark build
+    assert(Class.forName(d("spark.sql.streaming.stateStore.providerClass")) != null)
   }
 
   test("extensions entry point instantiates and registers every native function") {
