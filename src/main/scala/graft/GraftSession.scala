@@ -25,6 +25,9 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // reliable checkpoints (Tables.ckpt) are written per dedup/cluster run;
+    // without the cleaner they accumulate in the checkpoint dir forever
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true",
     // native expressions (dot_product, cosine_sim, minhash_sig, simhash64,
     // signlsh_buckets, char_ngrams3) resolve in SQL without per-session
     // registration

@@ -437,12 +437,13 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s, w.label FROM walk w JOIN e ON e.t = w.doc_id),
         |c AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
-        |SELECT c.cluster_id,
-        |  arg_max(c.doc_id, CAST(doc.n_chars AS BIGINT) * 1000000 + c.doc_id)
-        |    AS survivor_id,
-        |  CAST(count(*) AS BIGINT) AS cluster_size
-        |FROM c JOIN documents doc ON doc.doc_id = c.doc_id
-        |GROUP BY 1""".stripMargin,
+        |SELECT cluster_id, survivor_id, cluster_size FROM (
+        |  SELECT c.cluster_id, c.doc_id AS survivor_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY doc.n_chars DESC, c.doc_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+        |  FROM c JOIN documents doc ON doc.doc_id = c.doc_id) t
+        |WHERE rn = 1""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

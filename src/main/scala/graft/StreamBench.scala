@@ -34,8 +34,10 @@ object StreamBench {
     val syms = Array("BTCUSDT", "ETHUSDT", "SOLUSDT", "XRPUSDT", "ADAUSDT")
     val t0 = 1705276800000L
     def line(i: Int): String = {
-      val px = 50000 + (i * 7919 % 1000) / 100.0
-      val qty = 1 + (i * 104729 % 500) / 100.0
+      // long arithmetic: i * 104729 wraps Int for i >= 20507, which would
+      // send negative quantities into the volume/vwap sums
+      val px = 50000 + (i.toLong * 7919 % 1000) / 100.0
+      val qty = 1 + (i.toLong * 104729 % 500) / 100.0
       s"""{"trade_id":$i,"symbol":"${syms(i % syms.length)}","price":"$px",""" +
         s""""quantity":"$qty","trade_time":${t0 + i},"is_buyer_maker":${i % 2 == 0}}"""
     }

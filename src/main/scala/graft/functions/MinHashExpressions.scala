@@ -164,11 +164,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * Bucket bit p of table t is the sign of ⟨v, plane_{t·K+p}⟩, with plane
   * components derived from `xxhash64(planeIdx, dim) % 1000 / 1000` —
   * bit-identical to the interpreted triple-`aggregate` SQL form it
-  * replaces (pinned by spec), with the L·K×64 plane matrix precomputed
-  * once instead of re-hashed per row, and the projection running as a
-  * primitive double loop in whole-stage codegen. One row's bucketing cost
-  * drops from ~2·L·K·64 interpreted lambda steps to L·K fused dot
-  * products.
+  * replaces (pinned by spec) for the engine's embedding contract of ≥64
+  * non-null dimensions. For SHORTER vectors the two forms diverge by
+  * design: the SQL form's `v[j]` is NULL past the end, the NULL collapses
+  * the whole fold, and every bucket degenerates to 0 (all short vectors
+  * collide everywhere — a candidate-explosion hazard); the native loop
+  * projects over the dimensions present, which keeps buckets selective.
+  * The L·K×64 plane matrix is precomputed once instead of re-hashed per
+  * row, and the projection runs as a primitive double loop in whole-stage
+  * codegen: one row's bucketing cost drops from ~2·L·K·64 interpreted
+  * lambda steps to L·K fused dot products.
   */
 case class SignLshBuckets(child: Expression, numTables: Int, numPlanes: Int)
     extends UnaryExpression {

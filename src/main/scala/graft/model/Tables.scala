@@ -29,10 +29,24 @@ object Tables {
     * where the shuffle cost is far below the compute it parallelizes.
     */
   def balanced(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // `inputFiles` reads only the file listing — unlike `df.rdd`, it never
-    // materializes the RDD lineage, so AQE still owns the physical plan.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's partition count the way FilePartition packs
+    // splits — ceil((bytes + nFiles·openCost) / maxPartitionBytes) — from
+    // the file listing alone: unlike `df.rdd` this never materializes the
+    // RDD lineage (AQE still owns the plan), and unlike a raw file COUNT it
+    // is correct in both directions (many small files pack into few
+    // partitions; one big file splits into many).
+    val conf = spark.sessionState.conf
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val files = df.inputFiles
+    val totalCost = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen + conf.filesOpenCostInBytes
+    }.sum
+    val estPartitions =
+      math.max(1L, (totalCost + conf.filesMaxPartitionBytes - 1) / conf.filesMaxPartitionBytes)
+    if (estPartitions < target) df.repartition(target) else df
   }
 
   /** Lineage cut for iterative/multi-use intermediates: a RELIABLE
@@ -40,6 +54,9 @@ object Tables {
     * executor loss — localCheckpoint blocks die with their executor, which
     * kills a long fixpoint job on a real cluster), localCheckpoint
     * otherwise (single-JVM tests/bench, where reliability adds only I/O).
+    * Checkpoint files are reclaimed when the DataFrame is GC'd IF
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on —
+    * [[graft.GraftSession]] sets it; without it they accumulate forever.
     */
   def ckpt(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()

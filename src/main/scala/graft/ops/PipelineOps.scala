@@ -94,9 +94,11 @@ object PipelineOps {
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.
-    * `max_by` over a composite integer key is deterministic under any
-    * partitioning (the reason the key isn't a (len, id) struct comparison:
-    * a single BIGINT compares identically in every engine).
+    * `max_by` over a (n_chars, doc_id) struct compares lexicographically —
+    * the tiebreak holds for ANY doc_id range (a packed integer key like
+    * `n_chars * K + doc_id` silently breaks once doc_id ≥ K) and is
+    * deterministic under any partitioning because the struct is unique
+    * per row.
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val clusters = DedupOps.dedupClusters(spark, dir)
@@ -105,8 +107,7 @@ object PipelineOps {
     clusters.join(docs, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(
-        expr("max_by(doc_id, cast(n_chars as bigint) * 1000000 + doc_id)")
-          .as("survivor_id"),
+        expr("max_by(doc_id, struct(n_chars, doc_id))").as("survivor_id"),
         count(lit(1)).as("cluster_size"))
   }
 }

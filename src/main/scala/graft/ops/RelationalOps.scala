@@ -316,8 +316,13 @@ object RelationalOps {
     */
   def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
     val S = 8
+    // salt from a hash, not a raw column: l_linenumber is 1..7 (salt 0
+    // would never occur and the spread would mirror the column's own skew);
+    // the hash is uniform over all S buckets for any input distribution
     val l = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S))
+          .cast(IntegerType))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         explode(lit((0 until S).toArray)).as("salt"))

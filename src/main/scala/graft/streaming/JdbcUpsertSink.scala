@@ -59,11 +59,17 @@ object JdbcUpsertSink {
           s"DROP TABLE $staging")
       case Dialect.Postgres =>
         val conflictKeys = keys.map(q).mkString(", ")
-        val updates = columns.filterNot(keys.contains)
-          .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        val nonKey = columns.filterNot(keys.contains)
+        // all-columns-are-keys (pure presence table): DO UPDATE SET with an
+        // empty assignment list is a syntax error — there is nothing to
+        // refine, so conflicts are no-ops
+        val action =
+          if (nonKey.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " +
+            nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
         Seq(
           s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
-            s"ON CONFLICT ($conflictKeys) DO UPDATE SET $updates",
+            s"ON CONFLICT ($conflictKeys) $action",
           s"DROP TABLE $staging")
     }
   }

@@ -16,17 +16,22 @@ class GraftSessionSpec extends SparkSuite {
     assert(Class.forName(d("spark.sql.streaming.stateStore.providerClass")) != null)
   }
 
-  test("extensions entry point instantiates and registers every native function") {
-    val cls = Class.forName(GraftSession.defaults("spark.sql.extensions"))
-    val ext = cls.getDeclaredConstructor().newInstance()
-    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
-    // the injected set matches the per-session registry
-    graft.functions.GraftFunctions.register(spark)
-    Seq("dot_product", "cosine_sim", "minhash_sig", "simhash64", "signlsh_buckets")
-      .foreach { fn =>
-        assert(spark.sessionState.functionRegistry
-          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), fn)
-      }
+  test("extensions injection registers every native function — no manual register") {
+    // newSession() rebuilds SessionState from the session's extensions, so
+    // a fresh function registry here proves the spark.sql.extensions path
+    // (SparkSuite builds the shared session through GraftSession.builder);
+    // per-session GraftFunctions.register calls from other suites can't
+    // leak into it.
+    val fresh = spark.newSession()
+    Seq("dot_product", "cosine_sim", "minhash_sig", "simhash64",
+      "signlsh_buckets", "char_ngrams3").foreach { fn =>
+      assert(fresh.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), fn)
+    }
+    // and they resolve end-to-end in SQL
+    val r = fresh.sql(
+      "SELECT dot_product(array(1D, 2D), array(3D, 4D)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
   }
 
   test("builder applies every default") {

@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local SparkSession for specs. UTC + small shuffle fan-out so unit
-  * runs stay fast; operators themselves are partition-count-agnostic.
+/** Shared local SparkSession for specs, built through [[GraftSession]] so
+  * every suite runs on the production session path (extensions injection,
+  * AQE, RocksDB streaming state) — not a test-only configuration. Small
+  * shuffle fan-out keeps unit runs fast; operators themselves are
+  * partition-count-agnostic.
   */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = GraftSession.builder(getClass.getSimpleName)
     .master("local[4]")
-    .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

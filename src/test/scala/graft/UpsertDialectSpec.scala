@@ -38,6 +38,15 @@ class UpsertDialectSpec extends SparkSuite {
     assert(stmts(1) == "DROP TABLE trades_1min_agg_staging_7")
   }
 
+  test("Postgres dialect falls back to DO NOTHING when every column is a key") {
+    val stmts = JdbcUpsertSink.mergeStatements(
+      "seen", "seen_staging_0", Seq("symbol", "window_start"),
+      Seq("symbol", "window_start"), Dialect.Postgres)
+    assert(stmts.head.endsWith("""ON CONFLICT ("symbol", "window_start") DO NOTHING"""),
+      stmts.head)
+    assert(!stmts.head.contains("DO UPDATE"))
+  }
+
   test("Portable dialect generates delete+insert+drop in key order") {
     val stmts = JdbcUpsertSink.mergeStatements(
       "t", "t_staging_0", Seq("k", "v"), Seq("k"), Dialect.Portable)
