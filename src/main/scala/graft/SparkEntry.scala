@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_groupby"       -> (AggOps.aggGroupBy _),
     "count_distinct"    -> (AggOps.countDistinctUsers _),
     "approx_distinct"   -> (AggOps.approxDistinctUsers _),
+    "conditional_agg"   -> (AggOps.conditionalAgg _),
     "rollup_sales"      -> (AggOps.rollupSales _),
     "cube_sales"        -> (AggOps.cubeSales _),
     "sliding_ohlcv"     -> (AggOps.slidingOhlcv _),
@@ -69,6 +70,9 @@ object SparkEntry {
     "window_first_last" -> (RelationalOps.windowFirstLast _),
     "join_full"         -> (RelationalOps.joinFull _),
     "join_skew_salted"  -> (RelationalOps.joinSkewSalted _),
+    "cross_join_dims"   -> (RelationalOps.crossJoinDims _),
+    "exists_subquery"   -> (RelationalOps.existsSubquery _),
+    "not_in_subquery"   -> (RelationalOps.notInSubquery _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
@@ -82,6 +86,7 @@ object SparkEntry {
     "sessionize"        -> (StatsOps.sessionize _),
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
+    "unpivot_sales"     -> (StatsOps.unpivotSales _),
     // ---- user-extension proof points (SURVEY §2.5 UDF/UDAF/UDTF) ----
     "udf_score"         -> (CustomOps.udfScore _),
     "agg_custom_vwap"   -> (CustomOps.aggCustomVwap _),
@@ -97,6 +102,7 @@ object SparkEntry {
     "text_normalize"    -> (TextOps.textNormalize _),
     "pii_redact"        -> (TextOps.piiRedact _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
+    "string_agg"        -> (TextOps.stringAgg _),
     // ---- near-dup dedup (north-star extensions) ----
     "minhash_neardup"   -> (DedupOps.minhashNeardup _),
     "simhash"           -> (DedupOps.simhash _),
@@ -369,6 +375,45 @@ object SparkEntry {
         |  ord_w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  full_w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "cross_join_dims" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation""".stripMargin,
+    "exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)""".stripMargin,
+    "not_in_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 400000)""".stripMargin,
+    "conditional_agg" ->
+      """SELECT event_type,
+        |  CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high,
+        |  CAST(count(CASE WHEN value <= 50 THEN 1 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS sum_high,
+        |  max(CASE WHEN user_id % 2 = 0 THEN value END) AS max_even_user
+        |FROM events GROUP BY 1""".stripMargin,
+    "string_agg" ->
+      """SELECT lang,
+        |  array_to_string(list_transform(list_sort(list(doc_id))[1:3],
+        |                  x -> CAST(x AS VARCHAR)), ',') AS first_docs,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "unpivot_sales" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F'
+        |             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O'
+        |             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, qty FROM (
+        |  SELECT l_returnflag, 'qty_f' AS metric, qty_f AS qty FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty_o' AS metric, qty_o AS qty FROM wide) u
+        |WHERE qty IS NOT NULL""".stripMargin,
     "join_full" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
         |           WHERE o_totalprice > 200000),

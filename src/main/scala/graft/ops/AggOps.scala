@@ -135,6 +135,20 @@ object AggOps {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
+  /** Conditional aggregation — the FILTER-clause family expressed as
+    * `agg(CASE WHEN …)` so one scan produces every conditional metric
+    * (the alternative — one filtered pass per metric — multiplies scans).
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("value") > 50, 1)).as("n_high"),
+        count(when(col("value") <= 50, 1)).as("n_low"),
+        sum(when(col("value") > 50, dec2(col("value"))))
+          .cast(DoubleType).as("sum_high"),
+        max(when(col("user_id") % 2 === 0, col("value"))).as("max_even_user"))
+
   /** ROLLUP over returnflag/linestatus (SURVEY §2.5 rollup_sales).
     * Spark emits NULL for rolled-up levels; the oracle uses the same ROLLUP.
     */

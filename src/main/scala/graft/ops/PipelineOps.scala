@@ -59,7 +59,10 @@ object PipelineOps {
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    // document frequency falls out of tf for free: tf has exactly one row
+    // per (doc, term), so rows-per-term IS the distinct-doc count — no
+    // second explode, no distinct shuffle over raw tokens
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")

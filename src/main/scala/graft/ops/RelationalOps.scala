@@ -333,6 +333,41 @@ object RelationalOps {
         sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("revenue"))
   }
 
+  /** Correlated EXISTS subquery — Catalyst decorrelates it into a left
+    * semi join, so the "per-customer probe" the SQL describes never
+    * executes row-at-a-time.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)""".stripMargin)
+  }
+
+  /** NOT IN subquery — plans as a null-aware anti join (NAAJ), the join
+    * variant with three-valued-logic semantics a plain anti join cannot
+    * express: one NULL in the subquery result empties the output.
+    */
+  def notInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 400000)""".stripMargin)
+  }
+
+  /** Explicit cross join of the two bounded dimensions — the one join type
+    * that is ONLY safe when a side is provably tiny; both sides broadcast-
+    * sized here (reference has no joins at all; SURVEY §2.5).
+    */
+  def crossJoinDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")))
+
   /** Range join (SURVEY §2.5 joins: range/as-of): per purchase event, the
     * count and value of the same user's events in the preceding hour. The
     * range predicate rides an EQUI-join on user_id, so the plan is a hash

@@ -180,4 +180,17 @@ object StatsOps {
       .agg(sum(dec2(col("l_quantity"))).cast(DoubleType))
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
+
+  /** UNPIVOT (melt): [[pivotSales]]' wide result back to long form — one
+    * (returnflag, metric, qty) row per cell, dropping NULL cells like the
+    * SQL UNPIVOT default. Wide→long is a pure per-row expansion: no
+    * shuffle beyond what produced the wide input.
+    */
+  def unpivotSales(spark: SparkSession, dir: String): DataFrame =
+    pivotSales(spark, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_f"), col("qty_o")),
+        "metric", "qty")
+      .filter(col("qty").isNotNull)
 }

@@ -151,4 +151,20 @@ object TextOps {
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
+
+  /** Ordered string aggregation (LISTAGG / string_agg): per language, the
+    * three smallest doc ids comma-joined. collect_list order is shuffle-
+    * dependent, so the list is sorted (numerically) and sliced BEFORE
+    * joining — the only deterministic (and therefore scale-safe) way to
+    * emit an aggregated string; an ORDER BY inside the aggregate is the
+    * engine-SQL equivalent.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        array_join(expr(
+          "transform(slice(sort_array(collect_list(doc_id)), 1, 3), x -> cast(x as string))"),
+          ",").as("first_docs"),
+        count(lit(1)).as("n_docs"))
 }

@@ -69,6 +69,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), "counts must combine map-side")
   }
 
+  test("subqueries decorrelate to joins: EXISTS -> semi, NOT IN -> (null-aware) anti") {
+    assert(plan("exists_subquery").contains("LeftSemi"))
+    assert(plan("not_in_subquery").contains("LeftAnti"))
+  }
+
   test("dedup/similarity hot paths run the native codegen expressions") {
     // minhash_neardup's signature stage is invisible here: it runs inside
     // the eager checkpoint that cuts its lineage (bit-identity is pinned by
