@@ -119,6 +119,7 @@ object SparkEntry {
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
     "char_ngrams"       -> (PipelineOps.charNgrams _),
+    "freq_tokens"       -> (PipelineOps.freqTokens _),
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),

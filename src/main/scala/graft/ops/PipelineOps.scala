@@ -94,6 +94,24 @@ object PipelineOps {
       .limit(20)
   }
 
+  /** Approximate heavy hitters over the token stream (vocabulary-pruning
+    * primitive): single-pass Misra-Gries-style summary via Spark's
+    * `stat.freqItems`, guaranteeing every token with frequency above the
+    * support threshold appears (false positives possible, false negatives
+    * not — the useful direction for pruning). Estimator-specific output →
+    * rows-only; ApproxOpsSpec asserts the no-false-negative guarantee
+    * against exact counts. One row per candidate token, sorted for
+    * determinism.
+    */
+  def freqTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    toks.stat.freqItems(Seq("term"), 0.01)
+      .select(explode(col("term_freqItems")).as("term"))
+      .orderBy(col("term"))
+  }
+
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.

@@ -131,6 +131,21 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
+  test("freq_tokens has no false negatives: every token above support appears") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_.trim.split(" ").filter(_.nonEmpty).foreach(t => counts(t) += 1))
+    val total = counts.values.sum
+    val mustAppear = counts.collect { case (t, c) if c > total * 0.01 => t }.toSet
+    val got = SparkEntry.queries("freq_tokens")(spark, sf).collect()
+      .map(_.getAs[String]("term")).toSet
+    val missing = mustAppear -- got
+    assert(missing.isEmpty,
+      s"freqItems missed ${missing.size} above-support tokens: ${missing.take(5)}")
+    info(s"${mustAppear.size} above-support tokens all present among ${got.size} candidates")
+  }
+
   test("approx_distinct within 5% of exact count_distinct per group") {
     val exact = SparkEntry.queries("count_distinct")(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
