@@ -38,6 +38,7 @@ object SparkEntry {
     "json_extract"      -> (ParseOps.jsonExtract _),
     "bitwise_funcs"     -> (ParseOps.bitwiseFuncs _),
     "date_format_funcs" -> (ParseOps.dateFormatFuncs _),
+    "date_arith"        -> (ParseOps.dateArith _),
     // ---- aggregation surface (SURVEY §2.5) ----
     "agg_groupby"       -> (AggOps.aggGroupBy _),
     "count_distinct"    -> (AggOps.countDistinctUsers _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
+    "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
     // ---- user-extension proof points (SURVEY §2.5 UDF/UDAF/UDTF) ----
     "udf_score"         -> (CustomOps.udfScore _),
     "agg_custom_vwap"   -> (CustomOps.aggCustomVwap _),
@@ -103,6 +105,7 @@ object SparkEntry {
     "pii_redact"        -> (TextOps.piiRedact _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
     "string_agg"        -> (TextOps.stringAgg _),
+    "explode_emails"    -> (TextOps.explodeEmails _),
     // ---- near-dup dedup (north-star extensions) ----
     "minhash_neardup"   -> (DedupOps.minhashNeardup _),
     "simhash"           -> (DedupOps.simhash _),
@@ -376,6 +379,27 @@ object SparkEntry {
         |  ord_w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  full_w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_30d,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS due_2mo,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter_start
+        |FROM orders""".stripMargin,
+    "explode_emails" ->
+      """SELECT doc_id, unnest(
+        |  CASE WHEN len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+')) = 0
+        |       THEN [NULL]
+        |       ELSE regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+')
+        |  END) AS email
+        |FROM documents""".stripMargin,
+    "range_frame_sum" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_nearby,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_nearby
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "cross_join_dims" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation""".stripMargin,

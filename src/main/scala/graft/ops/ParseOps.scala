@@ -138,6 +138,23 @@ object ParseOps {
         shiftright(col("event_id"), 1).as("ev_shr"),
         bit_count(col("event_id")).as("ev_bits"))
 
+  /** Date arithmetic family: day offsets, calendar-month offsets with
+    * end-of-month clamping (both engines clamp Jan 31 + 1 month to the
+    * last Feb day), month-end, and quarter truncation. DATE values surface
+    * as 'yyyy-MM-dd' strings: engines disagree on the in-memory date
+    * representation at the comparator boundary (date32 object vs
+    * datetime64), the rendered form is unambiguous.
+    */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).cast(StringType).as("due_30d"),
+        add_months(to_date(col("o_orderdate")), 2).cast(StringType).as("due_2mo"),
+        last_day(to_date(col("o_orderdate"))).cast(StringType).as("month_end"),
+        date_trunc("quarter", col("o_orderdate")).cast(DateType)
+          .cast(StringType).as("quarter_start"))
+
   /** Date formatting family: pattern-rendered strings + epoch round-trips.
     * (Spark uses java patterns, oracle engines strftime — semantically
     * aligned patterns chosen so both render identically.)

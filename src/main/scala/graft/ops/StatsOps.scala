@@ -118,6 +118,25 @@ object StatsOps {
         cume_dist().over(w).as("cd"))
   }
 
+  /** RANGE-frame window: per order, the count and sum of all orders whose
+    * totalprice lies within 1000 BELOW the current row's — a value-based
+    * frame (RANGE), not a position-based one (ROWS, see moving_avg). Range
+    * frames are tie-deterministic by construction: the frame is defined by
+    * the ordering VALUE, so peer rows see identical frames under any
+    * partitioning.
+    */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice")).rangeBetween(-1000, 0)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice"),
+        count(lit(1)).over(w).as("n_nearby"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("sum_nearby"))
+  }
+
   /** ntile(4) quartile bucketing of orders by totalprice (deterministic
     * total order via the orderkey tiebreak), with per-bucket stats.
     */

@@ -152,6 +152,19 @@ object TextOps {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Outer explode: one row per extracted email, KEEPING documents with no
+    * match as a NULL row (`explode_outer`) — the generator variant plain
+    * explode silently drops, which matters whenever downstream counts
+    * "documents" rather than "matches".
+    */
+  def explodeEmails(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode_outer(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("email"))
+  }
+
   /** Ordered string aggregation (LISTAGG / string_agg): per language, the
     * three smallest doc ids comma-joined. collect_list order is shuffle-
     * dependent, so the list is sorted (numerically) and sliced BEFORE
