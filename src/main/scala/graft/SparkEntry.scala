@@ -388,11 +388,19 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "explode_emails" ->
       """SELECT doc_id, unnest(
-        |  CASE WHEN len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+')) = 0
+        |  CASE WHEN text IS NULL
+        |         OR len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+')) = 0
         |       THEN [NULL]
         |       ELSE regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+')
         |  END) AS email
         |FROM documents""".stripMargin,
+    "freq_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |      WHERE term <> '' GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM toks WHERE term <> '')
+        |SELECT term, cnt FROM c, t WHERE cnt > total * 0.01""".stripMargin,
     "range_frame_sum" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(count(*) OVER w AS BIGINT) AS n_nearby,

@@ -94,21 +94,27 @@ object PipelineOps {
       .limit(20)
   }
 
-  /** Approximate heavy hitters over the token stream (vocabulary-pruning
-    * primitive): single-pass Misra-Gries-style summary via Spark's
-    * `stat.freqItems`, guaranteeing every token with frequency above the
-    * support threshold appears (false positives possible, false negatives
-    * not — the useful direction for pruning). Estimator-specific output →
-    * rows-only; ApproxOpsSpec asserts the no-false-negative guarantee
-    * against exact counts. One row per candidate token, sorted for
-    * determinism.
+  /** Exact heavy hitters over the token stream (vocabulary-pruning
+    * primitive), two-pass: a Misra-Gries-style sketch (`stat.freqItems`)
+    * produces a tiny candidate superset — its no-false-negative guarantee
+    * means no true heavy hitter can be missed — then exact counts are
+    * computed for the candidates ONLY (a broadcast semi-join, never a full
+    * groupBy over the token universe) and filtered to support > 1%. The
+    * candidate set is partitioning-dependent, but the verified OUTPUT is
+    * exact and deterministic — which is why this op is oracle-checkable
+    * while a raw sketch dump would not be.
     */
   def freqTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
-    toks.stat.freqItems(Seq("term"), 0.01)
+    val cands = toks.stat.freqItems(Seq("term"), 0.01)
       .select(explode(col("term_freqItems")).as("term"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .filter(col("cnt") > col("total") * 0.01)
+      .select(col("term"), col("cnt"))
       .orderBy(col("term"))
   }
 

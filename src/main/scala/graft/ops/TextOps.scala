@@ -16,6 +16,15 @@ import graft.model.Tables
   */
 object TextOps {
 
+  /** Shared PII patterns (piiRedact + explodeEmails must match the SAME
+    * email grammar — and their oracles). Passed as `lit(...)` columns, not
+    * through `expr(...)` SQL literals, so the backslash escape survives
+    * the one interpretation layer instead of being eaten by the SQL
+    * parser (which would turn `\.` into any-char `.`).
+    */
+  private val EmailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
+  private val DigitRe = "[0-9]{6,}"
+
   /** Per-language corpus stats: doc count, exact char sums, token totals. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -106,17 +115,14 @@ object TextOps {
     * the scrub pass every training corpus runs. Redaction counts surface
     * per doc so downstream filters can drop PII-heavy documents.
     */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
-    val digitRe = "[0-9]{6,}"
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-          digitRe, "<NUM>").as("redacted"),
-        size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("n_emails"),
-        size(expr(s"regexp_extract_all(text, '$digitRe', 0)")).as("n_long_nums"))
-  }
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          DigitRe, "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(DigitRe), lit(0))).as("n_long_nums"))
 
   /** Length histogram: fixed-width binning of document length — the
     * corpus-profiling pass (manual bin arithmetic, no engine-specific
@@ -157,27 +163,31 @@ object TextOps {
     * explode silently drops, which matters whenever downstream counts
     * "documents" rather than "matches".
     */
-  def explodeEmails(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
+  def explodeEmails(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        explode_outer(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("email"))
-  }
+        explode_outer(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("email"))
 
   /** Ordered string aggregation (LISTAGG / string_agg): per language, the
-    * three smallest doc ids comma-joined. collect_list order is shuffle-
-    * dependent, so the list is sorted (numerically) and sliced BEFORE
-    * joining — the only deterministic (and therefore scale-safe) way to
-    * emit an aggregated string; an ORDER BY inside the aggregate is the
-    * engine-SQL equivalent.
+    * three smallest doc ids comma-joined. A rank pass bounds the collected
+    * rows to ≤3 per group BEFORE the aggregate — collecting every doc_id
+    * into one buffer and slicing after would hold an unbounded per-group
+    * array in a single task at corpus scale. The window and the groupBy
+    * share the `lang` partitioning, so it is still ONE shuffle; sorting
+    * the ≤3-element list makes the join order deterministic.
     */
-  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
       .groupBy(col("lang"))
       .agg(
         array_join(expr(
-          "transform(slice(sort_array(collect_list(doc_id)), 1, 3), x -> cast(x as string))"),
+          "transform(sort_array(collect_list(CASE WHEN rk <= 3 THEN doc_id END)), x -> cast(x as string))"),
           ",").as("first_docs"),
         count(lit(1)).as("n_docs"))
+  }
 }

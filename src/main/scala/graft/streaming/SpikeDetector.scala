@@ -50,10 +50,16 @@ object SpikeDetector {
       // event-time order for a deterministic previous-price chain
       rows.toSeq.sortBy(r => (r.trade_time.getTime, r.price)).foreach { r =>
         val prev = if (last.exists()) Some(last.get()) else None
+        // a LATE trade (state already holds a newer price) neither alerts
+        // nor updates: comparing it against a chronologically newer price
+        // would fire a phantom spike whose "previous" trade is in the
+        // alert's future
         prev.foreach { p =>
-          val movePct = math.abs(r.price - p.price) / p.price * 100.0
-          if (movePct > thresholdPct)
-            out += PriceAlert(symbol, p.price, r.price, movePct, r.trade_time)
+          if (p.atMs <= r.trade_time.getTime) {
+            val movePct = math.abs(r.price - p.price) / p.price * 100.0
+            if (movePct > thresholdPct)
+              out += PriceAlert(symbol, p.price, r.price, movePct, r.trade_time)
+          }
         }
         if (prev.forall(_.atMs <= r.trade_time.getTime))
           last.update(LastPrice(r.price, r.trade_time.getTime))

@@ -131,19 +131,18 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
-  test("freq_tokens has no false negatives: every token above support appears") {
+  test("freq_tokens equals the exact above-support set (sketch prunes, exact pass decides)") {
     val docs = graft.model.Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0))
     val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     docs.foreach(_.trim.split(" ").filter(_.nonEmpty).foreach(t => counts(t) += 1))
     val total = counts.values.sum
-    val mustAppear = counts.collect { case (t, c) if c > total * 0.01 => t }.toSet
+    val exact = counts.collect { case (t, c) if c > total * 0.01 => t -> c }.toMap
     val got = SparkEntry.queries("freq_tokens")(spark, sf).collect()
-      .map(_.getAs[String]("term")).toSet
-    val missing = mustAppear -- got
-    assert(missing.isEmpty,
-      s"freqItems missed ${missing.size} above-support tokens: ${missing.take(5)}")
-    info(s"${mustAppear.size} above-support tokens all present among ${got.size} candidates")
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("cnt")).toMap
+    assert(got == exact,
+      s"missing: ${(exact.keySet -- got.keySet).take(5)}; spurious: ${(got.keySet -- exact.keySet).take(5)}")
+    info(s"${exact.size} heavy hitters, exact counts match")
   }
 
   test("approx_distinct within 5% of exact count_distinct per group") {

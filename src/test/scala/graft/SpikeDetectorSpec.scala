@@ -52,6 +52,9 @@ class SpikeDetectorSpec extends SparkSuite {
       trade("BTC", 110.0, T0 + 2000),   // +5.77% vs 104 (state from run 1)
       trade("ETH", 10.2, T0 + 2000)))   // +2%: quiet
     drain()
+    input.addData(Seq(
+      trade("BTC", 100.0, T0 + 1500)))  // LATE: would be a phantom -9% vs 110
+    drain()
 
     val got = out.map(r => (r.getAs[String]("symbol"),
       r.getAs[Double]("prev_price"), r.getAs[Double]("price"))).toSet
