@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 import graft.ops.CustomOps.VwapAggregator
 import graft.ops.MultimodalOps
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CharNgrams3, CosineSimilarity, DotProduct, MinHashSignature, SignLshBuckets, SimHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
 
 /** ScalaCheck properties (SURVEY §5): the algebraic laws that make the
   * engine's aggregation and expressions correct under ANY partitioning —
@@ -78,6 +79,64 @@ object GraftProperties extends Properties("graft") {
       val b = e.nullSafeEval(new GenericArrayData(y), new GenericArrayData(x))
         .asInstanceOf[Double]
       !nonZero || (a == b && a >= -1.0000001 && a <= 1.0000001)
+    }
+
+  private val genHashes: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.long).map(_.toArray)
+
+  property("minhash_sig: signature of a union is elementwise min of signatures") =
+    forAll(genHashes, genHashes) { (a, b) =>
+      val e = MinHashSignature(Literal(1), 64)
+      def sig(hh: Array[Long]) =
+        e.nullSafeEval(new GenericArrayData(hh)).asInstanceOf[GenericArrayData]
+          .toLongArray()
+      // the property that makes MinHash a mergeable sketch: partial
+      // signatures combine by elementwise min, independent of partitioning
+      val union = sig(a ++ b)
+      val merged = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      union.sameElements(merged)
+    }
+
+  property("minhash_sig: identical hash sets agree on all 64 positions") =
+    forAll(genHashes) { a =>
+      val e = MinHashSignature(Literal(1), 64)
+      val s1 = e.nullSafeEval(new GenericArrayData(a)).asInstanceOf[GenericArrayData]
+      val s2 = e.nullSafeEval(new GenericArrayData(a.reverse ++ a))
+        .asInstanceOf[GenericArrayData]
+      // set semantics: order and duplicates don't change the signature
+      s1.toLongArray().sameElements(s2.toLongArray())
+    }
+
+  property("simhash64: duplicating every token preserves the fingerprint") =
+    forAll(genHashes) { a =>
+      val e = SimHash64(Literal(1))
+      val s1 = e.nullSafeEval(new GenericArrayData(a))
+      val s2 = e.nullSafeEval(new GenericArrayData(a ++ a))
+      // doubling all ±1 votes cannot flip any bit's sign
+      s1 == s2
+    }
+
+  property("signlsh_buckets: positive scaling never changes a bucket (sign invariance)") =
+    // powers of two: term-wise scaling is FP-exact, so the projection's sign
+    // is provably invariant (an arbitrary scalar could flip a near-zero sum
+    // through rounding and make the property flaky)
+    forAll(genVec, Gen.oneOf(0.5, 2.0, 4.0, 1024.0)) { (v0, c) =>
+      val v = v0 ++ Array.fill(64 - v0.length)(0.0)
+      val e = SignLshBuckets(Literal(1), 8, 4)
+      def buckets(x: Array[Double]) =
+        e.nullSafeEval(new GenericArrayData(x)).asInstanceOf[GenericArrayData]
+          .toIntArray()
+      buckets(v).sameElements(buckets(v.map(_ * c)))
+    }
+
+  property("char_ngrams3 emits max(chars - 2, 0) grams of 3 chars each") =
+    forAll(Gen.asciiPrintableStr.map(_.replace("'", ""))) { s =>
+      val e = CharNgrams3(Literal(1))
+      val grams = e.nullSafeEval(UTF8String.fromString(s))
+        .asInstanceOf[GenericArrayData]
+      val n = grams.numElements()
+      n == math.max(s.length - 2, 0) &&
+        (0 until n).forall(i => grams.getUTF8String(i).numChars() == 3)
     }
 
   property("stubDecode is deterministic with bounded dimensions") =
