@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as one JSON object; sbt's trailing
+// "[success] Total time: ..." summary lands after that line and breaks the
+// parse, so suppress it (timing too — it is part of the same summary).
+showSuccess := false
+showTiming := false
+// With fork:=true sbt routes the child's stdout through its logger, which
+// prefixes every line with "[info] " — that prefix is what broke the
+// harness's JSON parse. Inherit raw stdout/stderr instead.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,21 +43,30 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
     }
-    def median(xs: Seq[Double]): Double =
-      if (xs.contains(-1.0)) -1.0
-      else {
-        val s = xs.sorted
-        s(s.length / 2)
-      }
+    // -1.0 marks a failed pass. Median/min/max are computed over the
+    // successful passes only (mixing the sentinel into min/max made the
+    // per-query envelope ambiguous); a query is reported -1.0 only when
+    // every pass failed. failures counts failed passes per query.
+    def ok(xs: Seq[Double]): Seq[Double] = xs.filter(_ >= 0)
+    def median(xs: Seq[Double]): Double = {
+      val s = ok(xs).sorted
+      if (s.isEmpty) -1.0 else s(s.length / 2)
+    }
     val med = samples.map { case (k, v) => k -> median(v) }
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val mins = samples.map { case (k, v) => k -> v.min }
-    val maxs = samples.map { case (k, v) => k -> v.max }
+    val mins = samples.map { case (k, v) => k -> ok(v).minOption.getOrElse(-1.0) }
+    val maxs = samples.map { case (k, v) => k -> ok(v).maxOption.getOrElse(-1.0) }
+    val fails = samples.collect { case (k, v) if v.exists(_ < 0) => k -> (v.count(_ < 0)) }
+    val failStr = fails.map { case (k, c) => s"\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,""" +
       s""""queries":${fmt(med)},"queries_min":${fmt(mins)},""" +
-      s""""queries_max":${fmt(maxs)},"sf":"$sfDir"}""")
-    spark.stop()
+      s""""queries_max":${fmt(maxs)},"failed_passes":$failStr,"sf":"$sfDir"}"""
+    // Stop the session BEFORE printing so the JSON line is the final stdout
+    // line of the run (Spark logs go to stderr; sbt's own trailing
+    // "[success]" summary is suppressed in build.sbt for the same reason).
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
   }
 }
