@@ -473,15 +473,18 @@ object SparkEntry {
         |                i -> text[i:i+2])) AS gram
         |  FROM documents WHERE length(text) >= 3) t
         |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // key pre-reduced mod p before the multiply (same as hashBucket): the
+    // product then provably fits in int64 for any BIGINT doc_id on both
+    // engines; bucket values are unchanged (pmod(x*m,p) = pmod(pmod(x,p)*m,p))
     "train_test_split" ->
       """SELECT doc_id,
-        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+        |  CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000007 % 100 < 20""".stripMargin,
+        |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 20""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),

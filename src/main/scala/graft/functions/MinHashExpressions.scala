@@ -20,6 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * total). This expression is one primitive `long` loop in whole-stage
   * codegen with a single output allocation per document: O(shingles × N)
   * fused multiply-rotate hashes and nothing else.
+  *
+  * PRECONDITION — non-empty input. The bit-for-bit equivalence above holds
+  * only for non-empty hash arrays: on `array()` the HOF form yields an
+  * array of NULLs (`array_min` of an empty array) while this expression
+  * yields N × Long.MaxValue (the fold identity), consistent with the
+  * declared `containsNull = false` output type. Every caller in the engine
+  * filters `size(shingles) >= 1` upstream ([[graft.ops.DedupOps]] keeps
+  * docs with ≥3 tokens); new callers must do the same or must not rely on
+  * HOF equivalence for empty inputs.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {

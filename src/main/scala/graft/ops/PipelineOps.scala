@@ -22,9 +22,17 @@ object PipelineOps {
   /** Knuth multiplicative hash of the doc id, reduced mod 100 — the
     * bucket both split and sample decisions read. Identical arithmetic is
     * SQL-expressible in any engine: no RNG, no engine-specific hash.
+    *
+    * The key is pre-reduced mod p BEFORE the multiply so the product
+    * provably fits in int64 for ANY BIGINT key ((p−1)·2654435761 ≈ 2.7e18
+    * < 2^63): a raw `key * 2654435761` silently wraps in Spark past
+    * key ≈ 3.5e9 while ANSI engines (the oracle included) error or
+    * promote, so assignments would diverge across engines exactly where
+    * a 100 TB corpus lives. pmod(x·m, p) = pmod(pmod(x,p)·m, p), so
+    * in-range buckets are unchanged.
     */
   private def hashBucket(c: org.apache.spark.sql.Column) =
-    pmod(pmod(c * lit(2654435761L), lit(1000000007L)), lit(100))
+    pmod(pmod(pmod(c, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(100))
 
   /** Deterministic 80/10/10 train/val/test split over documents. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =

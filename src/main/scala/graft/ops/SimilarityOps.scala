@@ -139,6 +139,20 @@ object SimilarityOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Fingerprint of the corpus files under `dir` (path, length, mtime per
+    * parquet part) — cache-keys the trained quantizer to the DATA, not just
+    * the path, so a rewritten fixture or refreshed corpus within one JVM
+    * retrains instead of silently assigning cells with stale centroids.
+    */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Tables.embeddings(spark, dir).inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString("|")
+  }
+
   /** IVF coarse-quantizer centroids for `dir`, trained once per corpus and
     * memoized — the index-build/query-time split every IVF deployment has.
     * Training runs on a bounded sample, not the corpus: an iterative KMeans
@@ -147,7 +161,7 @@ object SimilarityOps {
     * is ~256 training points per centroid).
     */
   private def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(dir, { _ =>
+    centroidCache.computeIfAbsent(dir + "#" + corpusFingerprint(spark, dir), { _ =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val train = vecs(spark, dir)

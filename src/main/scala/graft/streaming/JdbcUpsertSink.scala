@@ -67,8 +67,17 @@ object JdbcUpsertSink {
           if (nonKey.isEmpty) "DO NOTHING"
           else "DO UPDATE SET " +
             nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        // ON CONFLICT DO UPDATE raises "cannot affect row a second time" if
+        // the SAME statement carries two rows with equal keys, so the staged
+        // batch is collapsed to one (arbitrary) row per key first. The
+        // engine's update-mode streaming output already emits one row per
+        // key per micro-batch — the dedup is a no-op there — but upsert() is
+        // a generic API and nothing upstream enforces that invariant.
+        val rn = "row_number() OVER (PARTITION BY " +
+          keys.map(k => s"s.${q(k)}").mkString(", ") + ")"
         Seq(
-          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
+          s"INSERT INTO $table ($cols) SELECT $cols FROM " +
+            s"(SELECT s.*, $rn AS graft_rn FROM $staging s) d WHERE graft_rn = 1 " +
             s"ON CONFLICT ($conflictKeys) $action",
           s"DROP TABLE $staging")
     }
@@ -98,6 +107,14 @@ object JdbcUpsertSink {
   /** Returns a `foreachBatch`-shaped sink upserting into `table` on `keys`.
     * Columns of the batch DataFrame define the staged schema; `table` must
     * exist with a compatible schema.
+    *
+    * Duplicate keys WITHIN one batch: the Postgres dialect collapses them to
+    * one arbitrary survivor before the merge (see [[mergeStatements]]); the
+    * Portable dialect requires one row per key tuple per batch — a duplicate
+    * violates the target's primary key mid-transaction and fails the batch
+    * (the transaction rolls back, so the target is untouched). Streaming
+    * update-mode aggregation output satisfies the precondition by
+    * construction.
     */
   def upsert(url: String, table: String, keys: Seq[String],
              dialect: Dialect = Dialect.Portable)

@@ -38,6 +38,18 @@ class UpsertDialectSpec extends SparkSuite {
     assert(stmts(1) == "DROP TABLE trades_1min_agg_staging_7")
   }
 
+  test("Postgres dialect collapses duplicate-key rows within one batch") {
+    // ON CONFLICT DO UPDATE raises "cannot affect row a second time" when a
+    // single INSERT carries two rows with equal keys — the merge must stage
+    // through a one-row-per-key dedup subquery
+    val insert = JdbcUpsertSink.mergeStatements(
+      "t", "t_staging_3", Seq("k1", "k2", "v"), Seq("k1", "k2"),
+      Dialect.Postgres).head
+    assert(insert.contains("""row_number() OVER (PARTITION BY s."k1", s."k2")"""),
+      insert)
+    assert(insert.contains("WHERE graft_rn = 1"), insert)
+  }
+
   test("Postgres dialect falls back to DO NOTHING when every column is a key") {
     val stmts = JdbcUpsertSink.mergeStatements(
       "seen", "seen_staging_0", Seq("symbol", "window_start"),
