@@ -15,8 +15,10 @@ run / fork := true
 // `sbt "runMain graft.Bench"` as one JSON object; sbt's trailing
 // "[success] Total time: ..." summary lands after that line and breaks the
 // parse, so suppress it (timing too — it is part of the same summary).
-showSuccess := false
-showTiming := false
+// MUST be Global-scoped: the unscoped form is project-scoped and ignored
+// (sbt's lintUnused flagged it; BENCH_r01-r03 all came back parsed:null).
+Global / showSuccess := false
+Global / showTiming := false
 // With fork:=true sbt routes the child's stdout through its logger, which
 // prefixes every line with "[info] " — that prefix is what broke the
 // harness's JSON parse. Inherit raw stdout/stderr instead.

@@ -124,6 +124,11 @@ object SparkEntry {
     "char_ngrams"       -> (PipelineOps.charNgrams _),
     "freq_tokens"       -> (PipelineOps.freqTokens _),
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
+    "pack_sequences"    -> (PipelineOps.packSequences _),
+    "contamination_check" -> (PipelineOps.contaminationCheck _),
+    // ---- storage-layout operators (bucketing / partition pruning) ----
+    "bucketed_join"     -> (StorageOps.bucketedJoin _),
+    "partition_prune"   -> (StorageOps.partitionPrune _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "frame_sample"      -> (MultimodalOps.frameSample _),
@@ -485,6 +490,46 @@ object SparkEntry {
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 20""".stripMargin,
+    "pack_sequences" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(cum_before // 2048 AS INTEGER) AS pack_id,
+        |  CAST(cum_before % 2048 AS INTEGER) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (SELECT doc_id, lang,
+        |          len(string_split(trim(text), ' ')) AS n_tokens
+        |        FROM documents) t) t2""".stripMargin,
+    "contamination_check" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh_list,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS bucket
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, bucket, unnest(sh_list) AS sh FROM d),
+        |tr AS (SELECT DISTINCT sh FROM s WHERE bucket < 80),
+        |te AS (SELECT doc_id, sh FROM s WHERE bucket >= 90)
+        |SELECT te.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(tr.sh) AS BIGINT) AS n_hits,
+        |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
+        |FROM te LEFT JOIN tr ON te.sh = tr.sh
+        |GROUP BY 1""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "partition_prune" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n_clicks,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),

@@ -33,8 +33,11 @@ object DedupOps {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** doc_id + distinct word-3-gram shingles. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct word-3-gram shingles (shared with
+    * [[PipelineOps.contaminationCheck]] — same shingle definition on both
+    * sides of the train/test overlap).
+    */
+  private[ops] def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)

@@ -126,6 +126,57 @@ object PipelineOps {
       .orderBy(col("term"))
   }
 
+  /** Sequence packing — the concat-and-chop step that turns a cleaned
+    * corpus into fixed-length training windows: documents are concatenated
+    * per `lang` shard in doc_id order and chopped at 2048-token boundaries;
+    * `pack_id` is the context window a document STARTS in, `pack_offset`
+    * its position inside that window. One window function per shard — the
+    * running sum parallelizes across strata (a single global ORDER BY would
+    * serialize the corpus through one task at 100 TB; real deployments
+    * shard exactly like this, by language/source/date).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctxLen = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $ctxLen").cast(IntegerType).as("pack_id"),
+        pmod(col("cum_before"), lit(ctxLen)).cast(IntegerType).as("pack_offset"))
+  }
+
+  /** Train/test contamination check — the eval-integrity gate every
+    * training-data pipeline needs: for each test-split document, the
+    * fraction of its distinct word-3-gram shingles that appear anywhere in
+    * the train split. Splits reuse [[hashBucket]] (deterministic, engine
+    * portable) and shingles reuse [[DedupOps.shingled]] (same definition as
+    * the dedup layer). Shape at scale: explode → distinct train-shingle set
+    * → one equi-join on the shingle, then a per-doc aggregation; a
+    * deployment would hash shingles to fixed-width longs before the join
+    * (exactly like the MinHash path) — strings are kept here so the oracle
+    * can run the identical query.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("bucket", hashBucket(col("doc_id")))
+    val train = sh.filter(col("bucket") < 80).select(col("sh")).distinct()
+    val test = sh.filter(col("bucket") >= 90)
+    test.join(train.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.

@@ -74,6 +74,35 @@ class PlanSpec extends SparkSuite {
     assert(plan("not_in_subquery").contains("LeftAnti"))
   }
 
+  test("bucketed_join joins co-located buckets with no shuffle on either input") {
+    // At test SF the orders side fits the broadcast threshold and Catalyst
+    // (correctly) prefers BroadcastHashJoin — also shuffle-free, but it
+    // hides the property this spec pins: at 100 TB NEITHER side broadcasts
+    // and the join must ride the bucket layout. Disable auto-broadcast to
+    // surface the at-scale plan.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan("bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // the ONLY exchange allowed is the final groupBy — the join inputs
+      // read bucket i of each table in place
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected 1 shuffle (final agg only), plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("partition_prune eliminates partitions at planning time, not per-row") {
+    val p = plan("partition_prune")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      "event_type must prune directories:\n" + p)
+    // the predicate must NOT degrade to a post-scan row filter
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      "event_type must not be a data filter:\n" + p)
+  }
+
   test("dedup/similarity hot paths run the native codegen expressions") {
     // minhash_neardup's signature stage is invisible here: it runs inside
     // the eager checkpoint that cuts its lineage (bit-identity is pinned by
