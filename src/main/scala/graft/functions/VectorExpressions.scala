@@ -142,7 +142,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SignLshBuckets(children(0), 8, 4)),
     (FunctionIdentifier("char_ngrams3"),
       new ExpressionInfo(classOf[CharNgrams3].getName, "char_ngrams3"),
-      (children: Seq[Expression]) => CharNgrams3(children(0))))
+      (children: Seq[Expression]) => CharNgrams3(children(0))),
+    (FunctionIdentifier("word3gram_hashes"),
+      new ExpressionInfo(classOf[Word3GramHashes].getName, "word3gram_hashes"),
+      (children: Seq[Expression]) => Word3GramHashes(children(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

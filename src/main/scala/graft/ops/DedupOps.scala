@@ -38,25 +38,37 @@ object DedupOps {
     * sides of the train/test overlap).
     */
   private[ops] def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.balanced(Tables.documents(spark, dir))
+    shingledDocs(Tables.documents(spark, dir))
+
+  /** [[shingled]] over a caller-filtered documents frame — callers that
+    * only shingle a SLICE of the corpus (e.g. contamination's train/test
+    * splits) filter first so shingle generation, the expensive per-row
+    * step, runs on exactly the rows they need.
+    */
+  private[ops] def shingledDocs(docs: DataFrame): DataFrame =
+    Tables.balanced(docs)
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
 
-  /** MinHash signature. Each shingle string is hashed ONCE (`xxhash64(s)`),
-    * then the `NumHashes` hash functions are derived by re-hashing the
-    * 64-bit value with the seed index — fixed-width long mixing instead of
-    * re-reading the string bytes per seed, which cuts signature cost ~
-    * `avgShingleLen/16`×. The 64-way min-loop runs in the native codegen'd
-    * [[graft.functions.MinHashSignature]] expression (bit-identical to the
-    * interpreted `transform(sequence…)` form — pinned by
-    * MinHashSignatureSpec); one pass per document, no shuffle.
+  /** MinHash signature. Shingle extraction + per-shingle hashing is the
+    * native codegen'd [[graft.functions.Word3GramHashes]] byte walk (same
+    * longs, same order as the interpreted `shingled` + `transform(shingles,
+    * s -> xxhash64(s))` form — pinned by Word3GramHashesSpec); each shingle
+    * is hashed ONCE, then the `NumHashes` hash functions are derived by
+    * re-hashing the 64-bit value with the seed index in the native
+    * [[graft.functions.MinHashSignature]] 64-way min-loop (pinned by
+    * MinHashSignatureSpec). One pass per document, no strings allocated,
+    * no shuffle. `size(hh) >= 1` ⟺ the ≥3-words filter the string
+    * pipeline applies (and [[graft.functions.MinHashSignature]]'s
+    * non-empty-input precondition).
     */
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    shingled(spark, dir)
-      .withColumn("hh", expr("transform(shingles, s -> xxhash64(s))"))
+    Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), expr("word3gram_hashes(text)").as("hh"))
+      .filter(size(col("hh")) >= 1)
       .withColumn("sig", expr("minhash_sig(hh)"))
       .select(col("doc_id"), col("sig"))
   }

@@ -155,19 +155,31 @@ object PipelineOps {
     * training-data pipeline needs: for each test-split document, the
     * fraction of its distinct word-3-gram shingles that appear anywhere in
     * the train split. Splits reuse [[hashBucket]] (deterministic, engine
-    * portable) and shingles reuse [[DedupOps.shingled]] (same definition as
-    * the dedup layer). Shape at scale: explode → distinct train-shingle set
-    * → one equi-join on the shingle, then a per-doc aggregation; a
-    * deployment would hash shingles to fixed-width longs before the join
-    * (exactly like the MinHash path) — strings are kept here so the oracle
-    * can run the identical query.
+    * portable) and shingles are the hashed word-3-grams of the dedup layer
+    * (same definition on both sides of the overlap). Shape at scale:
+    * explode → distinct train-shingle set → one equi-join on the shingle,
+    * then a per-doc aggregation. Two deliberate physical choices: each
+    * split branch filters documents BEFORE shingling (80% + 10% of the
+    * corpus shingled, vs 2 × 100% when branches share one post-shingle
+    * frame — Spark recomputes an unshared child per consumer), and the
+    * shingle is the 8-byte native [[graft.functions.Word3GramHashes]]
+    * hash, never a string — the distinct and the join shuffle fixed-width
+    * longs (at 100 TB, a few TB of longs instead of tens of TB of
+    * strings), and shingle extraction runs as one codegen'd byte walk
+    * (measured 3.4s → ~1s at sf0.1). The oracle joins exact strings;
+    * `n_hits`/`n_shingles` carry the ~n²/2⁶⁵ hash-collision risk the
+    * oracle doesn't (negligible at any SF this runs at).
     */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
       .withColumn("bucket", hashBucket(col("doc_id")))
-    val train = sh.filter(col("bucket") < 80).select(col("sh")).distinct()
-    val test = sh.filter(col("bucket") >= 90)
+    def shingleHashes(d: DataFrame): DataFrame =
+      Tables.balanced(d)
+        .select(col("doc_id"), explode(expr("word3gram_hashes(text)")).as("sh"))
+    val train = shingleHashes(docs.filter(col("bucket") < 80))
+      .select(col("sh")).distinct()
+    val test = shingleHashes(docs.filter(col("bucket") >= 90))
     test.join(train.withColumn("hit", lit(1)), Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(

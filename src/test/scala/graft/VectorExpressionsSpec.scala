@@ -123,6 +123,38 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(empty.getSeq[String](0).isEmpty)
   }
 
+  test("word3gram_hashes is identical to the split/shingle/xxhash64 pipeline") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val words = Vector("the", "cat", "sat", "on", "", "mat", "déjà", "世界", "x")
+    val synthetic = (1 to 300).map { _ =>
+      val n = rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else "  " // double spaces → empty tokens
+      val pad = if (rnd.nextBoolean()) "  " else ""
+      Tuple1(pad + (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(sep) + pad)
+    }
+    // real corpus rows exercise realistic lengths/content
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200).collect().map(r => Tuple1(r.getString(0))).toSeq
+    val diff = (synthetic ++ corpus).toDF("text")
+      .withColumn("w", split(trim(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(
+        expr("word3gram_hashes(text)").as("native"),
+        expr(
+          """transform(array_distinct(transform(sequence(0, size(w)-3),
+            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))), s -> xxhash64(s))""".stripMargin)
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // <3 words or empty input → empty array (where the HOF form would need
+    // an upstream guard), never null
+    val shorts = Seq(Tuple1(""), Tuple1("   "), Tuple1("one"), Tuple1("one two"))
+      .toDF("text").select(expr("word3gram_hashes(text)").as("h")).collect()
+    assert(shorts.forall(r => !r.isNullAt(0) && r.getSeq[Long](0).isEmpty))
+  }
+
   test("expressions run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(100)
