@@ -126,6 +126,11 @@ object SparkEntry {
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     "pack_sequences"    -> (PipelineOps.packSequences _),
     "contamination_check" -> (PipelineOps.contaminationCheck _),
+    "repetition_score"  -> (PipelineOps.repetitionScore _),
+    "token_budget_select" -> (PipelineOps.tokenBudgetSelect _),
+    "corpus_clean"      -> (PipelineOps.corpusClean _),
+    "anchor_dedup"      -> (PipelineOps.anchorDedup _),
+    "source_mix"        -> (PipelineOps.sourceMix _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),
@@ -518,6 +523,43 @@ object SparkEntry {
         |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
         |FROM te LEFT JOIN tr ON te.sh = tr.sh
         |GROUP BY 1""".stripMargin,
+    "repetition_score" ->
+      """SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+        |  1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        |      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |      WHERE len(w) >= 2)""".stripMargin,
+    "token_budget_select" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE) / n_tokens, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          len(string_split(trim(text), ' ')) AS n_tokens FROM documents))
+        |WHERE cum_tokens <= 5000""".stripMargin,
+    "corpus_clean" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, lang, text,
+        |          len(string_split(trim(text), ' ')) AS n_tokens FROM documents)
+        |  WHERE lang IN ('en', 'de', 'fr', 'es') AND n_tokens BETWEEN 5 AND 2000)
+        |WHERE rn = 1""".stripMargin,
+    "anchor_dedup" ->
+      """SELECT md5(substr(text, 1, 100)) AS anchor,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "source_mix" ->
+      """SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS token_share
+        |FROM (SELECT source, lang, count(*) AS n_docs,
+        |        sum(len(string_split(trim(text), ' '))) AS tokens
+        |      FROM documents GROUP BY 1, 2)""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

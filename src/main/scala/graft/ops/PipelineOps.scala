@@ -189,6 +189,102 @@ object PipelineOps {
         col("n_hits").cast(DoubleType) / col("n_shingles"))
   }
 
+  /** Within-document repetition signal (the Gopher-style quality rule that
+    * catches boilerplate/looping text): the fraction of a document's word
+    * bigrams that are repeats of an earlier bigram. Pure per-row array
+    * arithmetic — zero shuffle, filter and projection push to the scan, so
+    * at 100 TB this is one streaming map over the corpus.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        (lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) / size(col("bg")))
+          .as("dup_bigram_frac"))
+
+  /** Token-budget corpus selection — the "fill the training mix" step:
+    * within each `lang` shard, documents are taken in quality order
+    * (average word length ascending as the exact, engine-portable quality
+    * proxy; doc_id tiebreak) until the shard's token budget is exhausted.
+    * The running sum parallelizes across shards exactly like
+    * [[packSequences]] — budgets are per-shard BY DESIGN: a single global
+    * quality order would both serialize the window at 100 TB and let one
+    * language starve the others (real mixes fix per-language token
+    * budgets first).
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 5000L
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(trim(col("text")), " ")).as("n_tokens"))
+      .withColumn("avg_word_len",
+        col("n_chars").cast(DoubleType) / col("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_word_len"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** One-shot cleaning pipeline composition — the filter chain a corpus
+    * passes before packing: language whitelist, token-count bounds, then
+    * exact dedup keeping the smallest doc_id per distinct text. The dedup
+    * window partitions by full text here so the oracle can run the
+    * identical query; a deployment keys it on `xxhash64(text)` (the
+    * [[graft.ops.TextOps]] fingerprint path) so the shuffle carries 8-byte
+    * keys — same plan shape, narrower rows.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(trim(col("text")), " ")).as("n_tokens"))
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .filter(col("n_tokens").between(5, 2000))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
+  /** Prefix-anchor duplicate grouping: documents that share their first
+    * 100 characters are one group (crawl-dedup heuristic for templated
+    * pages whose tails differ — catches what exact-hash dedup misses
+    * without any pairwise comparison). One hash-aggregation on the 16-byte
+    * md5 anchor; at 100 TB the shuffle carries one row per GROUP, not per
+    * document, thanks to partial aggregation.
+    */
+  def anchorDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 100)).as("anchor"))
+      .groupBy(col("anchor"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  /** Corpus composition report — the mix dashboard every dataset build
+    * publishes: per (source, lang), document count, token count, and the
+    * cell's share of all tokens. Two-level aggregation: the per-cell
+    * groupBy combines map-side; the global total is a window over the
+    * ALREADY-AGGREGATED frame (|sources|×|langs| rows), so the second pass
+    * is driver-trivial at any corpus size.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), " ")).as("n_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("token_share",
+        col("tokens").cast(DoubleType) / sum(col("tokens")).over(Window.partitionBy()))
+  }
+
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.

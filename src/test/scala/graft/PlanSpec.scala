@@ -56,8 +56,8 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("train_test_split and stratified_sample are pure maps (zero exchanges)") {
-    Seq("train_test_split", "stratified_sample").foreach { q =>
+  test("train_test_split, stratified_sample, repetition_score are pure maps (zero exchanges)") {
+    Seq("train_test_split", "stratified_sample", "repetition_score").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
     }
