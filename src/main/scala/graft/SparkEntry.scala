@@ -131,6 +131,7 @@ object SparkEntry {
     "corpus_clean"      -> (PipelineOps.corpusClean _),
     "anchor_dedup"      -> (PipelineOps.anchorDedup _),
     "source_mix"        -> (PipelineOps.sourceMix _),
+    "ann_pq"            -> (SimilarityOps.annPq _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),

@@ -145,7 +145,22 @@ object GraftFunctions {
       (children: Seq[Expression]) => CharNgrams3(children(0))),
     (FunctionIdentifier("word3gram_hashes"),
       new ExpressionInfo(classOf[Word3GramHashes].getName, "word3gram_hashes"),
-      (children: Seq[Expression]) => Word3GramHashes(children(0))))
+      (children: Seq[Expression]) => Word3GramHashes(children(0))),
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+
+  /** Per-corpus registration of `pq_encode` with the codebook captured in
+    * the builder — the codebook is DATA (trained per corpus), so unlike the
+    * stateless functions above it cannot be a fixed global registration.
+    * Re-registering under the same name replaces the previous corpus's
+    * binding (latest wins, matching the memoized codebook cache).
+    */
+  def registerPqEncode(spark: SparkSession, codebooks: Array[Array[Array[Double]]]): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children(0), codebooks))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

@@ -217,6 +217,134 @@ object SimilarityOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** ANN via product quantization (PQ with asymmetric distance + exact
+    * re-rank) — the memory-bound scale path: each dim-64 vector is encoded
+    * as M=8 4-bit-ish codes (one byte-sized int per 8-dim subspace), so a
+    * 100 TB float corpus compresses ~32× and the candidate scan reads
+    * CODES, never vectors. Query time: build the query's M×K distance
+    * table once (‖q_sub − c‖² per subspace centroid), then every corpus
+    * vector's approximate distance is M table lookups + adds — no
+    * per-pair vector math. Top-C ADC candidates are re-ranked exactly
+    * (the verification-join structure shared with [[annLsh]]).
+    *
+    * Codebooks are trained per-subspace on a bounded deterministic sample
+    * with driver-local Lloyd iterations (an index-BUILD step, memoized by
+    * corpus fingerprint like [[ivfCentroids]]; ≤4096 × 64 doubles — the
+    * standard PQ training budget of ~256 points per centroid). A
+    * deployment would also encode ONCE at ingest and store the codes
+    * column; here encoding runs inline so the op stays a pure function of
+    * the source table.
+    */
+  private val PqM = 8       // subspaces
+  private val PqSubDim = 8  // dims per subspace (64 / M)
+  private val PqK = 32      // centroids per subspace
+  private val PqCand = 64   // ADC candidates re-ranked exactly per query
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Deterministic Lloyd's k-means (fixed start: the k points at evenly
+    * spaced sample indices; fixed iteration count; empty clusters keep
+    * their center). Runs on the driver over the bounded training sample —
+    * index build, never per-row query work.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    var centers = Array.tabulate(k)(c => points((c.toLong * n / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var j = 0
+          val ctr = centers(c)
+          while (j < d) { val t = p(j) - ctr(j); s += t * t; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    centers
+  }
+
+  /** PQ codebooks for `dir`: cb(j)(c) is centroid c of subspace j, trained
+    * on NORMALIZED vectors (the representation [[annPq]] encodes).
+    */
+  private def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(dir + "#" + corpusFingerprint(spark, dir), { _ =>
+      val sample = vecs(spark, dir)
+        .select(expr("transform(v, x -> x / nrm)").as("u"))
+        .sample(withReplacement = false, 0.9, seed = 42L)
+        .limit(PqK * 256)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      Array.tabulate(PqM) { j =>
+        lloyd(sample.map(_.slice(j * PqSubDim, (j + 1) * PqSubDim)), PqK, iters = 10)
+      }
+    })
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    // PQ encodes the NORMALIZED vectors: for unit vectors ‖a−b‖² = 2−2·cos,
+    // so the ADC L2 ranking IS the cosine ranking — without this, L2
+    // quantization error on unnormalized magnitudes scrambles the cosine
+    // order (measured recall@3 0.57 → 0.83 on the spec corpus).
+    val e = vecs(spark, dir)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val cb = pqCodebooks(spark, dir)
+    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
+    // Encode: per subspace, argmin_c ‖u_sub − c‖², in the native codegen'd
+    // [[graft.functions.PqEncode]] kernel (bit-identical to the interpreted
+    // struct-argmin HOF form — pinned by PqExpressionsSpec; the HOF twin
+    // cost ~8 s of a 9 s ann_pq run at sf0.1).
+    val codes = e
+      .withColumn("codes", expr("pq_encode(u)"))
+      .select(col("vec_id"), col("codes"))
+    // Query-side M×K distance table (tiny: queries × M·K doubles).
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("cb", cbLit)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
+        expr(
+          s"""transform(sequence(0, ${PqM - 1}), j ->
+             |  transform(sequence(0, ${PqK - 1}), c ->
+             |    aggregate(zip_with(slice(u, j * $PqSubDim + 1, $PqSubDim), cb[j][c],
+             |      (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))""".stripMargin
+        ).as("dtab"))
+    // ADC scan: M lookups + adds per (corpus row, query) — codes-only scan,
+    // native [[graft.functions.PqAdc]] kernel.
+    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = codes.crossJoin(broadcast(q.select(col("q_id"), col("dtab"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr("pq_adc(codes, dtab)"))
+      .withColumn("cr", row_number().over(candW))
+      .filter(col("cr") <= PqCand)
+      .select(col("q_id"), col("vec_id"))
+    // Exact re-rank of the C candidates per query.
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("q_nrm"))), "q_id")
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     // id-only candidate generation (see annLsh): the bucket self-join and
