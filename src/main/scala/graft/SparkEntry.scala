@@ -131,6 +131,9 @@ object SparkEntry {
     "corpus_clean"      -> (PipelineOps.corpusClean _),
     "anchor_dedup"      -> (PipelineOps.anchorDedup _),
     "source_mix"        -> (PipelineOps.sourceMix _),
+    "sample_per_group"  -> (PipelineOps.samplePerGroup _),
+    "split_drift"       -> (PipelineOps.splitDrift _),
+    "bigram_lm"         -> (PipelineOps.bigramLm _),
     "ann_pq"            -> (SimilarityOps.annPq _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
@@ -561,6 +564,43 @@ object SparkEntry {
         |FROM (SELECT source, lang, count(*) AS n_docs,
         |        sum(len(string_split(trim(text), ' '))) AS tokens
         |      FROM documents GROUP BY 1, 2)""".stripMargin,
+    "sample_per_group" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
+    "split_drift" ->
+      """SELECT lang,
+        |  CAST(train_docs AS BIGINT) AS train_docs,
+        |  CAST(test_docs AS BIGINT) AS test_docs,
+        |  CAST(train_toks AS DOUBLE) / train_docs AS train_mean,
+        |  CAST(test_toks AS DOUBLE) / test_docs AS test_mean,
+        |  abs(CAST(train_toks AS DOUBLE) / train_docs
+        |      - CAST(test_toks AS DOUBLE) / test_docs) AS drift
+        |FROM (
+        |  SELECT lang,
+        |    sum(CASE WHEN bucket < 80 THEN n_tokens END) AS train_toks,
+        |    count(CASE WHEN bucket < 80 THEN 1 END) AS train_docs,
+        |    sum(CASE WHEN bucket >= 90 THEN n_tokens END) AS test_toks,
+        |    count(CASE WHEN bucket >= 90 THEN 1 END) AS test_docs
+        |  FROM (SELECT lang, len(string_split(trim(text), ' ')) AS n_tokens,
+        |          (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS bucket
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin,
+    "bigram_lm" ->
+      """SELECT head, next_tok, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT head, next_tok, n,
+        |    row_number() OVER (PARTITION BY head ORDER BY n DESC, next_tok) AS rk
+        |  FROM (
+        |    SELECT w[i] AS head, w[i+1] AS next_tok, count(*) AS n
+        |    FROM (SELECT string_split(trim(text), ' ') AS w FROM documents),
+        |         unnest(range(1, len(w))) AS t(i)
+        |    WHERE len(w) >= 2
+        |    GROUP BY 1, 2
+        |    HAVING count(*) >= 2))
+        |WHERE rk <= 3""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -285,6 +285,80 @@ object PipelineOps {
         col("tokens").cast(DoubleType) / sum(col("tokens")).over(Window.partitionBy()))
   }
 
+  /** Fixed-size per-stratum sample: exactly k documents per `lang`,
+    * chosen by ranking the stratum on the full multiplicative hash of the
+    * key (deterministic shuffle order — same reproducibility contract as
+    * [[trainTestSplit]], never `rand()`). Complements [[stratifiedSample]]
+    * (fixed RATE, no shuffle): fixed SIZE needs a per-stratum top-k, which
+    * is a partial top-k under the ranking window — the shuffle carries at
+    * most k rows per (partition, stratum).
+    */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val order = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("lang")).orderBy(order, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast(IntegerType).as("rk"))
+  }
+
+  /** Split-drift report — the check that a deterministic split didn't
+    * accidentally skew a feature: per lang, mean token count in the train
+    * vs test split ([[hashBucket]] 80/10/10) and the absolute gap. Means
+    * are computed as exact integer sums divided once (`sum/count`), NOT
+    * streaming `avg`: integer sums are order-independent and engine-exact,
+    * while incremental mean accumulation is neither.
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), " ")).as("n_tokens"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("bucket") < 80, col("n_tokens"))).as("train_toks"),
+        count(when(col("bucket") < 80, lit(1))).as("train_docs"),
+        sum(when(col("bucket") >= 90, col("n_tokens"))).as("test_toks"),
+        count(when(col("bucket") >= 90, lit(1))).as("test_docs"))
+      .select(
+        col("lang"), col("train_docs"), col("test_docs"),
+        (col("train_toks").cast(DoubleType) / col("train_docs")).as("train_mean"),
+        (col("test_toks").cast(DoubleType) / col("test_docs")).as("test_mean"),
+        abs(col("train_toks").cast(DoubleType) / col("train_docs")
+          - col("test_toks").cast(DoubleType) / col("test_docs")).as("drift"))
+
+  /** Corpus bigram continuation table — the top-3 next tokens per head
+    * token by count (the n-gram-LM building block, and a practical probe
+    * for templated text). One bigram explode → counted groupBy (partial
+    * aggregation: the shuffle carries one row per DISTINCT bigram) → per-
+    * head top-k window, a partial top-k on the head partitioning. Heads
+    * with a single occurrence are pruned before the window so the rank
+    * shuffle sees only repeated bigrams.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("head"))
+      .orderBy(col("n").desc, col("next_tok"))
+    Tables.documents(spark, dir)
+      .select(split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> named_struct('head', w[i], 'next_tok', w[i+1]))"))
+        .as("bg"))
+      .select(col("bg.head"), col("bg.next_tok"))
+      .groupBy(col("head"), col("next_tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("head"), col("next_tok"), col("n"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
     * [[DedupOps.dedupClusters]] labels into a deduplicated corpus.
