@@ -67,6 +67,7 @@ object SparkEntry {
     "array_funcs"       -> (RelationalOps.arrayFuncs _),
     "dedup_exact"       -> (RelationalOps.dedupExact _),
     "asof_price"        -> (RelationalOps.asofPrice _),
+    "asof_join_price"   -> (RelationalOps.asofJoinPrice _),
     "range_join"        -> (RelationalOps.rangeJoinPriorHour _),
     "window_first_last" -> (RelationalOps.windowFirstLast _),
     "join_full"         -> (RelationalOps.joinFull _),
@@ -370,6 +371,12 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |  FROM events) t WHERE event_type = 'signup'""".stripMargin,
+    "asof_join_price" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT s.event_id, s.user_id, s.ts, p.value AS asof_value
+        |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts >= p.ts""".stripMargin,
     "range_join" ->
       """WITH p AS (SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
         |           FROM events WHERE event_type = 'purchase'),

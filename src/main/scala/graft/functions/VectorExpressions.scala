@@ -168,8 +168,13 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions + the as-of join
+  * operator (strategy + its pushdown rule).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+  }
 }

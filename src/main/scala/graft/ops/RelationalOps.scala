@@ -287,6 +287,29 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
   }
 
+  /** Two-table as-of join through the native [[graft.plans.AsofJoin]]
+    * operator (custom LogicalPlan → Rule → Strategy → SparkPlan): each
+    * signup row takes the latest prior-or-equal purchase VALUE for its
+    * user. Purchases are pre-aggregated to one row per (user_id, ts)
+    * (`max_by` on event_id) so the as-of match is deterministic on both
+    * engines; the oracle is DuckDB's native ASOF LEFT JOIN. Same answer
+    * as [[asofPrice]]'s union+window emulation — spec-pinned — with the
+    * two-shuffle merge-join physical shape instead of a window.
+    */
+  def asofJoinPrice(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+    graft.plans.AsofJoinOps.asofJoin(
+        signups, purchases, on = Seq("user_id"),
+        leftTimeCol = "ts", rightTimeCol = "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value_r").as("asof_value"))
+  }
+
   /** Full outer join: high-value orders against orders having oversized
     * line items — rows survive from BOTH unmatched sides (null-padded),
     * the join form the reference lacks entirely. Both keys are surfaced
