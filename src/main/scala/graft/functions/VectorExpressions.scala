@@ -176,5 +176,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.fns.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsofJoin)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -171,6 +171,32 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   }
 }
 
+/** Column pruning THROUGH the custom node — the other half of what
+  * Catalyst's `ColumnPruning` cannot do for operators it doesn't know: a
+  * projection above an [[AsofJoin]] keeps only some output columns, so
+  * child columns used neither upward nor by the join's keys/times are cut
+  * with inserted child Projects, and the pruned projection reaches the
+  * parquet scans (ReadSchema). Without this, `asofJoin(wide, wide)
+  * .select(few)` reads both FULL tables at 100 TB. Fixpoint-safe: once
+  * children project exactly the kept columns the rule no longer fires.
+  */
+object PruneColumnsThroughAsofJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(_, aj @ AsofJoin(l, r, lk, rk, lt, rt)) =>
+      val required = AttributeSet(
+        p.projectList.flatMap(_.references) ++
+          lk.flatMap(_.references) ++ rk.flatMap(_.references) ++
+          lt.references ++ rt.references)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(required.contains)
+        if (keep.size == child.output.size) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(l), prune(r))
+      if ((nl eq l) && (nr eq r)) p
+      else p.copy(child = aj.copy(left = nl, right = nr))
+  }
+}
+
 /** User-facing API + per-session registration. */
 object AsofJoinOps {
 
@@ -183,7 +209,8 @@ object AsofJoinOps {
     if (!exp.extraStrategies.contains(AsofJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
     if (!exp.extraOptimizations.contains(PushFilterThroughAsofJoin))
-      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsofJoin
+      exp.extraOptimizations = exp.extraOptimizations :+
+        PushFilterThroughAsofJoin :+ PruneColumnsThroughAsofJoin
   }
 
   /** `left ASOF LEFT JOIN right ON on... AND right.time <= left.time`.

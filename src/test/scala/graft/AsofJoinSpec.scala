@@ -82,6 +82,25 @@ class AsofJoinSpec extends SparkSuite {
     assert("Sort \\[user_id[^\\]]*ts".r.findAllIn(s).length == 2, s)
   }
 
+  test("unused columns prune through the custom node to both scans (our Rule)") {
+    val ev = graft.model.Tables.events(spark, sf) // 6 columns incl. props
+    val joined = AsofJoinOps.asofJoin(
+        ev.filter(col("event_type") === "signup"),
+        ev.filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("value_r")) // uses 2 of 12 output columns
+    joined.count()
+    val s = joined.queryExecution.executedPlan.toString
+    // neither scan may read props/is-unused columns; keys+times+selected stay
+    assert(!s.contains("props"), s)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(s).toList
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("event_type:")
+      || r.contains("event_type")), s) // event_type only as a filter column
+    reads.foreach { r =>
+      assert(!r.contains("props"), s"props must be pruned from scan: $r\n$s")
+    }
+  }
+
   test("left-side filters push through the custom node to the scan (our Rule)") {
     val df = SparkEntry.queries("asof_join_price")(spark, sf)
       .filter(col("user_id") < 100)

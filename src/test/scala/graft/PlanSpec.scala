@@ -69,6 +69,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), "counts must combine map-side")
   }
 
+  test("topk_rank benefits from rank-limit pushdown (WindowGroupLimit before the window)") {
+    // Spark 3.5+'s InferWindowGroupLimit inserts a partial per-group
+    // top-k BEFORE the window's shuffle for rn <= k filters — the plan
+    // property that makes per-group top-k scale (shuffle carries <= k rows
+    // per group per partition, not the whole table). Pin it so a refactor
+    // that breaks the pattern (e.g. a non-literal k or a filter rewrite)
+    // fails here instead of silently shuffling everything.
+    val p = plan("topk_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("subqueries decorrelate to joins: EXISTS -> semi, NOT IN -> (null-aware) anti") {
     assert(plan("exists_subquery").contains("LeftSemi"))
     assert(plan("not_in_subquery").contains("LeftAnti"))
