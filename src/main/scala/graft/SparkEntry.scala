@@ -136,6 +136,7 @@ object SparkEntry {
     "split_drift"       -> (PipelineOps.splitDrift _),
     "bigram_lm"         -> (PipelineOps.bigramLm _),
     "ann_pq"            -> (SimilarityOps.annPq _),
+    "ann_ivfpq"         -> (SimilarityOps.annIvfPq _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),

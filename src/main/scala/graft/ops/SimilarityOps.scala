@@ -345,6 +345,75 @@ object SimilarityOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** IVF-PQ composition — the standard large-scale ANN index (coarse
+    * quantizer + product codes, FAISS-style): the IVF cell probe bounds
+    * WHICH rows are scanned (nProbe/nList of the corpus) and PQ bounds
+    * WHAT the scan reads (M byte-codes per row, ADC lookups instead of
+    * vector math); the top-C ADC candidates re-rank exactly. Both trained
+    * components are reused as-is ([[ivfCentroids]], [[pqCodebooks]] —
+    * fingerprint-memoized index builds), demonstrating that the engine's
+    * index pieces compose. At 100 TB: corpus hash-partitioned by cell,
+    * scan touches nProbe cells × 8 bytes/row, shuffle carries ids only.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val e = vecs(spark, dir)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val cents = ivfCentroids(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val cn2Lit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
+    // corpus index rows: (vec_id, cell, codes) — cell from the RAW-vector
+    // coarse quantizer (same argmin as annIvf), codes over the normalized
+    // vector (same representation as annPq)
+    val corpus = e
+      .withColumn("cents", centLit).withColumn("cn2", cn2Lit)
+      .withColumn("dists", expr(
+        s"transform(sequence(0, ${nList - 1}), j -> cn2[j] - 2D * dot_product(v, cents[j]))"))
+      .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1)
+        .cast(IntegerType))
+      .withColumn("codes", expr("pq_encode(u)"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val centroids = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("c_id", "c_vec")
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("cb", cbLit)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
+        expr(
+          s"""transform(sequence(0, ${PqM - 1}), j ->
+             |  transform(sequence(0, ${PqK - 1}), c ->
+             |    aggregate(zip_with(slice(u, j * $PqSubDim + 1, $PqSubDim), cb[j][c],
+             |      (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))""".stripMargin
+        ).as("dtab"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", expr(
+        "aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("dtab"), col("c_id"))
+    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("c_id") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr("pq_adc(codes, dtab)"))
+      .withColumn("cr", row_number().over(candW))
+      .filter(col("cr") <= PqCand)
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("q_nrm"))), "q_id")
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     // id-only candidate generation (see annLsh): the bucket self-join and

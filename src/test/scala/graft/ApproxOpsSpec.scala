@@ -99,6 +99,21 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
+  test("ann_ivfpq recall@3 vs exact kNN ground truth >= 0.7") {
+    val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+    val ann = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+    val truth = knn.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Int]("rk")).take(3).map(_.getAs[Long]("vec_id")).toSet
+    }
+    val got = ann.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val recall = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"ann_ivfpq recall@3 = $recall%.2f (probe 4/16 cells, ADC over M=8 K=32 codes)")
+    assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
+  }
+
   test("embed_neardup pairs are exactly cosine > 0.35 among LSH candidates, with bounded misses") {
     val vecs = graft.model.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
