@@ -70,6 +70,37 @@ class AsofJoinSpec extends SparkSuite {
     assert(viaJoin.nonEmpty)
   }
 
+  test("randomized: merge pass equals brute force over many keys/partitions") {
+    import spark.implicits._
+    // Adversarial shapes for the handwritten merge: many keys per
+    // partition, duplicate left times, left times before/after all right
+    // times, keys on only one side. Right (key, time) pairs are unique so
+    // the expected match is well-defined.
+    val rnd = new scala.util.Random(47)
+    val rightRows = rnd.shuffle(
+      (for { k <- 0 until 40; t <- 0 until 200 if rnd.nextDouble() < 0.15 }
+        yield (s"k$k", ts(t.toLong), k * 1000 + t)).toList)
+    val leftRows = List.fill(3000) {
+      val k = rnd.nextInt(50) // keys 40-49 have no right rows
+      (s"k$k", ts(rnd.nextInt(220).toLong), rnd.nextLong())
+    }
+    val right = rightRows.toDF("k", "rt", "rv").repartition(7)
+    val left = leftRows.toDF("k", "lt", "lid").repartition(5)
+    val got = AsofJoinOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select(col("lid"), col("rv_r")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows
+      .map { case (k, t, id) =>
+        val m = byKey.getOrElse(k, Nil).filter(!_._2.after(t))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        (id, m)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got == expected)
+  }
+
   test("plans as AsofJoinExec: two clustered sorts, one merge, no cross product") {
     val df = SparkEntry.queries("asof_join_price")(spark, sf)
     df.count()

@@ -120,5 +120,9 @@ class PlanSpec extends SparkSuite {
     // VectorExpressionsSpec instead)
     assert(plan("simhash").contains("simhash64"))
     assert(plan("ann_lsh").contains("signlsh_buckets"))
+    val contamination = plan("contamination_check")
+    assert(contamination.contains("word3gram_hashes"), contamination)
+    val pq = plan("ann_pq")
+    assert(pq.contains("pq_encode") && pq.contains("pq_adc"), pq)
   }
 }
