@@ -36,6 +36,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null also for vectors SHORTER than m*subDim: UnsafeArrayData.getDouble
+  // has no bounds check, so reading past numElements would return garbage
+  // codes silently — see PqEncode.encode
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -57,7 +61,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[][]")
     val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[]")
     nullSafeCodeGen(ctx, ev, u =>
-      s"${ev.value} = graft.functions.PqEncode.encode($u, $flatRef, $cn2Ref, $m, $k, $subDim);")
+      s"""
+         |${ev.value} = graft.functions.PqEncode.encode($u, $flatRef, $cn2Ref, $m, $k, $subDim);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin)
   }
 
   override def prettyName: String = "pq_encode"
@@ -66,8 +73,13 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 }
 
 object PqEncode {
+  /** Returns null for vectors shorter than the trained dimensionality —
+    * never reads past the input (out-of-bounds `getDouble` on
+    * UnsafeArrayData is unchecked and would produce garbage codes).
+    */
   def encode(u: ArrayData, flat: Array[Array[Double]], cn2: Array[Double],
              m: Int, k: Int, subDim: Int): GenericArrayData = {
+    if (u.numElements() < m * subDim) return null
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -101,6 +113,12 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null for null/out-of-range code elements — the TOLERANT `get()`
+  // indexing semantics (`get(dtab[j], NULL/oob)` is NULL and poisons the
+  // aggregate). Spark 4's strict `[]` would THROW on an out-of-range
+  // code; an ADC scan kernel must degrade to null, not kill the query,
+  // on a corrupt code.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
@@ -113,8 +131,13 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     PqAdc.adc(codes.asInstanceOf[ArrayData], dtab.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (c, d) =>
-      s"${ev.value} = graft.functions.PqAdc.adc($c, $d);")
+    nullSafeCodeGen(ctx, ev, (c, d) => {
+      val boxed = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $boxed = graft.functions.PqAdc.adc($c, $d);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override def prettyName: String = "pq_adc"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
@@ -122,12 +145,21 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 }
 
 object PqAdc {
-  def adc(codes: ArrayData, dtab: ArrayData): Double = {
+  /** Boxed so null can signal "some lookup was null/out-of-range" — the
+    * same result the HOF fold produces on those inputs (SQL array indexing
+    * past the end is NULL, and NULL poisons the sum).
+    */
+  def adc(codes: ArrayData, dtab: ArrayData): java.lang.Double = {
     val m = codes.numElements()
+    if (dtab.numElements() < m) return null
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += dtab.getArray(j).getDouble(codes.getInt(j))
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      val row = dtab.getArray(j)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      s += row.getDouble(c)
       j += 1
     }
     s

@@ -33,20 +33,15 @@ object DedupOps {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** doc_id + distinct word-3-gram shingles (shared with
-    * [[PipelineOps.contaminationCheck]] — same shingle definition on both
-    * sides of the train/test overlap).
+  /** doc_id + distinct word-3-gram shingles as STRINGS — the oracle-
+    * checkable form ([[ngramJaccard]]'s exact sets). The hashed twin of
+    * this definition is the native [[graft.functions.Word3GramHashes]]
+    * expression (spec-pinned identical modulo xxhash64), which the hot
+    * paths ([[minhashNeardup]]'s signatures,
+    * [[PipelineOps.contaminationCheck]]) use instead.
     */
   private[ops] def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingledDocs(Tables.documents(spark, dir))
-
-  /** [[shingled]] over a caller-filtered documents frame — callers that
-    * only shingle a SLICE of the corpus (e.g. contamination's train/test
-    * splits) filter first so shingle generation, the expensive per-row
-    * step, runs on exactly the rows they need.
-    */
-  private[ops] def shingledDocs(docs: DataFrame): DataFrame =
-    Tables.balanced(docs)
+    Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", array_distinct(expr(

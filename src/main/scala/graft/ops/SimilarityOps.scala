@@ -42,6 +42,24 @@ object SimilarityOps {
     */
   private val dotVQ = "dot_product(v, qv)"
 
+  /** Exact cosine re-rank of candidate (q_id, vec_id) pairs — the shared
+    * verification tail of every ANN path: candidates travel as IDS ONLY;
+    * vectors join back per side here, queries broadcast.
+    */
+  private def exactRerank(cand: DataFrame, e: DataFrame, q: DataFrame,
+                          k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("q_nrm"))), "q_id")
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Brute-force exact top-10 cosine neighbors for a small query set
     * (vec_id < 10). The query side is broadcast — the corpus side streams
     * once with no shuffle until the per-query top-k, which is a partial
@@ -109,16 +127,7 @@ object SimilarityOps {
       .dropDuplicates("q_id", "vec_id") // collisions in >1 table
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .join(e, "vec_id")
-      .join(broadcast(q), "q_id")
-      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"), col("cosine"),
-        col("rk").cast(IntegerType).as("rk"))
+    exactRerank(cand, e, q)
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
@@ -175,37 +184,49 @@ object SimilarityOps {
       model.clusterCenters.map(_.toArray)
     })
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val nProbe = 4
-    val e = vecs(spark, dir)
-    val cents = ivfCentroids(spark, dir)
-    // Cell assignment is a per-row argmin over the centroid literals — a
-    // pure map (no shuffle, no MLlib transform in the query path), using
-    // ‖v−c‖² = ‖v‖² − 2·dot(v,c) + ‖c‖² with the native dot_product so the
-    // ‖v‖² term (constant across c) drops out of the argmin.
+  /** Input + `cell` column: per-row argmin over the centroid literals — a
+    * pure map (no shuffle, no MLlib transform in the query path), using
+    * ‖v−c‖² = ‖v‖² − 2·dot(v,c) + ‖c‖² with the native dot_product so the
+    * ‖v‖² term (constant across c) drops out of the argmin. Shared by
+    * [[annIvf]] and [[annIvfPq]].
+    */
+  private def withCell(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
     val cn2Lit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
-    val corpus = e
-      .withColumn("cents", centLit).withColumn("cn2", cn2Lit)
+    e.withColumn("cents", centLit).withColumn("cn2", cn2Lit)
       .withColumn("dists", expr(
         s"transform(sequence(0, ${nList - 1}), j -> cn2[j] - 2D * dot_product(v, cents[j]))"))
       .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1)
         .cast(IntegerType))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    // centroid table: tiny (nlist rows), broadcast everywhere
+      .drop("cents", "cn2", "dists")
+  }
+
+  /** Per-query nProbe nearest cells: q's columns + `c_id`, via a broadcast
+    * nList-row centroid table. Shared by [[annIvf]] and [[annIvfPq]].
+    */
+  private def cellProbes(spark: SparkSession, q: DataFrame,
+                         cents: Array[Array[Double]], nProbe: Int): DataFrame = {
     val centroids = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("c_id", "c_vec")
-    val q = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_dist"), col("c_id"))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn("c_dist", expr(
         "aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("qv"), col("q_nrm"), col("c_id"))
+      .drop("c_vec", "c_dist", "pr")
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val cents = ivfCentroids(spark, dir)
+    val corpus = withCell(vecs(spark, dir), cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val q = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val probes = cellProbes(spark, q, cents, nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(probes),
@@ -229,8 +250,9 @@ object SimilarityOps {
     *
     * Codebooks are trained per-subspace on a bounded deterministic sample
     * with driver-local Lloyd iterations (an index-BUILD step, memoized by
-    * corpus fingerprint like [[ivfCentroids]]; ≤4096 × 64 doubles — the
-    * standard PQ training budget of ~256 points per centroid). A
+    * corpus fingerprint like [[ivfCentroids]]; ≤ PqK·256 = 8192 vectors ×
+    * 64 doubles ≈ 4 MB on the driver — the standard PQ training budget of
+    * ~256 points per centroid). A
     * deployment would also encode ONCE at ingest and store the codes
     * column; here encoding runs inline so the op stays a pure function of
     * the source table.
@@ -296,25 +318,22 @@ object SimilarityOps {
       }
     })
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    // PQ encodes the NORMALIZED vectors: for unit vectors ‖a−b‖² = 2−2·cos,
-    // so the ADC L2 ranking IS the cosine ranking — without this, L2
-    // quantization error on unnormalized magnitudes scrambles the cosine
-    // order (measured recall@3 0.57 → 0.83 on the spec corpus).
-    val e = vecs(spark, dir)
-      .withColumn("u", expr("transform(v, x -> x / nrm)"))
-    val cb = pqCodebooks(spark, dir)
-    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
-    // Encode: per subspace, argmin_c ‖u_sub − c‖², in the native codegen'd
-    // [[graft.functions.PqEncode]] kernel (bit-identical to the interpreted
-    // struct-argmin HOF form — pinned by PqExpressionsSpec; the HOF twin
-    // cost ~8 s of a 9 s ann_pq run at sf0.1).
-    val codes = e
-      .withColumn("codes", expr("pq_encode(u)"))
-      .select(col("vec_id"), col("codes"))
-    // Query-side M×K distance table (tiny: queries × M·K doubles).
+  /** [[vecs]] + `u`, the NORMALIZED vector PQ operates on: for unit
+    * vectors ‖a−b‖² = 2−2·cos, so the ADC L2 ranking IS the cosine
+    * ranking — without this, L2 quantization error on unnormalized
+    * magnitudes scrambles the cosine order (measured recall@3 0.57 → 0.83
+    * on the spec corpus).
+    */
+  private def unitVecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).withColumn("u", expr("transform(v, x -> x / nrm)"))
+
+  /** Query rows (q_id, qv, q_nrm, dtab): dtab is the per-query M×K
+    * asymmetric-distance table ‖u_sub − c‖² (tiny: queries × M·K doubles).
+    * Shared by [[annPq]] and [[annIvfPq]].
+    */
+  private def pqQueries(e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = e.filter(col("vec_id") < 10)
+    e.filter(col("vec_id") < 10)
       .withColumn("cb", cbLit)
       .select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
@@ -324,25 +343,38 @@ object SimilarityOps {
              |    aggregate(zip_with(slice(u, j * $PqSubDim + 1, $PqSubDim), cb[j][c],
              |      (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))""".stripMargin
         ).as("dtab"))
-    // ADC scan: M lookups + adds per (corpus row, query) — codes-only scan,
-    // native [[graft.functions.PqAdc]] kernel.
+  }
+
+  /** Top-[[PqCand]] candidates per query by ADC distance over (codes,
+    * dtab) rows — the native [[graft.functions.PqAdc]] M-lookup kernel.
+    * Shared by [[annPq]] (full scan) and [[annIvfPq]] (cell-pruned scan).
+    */
+  private def adcTopC(scored: DataFrame): DataFrame = {
     val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val cand = codes.crossJoin(broadcast(q.select(col("q_id"), col("dtab"))))
-      .filter(col("vec_id") =!= col("q_id"))
+    scored
       .withColumn("adc", expr("pq_adc(codes, dtab)"))
       .withColumn("cr", row_number().over(candW))
       .filter(col("cr") <= PqCand)
       .select(col("q_id"), col("vec_id"))
-    // Exact re-rank of the C candidates per query.
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .join(e, "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("qv"), col("q_nrm"))), "q_id")
-      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"), col("cosine"),
-        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = unitVecs(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
+    // Encode: per subspace, argmin_c ‖u_sub − c‖², in the native codegen'd
+    // [[graft.functions.PqEncode]] kernel (bit-identical to the interpreted
+    // struct-argmin HOF form — pinned by PqExpressionsSpec; the HOF twin
+    // cost ~8 s of a 9 s ann_pq run at sf0.1).
+    val codes = e
+      .withColumn("codes", expr("pq_encode(u)"))
+      .select(col("vec_id"), col("codes"))
+    val q = pqQueries(e, cb)
+    // ADC scan: M lookups + adds per (corpus row, query) — codes-only scan
+    val cand = adcTopC(
+      codes.crossJoin(broadcast(q.select(col("q_id"), col("dtab"))))
+        .filter(col("vec_id") =!= col("q_id")))
+    exactRerank(cand, e, q)
   }
 
   /** IVF-PQ composition — the standard large-scale ANN index (coarse
@@ -357,61 +389,24 @@ object SimilarityOps {
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val nProbe = 4
-    val e = vecs(spark, dir)
-      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val e = unitVecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
     val cb = pqCodebooks(spark, dir)
     graft.functions.GraftFunctions.registerPqEncode(spark, cb)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    val cn2Lit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
     // corpus index rows: (vec_id, cell, codes) — cell from the RAW-vector
     // coarse quantizer (same argmin as annIvf), codes over the normalized
     // vector (same representation as annPq)
-    val corpus = e
-      .withColumn("cents", centLit).withColumn("cn2", cn2Lit)
-      .withColumn("dists", expr(
-        s"transform(sequence(0, ${nList - 1}), j -> cn2[j] - 2D * dot_product(v, cents[j]))"))
-      .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1)
-        .cast(IntegerType))
+    val corpus = withCell(e, cents)
       .withColumn("codes", expr("pq_encode(u)"))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val centroids = spark.createDataFrame(
-      cents.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("c_id", "c_vec")
-    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = e.filter(col("vec_id") < 10)
-      .withColumn("cb", cbLit)
-      .select(
-        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"),
-        expr(
-          s"""transform(sequence(0, ${PqM - 1}), j ->
-             |  transform(sequence(0, ${PqK - 1}), c ->
-             |    aggregate(zip_with(slice(u, j * $PqSubDim + 1, $PqSubDim), cb[j][c],
-             |      (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))""".stripMargin
-        ).as("dtab"))
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("c_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", expr(
-        "aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
+    val probes = cellProbes(spark, pqQueries(e, cb), cents, nProbe)
       .select(col("q_id"), col("dtab"), col("c_id"))
-    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val cand = corpus.join(broadcast(probes),
-        col("cell") === col("c_id") && col("vec_id") =!= col("q_id"))
-      .withColumn("adc", expr("pq_adc(codes, dtab)"))
-      .withColumn("cr", row_number().over(candW))
-      .filter(col("cr") <= PqCand)
-      .select(col("q_id"), col("vec_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .join(e, "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("qv"), col("q_nrm"))), "q_id")
-      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"), col("cosine"),
-        col("rk").cast(IntegerType).as("rk"))
+    val cand = adcTopC(
+      corpus.join(broadcast(probes),
+        col("cell") === col("c_id") && col("vec_id") =!= col("q_id")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    exactRerank(cand, e, q)
   }
 
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {

@@ -60,7 +60,12 @@ object StorageOps {
                      base: String)(build: String => Unit): String = {
     val key = s"$dir#$base#${fingerprint(spark, dir, source)}"
     built.computeIfAbsent(key, { k =>
-      val tbl = base + "_" + (k.hashCode & 0x7fffffff).toString
+      // 64 hex bits of SHA-256, not String.hashCode: with a 31-bit name a
+      // colliding (dir, fingerprint) pair would silently SERVE THE OTHER
+      // CORPUS'S TABLE (tableExists short-circuits the build)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(k.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val tbl = base + "_" + digest
       if (!spark.catalog.tableExists(tbl)) {
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir") + "/" + tbl)

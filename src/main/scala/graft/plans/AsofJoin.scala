@@ -232,9 +232,17 @@ object AsofJoinOps {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
-    GraftBridge.ofRows(spark, AsofJoin(
-      lPlan, rPlan,
-      on.map(attr(lPlan, _)), on.map(n => attr(rPlan, n + rightSuffix)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol + rightSuffix)))
+    val (lk, rk) = (on.map(attr(lPlan, _)), on.map(n => attr(rPlan, n + rightSuffix)))
+    val (lt, rt) = (attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol + rightSuffix))
+    // The exec compares raw row slots with orderings built from LEFT-side
+    // types — a type mismatch (timestamp vs date, int vs long) would read
+    // the wrong slot width and corrupt matches SILENTLY, so reject here.
+    lk.zip(rk).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.name}: ${l.dataType.sql} vs ${r.name}: ${r.dataType.sql} — cast explicitly")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.name}: ${lt.dataType.sql} vs ${rt.name}: ${rt.dataType.sql} — cast explicitly")
+    GraftBridge.ofRows(spark, AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -122,14 +122,15 @@ class AsofJoinSpec extends SparkSuite {
       .select(col("event_id"), col("value_r")) // uses 2 of 12 output columns
     joined.count()
     val s = joined.queryExecution.executedPlan.toString
-    // neither scan may read props/is-unused columns; keys+times+selected stay
-    assert(!s.contains("props"), s)
     val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(s).toList
-    assert(reads.nonEmpty && reads.forall(r => !r.contains("event_type:")
-      || r.contains("event_type")), s) // event_type only as a filter column
+    assert(reads.size == 2, s)
+    // props is used by NOTHING and must be pruned from both scans
     reads.foreach { r =>
       assert(!r.contains("props"), s"props must be pruned from scan: $r\n$s")
     }
+    // value is needed only on the RIGHT (as value_r): the left scan must
+    // not read it — this is the assertion that fails if the rule regresses
+    assert(reads.exists(!_.contains("value")), s"left scan must prune value:\n$s")
   }
 
   test("left-side filters push through the custom node to the scan (our Rule)") {

@@ -57,6 +57,28 @@ class PqExpressionsSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("short vectors and bad codes yield null, matching the HOF forms") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    GraftFunctions.registerPqEncode(spark, codebooks(43))
+    // a vector shorter than M*SubDim must NOT be encoded from garbage reads
+    val short = Seq(Tuple1(Array(1.0, 2.0))).toDF("u")
+      .select(expr("pq_encode(u)").as("c")).collect()(0)
+    assert(short.isNullAt(0))
+    // null / out-of-range code elements poison the sum to null — matching
+    // the TOLERANT indexing form `get()` (Spark 4's strict `[]` would
+    // throw mid-query on a corrupt code, which an ADC scan must not)
+    val rows = Seq(
+      (Array[Integer](0, null, 1, 0), Array.fill(M, K)(1.0)),
+      (Array[Integer](0, 99, 1, 0), Array.fill(M, K)(1.0))
+    ).toDF("codes", "dtab")
+      .select(
+        expr("pq_adc(codes, dtab)").as("native"),
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> acc + get(dtab[j], codes[j]))")
+          .as("hof")).collect()
+    rows.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), r) }
+  }
+
   test("null inputs propagate to null") {
     import spark.implicits._
     GraftFunctions.register(spark)
