@@ -87,6 +87,8 @@ object SparkEntry {
     "ntile_buckets"     -> (StatsOps.ntileBuckets _),
     "sessionize"        -> (StatsOps.sessionize _),
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
+    "retention_cohorts" -> (StatsOps.retentionCohorts _),
+    "funnel_stages"     -> (StatsOps.funnelStages _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -942,6 +944,39 @@ object SparkEntry {
         |        ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
+    "retention_cohorts" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM fs GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        |        FROM events)
+        |SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(a.week_offset AS INTEGER) AS week_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(a.n_active AS DOUBLE) / cs.n_cohort AS retention
+        |FROM (
+        |  SELECT fs.cohort_week,
+        |    date_diff('day', fs.cohort_week, act.act_week) // 7 AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act JOIN fs ON act.user_id = fs.user_id
+        |  GROUP BY 1, 2) a
+        |JOIN cs ON a.cohort_week = cs.cohort_week""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT stage, stage_order, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT 'signup' AS stage, 1 AS stage_order,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 'click_after_signup', 2, (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 'purchase_after_click', 3, (SELECT count(*) FROM s3))""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

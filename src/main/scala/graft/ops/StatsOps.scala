@@ -212,4 +212,64 @@ object StatsOps {
         Array(col("qty_f"), col("qty_o")),
         "metric", "qty")
       .filter(col("qty").isNotNull)
+
+  /** Weekly retention cohorts — the canonical event-analytics matrix:
+    * users grouped by the week they were FIRST seen; for each cohort ×
+    * week-offset, the fraction of the cohort active that week. Three
+    * aggregations, each shuffling on (user) or (cohort) keys only; the
+    * distinct (user, week) projection collapses per-user event volume
+    * BEFORE the cohort join, so the join input is bounded by users ×
+    * active-weeks, not by events.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
+    val cohortSizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast(IntegerType).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort_week")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast(DoubleType) / col("n_cohort")).as("retention"))
+  }
+
+  /** Strictly-ordered funnel: first signup, then the first click AFTER it,
+    * then the first purchase AFTER that click, per user; output is users
+    * surviving each stage. Each stage is a groupBy on user_id over a
+    * type-pruned scan (the filter pushes to parquet) followed by an
+    * equi-join on user_id against the previous stage's one-row-per-user
+    * frame — per-stage cost is bounded by surviving users, and the stage
+    * DAG is the textbook sequential-pattern shape (no window over the
+    * full event stream, no self-join on time ranges).
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("click").join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("signup", 1), ("click_after_signup", 2), ("purchase_after_click", 3))
+      .toDF("stage", "stage_order")
+      .join(
+        s1.select(lit(1).as("stage_order"), col("user_id"))
+          .union(s2.select(lit(2), col("user_id")))
+          .union(s3.select(lit(3), col("user_id")))
+          .groupBy(col("stage_order")).agg(count(lit(1)).as("n_users")),
+        "stage_order")
+      .select(col("stage"), col("stage_order"), col("n_users"))
+  }
 }
