@@ -70,6 +70,21 @@ class AsofJoinSpec extends SparkSuite {
     assert(viaJoin.nonEmpty)
   }
 
+  test("key/time type mismatches are rejected up front, not silently corrupted") {
+    import spark.implicits._
+    val left = Seq((1, ts(10))).toDF("k", "lt")             // k: int
+    val right = Seq((1L, ts(5), 1.0)).toDF("k", "rt", "v")  // k: long
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+    }
+    assert(e1.getMessage.contains("key type mismatch"), e1.getMessage)
+    val right2 = Seq((1, java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("k", "rt", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right2, Seq("k"), "lt", "rt") // timestamp vs date
+    }
+    assert(e2.getMessage.contains("time type mismatch"), e2.getMessage)
+  }
+
   test("randomized: merge pass equals brute force over many keys/partitions") {
     import spark.implicits._
     // Adversarial shapes for the handwritten merge: many keys per
