@@ -89,6 +89,9 @@ object SparkEntry {
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
     "retention_cohorts" -> (StatsOps.retentionCohorts _),
     "funnel_stages"     -> (StatsOps.funnelStages _),
+    "twap"              -> (AggOps.twap _),
+    "candle_patterns"   -> (AggOps.candlePatterns _),
+    "var_95"            -> (AggOps.var95 _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -944,6 +947,63 @@ object SparkEntry {
         |        ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
+    "twap" ->
+      """WITH t AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+        |  FROM events)
+        |SELECT symbol,
+        |  CAST(CAST(sum(price_cents * dur_us) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / 100.0 AS twap,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM t WHERE dur_us IS NOT NULL GROUP BY 1""".stripMargin,
+    "candle_patterns" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price
+        |  FROM events),
+        |c AS (
+        |  SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |    CAST(arg_min(price, ts) AS DOUBLE) AS open_price,
+        |    CAST(arg_max(price, ts) AS DOUBLE) AS close_price
+        |  FROM t GROUP BY 1, 2),
+        |l AS (
+        |  SELECT *,
+        |    lag(open_price) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_open,
+        |    lag(close_price) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+        |  FROM c)
+        |SELECT symbol, window_start,
+        |  CASE WHEN prev_close < prev_open AND close_price > open_price
+        |            AND open_price <= prev_close AND close_price >= prev_open
+        |       THEN 'bullish_engulfing'
+        |       ELSE 'bearish_engulfing' END AS pattern,
+        |  prev_open, prev_close, open_price, close_price
+        |FROM l
+        |WHERE prev_open IS NOT NULL AND (
+        |  (prev_close < prev_open AND close_price > open_price
+        |     AND open_price <= prev_close AND close_price >= prev_open) OR
+        |  (prev_close > prev_open AND close_price < open_price
+        |     AND open_price >= prev_close AND close_price <= prev_open))""".stripMargin,
+    "var_95" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price
+        |  FROM events),
+        |c AS (
+        |  SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |    CAST(arg_max(price, ts) AS DOUBLE) AS close_price
+        |  FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT symbol, close_price /
+        |    lag(close_price) OVER (PARTITION BY symbol ORDER BY window_start) - 1.0 AS ret,
+        |    lag(close_price) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+        |  FROM c)
+        |SELECT symbol, quantile_cont(ret, 0.05) AS var_5pct,
+        |  CAST(count(*) AS BIGINT) AS n_returns
+        |FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0 GROUP BY 1""".stripMargin,
     "retention_cohorts" ->
       """WITH fs AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

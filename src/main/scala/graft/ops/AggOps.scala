@@ -226,4 +226,77 @@ object AggOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"),
         col("session_value"))
+
+  /** TWAP — TIME-weighted average price per symbol: each price is weighted
+    * by how long it was the latest print (microseconds to the next trade,
+    * via `lead` on a (ts, event_id) total order). The numerator
+    * accumulates as exact INT64 price-cents × µs — not a wide decimal,
+    * whose →double conversion rounds differently across engines in the
+    * last ulp (observed vs the oracle). Magnitude is span-bounded, not
+    * row-bounded: Σ dur_us ≈ the symbol's physical time span, so the sum
+    * is ≈ avg_cents × span_us ≲ 1e4 × 3e13 (a YEAR) = 3e17 « 2^63 at any
+    * SF. One double division sequence at the boundary, identical on both
+    * engines. Per-symbol window: shards parallelize, no global sort.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("ts"),
+        col("event_type").as("symbol"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("price_cents"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull) // last print per symbol has no span
+      .groupBy(col("symbol"))
+      .agg(
+        (sum(col("price_cents") * col("dur_us")).cast(DoubleType)
+          / sum(col("dur_us")).cast(DoubleType) / lit(100.0)).as("twap"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Engulfing-candle detection over the 1-minute OHLCV series: a candle
+    * whose body strictly reverses and fully contains the previous body.
+    * One `lag` pass per symbol over the ALREADY-AGGREGATED candle frame
+    * (cardinality = minutes × symbols, not trades) — pattern scans run on
+    * the rollup, never the raw stream.
+    */
+  def candlePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+    val o = col("open_price"); val c = col("close_price")
+    val po = col("prev_open"); val pc = col("prev_close")
+    ohlcv1min(spark, dir)
+      .select(col("window_start"), col("symbol"), o, c)
+      .withColumn("prev_open", lag(o, 1).over(w))
+      .withColumn("prev_close", lag(c, 1).over(w))
+      .filter(po.isNotNull)
+      .withColumn("pattern",
+        when(pc < po && c > o && o <= pc && c >= po, "bullish_engulfing")
+          .when(pc > po && c < o && o >= pc && c <= po, "bearish_engulfing"))
+      .filter(col("pattern").isNotNull)
+      .select(col("symbol"), col("window_start"), col("pattern"),
+        po, pc, o, c)
+  }
+
+  /** Historical 5% value-at-risk per symbol over 1-minute close-to-close
+    * returns: the exact interpolated 0.05 order statistic of `close/prev
+    * −1`. Returns divide DOUBLE by DOUBLE (identical bits on both
+    * engines — the candles surface doubles); the percentile is the exact
+    * order-statistic form, not a sketch.
+    */
+  def var95(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+    ohlcv1min(spark, dir)
+      .select(col("window_start"), col("symbol"), col("close_price"))
+      .withColumn("prev_close", lag(col("close_price"), 1).over(w))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
+      .withColumn("ret", col("close_price") / col("prev_close") - 1.0)
+      .groupBy(col("symbol"))
+      .agg(
+        expr("percentile(ret, 0.05)").as("var_5pct"),
+        count(lit(1)).as("n_returns"))
+  }
 }
