@@ -92,6 +92,7 @@ object SparkEntry {
     "twap"              -> (AggOps.twap _),
     "candle_patterns"   -> (AggOps.candlePatterns _),
     "var_95"            -> (AggOps.var95 _),
+    "max_drawdown"      -> (AggOps.maxDrawdown _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -987,6 +988,27 @@ object SparkEntry {
         |     AND open_price <= prev_close AND close_price >= prev_open) OR
         |  (prev_close > prev_open AND close_price < open_price
         |     AND open_price >= prev_close AND close_price <= prev_open))""".stripMargin,
+    "max_drawdown" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price
+        |  FROM events),
+        |c AS (
+        |  SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |    CAST(arg_max(price, ts) AS DOUBLE) AS close_price
+        |  FROM t GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol,
+        |    close_price / max(close_price) OVER (PARTITION BY symbol
+        |      ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - 1.0 AS drawdown,
+        |    max(close_price) OVER (PARTITION BY symbol
+        |      ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS peak
+        |  FROM c)
+        |SELECT symbol, min(drawdown) AS max_drawdown, max(peak) AS peak_price,
+        |  CAST(count(*) AS BIGINT) AS n_minutes
+        |FROM d GROUP BY 1""".stripMargin,
     "var_95" ->
       """WITH t AS (
         |  SELECT ts, event_type AS symbol,

@@ -280,6 +280,27 @@ object AggOps {
         po, pc, o, c)
   }
 
+  /** Maximum drawdown per symbol over the minute-close series: the worst
+    * peak-to-trough loss, via a running `max` window (order-independent)
+    * and a per-row ratio — every step is deterministic double math, no
+    * accumulation-order hazard. The running window is per-symbol and
+    * ROWS-unbounded-preceding: rank-file state, no second pass.
+    */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ohlcv1min(spark, dir)
+      .select(col("window_start"), col("symbol"), col("close_price"))
+      .withColumn("peak", max(col("close_price")).over(w))
+      .withColumn("drawdown", col("close_price") / col("peak") - 1.0)
+      .groupBy(col("symbol"))
+      .agg(
+        min(col("drawdown")).as("max_drawdown"),
+        max(col("peak")).as("peak_price"),
+        count(lit(1)).as("n_minutes"))
+  }
+
   /** Historical 5% value-at-risk per symbol over 1-minute close-to-close
     * returns: the exact interpolated 0.05 order statistic of `close/prev
     * −1`. Returns divide DOUBLE by DOUBLE (identical bits on both
