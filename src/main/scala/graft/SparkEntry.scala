@@ -77,6 +77,8 @@ object SparkEntry {
     "not_in_subquery"   -> (RelationalOps.notInSubquery _),
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
+    "sql_q5"            -> (RelationalOps.sqlQ5 _),
+    "lateral_topn"      -> (RelationalOps.lateralTopn _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
@@ -93,6 +95,7 @@ object SparkEntry {
     "candle_patterns"   -> (AggOps.candlePatterns _),
     "var_95"            -> (AggOps.var95 _),
     "max_drawdown"      -> (AggOps.maxDrawdown _),
+    "scd2_history"      -> (StatsOps.scd2History _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -141,11 +144,14 @@ object SparkEntry {
     "sample_per_group"  -> (PipelineOps.samplePerGroup _),
     "split_drift"       -> (PipelineOps.splitDrift _),
     "bigram_lm"         -> (PipelineOps.bigramLm _),
+    "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "ann_pq"            -> (SimilarityOps.annPq _),
     "ann_ivfpq"         -> (SimilarityOps.annIvfPq _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),
+    "zorder_key"        -> (StorageOps.zorderKey _),
+    "zorder_scan"       -> (StorageOps.zorderScan _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "frame_sample"      -> (MultimodalOps.frameSample _),
@@ -627,6 +633,25 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1""".stripMargin,
+    // the z-key interleave is the SAME generated expression text on both
+    // sides — the oracle proves the bit arithmetic is engine-identical
+    "zorder_key" ->
+      s"""SELECT event_id, user_id, m,
+         |  ${StorageOps.zvalueSql("user_id", "m")} AS zval
+         |FROM (SELECT event_id, user_id,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
+         |          - 28401120 AS m
+         |      FROM events)""".stripMargin,
+    "zorder_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_id, user_id, value,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
+        |          - 28401120 AS m
+        |      FROM events)
+        |WHERE user_id >= 40 AND user_id < 80
+        |  AND m >= 10000 AND m < 20000""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
@@ -812,6 +837,68 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "sql_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t""".stripMargin,
+    "scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, run_id, min(ts) AS valid_from_ts,
+        |    min(event_type) AS state, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, state, n_events,
+        |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(valid_from_ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  lead(valid_from_ts) OVER w2 IS NULL AS is_current
+        |FROM c
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin,
+    "length_band_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(n_chars) AS min_kept,
+        |  max(n_chars) AS max_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM d
+        |WHERE rk * 100 > 5 * n_lang AND rk * 100 <= 95 * n_lang
+        |GROUP BY lang""".stripMargin,
     "gap_fill" ->
       """WITH t AS (
         |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,

@@ -378,4 +378,35 @@ object PipelineOps {
         expr("max_by(doc_id, struct(n_chars, doc_id))").as("survivor_id"),
         count(lit(1)).as("cluster_size"))
   }
+
+  /** Per-stratum length-band outlier filter: drop each language's shortest
+    * 5% and longest 5% of documents (truncation/boilerplate tails), the
+    * standard corpus-cleaning band filter. The band is computed from RANK
+    * ARITHMETIC — 100·rank > 5·n and 100·rank ≤ 95·n over (n_chars,
+    * doc_id) order — not an engine quantile function (interpolated
+    * quantile definitions differ subtly across engines) and not a
+    * fractional multiply (0.05·n is DECIMAL in ANSI engines but DOUBLE
+    * here, and the rounding can disagree exactly at integer band edges);
+    * scaled-integer comparison is exact everywhere. One window
+    * partitioned by lang (the
+    * stratum count bounds the skew) plus a broadcast per-lang count; at
+    * 100 TB the window sort shuffles each stratum once and nothing else.
+    */
+  def lengthBandFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    docs
+      .withColumn("rk", row_number().over(byLen))
+      .join(broadcast(counts), "lang")
+      .filter(col("rk") * lit(100L) > lit(5L) * col("n_lang") &&
+              col("rk") * lit(100L) <= lit(95L) * col("n_lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        min(col("n_chars")).as("min_kept"),
+        max(col("n_chars")).as("max_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
 }

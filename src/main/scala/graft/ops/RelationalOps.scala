@@ -437,4 +437,62 @@ object RelationalOps {
         lag(col("value"), 1).over(ord).as("prev_value"),
         lead(col("value"), 1).over(ord).as("next_value"))
   }
+
+  /** TPC-H Q5 shape (local-supplier volume): a six-table join — two fact
+    * tables and four dimensions — with the extra non-join equality
+    * c_nationkey = s_nationkey that makes Q5 the classic join-order
+    * stress test. Declared as one SQL block: Catalyst reorders, pushes
+    * the region/date filters into the dim/fact scans, and broadcasts
+    * every dimension (region/nation/supplier/customer are per-nation
+    * bounded — they stay broadcastable at ANY corpus scale; only
+    * orders ⋈ lineitem shuffles, and AQE turns it into SMJ at 100 TB).
+    * Revenue aggregates in DECIMAL (exact, order-independent) and exits
+    * as DOUBLE.
+    */
+  def sqlQ5(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** Correlated LATERAL join (SQL:1999 lateral derived table, Spark ≥ 3.4):
+    * each customer's top-2 orders by price. Catalyst decorrelates the
+    * LATERAL ... ORDER BY/LIMIT 2 subquery into a window rank over one
+    * orders shuffle — NOT a per-customer re-execution — so the plan is the
+    * same shape as a hand-written rank filter and scales with one exchange
+    * on o_custkey. The per-driver alternative (a loop over customers) is
+    * exactly what LATERAL exists to avoid.
+    */
+  def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |       CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t""".stripMargin)
+  }
 }

@@ -129,4 +129,70 @@ object StorageOps {
         count(lit(1)).as("n_clicks"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("click_value"))
   }
+
+  /** Morton (z-order) key: the low 16 bits of two BIGINT dimensions bit-
+    * interleaved into one 32-bit sort key, built as ONE arithmetic
+    * expression string shared verbatim by Spark and the oracle — shifts,
+    * masks and `+` only (the interleaved bit positions never overlap, so
+    * `+` ≡ `|` and stays portable). Sorting a table by z groups rows that
+    * are close in BOTH dimensions into the same file, which is what makes
+    * 2-D min/max data skipping work: a predicate box on (x, y) touches only
+    * the files whose per-file stats intersect it, instead of every file the
+    * way a 1-D sort on either single dimension would for the other column.
+    */
+  def zvalueSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** Events epoch-minute index relative to 2024-01-01 — the second z
+    * dimension. Integer floor division end-to-end (the ns→µs→minute chain
+    * stays in BIGINT; doubles lose integer exactness past 2^53).
+    */
+  private val minuteOrigin = 1704067200L / 60 // 2024-01-01T00:00:00Z
+
+  /** The z-ordered events layout: (event_id, user_id, m, value, zval)
+    * range-partitioned into 16 files by zval and sorted by zval within
+    * each, so every file covers a tight box in (user_id, minute) space and
+    * carries parquet min/max stats for BOTH columns.
+    */
+  private def zorderedEvents(spark: SparkSession, dir: String): String =
+    ensure(spark, dir, "events", "graft_events_zorder") { tbl =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          (expr("unix_micros(ts)") / 1000000L / 60L)
+            .cast(LongType).minus(lit(minuteOrigin)).as("m"))
+        .withColumn("zval", expr(zvalueSql("user_id", "m")))
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+
+  /** The z-key computation itself, surfaced per event so the oracle proves
+    * the interleave arithmetic is engine-identical bit for bit.
+    */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        expr(s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin").as("m"))
+      .withColumn("zval", expr(zvalueSql("user_id", "m")))
+
+  /** A 2-D predicate box — a user-id band × a time band — answered through
+    * the z-ordered layout. Both predicates push to parquet; the scan's
+    * row-group stats eliminate every file whose (user_id, m) box misses the
+    * query box (ZorderSpec measures the skip against a random layout). The
+    * oracle computes the same box on the RAW events table: layout must
+    * never change results.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame =
+    spark.table(zorderedEvents(spark, dir))
+      .filter(col("user_id") >= 40 && col("user_id") < 80 &&
+              col("m") >= 10000L && col("m") < 20000L)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
 }

@@ -127,4 +127,50 @@ class BatchOpsSpec extends SparkSuite {
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("scd2_history partitions the event stream exactly") {
+    val rows = SparkEntry.queries("scd2_history")(spark, sf).collect()
+    // intervals cover every event exactly once
+    val totalEvents = graft.model.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      // exactly one open (current) interval per user
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1, s"user $u")
+      // run ids are contiguous from 1 and adjacent intervals chain
+      val sorted = rs.sortBy(_.getAs[Long]("run_id"))
+      assert(sorted.map(_.getAs[Long]("run_id")).toSeq == (1L to rs.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          // consecutive runs hold different states by construction
+          assert(a.getAs[String]("state") != b.getAs[String]("state"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("length_band_filter keeps exactly the middle 90% of each stratum") {
+    val expected = graft.model.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") ->
+        (95 * r.getAs[Long]("count") / 100 - 5 * r.getAs[Long]("count") / 100))
+      .toMap
+    val got = SparkEntry.queries("length_band_filter")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap
+    assert(got == expected)
+  }
+
+  test("lateral_topn yields each customer's top-2 orders") {
+    val rows = SparkEntry.queries("lateral_topn")(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    byCust.foreach { case (_, rs) => assert(rs.length <= 2) }
+    // spot-check against a direct max per customer
+    val maxes = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("mx"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("mx")).toMap
+    maxes.foreach { case (c, mx) =>
+      val top = byCust(c).map(_.getAs[Double]("o_totalprice")).max
+      assert(top == mx, s"cust $c top $top != $mx")
+    }
+  }
 }

@@ -125,4 +125,37 @@ class PlanSpec extends SparkSuite {
     val pq = plan("ann_pq")
     assert(pq.contains("pq_encode") && pq.contains("pq_adc"), pq)
   }
+
+  test("z-ordered layout skips most files under a 2-D predicate box") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sf01 = "/root/testdata/sf0.01" // 10k events / 16 files
+    // post-row-group-pruning row count of the single parquet scan
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    // AQE wraps the plan and hides the scan node from collectLeaves
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val zRows = scanRows(SparkEntry.queries("zorder_scan")(spark, sf01))
+      // baseline: identical rows in 16 RANDOM files — every file's
+      // (user_id, m) stats box covers the whole domain, nothing skips
+      val tmp = java.nio.file.Files.createTempDirectory("zorder_base").toString
+      graft.ops.StorageOps.zorderKey(spark, sf01)
+        .join(graft.model.Tables.events(spark, sf01).select("event_id", "value"), "event_id")
+        .repartition(16).write.mode("overwrite").parquet(tmp)
+      val base = spark.read.parquet(tmp)
+        .filter(col("user_id") >= 40 && col("user_id") < 80 &&
+                col("m") >= 10000L && col("m") < 20000L)
+        .agg(count(lit(1)))
+      val baseRows = scanRows(base)
+      info(s"scan rows after skipping: zorder=$zRows random=$baseRows")
+      assert(baseRows == 10000L, s"random layout must skip nothing, got $baseRows")
+      assert(zRows * 2 < baseRows, s"z-order must skip >half the scan: $zRows vs $baseRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
