@@ -147,6 +147,7 @@ object SparkEntry {
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "ann_pq"            -> (SimilarityOps.annPq _),
     "ann_ivfpq"         -> (SimilarityOps.annIvfPq _),
+    "ann_ivfpq_indexed" -> (SimilarityOps.annIvfPqIndexed _),
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),

@@ -409,6 +409,47 @@ object SimilarityOps {
     exactRerank(cand, e, q)
   }
 
+  /** IVF-PQ with the index MATERIALIZED as a cell-partitioned codes table
+    * — the deployment shape of [[annIvfPq]], which encodes inline per
+    * query. Build once per corpus fingerprint ([[StorageOps.ensure]]):
+    * (vec_id, codes) written `partitionBy(cell)`, i.e. one directory per
+    * inverted-file cell holding 8 byte-codes per vector, never vectors.
+    * Query time: the probe set (queries × nProbe cell ids, ≤ nList values
+    * — an index LOOKUP, bounded regardless of corpus size) becomes a
+    * literal `cell IN (...)` predicate, so the scan prunes non-probed
+    * cell directories at PLANNING time (PlanSpec pins PartitionFilters)
+    * — the 100 TB story: an ANN query opens nProbe/nList of the index
+    * files and reads codes only, vectors join back just for the top-C
+    * exact re-rank. Result is pinned spec-identical to [[annIvfPq]]:
+    * storing the index must not change answers.
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val e = unitVecs(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
+    val idx = StorageOps.ensure(spark, dir, "embeddings", "graft_ivfpq_idx") { tbl =>
+      withCell(e, cents)
+        .withColumn("codes", expr("pq_encode(u)"))
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .write.format("parquet").partitionBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    val probes = cellProbes(spark, pqQueries(e, cb), cents, nProbe)
+      .select(col("q_id"), col("dtab"), col("c_id"))
+    val probedCells = probes.select(col("c_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = adcTopC(
+      spark.table(idx)
+        .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+        .join(broadcast(probes),
+          col("cell") === col("c_id") && col("vec_id") =!= col("q_id")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    exactRerank(cand, e, q)
+  }
+
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     // id-only candidate generation (see annLsh): the bucket self-join and

@@ -56,8 +56,8 @@ object StorageOps {
     * that orphan location (LOCATION_ALREADY_EXISTS; `overwrite` only drops
     * locations of tables the catalog knows), so delete it before building.
     */
-  private def ensure(spark: SparkSession, dir: String, source: String,
-                     base: String)(build: String => Unit): String = {
+  private[ops] def ensure(spark: SparkSession, dir: String, source: String,
+                          base: String)(build: String => Unit): String = {
     val key = s"$dir#$base#${fingerprint(spark, dir, source)}"
     built.computeIfAbsent(key, { k =>
       // 64 hex bits of SHA-256, not String.hashCode: with a 31-bit name a

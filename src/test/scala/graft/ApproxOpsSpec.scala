@@ -114,6 +114,17 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
+  test("ann_ivfpq_indexed returns exactly the inline ann_ivfpq result") {
+    // same quantizer, codebooks and probe set — storing the index as a
+    // cell-partitioned codes table must not change a single row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rk"))
+    val inline = SparkEntry.queries("ann_ivfpq")(spark, sf).collect().map(key).toSet
+    val stored = SparkEntry.queries("ann_ivfpq_indexed")(spark, sf).collect().map(key).toSet
+    assert(stored == inline,
+      s"only-inline=${inline -- stored} only-stored=${stored -- inline}")
+  }
+
   test("embed_neardup pairs are exactly cosine > 0.35 among LSH candidates, with bounded misses") {
     val vecs = graft.model.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()

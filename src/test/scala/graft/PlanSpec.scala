@@ -126,6 +126,12 @@ class PlanSpec extends SparkSuite {
     assert(pq.contains("pq_encode") && pq.contains("pq_adc"), pq)
   }
 
+  test("ann_ivfpq_indexed prunes non-probed index cells at planning time") {
+    val p = plan("ann_ivfpq_indexed")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      "probe set must prune cell directories:\n" + p)
+  }
+
   test("z-ordered layout skips most files under a 2-D predicate box") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
