@@ -145,6 +145,9 @@ object SparkEntry {
     "split_drift"       -> (PipelineOps.splitDrift _),
     "bigram_lm"         -> (PipelineOps.bigramLm _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
+    "mix_rebalance"     -> (PipelineOps.mixRebalance _),
+    "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
+    "label_centroids"   -> (SimilarityOps.labelCentroids _),
     "ann_pq"            -> (SimilarityOps.annPq _),
     "ann_ivfpq"         -> (SimilarityOps.annIvfPq _),
     "ann_ivfpq_indexed" -> (SimilarityOps.annIvfPqIndexed _),
@@ -886,6 +889,37 @@ object SparkEntry {
         |  lead(valid_from_ts) OVER w2 IS NULL AS is_current
         |FROM c
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin,
+    "mix_rebalance" ->
+      """WITH ps AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+        |             CAST(count(*) AS BIGINT) AS k FROM ps)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(min(ps.n_s) AS BIGINT) AS n_orig
+        |FROM documents d JOIN ps ON d.source = ps.source CROSS JOIN t
+        |WHERE ((doc_id % 1000000007) * 2654435761 % 1000000007 % 100)
+        |        * t.k * ps.n_s < 100 * t.n_total
+        |GROUP BY d.source""".stripMargin,
+    // the oracle is deliberately ONE full-table aggregation: the compare
+    // gate proves merged-partials == full recompute (algebraic rollup)
+    "incremental_agg_merge" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // literals as 1e6, not 1000000.0: DuckDB keeps float*DECIMAL in FLOAT
+    // arithmetic while Spark promotes to DOUBLE — 1e6 forces DOUBLE in both
+    "label_centroids" ->
+      """WITH dims AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS dim)
+        |SELECT e.label, d.dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(e.embedding[d.dim + 1] * 1e6) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(sum(CAST(floor(e.embedding[d.dim + 1] * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e6 AS centroid
+        |FROM embeddings e CROSS JOIN dims d
+        |GROUP BY e.label, d.dim""".stripMargin,
     "length_band_filter" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars,

@@ -379,6 +379,62 @@ object PipelineOps {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Rebalance the corpus toward an EQUAL per-source mix: each source is
+    * down-sampled at rate min(1, N/(k·n_s)) so no source exceeds its equal
+    * share N/k. Selection is the same deterministic multiplicative hash as
+    * [[trainTestSplit]] and the rate comparison is pure INTEGER
+    * cross-multiplication — keep iff bucket·k·n_s < 100·N — so the chosen
+    * set is reproducible on any engine with no floating-point rate at all.
+    * Counts broadcast (one row per source); the corpus pass is a pure
+    * map+filter that pushes nothing to the driver — the shape that holds
+    * when the mix report covers 100 TB.
+    */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val totals = perSource.agg(
+      sum(col("n_s")).as("n_total"), count(lit(1)).as("k"))
+    docs
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(totals))
+      .filter(hashBucket(col("doc_id")) * col("k") * col("n_s") <
+              lit(100L) * col("n_total"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_orig"))
+  }
+
+  /** Incremental aggregate maintenance: the running per-type stats table
+    * is maintained from PARTIAL aggregates — the base period's partials
+    * merged with a new delta period's partials (sum-of-sums, min-of-mins,
+    * max-of-maxes) — never by re-scanning the base. The oracle computes
+    * the same stats with one full-table aggregation, so the correctness
+    * gate IS the algebraic statement incremental == full. This merge
+    * property (commutative-monoid partials) is what lets a 100 TB metric
+    * table absorb a daily delta by reading only the delta plus one row
+    * per group of prior state. Sums stay in DECIMAL through the merge
+    * (exact, order-independent) and exit as DOUBLE.
+    */
+  def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "2024-01-20 00:00:00"
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    val ev = Tables.events(spark, dir)
+    val base = partials(ev.filter(col("ts") < lit(cut).cast("timestamp")))
+    val delta = partials(ev.filter(col("ts") >= lit(cut).cast("timestamp")))
+    base.unionAll(delta)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("sum_v")).cast(DoubleType).as("sum_value"),
+        min(col("min_v")).as("min_value"),
+        max(col("max_v")).as("max_value"))
+  }
+
   /** Per-stratum length-band outlier filter: drop each language's shortest
     * 5% and longest 5% of documents (truncation/boilerplate tails), the
     * standard corpus-cleaning band filter. The band is computed from RANK

@@ -450,6 +450,28 @@ object SimilarityOps {
     exactRerank(cand, e, q)
   }
 
+  /** Per-label centroid of the first 8 embedding dimensions — the
+    * class-prototype computation (label → mean vector) behind centroid
+    * classifiers and cluster audits. Distributed float summation is
+    * order-dependent in the last ulp, so values are first QUANTIZED
+    * deterministically (floor(x·10⁶) — float→double promotion is exact
+    * and the product/floor round identically on any IEEE engine) and the
+    * centroid is an exact BIGINT sum divided once at the boundary. One
+    * posexplode + one partial-aggregated groupBy on (label, dim): the
+    * shuffle carries 8·|labels| partial rows, not vectors.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 8)
+      .withColumn("xq", floor(col("x") * lit(1000000.0)).cast(LongType))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).as("sum_q"),
+        (sum(col("xq")).cast(DoubleType) / count(lit(1)) / 1000000.0)
+          .as("centroid"))
+
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     // id-only candidate generation (see annLsh): the bucket self-join and

@@ -160,6 +160,46 @@ class BatchOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("mix_rebalance keeps under-share sources whole and only shrinks over-share ones") {
+    val rows = SparkEntry.queries("mix_rebalance")(spark, sf).collect()
+    val k = rows.length
+    val total = rows.map(_.getAs[Long]("n_orig")).sum
+    rows.foreach { r =>
+      val (orig, kept) = (r.getAs[Long]("n_orig"), r.getAs[Long]("n_kept"))
+      assert(kept <= orig)
+      // rate 1 exactly when even the last bucket (99) passes the cross-multiply
+      if (99L * k * orig < 100L * total) assert(kept == orig, r.toString)
+    }
+  }
+
+  test("incremental_agg_merge equals a direct full aggregation") {
+    val merged = SparkEntry.queries("incremental_agg_merge")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val full = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("s"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    assert(merged == full)
+  }
+
+  test("label_centroids covers every (label, dim<8) cell with exact quantized means") {
+    val rows = SparkEntry.queries("label_centroids")(spark, sf).collect()
+    val perLabel = graft.model.Tables.embeddings(spark, sf)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(rows.length == perLabel.size * 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == perLabel(r.getAs[Int]("label")))
+      val c = r.getAs[Double]("centroid")
+      assert(c == r.getAs[Long]("sum_q").toDouble / r.getAs[Long]("n") / 1000000.0)
+      assert(math.abs(c) <= 1.0)
+    }
+  }
+
   test("lateral_topn yields each customer's top-2 orders") {
     val rows = SparkEntry.queries("lateral_topn")(spark, sf).collect()
     val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
