@@ -78,6 +78,7 @@ object SparkEntry {
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     "sql_q5"            -> (RelationalOps.sqlQ5 _),
+    "sql_q18"           -> (RelationalOps.sqlQ18 _),
     "lateral_topn"      -> (RelationalOps.lateralTopn _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
@@ -96,6 +97,7 @@ object SparkEntry {
     "var_95"            -> (AggOps.var95 _),
     "max_drawdown"      -> (AggOps.maxDrawdown _),
     "scd2_history"      -> (StatsOps.scd2History _),
+    "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -146,6 +148,7 @@ object SparkEntry {
     "bigram_lm"         -> (PipelineOps.bigramLm _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
+    "oov_rate"          -> (PipelineOps.oovRate _),
     "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
     "label_centroids"   -> (SimilarityOps.labelCentroids _),
     "ann_pq"            -> (SimilarityOps.annPq _),
@@ -889,6 +892,47 @@ object SparkEntry {
         |  lead(valid_from_ts) OVER w2 IS NULL AS is_current
         |FROM c
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin,
+    "sql_q18" ->
+      """SELECT c_name, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(t.total_qty AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) t
+        |  ON o_orderkey = t.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |tok AS (SELECT * FROM toks WHERE token <> ''),
+        |vocab AS (
+        |  SELECT DISTINCT token FROM tok
+        |  WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80),
+        |test AS (
+        |  SELECT * FROM tok
+        |  WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 >= 90)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_test_tokens,
+        |  CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE)
+        |    / count(*) AS oov_rate
+        |FROM test LEFT JOIN vocab v ON test.token = v.token
+        |GROUP BY lang""".stripMargin,
+    "rolling_active_users" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS d,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM pairs)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        |FROM days JOIN pairs ON pairs.d BETWEEN day - 6 AND day
+        |GROUP BY day""".stripMargin,
     "mix_rebalance" ->
       """WITH ps AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,

@@ -379,6 +379,33 @@ object PipelineOps {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Out-of-vocabulary rate of the test split against the train split's
+    * vocabulary — the leakage-direction twin of `contamination_check`
+    * (there: test content seen in train; here: test content the model
+    * never saw). Splits reuse the deterministic hash of
+    * [[trainTestSplit]]; the vocabulary is one distinct-shuffle on token
+    * and the test side anti-joins it token-partitioned, so nothing wider
+    * than (token) ever shuffles. The rate divides two exact counts once
+    * at the boundary.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = docs.filter(hashBucket(col("doc_id")) < 80)
+      .select(col("token")).distinct()
+    val test = docs.filter(hashBucket(col("doc_id")) >= 90)
+    test
+      .join(vocab.withColumn("in_vocab", lit(1)), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_test_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_test_tokens"))
+  }
+
   /** Rebalance the corpus toward an EQUAL per-source mix: each source is
     * down-sampled at rate min(1, N/(k·n_s)) so no source exceeds its equal
     * share N/k. Selection is the same deterministic multiplicative hash as

@@ -474,6 +474,33 @@ object RelationalOps {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregation subquery driving the join — the orders that pass the
+    * quantity threshold are found FIRST (one partial-aggregated pass over
+    * lineitem, ~1% survive), and only those survivors join to orders/customer.
+    * Catalyst evaluates the derived table once (no correlated re-scan);
+    * the top-20 is TakeOrderedAndProject, never a global sort. Quantity
+    * sums aggregate in DECIMAL and exit as DOUBLE.
+    */
+  def sqlQ18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT c_name, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(t.total_qty AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) t
+        |  ON o_orderkey = t.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Correlated LATERAL join (SQL:1999 lateral derived table, Spark ≥ 3.4):
     * each customer's top-2 orders by price. Catalyst decorrelates the
     * LATERAL ... ORDER BY/LIMIT 2 subquery into a window rank over one

@@ -273,6 +273,26 @@ object StatsOps {
       .select(col("stage"), col("stage_order"), col("n_users"))
   }
 
+  /** Trailing-7-day distinct active users per day. Window functions can't
+    * COUNT DISTINCT over a frame, so the rolling set is computed
+    * relationally: collapse events to distinct (day, user) pairs FIRST
+    * (bounded by users × days, independent of event volume), then a
+    * bounded range join of each day against its trailing week of pairs.
+    * At 100 TB the only pass over raw events is the initial distinct;
+    * everything after operates on the collapsed pair set.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"),
+        col("user_id"))
+      .distinct()
+    val days = pairs.select(col("d").as("day")).distinct()
+    days.join(pairs, col("d").between(col("day") - 6, col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
   /** Slowly-changing-dimension type-2 history: each user's event_type
     * stream collapsed to validity intervals — consecutive equal states
     * merge into one row with [valid_from, valid_to) and a current-row

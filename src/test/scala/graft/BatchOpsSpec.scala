@@ -200,6 +200,40 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("sql_q18 returns only above-threshold orders, price-descending, at most 20") {
+    val rows = SparkEntry.queries("sql_q18")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rolling_active_users dominates the daily count and is capped by the week's union") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"),
+        col("user_id"))
+      .distinct().collect()
+      .groupBy(_.getAs[Int]("d"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("user_id")).toSet }
+    val rolling = SparkEntry.queries("rolling_active_users")(spark, sf).collect()
+      .map(r => r.getAs[Int]("day") -> r.getAs[Long]("active_7d")).toMap
+    assert(rolling.keySet == daily.keySet)
+    rolling.foreach { case (day, a7) =>
+      val weekUnion = (day - 6 to day).flatMap(d => daily.getOrElse(d, Set.empty)).toSet
+      assert(a7 == weekUnion.size, s"day $day")
+    }
+  }
+
+  test("oov_rate is a valid fraction and zero when the vocabulary covers the test split") {
+    val rows = SparkEntry.queries("oov_rate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_test_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") == oov.toDouble / n)
+    }
+  }
+
   test("lateral_topn yields each customer's top-2 orders") {
     val rows = SparkEntry.queries("lateral_topn")(spark, sf).collect()
     val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
