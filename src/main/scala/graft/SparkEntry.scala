@@ -98,6 +98,9 @@ object SparkEntry {
     "max_drawdown"      -> (AggOps.maxDrawdown _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
+    "hll_partial_union" -> (StatsOps.hllPartialUnion _),
+    "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
+    "variant_extract"   -> (ParseOps.variantExtract _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -892,6 +895,22 @@ object SparkEntry {
         |  lead(valid_from_ts) OVER w2 IS NULL AS is_current
         |FROM c
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin,
+    "null_safe_join" ->
+      """WITH ev AS (SELECT nullif(event_type, 'error') AS k, value FROM events),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY k),
+        |v AS (SELECT k AS k2,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |      FROM ev GROUP BY k)
+        |SELECT coalesce(c.k, '(error)') AS event_key, c.n_events, v.sum_value
+        |FROM c JOIN v ON c.k IS NOT DISTINCT FROM v.k2""".stripMargin,
+    // v_schema is constant because every props row is {"k": <int>}; the
+    // literal pins Spark's variant schema inference output
+    "variant_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  'OBJECT<k: BIGINT>' AS v_schema
+        |FROM events""".stripMargin,
     "sql_q18" ->
       """SELECT c_name, o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,

@@ -167,4 +167,21 @@ object ParseOps {
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full_ts"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         to_date(col("o_orderdate")).cast("string").as("date_str"))
+
+  /** Semi-structured access through Spark 4's VARIANT type: `parse_json`
+    * builds the binary variant ONCE per row and typed paths come out via
+    * `variant_get` — the open-schema ingestion path (vs [[jsonExtract]]'s
+    * per-path string re-parse, which re-reads the JSON text for every
+    * extracted field). Variant is a binary format, so only typed leaves
+    * cross the output boundary (the oracle reads the same paths with its
+    * native JSON accessors).
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_long"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("schema_of_variant(v)").as("v_schema"))
 }

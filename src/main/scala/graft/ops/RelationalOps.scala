@@ -474,6 +474,26 @@ object RelationalOps {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two aggregates of
+    * the event stream keyed by a NULLABLE derived key (error events map to
+    * NULL) joined so the NULL groups MATCH — a plain `=` would silently
+    * drop them, the classic lost-rows bug when a dimension key is
+    * optional. Catalyst plans `<=>` as a hash join on the null-safe key
+    * (no fallback to nested loops), so the shape is identical to a normal
+    * equi-join at scale.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", nullif(col("event_type"), lit("error")))
+    val counts = ev.groupBy(col("k")).agg(count(lit(1)).as("n_events"))
+    val values = ev.groupBy(col("k").as("k2"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+    counts.join(values, col("k") <=> col("k2"))
+      .select(
+        coalesce(col("k"), lit("(error)")).as("event_key"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     * aggregation subquery driving the join — the orders that pass the
     * quantity threshold are found FIRST (one partial-aggregated pass over

@@ -273,6 +273,24 @@ object StatsOps {
       .select(col("stage"), col("stage_order"), col("n_users"))
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
+    * 4's `hll_sketch_agg`/`hll_union_agg`): per-DAY user sketches built
+    * once, then UNIONED per week — the incremental-distinct architecture.
+    * At 100 TB the raw stream is read once into ~30 daily sketches of a
+    * few KB; any rollup window (week, month, trailing-N) is a union over
+    * sketches, never a re-scan — the property exact distinct counts
+    * fundamentally lack. Estimate error is ±~1.6% at default lgK; the
+    * ground-truth spec bounds it against exact weekly counts.
+    */
+  def hllPartialUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd").as("week"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+
   /** Trailing-7-day distinct active users per day. Window functions can't
     * COUNT DISTINCT over a frame, so the rolling set is computed
     * relationally: collapse events to distinct (day, user) pairs FIRST

@@ -114,6 +114,22 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
+  test("hll_partial_union weekly estimates within 5% of exact weekly distincts") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.model.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("week", date_trunc("DAY", col("ts"))), "yyyy-MM-dd")
+        .as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("week") -> r.getAs[Long]("n")).toMap
+    val est = SparkEntry.queries("hll_partial_union")(spark, sf).collect()
+      .map(r => r.getAs[String]("week") -> r.getAs[Long]("est_users")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (w, e) =>
+      val t = exact(w).toDouble
+      assert(math.abs(e - t) / t <= 0.05, s"week $w: est $e vs exact $t")
+    }
+  }
+
   test("ann_ivfpq_indexed returns exactly the inline ann_ivfpq result") {
     // same quantizer, codebooks and probe set — storing the index as a
     // cell-partitioned codes table must not change a single row
