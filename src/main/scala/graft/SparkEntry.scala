@@ -162,6 +162,7 @@ object SparkEntry {
     "partition_prune"   -> (StorageOps.partitionPrune _),
     "zorder_key"        -> (StorageOps.zorderKey _),
     "zorder_scan"       -> (StorageOps.zorderScan _),
+    "compaction_scan"   -> (StorageOps.compactionScan _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "frame_sample"      -> (MultimodalOps.frameSample _),
@@ -643,6 +644,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1""".stripMargin,
+    "compaction_scan" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // the z-key interleave is the SAME generated expression text on both
     // sides — the oracle proves the bit arithmetic is engine-identical
     "zorder_key" ->

@@ -130,6 +130,38 @@ object StorageOps {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("click_value"))
   }
 
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * ingest needs: micro-batch sinks leave one file per trigger per
+    * partition, and a year of 60 s triggers is ~500k tiny files whose
+    * open/footer cost dominates scans long before data volume does. The
+    * staged table simulates that debris (64 files); compaction rewrites it
+    * into a handful of scan-sized files in one shuffle-free coalesce pass.
+    * Production sizing divides table bytes by a 128 MB target (and uses
+    * maxRecordsPerFile for the tail); the 4-file target here keeps the
+    * fixture deterministic. The oracle aggregates the RAW events table —
+    * compaction must never change query results, only file geometry
+    * (PlanSpec asserts the 64 → ≤8 file-count drop).
+    */
+  def compactionScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_smallfiles") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    val compacted = ensure(spark, dir, "events", "graft_events_compacted") { tbl =>
+      spark.table(staged)
+        .coalesce(4)
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    spark.table(compacted)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
   /** Morton (z-order) key: the low 16 bits of two BIGINT dimensions bit-
     * interleaved into one 32-bit sort key, built as ONE arithmetic
     * expression string shared verbatim by Spark and the oracle — shifts,

@@ -132,6 +132,23 @@ class PlanSpec extends SparkSuite {
       "probe set must prune cell directories:\n" + p)
   }
 
+  test("compaction rewrites 64 ingest files into at most 8 without changing results") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("compaction_scan")(spark, sf)
+    df.count()
+    // file count comes from the scan's own metadata, post-compaction
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df2 = SparkEntry.queries("compaction_scan")(spark, sf)
+      df2.collect()
+      val scans = df2.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+      val files = scans.map(_.metrics("numFiles").value).sum
+      info(s"compacted scan reads $files files")
+      assert(files <= 8, s"expected <=8 compacted files, scan read $files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("z-ordered layout skips most files under a 2-D predicate box") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
