@@ -96,6 +96,7 @@ object SparkEntry {
     "candle_patterns"   -> (AggOps.candlePatterns _),
     "var_95"            -> (AggOps.var95 _),
     "max_drawdown"      -> (AggOps.maxDrawdown _),
+    "autocorr_lag1"     -> (AggOps.autocorrLag1 _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
@@ -1218,6 +1219,34 @@ object SparkEntry {
         |SELECT symbol, quantile_cont(ret, 0.05) AS var_5pct,
         |  CAST(count(*) AS BIGINT) AS n_returns
         |FROM r WHERE prev_close IS NOT NULL AND prev_close <> 0 GROUP BY 1""".stripMargin,
+    "autocorr_lag1" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS price
+        |  FROM events),
+        |c AS (
+        |  SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |    CAST(arg_max(price, ts) AS DOUBLE) AS close_price
+        |  FROM t GROUP BY 1, 2),
+        |p AS (
+        |  SELECT symbol,
+        |    CAST(round(close_price * 100) AS BIGINT) AS x,
+        |    CAST(round(lag(close_price) OVER
+        |      (PARTITION BY symbol ORDER BY window_start) * 100) AS BIGINT) AS y
+        |  FROM c),
+        |s AS (
+        |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT symbol, n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+        |    AS autocorr
+        |FROM s""".stripMargin,
     "retention_cohorts" ->
       """WITH fs AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

@@ -320,4 +320,44 @@ object AggOps {
         expr("percentile(ret, 0.05)").as("var_5pct"),
         count(lit(1)).as("n_returns"))
   }
+
+  /** Lag-1 autocorrelation of minute closes per symbol (mean-reversion /
+    * momentum signal). Pearson r over (close_t, close_{t−1}) pairs from
+    * EXACT integer power sums: closes are 2-decimal by construction, so
+    * ×100 is an exact integer and Σx, Σy, Σxy, Σx², Σy² are int64-exact
+    * (bounded by minutes·maxCents² ≈ 6e13 here; a deployment at wider
+    * spans promotes the sums to DECIMAL). The five sums then combine in
+    * DECIMAL(38,0) — n·Σxy−Σx·Σy ≈ 1.3e18 exceeds nothing in decimal,
+    * while an int64 product would sit one order from wraparound, where
+    * Spark wraps silently and ANSI engines promote — and the final ratio
+    * is double math on exact operands: deterministic on any partitioning
+    * and any engine. A streaming-float covariance would be neither.
+    */
+  def autocorrLag1(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+    val d38 = DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(d38)
+    // round() before the integer cast: close×100 is within 1e-10 of an
+    // integer but can sit a hair BELOW it (k/100 isn't a binary fraction),
+    // and a bare long cast truncates in Spark while ANSI engines round
+    ohlcv1min(spark, dir)
+      .select(col("window_start"), col("symbol"),
+        round(col("close_price") * 100).cast(LongType).as("x"))
+      .withColumn("y", lag(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("symbol"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast(DoubleType) /
+          (sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast(DoubleType)) *
+           sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast(DoubleType))))
+          .as("autocorr"))
+  }
 }

@@ -200,6 +200,28 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("autocorr_lag1 is a valid correlation and matches a driver-side recompute") {
+    val rows = SparkEntry.queries("autocorr_lag1")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("autocorr")
+      assert(a >= -1.0 && a <= 1.0, r.toString)
+    }
+    // recompute one symbol from the candle frame directly
+    val sym = rows.head.getAs[String]("symbol")
+    val closes = graft.ops.AggOps.ohlcv1min(spark, sf)
+      .filter(col("symbol") === sym).orderBy(col("window_start"))
+      .collect().map(r => math.round(r.getAs[Double]("close_price") * 100))
+    val (xs, ys) = (closes.drop(1), closes.dropRight(1))
+    val n = xs.length.toDouble
+    def s(v: Array[Long]) = v.sum.toDouble
+    val r0 = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - s(xs) * s(ys)) /
+      (math.sqrt(n * xs.map(v => v * v).sum - s(xs) * s(xs)) *
+       math.sqrt(n * ys.map(v => v * v).sum - s(ys) * s(ys)))
+    val got = rows.find(_.getAs[String]("symbol") == sym).get.getAs[Double]("autocorr")
+    assert(math.abs(got - r0) < 1e-9, s"$sym: $got vs $r0")
+  }
+
   test("sql_q18 returns only above-threshold orders, price-descending, at most 20") {
     val rows = SparkEntry.queries("sql_q18")(spark, sf).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
