@@ -314,34 +314,36 @@ object StatsOps {
   /** Slowly-changing-dimension type-2 history: each user's event_type
     * stream collapsed to validity intervals — consecutive equal states
     * merge into one row with [valid_from, valid_to) and a current-row
-    * flag. Gaps-and-islands in three window passes over ONE partitioning
-    * (user_id), so the whole query is a single exchange: (1) lag marks
-    * state changes, (2) a running sum of change marks numbers the runs,
-    * (3) after collapsing each run to its first timestamp, lead supplies
-    * the exclusive upper bound. Timestamps cross the boundary as strings
-    * (engine-native timestamp objects hash differently in the comparator).
+    * flag. Gaps-and-islands WITHOUT the usual collapse aggregation: a
+    * run's start row already carries everything the interval needs, so
+    * after lag marks the state changes, the query just KEEPS the start
+    * rows — run_id is their rank, valid_to the next start's timestamp,
+    * n_events the gap between consecutive start positions. Every window
+    * shares one (user_id) partitioning and one (ts, event_id) ordering,
+    * so the whole query is a single exchange + single sort — a
+    * groupBy(user, run) collapse would add a second shuffle on the
+    * composite key and a third back to user_id for the lead. Timestamps
+    * cross the boundary as strings (engine-native timestamp objects hash
+    * differently in the comparator).
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val runs = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTs).isNull ||
              lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
           .otherwise(0L))
-      .withColumn("run_id", sum(col("chg")).over(
-        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val collapsed = runs.groupBy(col("user_id"), col("run_id"))
-      .agg(
-        min(col("ts")).as("valid_from_ts"),
-        first(col("event_type")).as("state"),
-        count(lit(1)).as("n_events"))
-    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-    collapsed
-      .withColumn("valid_to_ts", lead(col("valid_from_ts"), 1).over(byRun))
+      .withColumn("rn", row_number().over(byTs))
+      .withColumn("n_user", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("chg") === 1L)
+      .withColumn("run_id", row_number().over(byTs).cast(LongType))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byTs))
+      .withColumn("n_events",
+        coalesce(lead(col("rn"), 1).over(byTs), col("n_user") + 1L) - col("rn"))
       .select(
-        col("user_id"), col("run_id"), col("state"), col("n_events"),
-        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        col("user_id"), col("run_id"), col("event_type").as("state"), col("n_events"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("valid_to_ts").isNull.as("is_current"))
   }

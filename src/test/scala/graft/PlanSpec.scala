@@ -132,6 +132,13 @@ class PlanSpec extends SparkSuite {
       "probe set must prune cell directories:\n" + p)
   }
 
+  test("scd2_history is one exchange + one sort (no collapse aggregation shuffle)") {
+    val p = plan("scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("HashAggregate"), "run collapse must not aggregate:\n" + p)
+  }
+
   test("compaction rewrites 64 ingest files into at most 8 without changing results") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("compaction_scan")(spark, sf)
