@@ -1089,10 +1089,13 @@ object SparkEntry {
         |  FROM t GROUP BY 1)
         |SELECT event_type, n,
         |  CAST(sx AS DOUBLE) / n AS mean_value,
-        |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) AS stddev_value,
-        |  CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1)) AS var_value,
-        |  CAST(n*sxy - sx*sy AS DOUBLE)
-        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |  sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |       / (n*(n-1))) AS stddev_value,
+        |  (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |       / (n*(n-1)) AS var_value,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
         |    AS corr_value_k
         |FROM s""".stripMargin,
     "bitwise_funcs" ->
@@ -1122,9 +1125,11 @@ object SparkEntry {
         |    sum(x) AS sx, sum(x*x) AS sxx, sum(y) AS sy, sum(x*y) AS sxy
         |  FROM t GROUP BY 1)
         |SELECT event_type, n,
-        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
         |  (CAST(sy AS DOUBLE)
-        |   - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |   - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
         |     * CAST(sx AS DOUBLE)) / n AS intercept
         |FROM s""".stripMargin,
     "percentiles" ->

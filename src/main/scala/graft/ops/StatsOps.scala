@@ -24,9 +24,18 @@ object StatsOps {
     * mean, sample stddev/variance (n·Σx² − (Σx)² form), plus correlation
     * between value and the props.k payload.
     */
+  /** Moment statistics from decimal-exact power sums. The sums are
+    * decimal (order-independent); each INDIVIDUAL sum converts to double
+    * exactly (unscaled magnitude stays under 2^53 at these spans) and the
+    * moments then combine in pure IEEE double — combining in DECIMAL
+    * first and converting the wide result diverges in the last ulp across
+    * engines once the unscaled numerator passes 2^53 (BigDecimal→double
+    * vs int128-scaled division; hit sf0.1's stddev before this shape).
+    */
   def statsAgg(spark: SparkSession, dir: String): DataFrame = {
     val x = dec2(col("value"))
     val y = get_json_object(col("props"), "$.k").cast(DecimalType(18, 2))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -36,14 +45,14 @@ object StatsOps {
         sum(x * y).as("sxy"))
       .select(
         col("event_type"), col("n"),
-        (col("sx").cast(DoubleType) / col("n")).as("mean_value"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+        (d(col("sx")) / col("n")).as("mean_value"),
+        sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
           / (col("n") * (col("n") - 1))).as("stddev_value"),
-        ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+        ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
           / (col("n") * (col("n") - 1))).as("var_value"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
           .as("corr_value_k"))
   }
 
@@ -55,6 +64,11 @@ object StatsOps {
   def linregAgg(spark: SparkSession, dir: String): DataFrame = {
     val y = dec2(col("value"))
     val x = get_json_object(col("props"), "$.k").cast(DecimalType(18, 2))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    // same per-sum double conversion as statsAgg: each sum is exact under
+    // 2^53; the closed-form combination runs in engine-identical double
+    val slope = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -63,13 +77,8 @@ object StatsOps {
         sum(y).as("sy"), sum(x * y).as("sxy"))
       .select(
         col("event_type"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
-          .as("slope"),
-        ((col("sy").cast(DoubleType)
-          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
-            * col("sx").cast(DoubleType)) / col("n")).as("intercept"))
+        slope.as("slope"),
+        ((d(col("sy")) - slope * d(col("sx"))) / col("n")).as("intercept"))
   }
 
   /** Exact interpolated percentiles (p50/p90/p99) of lineitem quantity per
