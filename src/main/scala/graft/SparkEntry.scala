@@ -78,6 +78,7 @@ object SparkEntry {
     "part_revenue"      -> (RelationalOps.partRevenue _),
     "sql_q3"            -> (RelationalOps.sqlQ3 _),
     "sql_q5"            -> (RelationalOps.sqlQ5 _),
+    "sql_q7"            -> (RelationalOps.sqlQ7 _),
     "sql_q18"           -> (RelationalOps.sqlQ18 _),
     "lateral_topn"      -> (RelationalOps.lateralTopn _),
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
@@ -919,6 +920,24 @@ object SparkEntry {
         |  json_extract_string(props, '$.k') AS k_str,
         |  'OBJECT<k: BIGINT>' AS v_schema
         |FROM events""".stripMargin,
+    "sql_q7" ->
+      """SELECT supp_nation, cust_nation, CAST(l_year AS INTEGER) AS l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
     "sql_q18" ->
       """SELECT c_name, o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,

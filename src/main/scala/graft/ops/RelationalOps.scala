@@ -494,6 +494,40 @@ object RelationalOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two named
+    * nations by ship year — the two-role dimension pattern, nation joined
+    * TWICE under different aliases (supplier's nation vs customer's
+    * nation) with a symmetric pair predicate. The nation filters push into
+    * both broadcast sides BEFORE the fact join, so only lineitems of the
+    * two nations' suppliers/customers survive into the shuffle; year comes
+    * from the shipdate, not a calendar table.
+    */
+  def sqlQ7(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     * aggregation subquery driving the join — the orders that pass the
     * quantity threshold are found FIRST (one partial-aggregated pass over
