@@ -132,6 +132,28 @@ class PlanSpec extends SparkSuite {
       "probe set must prune cell directories:\n" + p)
   }
 
+  test("runtime bloom-filter semi-join reduction is available on selective shuffle joins") {
+    import org.apache.spark.sql.functions._
+    // thresholds sized for clusters (10 GB application side) — force the
+    // injection at test scale to pin that the engine plans might_contain
+    // semi-join reduction when a selective dim filter feeds a shuffle join
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.model.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000)
+      val l = graft.model.Tables.lineitem(spark, sf)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      j.count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), "bloom filter not injected:\n" + p)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("scd2_history is one exchange + one sort (no collapse aggregation shuffle)") {
     val p = plan("scd2_history")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
