@@ -101,6 +101,7 @@ object SparkEntry {
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
+    "hll_overlap"       -> (StatsOps.hllOverlap _),
     "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
     "variant_extract"   -> (ParseOps.variantExtract _),
     "pivot_sales"       -> (StatsOps.pivotSales _),

@@ -130,6 +130,18 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
+  test("hll_overlap estimates signup∩purchase within 10% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val exact = users("signup").intersect(users("purchase")).size.toDouble
+    val row = SparkEntry.queries("hll_overlap")(spark, sf).collect().head
+    val est = row.getAs[Double]("est_overlap")
+    info(f"hll_overlap: est $est%.1f vs exact $exact%.0f")
+    assert(math.abs(est - exact) / exact <= 0.10, s"est $est vs exact $exact")
+  }
+
   test("ann_ivfpq_indexed returns exactly the inline ann_ivfpq result") {
     // same quantizer, codebooks and probe set — storing the index as a
     // cell-partitioned codes table must not change a single row

@@ -200,6 +200,21 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("zvalue interleave round-trips: odd bits decode to x, even bits to y") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val rows = pairs.toDF("x", "y")
+      .withColumn("z", expr(graft.ops.StorageOps.zvalueSql("x", "y")))
+      .collect()
+    rows.foreach { r =>
+      val (x, y, z) = (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z"))
+      val xBack = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      val yBack = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      assert(xBack == x && yBack == y, s"($x,$y) -> $z -> ($xBack,$yBack)")
+    }
+  }
+
   test("autocorr_lag1 is a valid correlation and matches a driver-side recompute") {
     val rows = SparkEntry.queries("autocorr_lag1")(spark, sf).collect()
     assert(rows.nonEmpty)
