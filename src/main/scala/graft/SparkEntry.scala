@@ -155,6 +155,7 @@ object SparkEntry {
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "oov_rate"          -> (PipelineOps.oovRate _),
+    "passage_dedup"     -> (PipelineOps.passageDedup _),
     "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
     "label_centroids"   -> (SimilarityOps.labelCentroids _),
     "ann_pq"            -> (SimilarityOps.annPq _),
@@ -980,6 +981,19 @@ object SparkEntry {
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
         |FROM days JOIN pairs ON pairs.d BETWEEN day - 6 AND day
         |GROUP BY day""".stripMargin,
+    "passage_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')) AS h
+        |  FROM d, unnest(generate_series(0,
+        |         CAST(len(toks) // 20 AS INTEGER) - 1)) AS t(i)
+        |  WHERE len(toks) >= 20)
+        |SELECT h,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM w GROUP BY h HAVING count(*) >= 2""".stripMargin,
     "mix_rebalance" ->
       """WITH ps AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,

@@ -406,6 +406,33 @@ object PipelineOps {
         col("n_oov").cast(DoubleType) / col("n_test_tokens"))
   }
 
+  /** Sub-document passage dedup: documents are cut into ALIGNED 20-token
+    * windows, each window hashed, and passages appearing more than once
+    * across the corpus surface with their document spread — the op behind
+    * removing duplicated boilerplate passages from otherwise-distinct
+    * pages (doc-level dedup misses them entirely). Aligned windows give
+    * n/20 hashes per document instead of the n overlapping shingles
+    * minhash uses — cheap enough to run exactly at corpus scale; the
+    * shuffle carries (16-byte hash, doc_id) pairs only, never text, and
+    * map-side partial aggregation collapses within-partition repeats.
+    */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val P = 20
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= P)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), (size(col("toks")) / P).cast(IntegerType) - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("i") * P + 1, lit(P)))).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+  }
+
   /** Rebalance the corpus toward an EQUAL per-source mix: each source is
     * down-sampled at rate min(1, N/(k·n_s)) so no source exceeds its equal
     * share N/k. Selection is the same deterministic multiplicative hash as

@@ -200,6 +200,25 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("passage_dedup equals a driver-side exact recompute of repeated windows") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val windows = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        r.getAs[String]("text").trim.split(" ")
+          .grouped(20).filter(_.length == 20)
+          .map(w => (r.getAs[Long]("doc_id"), md5hex(w.mkString(" "))))
+      }
+    val expected = windows.groupBy(_._2)
+      .collect { case (h, occ) if occ.length >= 2 =>
+        h -> (occ.length.toLong, occ.map(_._1).distinct.length.toLong) }
+    val got = SparkEntry.queries("passage_dedup")(spark, sf).collect()
+      .map(r => r.getAs[String]("h") ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("n_docs"))).toMap
+    assert(got == expected.toMap)
+  }
+
   test("zvalue interleave round-trips: odd bits decode to x, even bits to y") {
     import spark.implicits._
     val rnd = new Random(7)
