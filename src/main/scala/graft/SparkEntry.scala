@@ -112,6 +112,7 @@ object SparkEntry {
     "agg_custom_vwap"   -> (CustomOps.aggCustomVwap _),
     "explode_tokens"    -> (CustomOps.explodeTokens _),
     "json_map_keys"     -> (CustomOps.jsonMapKeys _),
+    "typed_max_gap"     -> (CustomOps.typedMaxGap _),
     // ---- text analysis (north-star extensions) ----
     "text_stats"        -> (TextOps.textStats _),
     "token_count"       -> (TextOps.tokenCount _),
@@ -981,6 +982,21 @@ object SparkEntry {
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
         |FROM days JOIN pairs ON pairs.d BETWEEN day - 6 AND day
         |GROUP BY day""".stripMargin,
+    // the relational twin of the typed mapGroups form — the gate proves
+    // the two agree
+    "typed_max_gap" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY event_type ORDER BY ts_s) AS gap
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_s
+        |FROM g GROUP BY event_type""".stripMargin,
     "passage_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),

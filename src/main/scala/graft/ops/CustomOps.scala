@@ -97,4 +97,32 @@ object CustomOps {
         col("event_id"),
         array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
         col("m").getItem("k").as("k_value"))
+
+  /** Typed `Dataset.groupByKey(...).mapGroups` proof point — the last §2.5
+    * extension mechanism (arbitrary JVM logic per group, with Encoders
+    * instead of Rows): the longest inter-event gap per event type.
+    *
+    * Scale contract, stated honestly: `mapGroups` MATERIALIZES each group
+    * on one task, so it is only safe when the per-group volume is bounded
+    * (here: a handful of event types; generally: after a pre-aggregation).
+    * The relational twin — max over a lag window — is the shape that
+    * scales unbounded, and it is exactly what the oracle runs, so the
+    * gate also proves the typed and relational forms agree.
+    */
+  def typedMaxGap(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(LongType).as("ts_s"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, rows) =>
+        val ts = rows.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val maxGap = if (ts.length < 2) 0L
+          else ts.indices.tail.map(i => ts(i) - ts(i - 1)).max
+        (tpe, ts.length.toLong, maxGap)
+      }
+      .toDF("event_type", "n_events", "max_gap_s")
+  }
 }
