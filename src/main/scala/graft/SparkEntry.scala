@@ -104,6 +104,7 @@ object SparkEntry {
     "hll_overlap"       -> (StatsOps.hllOverlap _),
     "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
     "variant_extract"   -> (ParseOps.variantExtract _),
+    "array_hof"         -> (ParseOps.arrayHof _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -915,6 +916,18 @@ object SparkEntry {
         |      FROM ev GROUP BY k)
         |SELECT coalesce(c.k, '(error)') AS event_key, c.n_events, v.sum_value
         |FROM c JOIN v ON c.k IS NOT DISTINCT FROM v.k2""".stripMargin,
+    "array_hof" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(trim(text), ' '), x -> strlen(x)) AS lens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(lens) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(lens, x -> x >= 6)) AS INTEGER) AS n_long,
+        |  len(list_filter(lens, x -> x = 8)) > 0 AS has_len8,
+        |  CAST(list_sum(list_transform(lens, x -> x * x)) AS BIGINT) AS sq_sum
+        |FROM d""".stripMargin,
     // v_schema is constant because every props row is {"k": <int>}; the
     // literal pins Spark's variant schema inference output
     "variant_extract" ->

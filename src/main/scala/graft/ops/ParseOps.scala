@@ -168,6 +168,24 @@ object ParseOps {
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         to_date(col("o_orderdate")).cast("string").as("date_str"))
 
+  /** Higher-order array function family (transform / filter / aggregate /
+    * exists) over each document's token-length array — the declarative
+    * array algebra that stays inside codegen where a UDF would not.
+    * Integer folds only (sums/counts are exact on any engine; a double
+    * fold would be evaluation-order-sensitive).
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lens", expr("transform(split(trim(text), ' '), x -> length(x))"))
+      .select(
+        col("doc_id"),
+        size(col("lens")).as("n_tokens"),
+        expr("aggregate(lens, 0L, (acc, x) -> acc + x)").as("sum_len"),
+        expr("size(filter(lens, x -> x >= 6))").as("n_long"),
+        expr("exists(lens, x -> x = 8)").as("has_len8"),
+        expr("aggregate(transform(lens, x -> cast(x as bigint) * x), 0L, (acc, x) -> acc + x)")
+          .as("sq_sum"))
+
   /** Semi-structured access through Spark 4's VARIANT type: `parse_json`
     * builds the binary variant ONCE per row and typed paths come out via
     * `variant_get` — the open-schema ingestion path (vs [[jsonExtract]]'s
