@@ -105,6 +105,7 @@ object SparkEntry {
     "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
     "variant_extract"   -> (ParseOps.variantExtract _),
     "array_hof"         -> (ParseOps.arrayHof _),
+    "try_funcs"         -> (ParseOps.tryFuncs _),
     "pivot_sales"       -> (StatsOps.pivotSales _),
     "unpivot_sales"     -> (StatsOps.unpivotSales _),
     "range_frame_sum"   -> (StatsOps.rangeFrameSum _),
@@ -916,6 +917,13 @@ object SparkEntry {
         |      FROM ev GROUP BY k)
         |SELECT coalesce(c.k, '(error)') AS event_key, c.n_events, v.sum_value
         |FROM c JOIN v ON c.k IS NOT DISTINCT FROM v.k2""".stripMargin,
+    "try_funcs" ->
+      """SELECT event_id,
+        |  value / nullif(CAST(event_id % 3 AS DOUBLE), 0) AS per_unit,
+        |  TRY_CAST(props AS DOUBLE) AS props_num,
+        |  TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS type_num,
+        |  TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip
+        |FROM events""".stripMargin,
     "array_hof" ->
       """WITH d AS (
         |  SELECT doc_id,

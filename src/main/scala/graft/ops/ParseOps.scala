@@ -168,6 +168,23 @@ object ParseOps {
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         to_date(col("o_orderdate")).cast("string").as("date_str"))
 
+  /** Error-safe function family (`try_divide` / `try_cast`): malformed or
+    * degenerate inputs produce NULL instead of failing the job — at
+    * corpus scale a single dirty row must never kill a 10-hour pipeline,
+    * and NULL-on-error keeps the behavior identical under ANSI and
+    * non-ANSI modes. try_divide guards the zero-denominator case the
+    * engine otherwise handles with explicit `when` guards; try_cast
+    * exercises a mix of clean and unparseable strings.
+    */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("try_divide(value, cast(event_id % 3 as double))").as("per_unit"),
+        expr("try_cast(props as double)").as("props_num"),
+        expr("try_cast(substr(event_type, 1, 1) as int)").as("type_num"),
+        expr("try_cast(cast(event_id as string) as bigint)").as("id_roundtrip"))
+
   /** Higher-order array function family (transform / filter / aggregate /
     * exists) over each document's token-length array — the declarative
     * array algebra that stays inside codegen where a UDF would not.
