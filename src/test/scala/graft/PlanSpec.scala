@@ -132,6 +132,34 @@ class PlanSpec extends SparkSuite {
       "probe set must prune cell directories:\n" + p)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // thresholds are cluster-sized; shrink them so the fixture-scale hot
+    // key qualifies as skewed and AQE's OptimizeSkewedJoin actually fires
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("id"))).as("k"), col("id").as("v"))
+      val dim = spark.range(1000)
+        .select(concat(lit("k"), col("id")).as("k"), lit("hot").as("k2"))
+        .unionAll(spark.range(1).select(lit("hot").as("k"), lit("x")))
+      // a global count: its partial aggregation accepts ANY distribution, so
+      // AQE may split the skewed partition (a groupBy(k) downstream would
+      // re-require hashpartitioning(k) and legally forbid the split)
+      val j = skewed.join(dim, "k").agg(count(lit(1)))
+      j.collect() // execute THIS frame so its adaptive plan finalizes
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE skew split did not fire:\n" + p)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("runtime bloom-filter semi-join reduction is available on selective shuffle joins") {
     import org.apache.spark.sql.functions._
     // thresholds sized for clusters (10 GB application side) — force the
