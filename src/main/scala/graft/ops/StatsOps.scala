@@ -148,11 +148,62 @@ object StatsOps {
 
   /** ntile(4) quartile bucketing of orders by totalprice (deterministic
     * total order via the orderkey tiebreak), with per-bucket stats.
+    *
+    * NOT `ntile(4).over(Window.orderBy(...))`: a no-partition window
+    * funnels the whole table through ONE task's sort — the textbook
+    * single-task bottleneck at scale. Instead the global rank is computed
+    * distributed, with every shared quantity a DETERMINISTIC literal so no
+    * two passes can disagree on row placement (the repartitionByRange +
+    * spark_partition_id alternative re-samples range bounds per physical
+    * exchange — cross-subtree agreement would hang on exchange reuse):
+    *
+    *  1. ~equi-depth price boundaries from one `approx_percentile` pass,
+    *     collected as a LITERAL array (index-build-style bounded driver
+    *     lookup, ≤ nSlices doubles — boundary quality only affects
+    *     balance, never correctness);
+    *  2. slice = pure expression of the row's price vs the literal
+    *     boundaries — monotone in the price-desc ordering, identical in
+    *     every pass by construction;
+    *  3. per-slice counts (one tiny agg) → cumulative offsets + total as
+    *     a LITERAL map; global rank = offset(slice) + in-slice
+    *     `row_number` over a slice-PARTITIONED window (partition-parallel
+    *     — the one full shuffle in the plan);
+    *  4. buckets by the exact SQL ntile formula (first n%k buckets get
+    *     ⌈n/k⌉ rows), then per-bucket stats.
     */
   def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .withColumn("bucket", ntile(4).over(w))
+    val nSlices = 32
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val pcts = (1 until nSlices).map(i => i.toDouble / nSlices).mkString(", ")
+    val bRow = orders
+      .agg(expr(s"approx_percentile(o_totalprice, array($pcts), 1000)")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0).distinct.sorted.reverse
+    // slice = count of boundaries strictly above this price (descending
+    // boundaries, so the highest prices land in slice 0); NULL prices sort
+    // last under DESC NULLS LAST → the final slice
+    val sliceExpr =
+      if (bounds.isEmpty) lit(0) // empty/constant input: one slice
+      else when(col("o_totalprice").isNull, lit(bounds.length))
+        .otherwise(expr(
+          s"size(filter(array(${bounds.mkString(", ")}), b -> o_totalprice < b))"))
+    val withSlice = orders.withColumn("slice", sliceExpr)
+    val cnts = withSlice.groupBy(col("slice")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    val offs = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    withSlice
+      .withColumn("r", element_at(typedLit(offs), col("slice")) + row_number().over(w))
+      .withColumn("q", lit(n / 4))
+      .withColumn("rem", lit(n % 4))
+      .withColumn("cut", lit((n % 4) * (n / 4 + 1)))
+      .withColumn("bucket",
+        when(col("r") <= col("cut"), expr("(r - 1) div (q + 1) + 1"))
+          .otherwise(expr("rem + (r - cut - 1) div q + 1"))
+          .cast(IntegerType))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -271,6 +322,9 @@ object StatsOps {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
     val spark2 = spark
     import spark2.implicits._
+    // LEFT join + coalesce(0): a stage no user survives must still surface
+    // with n_users = 0 (the oracle's scalar-subquery form does) — an inner
+    // join would silently drop the row on such data
     Seq(("signup", 1), ("click_after_signup", 2), ("purchase_after_click", 3))
       .toDF("stage", "stage_order")
       .join(
@@ -278,8 +332,9 @@ object StatsOps {
           .union(s2.select(lit(2), col("user_id")))
           .union(s3.select(lit(3), col("user_id")))
           .groupBy(col("stage_order")).agg(count(lit(1)).as("n_users")),
-        "stage_order")
-      .select(col("stage"), col("stage_order"), col("n_users"))
+        Seq("stage_order"), "left")
+      .select(col("stage"), col("stage_order"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
@@ -327,8 +382,13 @@ object StatsOps {
   /** Trailing-7-day distinct active users per day. Window functions can't
     * COUNT DISTINCT over a frame, so the rolling set is computed
     * relationally: collapse events to distinct (day, user) pairs FIRST
-    * (bounded by users × days, independent of event volume), then a
-    * bounded range join of each day against its trailing week of pairs.
+    * (bounded by users × days, independent of event volume), then EXPLODE
+    * each pair to the ≤7 report days it contributes to — a pure map with a
+    * fixed 7× fan-out — and countDistinct per day. No join touches the
+    * pair set (the old day-range form was a BroadcastNestedLoopJoin:
+    * every pair tested against every day); the only join left is a
+    * broadcast semi-join against the tiny distinct-day frame, which
+    * restricts output to days that actually appear in the data.
     * At 100 TB the only pass over raw events is the initial distinct;
     * everything after operates on the collapsed pair set.
     */
@@ -339,7 +399,9 @@ object StatsOps {
         col("user_id"))
       .distinct()
     val days = pairs.select(col("d").as("day")).distinct()
-    days.join(pairs, col("d").between(col("day") - 6, col("day")))
+    pairs
+      .select(explode(sequence(col("d"), col("d") + 6)).as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }

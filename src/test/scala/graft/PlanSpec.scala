@@ -132,6 +132,31 @@ class PlanSpec extends SparkSuite {
       "probe set must prune cell directories:\n" + p)
   }
 
+  test("ntile_buckets ranks through a partitioned window, never one task") {
+    // The r4-flagged scale-killer: ntile(4) OVER (ORDER BY ...) demands a
+    // SinglePartition WindowExec — every row through one task's sort. The
+    // fix computes global ranks distributed (literal equi-depth slice
+    // boundaries + slice-partitioned row_number + literal offsets); pin
+    // that no single-partition exchange or global ntile ever returns.
+    val p = plan("ntile_buckets")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("ntile("), p)
+    assert(p.contains("windowspecdefinition(slice"),
+      "rank window must be partitioned by slice:\n" + p)
+  }
+
+  test("rolling_active_users is a map-side explode, not a nested-loop range join") {
+    // The r4-flagged BNLJ: days.join(pairs, d BETWEEN day-6 AND day) has
+    // no equi-key, so every (day,user) pair was tested against every day.
+    // The fix explodes each pair to its ≤7 trailing report days (pure map)
+    // and keeps only observed days via a broadcast semi-join.
+    val p = plan("rolling_active_users")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("explode(sequence"), p)
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     // thresholds are cluster-sized; shrink them so the fixture-scale hot
