@@ -133,6 +133,7 @@ object SparkEntry {
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
+    "dedup_clusters_lsh" -> (DedupOps.dedupClustersLsh _),
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
@@ -184,7 +185,8 @@ object SparkEntry {
         |         CAST(value AS DECIMAL(18,2)) AS price,
         |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
         |  FROM events)
-        |SELECT date_trunc('minute', ts) AS window_start, symbol,
+        |SELECT date_trunc('minute', ts) AS window_start,
+        |  date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end, symbol,
         |  CAST(arg_min(price, ts) AS DOUBLE) AS open_price,
         |  CAST(max(price) AS DOUBLE) AS high_price,
         |  CAST(min(price) AS DOUBLE) AS low_price,
@@ -194,7 +196,7 @@ object SparkEntry {
         |  CASE WHEN sum(quantity) <> 0
         |       THEN CAST(sum(price * quantity) AS DOUBLE) / CAST(sum(quantity) AS DOUBLE)
         |  END AS vwap
-        |FROM t GROUP BY 1, 2""".stripMargin,
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
     "open_close" ->
       """WITH t AS (
         |  SELECT ts, event_type AS symbol, CAST(value AS DECIMAL(18,2)) AS price

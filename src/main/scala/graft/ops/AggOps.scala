@@ -40,6 +40,10 @@ object AggOps {
     * partitioning (and oracle-checkable as DuckDB arg_min/arg_max).
     * VWAP guards the zero-volume case explicitly so Spark and DuckDB agree
     * (SURVEY §7.4, non-ANSI div-by-zero).
+    *
+    * Emits BOTH window bounds like the reference row (processor.py:93,
+    * init.sql:8) and the streaming twin (OhlcvStream window.start/end);
+    * window_end is derived post-agg — a pure projection, no grouping cost.
     */
   def ohlcv1min(spark: SparkSession, dir: String): DataFrame = {
     val vol = sum(col("quantity"))
@@ -57,6 +61,7 @@ object AggOps {
         when(vol =!= 0,
           sum(col("trade_value")).cast(DoubleType) / vol.cast(DoubleType))
           .as("vwap"))
+      .withColumn("window_end", col("window_start") + expr("INTERVAL 1 MINUTE"))
   }
 
   /** A4/A5 isolated: deterministic open/close per (minute, symbol). */

@@ -176,13 +176,34 @@ object DedupOps {
     * `Tables.ckpt` truncates the growing lineage each round (reliable
     * checkpoint on a cluster, localCheckpoint in a single JVM) — the same
     * shape MLlib uses for iterative algorithms. The edge set here is the
-    * oracle-computable n-gram-Jaccard pairs; at scale the MinHash+LSH pair
-    * generator plugs in identically.
+    * oracle-computable n-gram-Jaccard pairs; [[dedupClustersLsh]] is the
+    * same labeler fed by the at-scale MinHash+LSH pair generator.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    labelComponents(spark, dir,
+      ngramJaccard(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** The production dedup pipeline end-to-end: [[minhashNeardup]]'s LSH
+    * candidate pairs (banded signature equi-join, ids-only shuffle) feed
+    * the same min-label connected-components labeler as [[dedupClusters]].
+    * This is the composition that runs at 100 TB — candidate generation
+    * never materializes all pairs, and the labeler only sees edges. On the
+    * planted near-dup corpus (true Jaccard ~0.9+ vs background <0.2) LSH
+    * recall is 1.0 by construction, so the spec pins this cluster-identical
+    * to the exact-Jaccard form for planted clusters. Estimator-derived edge
+    * set → no SQL oracle; rows-only gate + DedupClustersLshSpec.
+    */
+  def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    labelComponents(spark, dir,
+      minhashNeardup(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation over an undirected pair graph: every document
+    * labeled with the smallest doc_id in its component + cluster size.
+    */
+  private def labelComponents(
+      spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val edges = Tables.ckpt(pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var labels = Tables.ckpt(Tables.documents(spark, dir)

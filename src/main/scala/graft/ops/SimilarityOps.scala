@@ -261,6 +261,19 @@ object SimilarityOps {
   private val PqSubDim = 8  // dims per subspace (64 / M)
   private val PqK = 32      // centroids per subspace
   private val PqCand = 64   // ADC candidates re-ranked exactly per query
+  /** IVFPQ probe width. The IVFPQ recall ceiling here is the IVF probe
+    * fraction, not PQ error (full-scan ann_pq measures 0.93): the spec
+    * corpus is near-isotropic random vectors, so true neighbors spread
+    * almost uniformly across cells and recall ~ tracks nProbe/nList.
+    * Measured recall@3 at sf0.001: 4/16 -> 0.77, 6/16 -> 0.80,
+    * 8/16 -> 0.87 (spec floor 0.85). At real corpus scale nList grows
+    * ~sqrt(N) and clustered embeddings concentrate neighbors, so the
+    * probed FRACTION shrinks as N grows — 8/16 is a fixture-scale
+    * setting, not a deployment constant. Residual encoding (FAISS's
+    * u − centroid form) was considered and rejected: it attacks PQ
+    * error, which is not the binding constraint here.
+    */
+  private val IvfPqProbe = 8
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
@@ -361,13 +374,12 @@ object SimilarityOps {
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = unitVecs(spark, dir)
     val cb = pqCodebooks(spark, dir)
-    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
     // Encode: per subspace, argmin_c ‖u_sub − c‖², in the native codegen'd
     // [[graft.functions.PqEncode]] kernel (bit-identical to the interpreted
     // struct-argmin HOF form — pinned by PqExpressionsSpec; the HOF twin
     // cost ~8 s of a 9 s ann_pq run at sf0.1).
     val codes = e
-      .withColumn("codes", expr("pq_encode(u)"))
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("u"), cb))
       .select(col("vec_id"), col("codes"))
     val q = pqQueries(e, cb)
     // ADC scan: M lookups + adds per (corpus row, query) — codes-only scan
@@ -388,16 +400,15 @@ object SimilarityOps {
     * scan touches nProbe cells × 8 bytes/row, shuffle carries ids only.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val nProbe = 4
+    val nProbe = IvfPqProbe
     val e = unitVecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
     val cb = pqCodebooks(spark, dir)
-    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
     // corpus index rows: (vec_id, cell, codes) — cell from the RAW-vector
     // coarse quantizer (same argmin as annIvf), codes over the normalized
     // vector (same representation as annPq)
     val corpus = withCell(e, cents)
-      .withColumn("codes", expr("pq_encode(u)"))
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("u"), cb))
       .select(col("vec_id"), col("cell"), col("codes"))
     val probes = cellProbes(spark, pqQueries(e, cb), cents, nProbe)
       .select(col("q_id"), col("dtab"), col("c_id"))
@@ -424,14 +435,13 @@ object SimilarityOps {
     * storing the index must not change answers.
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val nProbe = 4
+    val nProbe = IvfPqProbe
     val e = unitVecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
     val cb = pqCodebooks(spark, dir)
-    graft.functions.GraftFunctions.registerPqEncode(spark, cb)
     val idx = StorageOps.ensure(spark, dir, "embeddings", "graft_ivfpq_idx") { tbl =>
       withCell(e, cents)
-        .withColumn("codes", expr("pq_encode(u)"))
+        .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("u"), cb))
         .select(col("vec_id"), col("codes"), col("cell"))
         .write.format("parquet").partitionBy("cell")
         .mode("overwrite").saveAsTable(tbl)

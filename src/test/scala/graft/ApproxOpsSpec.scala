@@ -99,7 +99,7 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
-  test("ann_ivfpq recall@3 vs exact kNN ground truth >= 0.7") {
+  test("ann_ivfpq recall@3 vs exact kNN ground truth >= 0.85") {
     val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
     val ann = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
     val truth = knn.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
@@ -110,8 +110,8 @@ class ApproxOpsSpec extends SparkSuite {
     val recall = truth.map { case (q, t) =>
       t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size
     }.sum / truth.size
-    info(f"ann_ivfpq recall@3 = $recall%.2f (probe 4/16 cells, ADC over M=8 K=32 codes)")
-    assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
+    info(f"ann_ivfpq recall@3 = $recall%.2f (probe 8/16 cells, ADC over M=8 K=32 codes)")
+    assert(recall >= 0.85, f"recall@3 $recall%.2f below floor")
   }
 
   test("hll_partial_union weekly estimates within 5% of exact weekly distincts") {
@@ -212,6 +212,43 @@ class ApproxOpsSpec extends SparkSuite {
     assert(got == exact,
       s"missing: ${(exact.keySet -- got.keySet).take(5)}; spurious: ${(got.keySet -- exact.keySet).take(5)}")
     info(s"${exact.size} heavy hitters, exact counts match")
+  }
+
+  test("dedup_clusters_lsh: LSH candidates + CC labeler reproduce the planted clusters") {
+    // The end-to-end production pipeline (minhash_neardup -> connected
+    // components) must agree with ground truth computed from EXACT Jaccard
+    // over all pairs: brute-force the J >= 0.7 planted-near-dup graph,
+    // take its connected components, and demand dedup_clusters_lsh
+    // recovers exactly those components (LSH recall on planted pairs is
+    // 1.0 by construction — ~0.9 true Jaccard vs a 0.5 banding threshold).
+    // Docs the LSH layer cannot see (< 3 words => no shingles) are
+    // exempt: they are singletons in both worlds.
+    val ids = shingleSets.keys.toSeq.sorted
+    val truePairs = for {
+      i <- ids; j <- ids if i < j
+      if shingleSets(i).nonEmpty && jaccard(shingleSets(i), shingleSets(j)) >= 0.7
+    } yield (i, j)
+    assert(truePairs.nonEmpty, "no planted near-dups at sf0.001 — spec vacuous")
+    // union-find over the exact pair graph
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    truePairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val truthClusters = ids.groupBy(find).values.map(_.toSet).filter(_.size > 1).toSet
+    val got = SparkEntry.queries("dedup_clusters_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val gotClusters = got.groupBy(_._2).values.map(_.map(_._1).toSet)
+      .filter(_.size > 1).toSet
+    // every planted component must be recovered exactly; spurious merges
+    // (background pairs passing the estimator cut) would surface as extra
+    // or enlarged clusters
+    assert(gotClusters == truthClusters,
+      s"missing: ${(truthClusters -- gotClusters).take(3)}; " +
+        s"spurious: ${(gotClusters -- truthClusters).take(3)}")
+    // canonical survivor: each cluster is labeled by its min doc_id
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.map(_._1).min, s"cluster $label not min-labeled")
+    }
+    info(s"${truthClusters.size} planted clusters recovered exactly via LSH")
   }
 
   test("approx_distinct within 5% of exact count_distinct per group") {
