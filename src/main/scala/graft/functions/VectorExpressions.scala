@@ -150,17 +150,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
 
-  /** Per-corpus registration of `pq_encode` with the codebook captured in
-    * the builder — the codebook is DATA (trained per corpus), so unlike the
+  /** Per-corpus `pq_encode` column, the codebook captured in the
+    * expression — the codebook is DATA (trained per corpus), so unlike the
     * stateless functions above it cannot be a fixed global registration.
-    * Re-registering under the same name replaces the previous corpus's
-    * binding (latest wins, matching the memoized codebook cache).
+    * Built DIRECTLY as an expression (not bound in the session function
+    * registry): a latest-wins named `pq_encode` binding could resolve a
+    * query against the WRONG corpus's codebook when two corpora interleave
+    * on one session between registration and analysis.
     */
-  def registerPqEncode(spark: SparkSession, codebooks: Array[Array[Array[Double]]]): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("pq_encode"),
-      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
-      (children: Seq[Expression]) => PqEncode(children(0), codebooks))
+  def pqEncode(child: org.apache.spark.sql.Column,
+               codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      PqEncode(org.apache.spark.sql.GraftBridge.expression(child), codebooks))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>

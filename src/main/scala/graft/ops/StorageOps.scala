@@ -193,8 +193,10 @@ object StorageOps {
       Tables.events(spark, dir)
         .select(
           col("event_id"), col("user_id"), col("value"),
-          (expr("unix_micros(ts)") / 1000000L / 60L)
-            .cast(LongType).minus(lit(minuteOrigin)).as("m"))
+          // same exact integer formula as zorderKey — double division here
+          // only agreed by luck (error below the 1µs offset), and layout vs
+          // key computation must share one rounding
+          expr(s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin").as("m"))
         .withColumn("zval", expr(zvalueSql("user_id", "m")))
         .repartitionByRange(16, col("zval"))
         .sortWithinPartitions(col("zval"))

@@ -69,12 +69,19 @@ object JdbcUpsertSink {
             nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
         // ON CONFLICT DO UPDATE raises "cannot affect row a second time" if
         // the SAME statement carries two rows with equal keys, so the staged
-        // batch is collapsed to one (arbitrary) row per key first. The
-        // engine's update-mode streaming output already emits one row per
-        // key per micro-batch — the dedup is a no-op there — but upsert() is
-        // a generic API and nothing upstream enforces that invariant.
+        // batch is collapsed to one row per key first. The engine's
+        // update-mode streaming output already emits one row per key per
+        // micro-batch — the dedup is a no-op there — but upsert() is a
+        // generic API and nothing upstream enforces that invariant. The
+        // survivor is DETERMINISTIC: ORDER BY every non-key column picks
+        // the smallest non-key tuple, so replays converge on the same row
+        // (an unordered row_number would keep whichever row the scan met
+        // first — nondeterministic, and divergent from Portable's
+        // all-rows-must-agree behavior on genuinely different duplicates).
         val rn = "row_number() OVER (PARTITION BY " +
-          keys.map(k => s"s.${q(k)}").mkString(", ") + ")"
+          keys.map(k => s"s.${q(k)}").mkString(", ") +
+          (if (nonKey.isEmpty) ""
+           else " ORDER BY " + nonKey.map(c => s"s.${q(c)}").mkString(", ")) + ")"
         Seq(
           s"INSERT INTO $table ($cols) SELECT $cols FROM " +
             s"(SELECT s.*, $rn AS graft_rn FROM $staging s) d WHERE graft_rn = 1 " +
@@ -109,7 +116,8 @@ object JdbcUpsertSink {
     * exist with a compatible schema.
     *
     * Duplicate keys WITHIN one batch: the Postgres dialect collapses them to
-    * one arbitrary survivor before the merge (see [[mergeStatements]]); the
+    * one deterministic survivor — smallest non-key tuple — before the merge
+    * (see [[mergeStatements]]); the
     * Portable dialect requires one row per key tuple per batch — a duplicate
     * violates the target's primary key mid-transaction and fails the batch
     * (the transaction rolls back, so the target is untouched). Streaming

@@ -12,4 +12,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression for constructing data-parameterized expressions
+    * (e.g. a PQ codebook captured in the expression) DIRECTLY, instead of
+    * routing them through the shared session function registry, whose
+    * latest-wins named binding is a temporal-coupling hazard when two
+    * corpora are queried on one session.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

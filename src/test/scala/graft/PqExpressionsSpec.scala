@@ -22,7 +22,6 @@ class PqExpressionsSpec extends SparkSuite {
     import spark.implicits._
     GraftFunctions.register(spark)
     val cb = codebooks(29)
-    GraftFunctions.registerPqEncode(spark, cb)
     val rnd = new scala.util.Random(31)
     val rows = (1 to 300).map(_ => Tuple1(Array.fill(M * SubDim)(rnd.nextDouble() * 2 - 1)))
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
@@ -30,7 +29,7 @@ class PqExpressionsSpec extends SparkSuite {
     val diff = rows.toDF("u")
       .withColumn("cb", cbLit).withColumn("cn2", cn2Lit)
       .select(
-        expr("pq_encode(u)").as("native"),
+        GraftFunctions.pqEncode(col("u"), cb).as("native"),
         expr(
           s"""transform(sequence(0, ${M - 1}), j ->
              |  array_min(transform(sequence(0, ${K - 1}), c -> named_struct(
@@ -60,10 +59,9 @@ class PqExpressionsSpec extends SparkSuite {
   test("short vectors and bad codes yield null, matching the HOF forms") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    GraftFunctions.registerPqEncode(spark, codebooks(43))
     // a vector shorter than M*SubDim must NOT be encoded from garbage reads
     val short = Seq(Tuple1(Array(1.0, 2.0))).toDF("u")
-      .select(expr("pq_encode(u)").as("c")).collect()(0)
+      .select(GraftFunctions.pqEncode(col("u"), codebooks(43)).as("c")).collect()(0)
     assert(short.isNullAt(0))
     // null / out-of-range code elements poison the sum to null — matching
     // the TOLERANT indexing form `get()` (Spark 4's strict `[]` would
@@ -82,9 +80,8 @@ class PqExpressionsSpec extends SparkSuite {
   test("null inputs propagate to null") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    GraftFunctions.registerPqEncode(spark, codebooks(41))
     val r = Seq(Tuple1(Option.empty[Array[Double]])).toDF("u")
-      .select(expr("pq_encode(u)").as("c")).collect()(0)
+      .select(GraftFunctions.pqEncode(col("u"), codebooks(41)).as("c")).collect()(0)
     assert(r.isNullAt(0))
     val r2 = Seq((Option.empty[Array[Int]], Option(Array(Array(1.0)))))
       .toDF("codes", "dtab")

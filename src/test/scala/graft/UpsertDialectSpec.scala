@@ -45,7 +45,9 @@ class UpsertDialectSpec extends SparkSuite {
     val insert = JdbcUpsertSink.mergeStatements(
       "t", "t_staging_3", Seq("k1", "k2", "v"), Seq("k1", "k2"),
       Dialect.Postgres).head
-    assert(insert.contains("""row_number() OVER (PARTITION BY s."k1", s."k2")"""),
+    // deterministic survivor: the dedup window orders by the non-key columns
+    assert(insert.contains(
+      """row_number() OVER (PARTITION BY s."k1", s."k2" ORDER BY s."v")"""),
       insert)
     assert(insert.contains("WHERE graft_rn = 1"), insert)
   }
