@@ -116,6 +116,77 @@ class AsofJoinSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("ScalaCheck property: merge equals brute force under skew, nulls and partition boundaries") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // The handwritten merge (AsofJoinExec's lookahead scan) is the one
+    // place a silent off-by-one could hide, so drive it with ScalaCheck-
+    // generated adversarial datasets: skewed keys (80% of rows on one
+    // key), null keys, null times, duplicate left times, right-empty
+    // keys, and times colliding at every boundary of a tiny domain. All
+    // generated cases are unioned under a case-id and as-of joined on the
+    // COMPOSITE (cid, k) key in ONE distributed pass — per-case isolation
+    // is exactly key isolation, and two forced shuffle-partition settings
+    // move the partition boundaries between passes.
+    val keyGen: Gen[Option[Int]] = Gen.frequency(
+      8 -> Gen.const(Some(0)), // skew: most rows on one key
+      3 -> Gen.choose(0, 3).map(Some(_)),
+      1 -> Gen.const(None))
+    val timeGen: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.choose(0L, 20L).map(Some(_)), // tiny domain: constant ties
+      1 -> Gen.const(None))
+    val caseGen: Gen[(List[(Option[Int], Option[Long])], List[(Option[Int], Option[Long])])] =
+      for {
+        nr <- Gen.choose(0, 15)
+        right <- Gen.listOfN(nr, Gen.zip(keyGen, timeGen))
+        nl <- Gen.choose(1, 25)
+        left <- Gen.listOfN(nl, Gen.zip(keyGen, timeGen))
+      } yield (right.distinct, left) // unique right (k,t) -> determinate match
+    val nCases = 220
+    val cases = (0 until nCases).map { cid =>
+      // deterministic ScalaCheck sampling: one seed per case id
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(0xA50FL * (cid + 1))
+      cid -> caseGen.apply(params, seed).getOrElse(sys.error(s"gen failed for $cid"))
+    }
+    var rv = 0L
+    val rightRows = cases.flatMap { case (cid, (right, _)) =>
+      right.map { case (k, t) => rv += 1; (cid, k, t, rv) }
+    }
+    var lid = 0L
+    val leftRows = cases.flatMap { case (cid, (_, left)) =>
+      left.map { case (k, t) => lid += 1; (cid, k, t, lid) }
+    }
+    // brute force: latest non-null right time <= left time on the same
+    // (cid, key); null key or time on either side never matches
+    val byKey = rightRows.groupBy(r => (r._1, r._2))
+    val expected = leftRows.map { case (cid, k, t, id) =>
+      val m = (k, t) match {
+        case (Some(_), Some(lt)) =>
+          byKey.getOrElse((cid, k), Nil)
+            .collect { case (_, _, Some(rt), v) if rt <= lt => (rt, v) }
+            .sortBy(_._1).lastOption.map(_._2)
+        case _ => None
+      }
+      id -> m
+    }.toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try Seq("2", "5").foreach { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val got = AsofJoinOps.asofJoin(
+          leftRows.toDF("cid", "k", "lt", "lid"),
+          rightRows.toDF("cid", "k", "rt", "rv"),
+          Seq("cid", "k"), "lt", "rt")
+        .select(col("lid"), col("rv_r")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == expected,
+        s"parts=$parts: ${(expected.toSet -- got.toSet).take(3)} expected-only; " +
+          s"${(got.toSet -- expected.toSet).take(3)} got-only")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    info(s"$nCases generated cases (${leftRows.size} left rows) match brute force under 2 layouts")
+  }
+
   test("plans as AsofJoinExec: two clustered sorts, one merge, no cross product") {
     val df = SparkEntry.queries("asof_join_price")(spark, sf)
     df.count()
