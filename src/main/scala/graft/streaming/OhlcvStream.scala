@@ -50,6 +50,24 @@ object OhlcvStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
 
+  /** TCP line-feed source — the Spark-native analog of the reference's
+    * WebSocket trade feed (producer/producer.py:51-58 emits one JSON trade
+    * per message; Spark's in-box `socket` source delivers one line per
+    * row). Unlike [[fromKafka]] this executes in-sandbox — the
+    * SocketFeedSpec drives the FULL topology (live TCP server → parse →
+    * watermark → OHLCV) through it. The socket source offers no replay, so
+    * it is the dev/drill entry point; production ingestion goes through
+    * [[fromKafka]]'s replayable log. Both emit the same `json` column —
+    * everything downstream is source-agnostic.
+    */
+  def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(col("value").as("json"))
+
   /** JSON line → typed trade row (reference: processor.py:65-75).
     * `from_json` is PERMISSIVE: malformed input → NULL fields, matching the
     * reference's explicit-schema behavior. Epoch-ms → timestamp uses

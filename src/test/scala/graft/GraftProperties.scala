@@ -139,6 +139,26 @@ object GraftProperties extends Properties("graft") {
         (0 until n).forall(i => grams.getUTF8String(i).numChars() == 3)
     }
 
+  property("distributed ntile bucket formula equals SQL ntile semantics") =
+    // StatsOps.ntileBuckets assigns bucket = CASE WHEN r <= cut THEN
+    // (r-1) div (q+1) + 1 ELSE rem + (r-cut-1) div q + 1 END from the
+    // global rank r — pin it against the SQL standard's definition (the
+    // first n mod k buckets get ceil(n/k) rows, the rest floor(n/k))
+    // for every rank, including n < k and n not divisible by k.
+    forAll(Gen.choose(0L, 5000L), Gen.choose(1, 20)) { (n, k) =>
+      val q = n / k
+      val rem = n % k
+      val cut = rem * (q + 1)
+      val sizes = Array.tabulate(k)(i => q + (if (i < rem) 1 else 0))
+      val cum = sizes.scanLeft(0L)(_ + _)
+      (1L to n).forall { r =>
+        val got = if (r <= cut) (r - 1) / (q + 1) + 1
+                  else rem + (r - cut - 1) / q + 1
+        val want = cum.indexWhere(r <= _) // first cumulative bound >= r
+        got == want
+      }
+    }
+
   property("stubDecode is deterministic with bounded dimensions") =
     forAll(Gen.choose(0, 100000), Gen.choose(0L, 1000000L)) { (n, id) =>
       val row = MultimodalOps.MediaRow(id, Array.fill(n)(7.toByte))
