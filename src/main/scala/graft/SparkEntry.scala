@@ -156,6 +156,8 @@ object SparkEntry {
     "sample_per_group"  -> (PipelineOps.samplePerGroup _),
     "split_drift"       -> (PipelineOps.splitDrift _),
     "bigram_lm"         -> (PipelineOps.bigramLm _),
+    "lm_familiarity"    -> (PipelineOps.lmFamiliarity _),
+    "ngram_diversity"   -> (PipelineOps.ngramDiversity _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "oov_rate"          -> (PipelineOps.oovRate _),
@@ -641,6 +643,37 @@ object SparkEntry {
         |    GROUP BY 1, 2
         |    HAVING count(*) >= 2))
         |WHERE rk <= 3""".stripMargin,
+    "lm_familiarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS head, w[i+1] AS next_tok
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |cnt AS (SELECT head, next_tok, count(*) AS n FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT head, count(*) AS hn FROM bg GROUP BY 1)
+        |SELECT bg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cnt.n) AS BIGINT) AS sum_bg,
+        |  CAST(sum(hc.hn) AS BIGINT) AS sum_head,
+        |  CAST(CAST(sum(cnt.n) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(hc.hn) AS BIGINT) AS DOUBLE) AS familiarity
+        |FROM bg
+        |JOIN cnt ON bg.head = cnt.head AND bg.next_tok = cnt.next_tok
+        |JOIN hc ON bg.head = hc.head
+        |GROUP BY 1""".stripMargin,
+    "ngram_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 3)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS diversity
+        |FROM g GROUP BY 1""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -343,13 +343,7 @@ object PipelineOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("head"))
       .orderBy(col("n").desc, col("next_tok"))
-    Tables.documents(spark, dir)
-      .select(split(trim(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w)-2), i -> named_struct('head', w[i], 'next_tok', w[i+1]))"))
-        .as("bg"))
-      .select(col("bg.head"), col("bg.next_tok"))
+    docBigrams(spark, dir)
       .groupBy(col("head"), col("next_tok"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
@@ -358,6 +352,63 @@ object PipelineOps {
       .select(col("head"), col("next_tok"), col("n"),
         col("rk").cast(IntegerType).as("rk"))
   }
+
+  /** One (doc_id, head, next_tok) row per word bigram — shared stream under
+    * [[bigramLm]] and [[lmFamiliarity]]. Pure map (split + explode), no
+    * shuffle of its own.
+    */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> named_struct('head', w[i], 'next_tok', w[i+1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.head"), col("bg.next_tok"))
+
+  /** LM-familiarity score per document — the oracle-safe analog of
+    * perplexity filtering (KenLM-style quality gates): for each doc, the
+    * corpus-wide bigram count summed over its bigram instances, divided by
+    * the head-unigram count summed the same way. Equals the count-weighted
+    * mean of the MLE conditional P(next|head), but BOTH accumulations are
+    * INTEGER sums (order-independent, engine-identical) with exactly one
+    * IEEE division at the output boundary — a log-prob perplexity would
+    * stream floats through libm `ln`, which no cross-engine gate can pin.
+    * Low familiarity = bigrams rare for their heads = gibberish/OCR noise;
+    * the shape is two hash-aggregations over the bigram stream and two
+    * equi-joins back, all partial-aggregated, no windows.
+    */
+  def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val cnt = bg.groupBy(col("head"), col("next_tok")).agg(count(lit(1)).as("n"))
+    val hc = bg.groupBy(col("head")).agg(count(lit(1)).as("hn"))
+    bg.join(cnt, Seq("head", "next_tok")).join(hc, Seq("head"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("n")).as("sum_bg"),
+        sum(col("hn")).as("sum_head"))
+      .withColumn("familiarity", col("sum_bg") / col("sum_head"))
+  }
+
+  /** N-gram diversity per source: distinct word-3-grams over total
+    * 3-gram instances — the standard repetitiveness/diversity signal for
+    * corpus mixing (a boilerplate-heavy source scores low). One explode +
+    * one partial-aggregated groupBy; the distinct count shuffles (source,
+    * gram) pairs once.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("g"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"),
+        (countDistinct(col("g")).cast(DoubleType) / count(lit(1))).as("diversity"))
 
   /** Near-dup cluster collapse: keep ONE document per cluster — the longest
     * text, doc_id as tiebreak — the decision step that turns
