@@ -376,7 +376,10 @@ object PipelineOps {
     * stream floats through libm `ln`, which no cross-engine gate can pin.
     * Low familiarity = bigrams rare for their heads = gibberish/OCR noise;
     * the shape is two hash-aggregations over the bigram stream and two
-    * equi-joins back, all partial-aggregated, no windows.
+    * equi-joins back, all partial-aggregated, no windows. The head join
+    * key is Zipfian (stopword heads are hot) — at corpus scale that is
+    * exactly the AQE skew-join case the session enables; at fixture scale
+    * the count frames broadcast outright.
     */
   def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val bg = docBigrams(spark, dir)

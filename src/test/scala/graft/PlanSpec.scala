@@ -157,6 +157,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("explode(sequence"), p)
   }
 
+  test("lm_familiarity joins ride equi-keys; ngram_diversity is one agg chain") {
+    val lm = plan("lm_familiarity")
+    assert(!lm.contains("CartesianProduct") && !lm.contains("BroadcastNestedLoopJoin"), lm)
+    val nd = plan("ngram_diversity")
+    assert(!nd.contains("Join"), "diversity must be pure aggregation:\n" + nd)
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     // thresholds are cluster-sized; shrink them so the fixture-scale hot
