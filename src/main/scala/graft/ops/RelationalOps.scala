@@ -576,4 +576,31 @@ object RelationalOps {
         |         ORDER BY o_totalprice DESC, o_orderkey
         |         LIMIT 2) t""".stripMargin)
   }
+
+  /** Batch MERGE (SCD-1 key upsert): apply a change set to a base table —
+    * change rows win on key conflict, unmatched rows of either side
+    * survive. This is the reference's streaming upsert semantics
+    * (processor.py:145-164's ON CONFLICT DO UPDATE) as a BATCH operator:
+    * one full-outer equi-join on the merge key + per-column coalesce with
+    * the change side first. At scale this is the standard MERGE INTO
+    * shape — a single key-partitioned shuffle, no windows, no broadcast
+    * needed on either side; AQE splits skewed merge keys. Fixture: 80% of
+    * orders as the base, the top-half key range re-priced as the change
+    * set, so the output exercises update / insert / keep-unchanged rows.
+    */
+  def mergeUpsertBatch(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val base = o.filter(col("o_orderkey") % 10 < 8)
+    val changes = o.filter(col("o_orderkey") % 10 >= 5)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice") * 2).as("c_totalprice"),
+        lit("UPDATED").as("c_orderpriority"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
+  }
 }
