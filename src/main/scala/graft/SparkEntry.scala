@@ -134,6 +134,7 @@ object SparkEntry {
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
     "dedup_clusters_lsh" -> (DedupOps.dedupClustersLsh _),
+    "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
@@ -877,6 +878,26 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1) t""".stripMargin,
+    "sql_recursive_closure" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |walk(doc_id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION ALL
+        |  SELECT w.doc_id, p.doc_a FROM walk w JOIN p ON p.doc_b = w.lab)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM (SELECT doc_id, min(lab) AS cluster_id FROM walk GROUP BY doc_id) t""".stripMargin,
     "knn_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

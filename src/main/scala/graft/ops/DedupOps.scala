@@ -250,4 +250,42 @@ object DedupOps {
           / size(array_union(col("a.shingles"), col("b.shingles"))))
           .as("jaccard"))
   }
+
+  /** Duplicate-cluster formation through the SQL SURFACE's recursive CTE
+    * (Spark 4.1 `WITH RECURSIVE`) — the declarative twin of the iterative
+    * [[dedupClusters]] driver loop: each doc walks its predecessor chain
+    * (adjacent-pair near-dup edges are directed doc→doc+1, so the graph is
+    * acyclic and Spark's UNION ALL recursion terminates without a cycle
+    * check) and takes the minimum reachable label as its cluster. Same
+    * output as [[dedupClusters]], DuckDB-oracle-checked with the identical
+    * recursive query — pinning that the engine's recursion semantics match
+    * a reference SQL engine. Scale: each recursion step is one equi-join
+    * producing at most one predecessor per live row, so total work is
+    * Σ chain-prefix lengths — linear in docs for bounded near-dup runs;
+    * depth is bounded by `spark.sql.cteRecursionLevelLimit` (100), far
+    * above any real near-dup chain.
+    */
+  def sqlRecursiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_rcte")
+    spark.sql(
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, array_distinct(transform(sequence(0, size(w) - 3),
+        |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        |  FROM (SELECT doc_id, split(trim(text), ' ') AS w FROM graft_docs_rcte)
+        |  WHERE size(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / size(array_union(a.sh, b.sh)) >= 0.5),
+        |walk(doc_id, lab) AS (
+        |  SELECT doc_id, doc_id FROM graft_docs_rcte
+        |  UNION ALL
+        |  SELECT w.doc_id, p.doc_a FROM walk w JOIN p ON p.doc_b = w.lab)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM (SELECT doc_id, min(lab) AS cluster_id FROM walk GROUP BY doc_id) t
+        |""".stripMargin)
+  }
 }
