@@ -164,6 +164,14 @@ class PlanSpec extends SparkSuite {
     assert(!nd.contains("Join"), "diversity must be pure aggregation:\n" + nd)
   }
 
+  test("merge_upsert_batch and the recursive closure never fall off equi-joins") {
+    val m = plan("merge_upsert_batch")
+    assert(m.contains("FullOuter"), m) // the MERGE INTO shape
+    assert(!m.contains("CartesianProduct") && !m.contains("BroadcastNestedLoopJoin"), m)
+    val r = plan("sql_recursive_closure")
+    assert(!r.contains("CartesianProduct") && !r.contains("BroadcastNestedLoopJoin"), r)
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     // thresholds are cluster-sized; shrink them so the fixture-scale hot
