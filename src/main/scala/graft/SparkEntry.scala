@@ -172,6 +172,7 @@ object SparkEntry {
     // ---- storage-layout operators (bucketing / partition pruning) ----
     "bucketed_join"     -> (StorageOps.bucketedJoin _),
     "partition_prune"   -> (StorageOps.partitionPrune _),
+    "dpp_join"          -> (StorageOps.dppJoin _),
     "zorder_key"        -> (StorageOps.zorderKey _),
     "zorder_scan"       -> (StorageOps.zorderScan _),
     "compaction_scan"   -> (StorageOps.compactionScan _),
@@ -699,6 +700,16 @@ object SparkEntry {
         |  count(*) AS n_clicks,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
         |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
+    "dpp_join" ->
+      """WITH dims AS (
+        |  SELECT event_type, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dims d ON e.event_type = d.event_type
+        |WHERE d.first_ts < TIMESTAMP '2024-01-01 01:00:00'
         |GROUP BY 1""".stripMargin,
     "compaction_scan" ->
       """SELECT event_type,

@@ -130,6 +130,44 @@ object StorageOps {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("click_value"))
   }
 
+  /** Dynamic partition pruning — the RUNTIME companion of
+    * [[partitionPrune]]'s static pruning: the selective predicate lives on
+    * a DIMENSION attribute (category), so no static filter on the fact's
+    * partition column exists at plan time. Catalyst broadcasts the
+    * filtered dim, then prunes the fact's event_type partition
+    * DIRECTORIES with a `dynamicpruningexpression` fed from the broadcast
+    * (PlanSpec-pinned) — at 100 TB this is the difference between
+    * scanning 2 of N partitions and scanning the whole fact table, for a
+    * predicate the engine only learns at runtime. Star-schema queries are
+    * exactly this shape.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eT = ensure(spark, dir, "events", "graft_events_parted") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.format("parquet").partitionBy("event_type")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    // The dim attribute must be DATA-dependent (an aggregate), not an
+    // expression of the join key: a literal Seq.toDF dim constant-folds
+    // its filter away, and a `category = f(event_type)` dim gets
+    // constraint-propagated into a STATIC PartitionFilter — both leave
+    // nothing for runtime pruning to do. "First seen before the cutoff"
+    // can only be known by reading the dim data, so the fact scan's
+    // partition set is genuinely decided at runtime.
+    val dims = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+    spark.table(eT)
+      .join(dims.filter(
+        col("first_ts") < lit("2024-01-01 01:00:00").cast(TimestampType)), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
   /** Small-file compaction — the table-maintenance pass every streaming
     * ingest needs: micro-batch sinks leave one file per trigger per
     * partition, and a year of 60 s triggers is ~500k tiny files whose

@@ -164,6 +164,16 @@ class PlanSpec extends SparkSuite {
     assert(!nd.contains("Join"), "diversity must be pure aggregation:\n" + nd)
   }
 
+  test("dpp_join prunes fact partitions at RUNTIME from the filtered dim") {
+    // The dim attribute (first-seen timestamp) is an aggregate — not
+    // derivable from the join key, so no static PartitionFilter exists;
+    // the fact scan must carry a dynamicpruningexpression fed from the
+    // dim at runtime (at sf0.001 it prunes 2 of 5 event_type dirs).
+    val p = plan("dpp_join")
+    assert(p.contains("dynamicpruningexpression"),
+      "fact scan must be dynamically pruned:\n" + p)
+  }
+
   test("merge_upsert_batch and the recursive closure never fall off equi-joins") {
     val m = plan("merge_upsert_batch")
     assert(m.contains("FullOuter"), m) // the MERGE INTO shape
