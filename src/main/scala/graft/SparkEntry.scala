@@ -98,6 +98,12 @@ object SparkEntry {
     "var_95"            -> (AggOps.var95 _),
     "max_drawdown"      -> (AggOps.maxDrawdown _),
     "autocorr_lag1"     -> (AggOps.autocorrLag1 _),
+    // ---- technical indicators over the candle rollup ----
+    "rsi_14"            -> (IndicatorOps.rsi14 _),
+    "bollinger_bands"   -> (IndicatorOps.bollingerBands _),
+    "stoch_osc"         -> (IndicatorOps.stochOsc _),
+    "obv"               -> (IndicatorOps.obv _),
+    "ewma_price"        -> (IndicatorOps.ewmaPrice _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
@@ -161,6 +167,7 @@ object SparkEntry {
     "lm_familiarity"    -> (PipelineOps.lmFamiliarity _),
     "ngram_diversity"   -> (PipelineOps.ngramDiversity _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
+    "doc_chunks"        -> (PipelineOps.docChunks _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "oov_rate"          -> (PipelineOps.oovRate _),
     "passage_dedup"     -> (PipelineOps.passageDedup _),
@@ -182,6 +189,24 @@ object SparkEntry {
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
   )
+
+  /** Shared candle-cents CTE for the technical-indicator oracles: the
+    * 1-minute close and volume as exact integer units, mirroring
+    * IndicatorOps.closes (round before the integer cast — close×100 can sit
+    * a hair below the integer it represents).
+    */
+  private val IndicatorCandleCte =
+    """WITH t AS (
+      |  SELECT ts, event_type AS symbol,
+      |         CAST(value AS DECIMAL(18,2)) AS price,
+      |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS quantity
+      |  FROM events),
+      |c AS (
+      |  SELECT date_trunc('minute', ts) AS window_start, symbol,
+      |    CAST(round(CAST(arg_max(price, ts) AS DOUBLE) * 100) AS BIGINT) AS x,
+      |    CAST(round(CAST(sum(quantity) AS DOUBLE)) AS BIGINT) AS vol
+      |  FROM t GROUP BY 1, 2),
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ohlcv_1min" ->
@@ -1156,6 +1181,18 @@ object SparkEntry {
         |FROM d
         |WHERE rk * 100 > 5 * n_lang AND rk * 100 <= 95 * n_lang
         |GROUP BY lang""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(s // 32 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(toks, s + 1, s + 64)) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, s + 1, s + 64), ' ')) AS chunk_hash
+        |FROM e""".stripMargin,
     "gap_fill" ->
       """WITH t AS (
         |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
@@ -1403,6 +1440,83 @@ object SparkEntry {
         |     sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
         |    AS autocorr
         |FROM s""".stripMargin,
+    "rsi_14" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start,
+        |    x - lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS diff
+        |  FROM c),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(greatest(diff, 0)) OVER w AS BIGINT) AS g,
+        |    CAST(sum(greatest(-diff, 0)) OVER w AS BIGINT) AS l,
+        |    count(*) OVER w AS nw
+        |  FROM d WHERE diff IS NOT NULL
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN g + l <> 0
+        |       THEN CAST(g AS DOUBLE) * 100.0 / CAST(g + l AS DOUBLE) END AS rsi
+        |FROM s WHERE nw = 14""".stripMargin),
+    "bollinger_bands" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS s2,
+        |    count(*) OVER w AS nw
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CAST(s1 AS DOUBLE) / 20.0 / 100.0 AS sma,
+        |  CAST(s1 AS DOUBLE) / 20.0 / 100.0
+        |    + 2.0 * sqrt(CAST(s2 * 20 - s1 * s1 AS DOUBLE) / 380.0) / 100.0 AS upper_band,
+        |  CAST(s1 AS DOUBLE) / 20.0 / 100.0
+        |    - 2.0 * sqrt(CAST(s2 * 20 - s1 * s1 AS DOUBLE) / 380.0) / 100.0 AS lower_band
+        |FROM s WHERE nw = 20""".stripMargin),
+    "stoch_osc" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start, x,
+        |    max(x) OVER w AS hi, min(x) OVER w AS lo, count(*) OVER w AS nw
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN hi <> lo
+        |       THEN CAST((x - lo) * 100 AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+        |  END AS stoch_k
+        |FROM s WHERE nw = 14""".stripMargin),
+    "obv" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start, vol,
+        |    x - lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS diff
+        |  FROM c)
+        |SELECT symbol, window_start,
+        |  CAST(sum(CASE WHEN diff > 0 THEN vol WHEN diff < 0 THEN -vol ELSE 0 END)
+        |    OVER (PARTITION BY symbol ORDER BY window_start
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM d""".stripMargin),
+    "ewma_price" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    x * 32768 + lag(x, 1) OVER w * 16384 + lag(x, 2) OVER w * 8192
+        |      + lag(x, 3) OVER w * 4096 + lag(x, 4) OVER w * 2048
+        |      + lag(x, 5) OVER w * 1024 + lag(x, 6) OVER w * 512
+        |      + lag(x, 7) OVER w * 256 + lag(x, 8) OVER w * 128
+        |      + lag(x, 9) OVER w * 64 + lag(x, 10) OVER w * 32
+        |      + lag(x, 11) OVER w * 16 + lag(x, 12) OVER w * 8
+        |      + lag(x, 13) OVER w * 4 + lag(x, 14) OVER w * 2
+        |      + lag(x, 15) OVER w AS num,
+        |    lag(x, 15) OVER w AS x_oldest
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start))
+        |SELECT symbol, window_start,
+        |  CAST(num AS DOUBLE) / 65535.0 / 100.0 AS ewma
+        |FROM s WHERE x_oldest IS NOT NULL""".stripMargin),
     "retention_cohorts" ->
       """WITH fs AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

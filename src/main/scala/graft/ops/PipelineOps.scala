@@ -573,4 +573,29 @@ object PipelineOps {
         max(col("n_chars")).as("max_kept"),
         sum(col("n_chars")).as("chars_kept"))
   }
+
+  /** Sliding-window document chunking — the RAG/pretraining segmentation
+    * shape: each document split into 64-token chunks on a 32-token stride
+    * (50% overlap so no boundary sentence is orphaned). Pure per-row
+    * expansion: tokenize once, explode the stride grid
+    * (`sequence(0, n−1, 32)`), slice the token array per chunk — no
+    * shuffle at all until a consumer aggregates, and the emitted row
+    * carries the chunk's md5 (its dedup/lookup key) rather than the text,
+    * so the expansion ships ~50 bytes per chunk regardless of chunk size.
+    * Tokenization is the corpus's single-space convention, identical to
+    * [[TextOps]].
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(32)))
+          .as("s"))
+      .select(
+        col("doc_id"),
+        (col("s") / 32).cast(IntegerType).as("chunk_id"),
+        size(slice(col("toks"), col("s") + 1, lit(64))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("s") + 1, lit(64))))
+          .as("chunk_hash"))
 }

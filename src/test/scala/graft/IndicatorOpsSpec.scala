@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AggOps, IndicatorOps, PipelineOps}
+
+/** Ground-truth specs for the technical-indicator layer: every indicator is
+  * recomputed in straight-line Scala from the collected candle series and
+  * compared EXACTLY (bit-for-bit doubles — the ops' determinism contract is
+  * integer window arithmetic with one final IEEE step, so a plain loop must
+  * reproduce them). Independent of both the window-function plans and the
+  * DuckDB oracle.
+  */
+class IndicatorOpsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** symbol -> candles ordered by window_start: (window_start, closeCents, vol). */
+  private lazy val series: Map[String, Vector[(Timestamp, Long, Long)]] =
+    AggOps.ohlcv1min(spark, sf)
+      .select(col("symbol"), col("window_start"),
+        round(col("close_price") * 100).cast("long"),
+        round(col("total_volume")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_._2.getTime).map(t => (t._2, t._3, t._4)).toVector
+      }
+
+  private def collectD(df: org.apache.spark.sql.DataFrame, c: String) =
+    df.collect().map { r =>
+      val v: Option[Double] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+      (r.getString(r.fieldIndex("symbol")), r.getTimestamp(r.fieldIndex("window_start"))) -> v
+    }.toMap
+
+  test("rsi_14 matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.map(_._2)
+      val diffs = xs.sliding(2).map(p => p(1) - p(0)).toVector
+      (13 until diffs.length).map { j =>
+        val win = diffs.slice(j - 13, j + 1)
+        val g = win.map(d => math.max(d, 0L)).sum
+        val l = win.map(d => math.max(-d, 0L)).sum
+        val rsi = if (g + l == 0L) None else Some(g.toDouble * 100.0 / (g + l).toDouble)
+        (sym, rows(j + 1)._1) -> rsi
+      }
+    }.toMap
+    val actual = collectD(IndicatorOps.rsi14(spark, sf), "rsi")
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("bollinger_bands matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.map(_._2)
+      (19 until xs.length).map { i =>
+        val win = xs.slice(i - 19, i + 1)
+        val s1 = win.sum; val s2 = win.map(x => x * x).sum
+        val mid = s1.toDouble / 20.0 / 100.0
+        val sd = math.sqrt((s2 * 20L - s1 * s1).toDouble / 380.0)
+        (sym, rows(i)._1) -> (mid, mid + 2.0 * sd / 100.0, mid - 2.0 * sd / 100.0)
+      }
+    }.toMap
+    val actual = IndicatorOps.bollingerBands(spark, sf).collect().map { r =>
+      (r.getString(0), r.getTimestamp(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }.toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("stoch_osc matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.map(_._2)
+      (13 until xs.length).map { i =>
+        val win = xs.slice(i - 13, i + 1)
+        val hi = win.max; val lo = win.min
+        val k = if (hi == lo) None
+                else Some(((xs(i) - lo) * 100L).toDouble / (hi - lo).toDouble)
+        (sym, rows(i)._1) -> k
+      }
+    }.toMap
+    val actual = collectD(IndicatorOps.stochOsc(spark, sf), "stoch_k")
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("obv matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      var acc = 0L
+      rows.indices.map { i =>
+        val signed =
+          if (i == 0) 0L
+          else {
+            val d = rows(i)._2 - rows(i - 1)._2
+            if (d > 0) rows(i)._3 else if (d < 0) -rows(i)._3 else 0L
+          }
+        acc += signed
+        (sym, rows(i)._1) -> acc
+      }
+    }.toMap
+    val actual = IndicatorOps.obv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("ewma_price matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.map(_._2)
+      (15 until xs.length).map { i =>
+        val num = (0 until 16).map(k => xs(i - k) * (1L << (15 - k))).sum
+        (sym, rows(i)._1) -> (num.toDouble / 65535.0 / 100.0)
+      }
+    }.toMap
+    val actual = IndicatorOps.ewmaPrice(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("rsi and stoch_k stay in [0, 100]; bands bracket the sma") {
+    IndicatorOps.rsi14(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 100.0)
+    }
+    IndicatorOps.stochOsc(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 100.0)
+    }
+    IndicatorOps.bollingerBands(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) >= r.getDouble(2) && r.getDouble(2) >= r.getDouble(4))
+    }
+  }
+
+  test("doc_chunks matches straight-line chunking exactly") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split(" ", -1)
+      (0 until toks.length by 32).map { s =>
+        val chunk = toks.slice(s, math.min(s + 64, toks.length))
+        (id, s / 32) -> ((chunk.length, md5hex(chunk.mkString(" "))))
+      }
+    }.toMap
+    val actual = PipelineOps.docChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+}
