@@ -104,6 +104,9 @@ object SparkEntry {
     "stoch_osc"         -> (IndicatorOps.stochOsc _),
     "obv"               -> (IndicatorOps.obv _),
     "ewma_price"        -> (IndicatorOps.ewmaPrice _),
+    // ---- data-quality layer (freshness gate generalized) ----
+    "profile_columns"   -> (QualityOps.profileColumns _),
+    "dq_checks"         -> (QualityOps.dqChecks _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
@@ -1517,6 +1520,74 @@ object SparkEntry {
         |SELECT symbol, window_start,
         |  CAST(num AS DOUBLE) / 65535.0 / 100.0 AS ewma
         |FROM s WHERE x_oldest IS NOT NULL""".stripMargin),
+    "profile_columns" ->
+      """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_value,
+        |  CAST(max(event_id) AS VARCHAR) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT ts) AS BIGINT),
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  min(event_type), max(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT props) AS BIGINT),
+        |  min(props), max(props)
+        |FROM events""".stripMargin,
+    "dq_checks" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |          OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |          ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        |    CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS r6,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value < 10.0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS r7
+        |  FROM events)
+        |SELECT 'value_positive' AS rule, r1 AS n_violations, n_rows,
+        |  CAST(r1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate FROM s
+        |UNION ALL SELECT 'value_below_100', r2, n_rows,
+        |  CAST(r2 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s
+        |UNION ALL SELECT 'ts_in_january', r3, n_rows,
+        |  CAST(r3 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s
+        |UNION ALL SELECT 'event_type_known', r4, n_rows,
+        |  CAST(r4 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s
+        |UNION ALL SELECT 'user_id_present', r5, n_rows,
+        |  CAST(r5 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s
+        |UNION ALL SELECT 'props_has_k', r6, n_rows,
+        |  CAST(r6 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s
+        |UNION ALL SELECT 'purchase_value_min_10', r7, n_rows,
+        |  CAST(r7 AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM s""".stripMargin,
     "retention_cohorts" ->
       """WITH fs AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Data-quality layer — the generalization of the reference's single
+  * freshness gate (airflow/dags/crypto_pipeline_monitor_dag.py:22-28, a
+  * SQLCheckOperator failing on a falsy COUNT) into the two standard DQ
+  * primitives a production pipeline runs before publishing a table:
+  * a column profiler and a rule-violation counter.
+  *
+  * Scale posture: both ops are ONE pass over the fact table with map-side
+  * partial aggregation — profiling 100 TB costs one scan, never a scan per
+  * column or per rule. The profiler's distinct counts expand the scan
+  * k-ways (Spark's multi-distinct Expand) but still shuffle only
+  * per-column partial states; the rule counter is a pure conditional
+  * aggregate (zero expansion). Output is long-form (one row per column /
+  * per rule) so downstream gates can join or alert on it relationally —
+  * the monitor-DAG pattern, made data.
+  */
+object QualityOps {
+
+  /** Single-scan column profiler over events: per column, the row count,
+    * NULL count, exact distinct count, and min/max rendered as strings.
+    * Stringification is per-type and engine-stable: longs/strings verbatim,
+    * timestamps second-truncated, doubles through DECIMAL(18,2) (binary
+    * doubles print differently across engines; the fixed-scale decimal
+    * form is identical everywhere).
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    def asStr(c: Column, dt: String): Column = dt match {
+      case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
+      case _     => c.cast(StringType)
+    }
+    // (name, datatype tag) of every profiled column
+    val cols = Seq(
+      ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
+      ("event_type", "str"), ("value", "dbl"), ("props", "str"))
+    val aggs = cols.flatMap { case (n, _) =>
+      Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
+        countDistinct(col(n)).as(s"${n}_distinct"),
+        min(col(n)).as(s"${n}_min"),
+        max(col(n)).as(s"${n}_max"))
+    }
+    val one = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { case (n, dt) =>
+      struct(
+        lit(n).as("col_name"),
+        col("n_rows"),
+        col(s"${n}_nulls").as("n_nulls"),
+        col(s"${n}_distinct").as("n_distinct"),
+        asStr(col(s"${n}_min"), dt).as("min_value"),
+        asStr(col(s"${n}_max"), dt).as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative rule-violation counter — the CHECK-constraint audit: each
+    * rule is a boolean predicate over events, and the op reports how many
+    * rows violate it plus the violation rate (exact long counts, ONE final
+    * IEEE division). Rules with zero violations still surface (a gate must
+    * distinguish "checked, clean" from "not checked"). One conditional
+    * aggregation, no expansion, no second scan.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val known = Seq("click", "error", "purchase", "signup", "view")
+    val rules: Seq[(String, Column)] = Seq(
+      ("value_positive", col("value") <= 0.0),
+      ("value_below_100", col("value") > 100.0),
+      ("ts_in_january", col("ts") < lit("2024-01-01 00:00:00").cast(TimestampType) ||
+        col("ts") >= lit("2024-02-01 00:00:00").cast(TimestampType)),
+      ("event_type_known", !col("event_type").isin(known: _*)),
+      ("user_id_present", col("user_id").isNull),
+      ("props_has_k", get_json_object(col("props"), "$.k").isNull),
+      ("purchase_value_min_10", col("event_type") === "purchase" && col("value") < 10.0))
+    val aggs = rules.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(n)
+    }
+    val one = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(
+        lit(n).as("rule"),
+        col(n).as("n_violations"),
+        col("n_rows"),
+        (col(n).cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("violation_rate"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+}

@@ -70,18 +70,42 @@ object OhlcvStream {
 
   /** JSON line → typed trade row (reference: processor.py:65-75).
     * `from_json` is PERMISSIVE: malformed input → NULL fields, matching the
-    * reference's explicit-schema behavior. Epoch-ms → timestamp uses
-    * `timestamp_millis` (exact integer semantics; the reference's
-    * `/1000` + cast round-trips through double).
+    * reference's explicit-schema behavior. The decimal casts are TRY casts:
+    * the reference runs Spark 3.5 non-ANSI where `'abc'::decimal` yields
+    * NULL, but Spark 4 defaults to ANSI where a plain cast THROWS and kills
+    * the streaming query — one corrupt exchange message must degrade to a
+    * NULL row (counted by [[observed]]), never take down ingestion.
+    * Epoch-ms → timestamp uses `timestamp_millis` (exact integer
+    * semantics; the reference's `/1000` + cast round-trips through double).
     */
   def parseTrades(raw: DataFrame): DataFrame =
     raw
       .select(from_json(col("json"), tradeSchema).as("data"))
       .select(col("data.*"))
-      .withColumn("price", col("price").cast(DecimalType(20, 8)))
-      .withColumn("quantity", col("quantity").cast(DecimalType(20, 8)))
+      .withColumn("price", expr("try_cast(price AS DECIMAL(20,8))"))
+      .withColumn("quantity", expr("try_cast(quantity AS DECIMAL(20,8))"))
       .withColumn("trade_time", timestamp_millis(col("trade_time")))
       .withColumn("trade_value", col("price") * col("quantity"))
+
+  /** Ingest-quality observation riding the parse pass — the Spark-native
+    * replacement for the reference's sink guards (`df.isEmpty()` +
+    * `df.count()`, processor.py:117-121), which RECOMPUTE each micro-batch
+    * twice before writing. `observe` attaches accumulator-style aggregates
+    * to the rows already flowing: per micro-batch the query progress
+    * reports row count, unparseable-JSON count, and rows whose decimal
+    * fields failed the cast — zero extra actions, zero recompute, at any
+    * scale. Consumers read `StreamingQueryProgress.observedMetrics
+    * ("ingest")` (or a `StreamingQueryListener`) — the monitoring-plane
+    * analog of the reference's freshness DAG, fed from inside the query.
+    */
+  def observed(trades: DataFrame): DataFrame =
+    trades.observe(
+      "ingest",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("trade_id").isNull, 1L).otherwise(0L)).as("n_malformed"),
+      sum(when(col("trade_id").isNotNull &&
+        (col("price").isNull || col("quantity").isNull), 1L).otherwise(0L))
+        .as("n_bad_decimal"))
 
   /** Watermarked tumbling-window OHLCV+VWAP (reference: processor.py:78-101).
     * State for a window is dropped once the watermark passes its end; rows

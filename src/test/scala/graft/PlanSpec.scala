@@ -288,4 +288,22 @@ class PlanSpec extends SparkSuite {
       assert(zRows * 2 < baseRows, s"z-order must skip >half the scan: $zRows vs $baseRows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("indicators run per-symbol windows — no single-partition funnel, no joins") {
+    Seq("rsi_14", "bollinger_bands", "stoch_osc", "obv", "ewma_price").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels all rows through one task:\n$p")
+      assert(!p.contains("Join"), s"$q must be window-only:\n$p")
+    }
+  }
+
+  test("profile_columns and dq_checks are a single scan with partial aggregation") {
+    Seq("profile_columns", "dq_checks").foreach { q =>
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must profile in ONE pass, found $scans scans:\n$p")
+      assert(p.contains("partial"), s"$q must combine map-side:\n$p")
+    }
+  }
 }
