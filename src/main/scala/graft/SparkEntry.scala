@@ -104,6 +104,8 @@ object SparkEntry {
     "stoch_osc"         -> (IndicatorOps.stochOsc _),
     "obv"               -> (IndicatorOps.obv _),
     "ewma_price"        -> (IndicatorOps.ewmaPrice _),
+    "pairwise_corr"     -> (IndicatorOps.pairwiseCorr _),
+    "zscore_anomaly"    -> (IndicatorOps.zscoreAnomaly _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "dq_checks"         -> (QualityOps.dqChecks _),
@@ -171,6 +173,7 @@ object SparkEntry {
     "ngram_diversity"   -> (PipelineOps.ngramDiversity _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
     "doc_chunks"        -> (PipelineOps.docChunks _),
+    "chunk_dedup"       -> (PipelineOps.chunkDedup _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "oov_rate"          -> (PipelineOps.oovRate _),
     "passage_dedup"     -> (PipelineOps.passageDedup _),
@@ -1520,6 +1523,63 @@ object SparkEntry {
         |SELECT symbol, window_start,
         |  CAST(num AS DOUBLE) / 65535.0 / 100.0 AS ewma
         |FROM s WHERE x_oldest IS NOT NULL""".stripMargin),
+    "pairwise_corr" ->
+      (IndicatorCandleCte +
+        """p AS (
+        |  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.x AS xa, b.x AS xb
+        |  FROM c a JOIN c b ON a.window_start = b.window_start
+        |  WHERE a.symbol < b.symbol),
+        |s AS (
+        |  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+        |    CAST(sum(xa * xb) AS BIGINT) AS sxy,
+        |    CAST(sum(xa * xa) AS BIGINT) AS sxx,
+        |    CAST(sum(xb * xb) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT sym_a, sym_b, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |        AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <> 0
+        |  THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+        |  END AS corr
+        |FROM s""".stripMargin),
+    "zscore_anomaly" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM c GROUP BY 1),
+        |z AS (
+        |  SELECT c.symbol, c.window_start,
+        |    CAST(c.x AS DOUBLE) / 100.0 AS close_price,
+        |    CASE WHEN n > 1 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN (CAST(c.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    END AS z
+        |  FROM c JOIN s ON c.symbol = s.symbol)
+        |SELECT symbol, window_start, close_price, z
+        |FROM z WHERE abs(z) > 3.0""".stripMargin),
+    "chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 64), ' ')) AS chunk_hash
+        |  FROM e)
+        |SELECT chunk_hash,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc_id
+        |FROM h GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "profile_columns" ->
       """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

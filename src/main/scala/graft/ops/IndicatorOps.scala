@@ -145,4 +145,73 @@ object IndicatorOps {
         col("symbol"), col("window_start"),
         (dbl(col("num")) / 65535.0 / 100.0).as("ewma"))
   }
+
+  /** Cross-symbol correlation matrix: Pearson r of minute closes for every
+    * unordered symbol pair, over the minutes where both symbols traded —
+    * the portfolio co-movement table. One self-equi-join on window_start
+    * (symbol count is bounded, so the pair fan-out is a small constant),
+    * then the same exact-integer power-sum discipline as
+    * [[AggOps.autocorrLag1]]: int64 sums per pair, combined in
+    * DECIMAL(38,0) (n·Σxy − Σx·Σy overflows int64 at sf0.1 spans), one
+    * final double division sequence.
+    */
+  def pairwiseCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def d(c: Column) = c.cast(d38)
+    val c = closes(spark, dir)
+    val a = c.select(col("symbol").as("sym_a"), col("window_start"), col("x").as("xa"))
+    val b = c.select(col("symbol").as("sym_b"), col("window_start"), col("x").as("xb"))
+    a.join(b, Seq("window_start"))
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(
+        col("sym_a"), col("sym_b"), col("n"),
+        // degenerate pairs (a constant side, or a single overlap minute)
+        // have zero variance: NULL correlation, not an ANSI 22012 abort
+        when(
+          d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")) =!= 0 &&
+          d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")) =!= 0,
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast(DoubleType) /
+            (sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast(DoubleType)) *
+             sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast(DoubleType))))
+          .as("corr"))
+  }
+
+  /** Z-score outlier flagging over minute closes: rows whose close sits
+    * more than 3 sample standard deviations from the symbol's mean. The
+    * per-symbol moments come from exact int64 power sums (each sum
+    * individually < 2^53 so its double conversion is exact — the
+    * [[StatsOps.statsAgg]] discipline), the moments combine in pure IEEE
+    * double, and the 3σ comparison is then bit-identical in any engine.
+    * Plan shape: one aggregation over the candle frame + a broadcast join
+    * back — the tiny per-symbol stats frame never shuffles the series.
+    */
+  def zscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val c = closes(spark, dir)
+    val stats = c.groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = dbl(col("n")); val sx = dbl(col("sx")); val sxx = dbl(col("sxx"))
+    val mean = sx / n
+    val sd = sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))
+    c.join(broadcast(stats), "symbol")
+      // constant or single-candle symbols have sd = 0 (or n−1 = 0): no
+      // z-score exists — NULL fails the 3σ predicate instead of aborting
+      .withColumn("z",
+        when(col("n") > 1L && n * sxx - sx * sx =!= 0.0,
+          (dbl(col("x")) - mean) / sd))
+      .filter(abs(col("z")) > 3.0)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("x")) / 100.0).as("close_price"),
+        col("z"))
+  }
 }

@@ -598,4 +598,20 @@ object PipelineOps {
         size(slice(col("toks"), col("s") + 1, lit(64))).as("n_chunk_tokens"),
         md5(concat_ws(" ", slice(col("toks"), col("s") + 1, lit(64))))
           .as("chunk_hash"))
+
+  /** Chunk-level duplicate detection over [[docChunks]] — the boilerplate
+    * radar doc-level dedup misses: a chunk hash appearing under more than
+    * one position/document marks repeated passage content (headers, legal
+    * footers, templated sections). One hash-keyed partial aggregation over
+    * the chunk stream; the shuffle carries (hash, doc_id) pairs only, and
+    * output is bounded by the duplicated subset, not the corpus.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_occurrences") > 1)
 }

@@ -122,6 +122,58 @@ class IndicatorOpsSpec extends SparkSuite {
     expected.foreach { case (k, v) => assert(actual(k) === v, k) }
   }
 
+  test("pairwise_corr matches straight-line recomputation exactly") {
+    val syms = series.keys.toSeq.sorted
+    val expected = (for {
+      i <- syms.indices; j <- (i + 1) until syms.length
+      // a pair with no common minute produces no joined rows at all
+      if series(syms(i)).map(_._1.getTime).toSet
+        .intersect(series(syms(j)).map(_._1.getTime).toSet).nonEmpty
+    } yield {
+      val a = series(syms(i)).map(t => t._1.getTime -> t._2).toMap
+      val b = series(syms(j)).map(t => t._1.getTime -> t._2).toMap
+      val common = a.keySet.intersect(b.keySet).toSeq
+      val xs = common.map(a); val ys = common.map(b)
+      val n = BigInt(common.size)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxy = common.map(k => BigInt(a(k)) * BigInt(b(k))).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val syy = ys.map(y => BigInt(y) * BigInt(y)).sum
+      val corr =
+        if (n * sxx - sx * sx == 0 || n * syy - sy * sy == 0) None
+        else Some((n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
+      (syms(i), syms(j)) -> ((common.size.toLong, corr))
+    }).toMap
+    val actual = IndicatorOps.pairwiseCorr(spark, sf).collect()
+      .map { r =>
+        val c: Option[Double] = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), c))
+      }.toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
+  test("zscore_anomaly matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.size.toDouble
+      val sx = xs.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val mean = sx / n
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+      if (xs.size <= 1 || n * sxx - sx * sx == 0.0) Seq.empty
+      else rows.collect {
+        case (t, x, _) if math.abs((x.toDouble - mean) / sd) > 3.0 =>
+          (sym, t) -> ((x.toDouble / 100.0, (x.toDouble - mean) / sd))
+      }
+    }.toMap
+    val actual = IndicatorOps.zscoreAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
   test("rsi and stoch_k stay in [0, 100]; bands bracket the sma") {
     IndicatorOps.rsi14(spark, sf).collect().foreach { r =>
       if (!r.isNullAt(2)) assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 100.0)
@@ -152,5 +204,18 @@ class IndicatorOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
     assert(actual.size === expected.size)
     expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+
+    // chunk_dedup is the groupBy of the same chunk stream: recompute the
+    // duplicated-hash table from the straight-line chunks and compare
+    val byHash = expected.toSeq
+      .map { case ((id, _), (_, h)) => h -> id }
+      .groupBy(_._1)
+      .collect { case (h, occ) if occ.size > 1 =>
+        h -> ((occ.size.toLong, occ.map(_._2).distinct.size.toLong, occ.map(_._2).min))
+      }
+    val dedup = PipelineOps.chunkDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(dedup.size === byHash.size)
+    byHash.foreach { case (k, v) => assert(dedup(k) === v, k) }
   }
 }
