@@ -106,6 +106,7 @@ object SparkEntry {
     "ewma_price"        -> (IndicatorOps.ewmaPrice _),
     "pairwise_corr"     -> (IndicatorOps.pairwiseCorr _),
     "zscore_anomaly"    -> (IndicatorOps.zscoreAnomaly _),
+    "ohlcv_5min_rollup" -> (AggOps.ohlcv5minRollup _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "dq_checks"         -> (QualityOps.dqChecks _),
@@ -1523,6 +1524,34 @@ object SparkEntry {
         |SELECT symbol, window_start,
         |  CAST(num AS DOUBLE) / 65535.0 / 100.0 AS ewma
         |FROM s WHERE x_oldest IS NOT NULL""".stripMargin),
+    "ohlcv_5min_rollup" ->
+      """WITH t AS (
+        |  SELECT ts, event_type AS symbol,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS BIGINT) AS qty
+        |  FROM events),
+        |m AS (
+        |  SELECT date_trunc('minute', ts) AS m, symbol,
+        |    arg_min(pc, ts) AS open_c, max(pc) AS hi_c, min(pc) AS lo_c,
+        |    arg_max(pc, ts) AS close_c,
+        |    CAST(sum(qty) AS BIGINT) AS vol,
+        |    CAST(sum(pc * qty) AS BIGINT) AS tv
+        |  FROM t GROUP BY 1, 2)
+        |SELECT
+        |  strftime(make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  symbol,
+        |  CAST(arg_min(open_c, m) AS DOUBLE) / 100.0 AS open_price,
+        |  CAST(max(hi_c) AS DOUBLE) / 100.0 AS high_price,
+        |  CAST(min(lo_c) AS DOUBLE) / 100.0 AS low_price,
+        |  CAST(arg_max(close_c, m) AS DOUBLE) / 100.0 AS close_price,
+        |  CAST(sum(vol) AS BIGINT) AS total_volume,
+        |  CAST(count(*) AS BIGINT) AS n_minutes,
+        |  CASE WHEN sum(vol) <> 0
+        |       THEN CAST(CAST(sum(tv) AS BIGINT) AS DOUBLE)
+        |            / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) / 100.0
+        |  END AS vwap
+        |FROM m GROUP BY 1, 2""".stripMargin,
     "pairwise_corr" ->
       (IndicatorCandleCte +
         """p AS (

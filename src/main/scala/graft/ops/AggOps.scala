@@ -326,6 +326,52 @@ object AggOps {
         count(lit(1)).as("n_returns"))
   }
 
+  /** 1-minute → 5-minute OHLCV rollup — the multi-granularity mart pattern:
+    * coarser candles are re-aggregated FROM the finer rollup, never from raw
+    * trades (at 100 TB the 5-min/1-hour/1-day ladder reads minutes × symbols
+    * rows, not the event stream; this is why the reference indexes its
+    * 1-minute mart time-descending, init.sql:20). Every intermediate is an
+    * exact integer — cents and volume units sum losslessly through both
+    * aggregation levels, open/close compose as min_by/max_by over the minute
+    * key, and VWAP divides the exactly-summed trade value once at the end.
+    * The 5-minute bucket is pure epoch arithmetic (µs div 300e6), identical
+    * in any engine; two key-local shuffles total.
+    */
+  def ohlcv5minRollup(spark: SparkSession, dir: String): DataFrame = {
+    val minute = Tables.events(spark, dir)
+      .select(
+        col("ts"),
+        col("event_type").as("symbol"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("pc"),
+        get_json_object(col("props"), "$.k").cast(DecimalType(18, 0))
+          .cast(LongType).as("qty"))
+      .groupBy(date_trunc("minute", col("ts")).as("m"), col("symbol"))
+      .agg(
+        expr("min_by(pc, ts)").as("open_c"),
+        max(col("pc")).as("hi_c"),
+        min(col("pc")).as("lo_c"),
+        expr("max_by(pc, ts)").as("close_c"),
+        sum(col("qty")).as("vol"),
+        sum(col("pc") * col("qty")).as("tv"))
+    val vol5 = sum(col("vol"))
+    minute
+      .groupBy(
+        date_format(
+          timestamp_seconds(expr("unix_micros(m) div 1000000 div 300") * 300),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("symbol"))
+      .agg(
+        (expr("min_by(open_c, m)").cast(DoubleType) / 100.0).as("open_price"),
+        (max(col("hi_c")).cast(DoubleType) / 100.0).as("high_price"),
+        (min(col("lo_c")).cast(DoubleType) / 100.0).as("low_price"),
+        (expr("max_by(close_c, m)").cast(DoubleType) / 100.0).as("close_price"),
+        vol5.as("total_volume"),
+        count(lit(1)).as("n_minutes"),
+        when(vol5 =!= 0L,
+          sum(col("tv")).cast(DoubleType) / vol5.cast(DoubleType) / 100.0)
+          .as("vwap"))
+  }
+
   /** Lag-1 autocorrelation of minute closes per symbol (mean-reversion /
     * momentum signal). Pearson r over (close_t, close_{t−1}) pairs from
     * EXACT integer power sums: closes are 2-decimal by construction, so

@@ -186,6 +186,44 @@ class IndicatorOpsSpec extends SparkSuite {
     }
   }
 
+  test("ohlcv_5min_rollup matches straight-line recomputation from raw events") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        get_json_object(col("props"), "$.k").cast("decimal(18,0)").cast("long"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val minutes = ev.groupBy { case (t, sym, _, _) => (us(t) / 60000000L, sym) }
+      .map { case ((m, sym), rows) =>
+        val sorted = rows.sortBy(r => us(r._1))
+        (m, sym,
+          sorted.head._3, rows.map(_._3).max, rows.map(_._3).min, sorted.last._3,
+          rows.map(_._4).sum, rows.map(r => r._3 * r._4).sum)
+      }
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val expected = minutes.groupBy { case (m, sym, _, _, _, _, _, _) => (m / 5, sym) }
+      .map { case ((b5, sym), rows) =>
+        val sorted = rows.toSeq.sortBy(_._1)
+        val vol = rows.map(_._7).sum; val tv = rows.map(_._8).sum
+        val ws = fmt.format(java.time.Instant.ofEpochSecond(b5 * 300L))
+        (ws, sym) -> ((
+          sorted.head._3.toDouble / 100.0, rows.map(_._4).max.toDouble / 100.0,
+          rows.map(_._5).min.toDouble / 100.0, sorted.last._6.toDouble / 100.0,
+          vol, rows.size.toLong,
+          if (vol == 0L) None else Some(tv.toDouble / vol.toDouble / 100.0)))
+      }
+    val actual = graft.ops.AggOps.ohlcv5minRollup(spark, sf).collect().map { r =>
+      val vwap: Option[Double] = if (r.isNullAt(8)) None else Some(r.getDouble(8))
+      (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getLong(7), vwap))
+    }.toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
   test("doc_chunks matches straight-line chunking exactly") {
     val docs = graft.model.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
