@@ -59,4 +59,25 @@ class ObservedMetricsSpec extends SparkSuite {
       s"batch-1 metrics (5 rows, 1 malformed, 1 bad decimal) missing: $seen")
     assert(seen.contains((1L, 0L, 0L)), s"batch-2 metrics missing: $seen")
   }
+
+  test("the streaming graph backfills over a batch DataFrame with identical results") {
+    // the unified batch/stream claim (OhlcvStream Scaladoc): the SAME
+    // parse -> watermark -> OHLCV composition, fed a plain batch DataFrame,
+    // produces the hand-computed candle
+    import spark.implicits._
+    val lines = Seq(
+      jsonTrade(1, "BTCUSDT", "100.5", "2", T0 + 10000),
+      jsonTrade(2, "BTCUSDT", "103.0", "1", T0 + 20000),
+      jsonTrade(3, "BTCUSDT", "99.0", "4", T0 + 50000)).toDF("json")
+    val out = OhlcvStream.ohlcv(OhlcvStream.parseTrades(lines)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Timestamp]("window_start").getTime === T0)
+    assert(r.getAs[java.math.BigDecimal]("open_price").doubleValue() === 100.5)
+    assert(r.getAs[java.math.BigDecimal]("high_price").doubleValue() === 103.0)
+    assert(r.getAs[java.math.BigDecimal]("low_price").doubleValue() === 99.0)
+    assert(r.getAs[java.math.BigDecimal]("close_price").doubleValue() === 99.0)
+    assert(r.getAs[java.math.BigDecimal]("total_volume").doubleValue() === 7.0)
+    assert(math.abs(r.getAs[java.math.BigDecimal]("vwap").doubleValue() - 100.0) < 1e-9)
+  }
 }
