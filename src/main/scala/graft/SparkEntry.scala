@@ -107,6 +107,7 @@ object SparkEntry {
     "pairwise_corr"     -> (IndicatorOps.pairwiseCorr _),
     "zscore_anomaly"    -> (IndicatorOps.zscoreAnomaly _),
     "ohlcv_5min_rollup" -> (AggOps.ohlcv5minRollup _),
+    "ts_pattern_search" -> (IndicatorOps.tsPatternSearch _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "dq_checks"         -> (QualityOps.dqChecks _),
@@ -215,7 +216,44 @@ object SparkEntry {
       |  FROM t GROUP BY 1, 2),
       |""".stripMargin
 
+  /** ts_pattern_search oracle, generated so the 8 z-terms and the pattern
+    * literals are symbol-for-symbol the Spark expression (Double.toString
+    * round-trips exactly in both parsers).
+    */
+  private val TsPatternSql: String = {
+    val K = 8
+    val q = (0 until K).map(i => (i - 3.5) / math.sqrt(5.25))
+    val lags = (0 until K).map(k =>
+      if (k == K - 1) s"x AS x${K - 1}"
+      else s"lag(x, ${K - 1 - k}) OVER w AS x$k").mkString(",\n|    ")
+    val s1 = (0 until K).map(i => s"x$i").mkString(" + ")
+    val s2 = (0 until K).map(i => s"x$i * x$i").mkString(" + ")
+    val dist = (0 until K).map { i =>
+      val z = s"((CAST(x$i AS DOUBLE) - m) / sd - (${q(i)}))"
+      s"$z * $z"
+    }.mkString("\n|    + ")
+    (IndicatorCandleCte +
+      s"""w AS (
+      |  SELECT symbol, window_start,
+      |    $lags
+      |  FROM c WINDOW w AS (PARTITION BY symbol ORDER BY window_start)),
+      |f AS (
+      |  SELECT symbol, window_start, ${(0 until K).map(i => s"x$i").mkString(", ")},
+      |    $s1 AS s1, $s2 AS s2
+      |  FROM w WHERE x0 IS NOT NULL),
+      |g AS (
+      |  SELECT symbol, window_start, ${(0 until K).map(i => s"x$i").mkString(", ")},
+      |    CAST(s1 AS DOUBLE) / 8.0 AS m,
+      |    sqrt((CAST(s2 AS DOUBLE) * 8.0 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |         / 64.0) AS sd
+      |  FROM f WHERE s2 * 8 - s1 * s1 <> 0)
+      |SELECT symbol, window_start,
+      |    $dist AS dist
+      |FROM g ORDER BY dist, symbol, window_start LIMIT 20""").stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ts_pattern_search" -> TsPatternSql,
     "ohlcv_1min" ->
       """WITH t AS (
         |  SELECT ts, event_type AS symbol,

@@ -146,6 +146,43 @@ object IndicatorOps {
         (dbl(col("num")) / 65535.0 / 100.0).as("ewma"))
   }
 
+  /** Time-series pattern search: the 20 sliding 8-candle close windows most
+    * similar to a z-normalized query shape (here the monotone riser), by
+    * squared Euclidean distance in z-space — subsequence similarity search
+    * in the one shape that scales: each window z-normalizes against its OWN
+    * exact integer sums (one window pass, 8 shared lags), distance to the
+    * broadcast-literal pattern is a fixed 8-term expression, and the global
+    * top-k compiles to TakeOrderedAndProject — no all-pairs matrix, no
+    * global sort. Every distance is an identical IEEE chain over exact
+    * integer inputs, so the oracle hash-matches bit-for-bit; flat windows
+    * (zero variance) have no z-shape and are skipped.
+    */
+  def tsPatternSearch(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    // z-normalized monotone riser: (i − 3.5)/√5.25, i = 0..7 (oldest→newest)
+    val q = (0 until K).map(i => (i - 3.5) / math.sqrt(5.25))
+    val xs = (0 until K).map(k =>
+      if (k == K - 1) col("x") else lag(col("x"), K - 1 - k).over(bySym))
+    closes(spark, dir)
+      .select(Seq(col("symbol"), col("window_start")) ++
+        xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
+      .filter(col("x0").isNotNull)
+      .withColumn("s1", (0 until K).map(i => col(s"x$i")).reduce(_ + _))
+      .withColumn("s2", (0 until K).map(i => col(s"x$i") * col(s"x$i")).reduce(_ + _))
+      .filter(col("s2") * lit(K.toLong) - col("s1") * col("s1") =!= 0L)
+      .withColumn("m", dbl(col("s1")) / 8.0)
+      .withColumn("sd",
+        sqrt((dbl(col("s2")) * 8.0 - dbl(col("s1")) * dbl(col("s1"))) / 64.0))
+      .withColumn("dist",
+        (0 until K).map { i =>
+          val z = (dbl(col(s"x$i")) - col("m")) / col("sd") - lit(q(i))
+          z * z
+        }.reduce(_ + _))
+      .select(col("symbol"), col("window_start"), col("dist"))
+      .orderBy(col("dist"), col("symbol"), col("window_start"))
+      .limit(20)
+  }
+
   /** Cross-symbol correlation matrix: Pearson r of minute closes for every
     * unordered symbol pair, over the minutes where both symbols traded —
     * the portfolio co-movement table. One self-equi-join on window_start

@@ -186,6 +186,34 @@ class IndicatorOpsSpec extends SparkSuite {
     }
   }
 
+  test("ts_pattern_search matches straight-line recomputation exactly") {
+    val K = 8
+    val q = (0 until K).map(i => (i - 3.5) / math.sqrt(5.25))
+    val all = series.toSeq.flatMap { case (sym, rows) =>
+      rows.sliding(K).filter(_.size == K).flatMap { w =>
+        val xs = w.map(_._2)
+        val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+        if (s2 * K - s1 * s1 == 0L) None
+        else {
+          val m = s1.toDouble / 8.0
+          val sd = math.sqrt((s2.toDouble * 8.0 - s1.toDouble * s1.toDouble) / 64.0)
+          // left-assoc sum, mirroring the engine's reduce(_ + _)
+          val dist = (0 until K).map { i =>
+            val z = (xs(i).toDouble - m) / sd - q(i)
+            z * z
+          }.reduce(_ + _)
+          Some((dist, sym, w.last._1))
+        }
+      }
+    }
+    val expected = all.sortBy(t => (t._1, t._2, t._3.getTime)).take(20)
+      .map(t => (t._2, t._3) -> t._1).toMap
+    val actual = IndicatorOps.tsPatternSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
   test("ohlcv_5min_rollup matches straight-line recomputation from raw events") {
     val ev = graft.model.Tables.events(spark, sf)
       .select(col("ts"), col("event_type"),

@@ -298,6 +298,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ts_pattern_search global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("ts_pattern_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("profile_columns and dq_checks are a single scan with partial aggregation") {
     Seq("profile_columns", "dq_checks").foreach { q =>
       val p = plan(q)
