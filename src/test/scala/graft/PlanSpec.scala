@@ -298,6 +298,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ohlcv_5min_rollup is two key-local aggregations (exactly two exchanges)") {
+    val p = plan("ohlcv_5min_rollup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected minute + 5-min shuffles only, plan:\n$p")
+  }
+
+  test("zscore_anomaly broadcasts the per-symbol stats back to the series") {
+    val p = plan("zscore_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"stats side must never shuffle the series:\n$p")
+  }
+
   test("ts_pattern_search global top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("ts_pattern_search")
     assert(p.contains("TakeOrderedAndProject"), p)
