@@ -110,6 +110,7 @@ object SparkEntry {
     "ts_pattern_search" -> (IndicatorOps.tsPatternSearch _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
+    "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
     "dq_checks"         -> (QualityOps.dqChecks _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),

@@ -60,6 +60,44 @@ object QualityOps {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The 100 TB profiler: same long-form output as [[profileColumns]] but
+    * distinct counts come from HLL++ (`approx_count_distinct`, default 5%
+    * rsd) — no multi-distinct Expand, so the single scan shuffles one
+    * constant-size sketch per column instead of re-keying the data k ways.
+    * Sketch estimates are engine-specific → rows-only in the registry; the
+    * spec bounds every estimate against the exact profiler. Min/max/null
+    * columns are identical to the exact form.
+    */
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
+    def asStr(c: Column, dt: String): Column = dt match {
+      case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
+      case _     => c.cast(StringType)
+    }
+    val cols = Seq(
+      ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
+      ("event_type", "str"), ("value", "dbl"), ("props", "str"))
+    val aggs = cols.flatMap { case (n, _) =>
+      Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
+        approx_count_distinct(col(n)).as(s"${n}_distinct"),
+        min(col(n)).as(s"${n}_min"),
+        max(col(n)).as(s"${n}_max"))
+    }
+    val one = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { case (n, dt) =>
+      struct(
+        lit(n).as("col_name"),
+        col("n_rows"),
+        col(s"${n}_nulls").as("n_nulls"),
+        col(s"${n}_distinct").as("n_distinct_est"),
+        asStr(col(s"${n}_min"), dt).as("min_value"),
+        asStr(col(s"${n}_max"), dt).as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Declarative rule-violation counter — the CHECK-constraint audit: each
     * rule is a boolean predicate over events, and the op reports how many
     * rows violate it plus the violation rate (exact long counts, ONE final

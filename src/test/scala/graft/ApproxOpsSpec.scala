@@ -263,4 +263,27 @@ class ApproxOpsSpec extends SparkSuite {
         s"$k: approx $a vs exact $n (>5%)")
     }
   }
+
+  test("profile_columns_approx matches the exact profiler except bounded distinct estimates") {
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("col_name")
+    val exact = SparkEntry.queries("profile_columns")(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    val approx = SparkEntry.queries("profile_columns_approx")(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // non-sketch columns are bit-identical to the exact profiler
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"), k)
+      assert(a.getAs[Long]("n_nulls") == e.getAs[Long]("n_nulls"), k)
+      assert(a.getAs[String]("min_value") == e.getAs[String]("min_value"), k)
+      assert(a.getAs[String]("max_value") == e.getAs[String]("max_value"), k)
+      // HLL++ estimate within 10% of the exact distinct count (2x the
+      // default 5% rsd — a deterministic bound for this fixed corpus)
+      val n = e.getAs[Long]("n_distinct")
+      val est = a.getAs[Long]("n_distinct_est")
+      assert(math.abs(est - n) <= math.max(1L, (0.10 * n).toLong),
+        s"$k: estimate $est vs exact $n (>10%)")
+    }
+  }
 }
