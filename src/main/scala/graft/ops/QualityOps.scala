@@ -11,54 +11,67 @@ import graft.model.Tables
   * primitives a production pipeline runs before publishing a table:
   * a column profiler and a rule-violation counter.
   *
-  * Scale posture: both ops are ONE pass over the fact table with map-side
+  * Scale posture: every op is ONE pass over the fact table with map-side
   * partial aggregation — profiling 100 TB costs one scan, never a scan per
-  * column or per rule. The profiler's distinct counts expand the scan
-  * k-ways (Spark's multi-distinct Expand) but still shuffle only
-  * per-column partial states; the rule counter is a pure conditional
-  * aggregate (zero expansion). Output is long-form (one row per column /
-  * per rule) so downstream gates can join or alert on it relationally —
-  * the monitor-DAG pattern, made data.
+  * column or per rule. The EXACT profiler's distinct counts expand the scan
+  * k-ways (Spark's multi-distinct Expand); the approx profiler replaces
+  * them with HLL++ sketches (no expansion, one constant-size sketch per
+  * column); the rule counter is a pure conditional aggregate (zero
+  * expansion). Output is long-form (one row per column / per rule) so
+  * downstream gates can join or alert on it relationally — the monitor-DAG
+  * pattern, made data.
   */
 object QualityOps {
 
-  /** Single-scan column profiler over events: per column, the row count,
-    * NULL count, exact distinct count, and min/max rendered as strings.
-    * Stringification is per-type and engine-stable: longs/strings verbatim,
-    * timestamps second-truncated, doubles through DECIMAL(18,2) (binary
-    * doubles print differently across engines; the fixed-scale decimal
-    * form is identical everywhere).
+  /** Engine-stable min/max rendering: longs/strings verbatim, timestamps
+    * second-truncated, doubles through DECIMAL(18,2) (binary doubles print
+    * differently across engines; the fixed-scale decimal form is identical
+    * everywhere).
     */
-  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
-    def asStr(c: Column, dt: String): Column = dt match {
-      case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss")
-      case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
-      case _     => c.cast(StringType)
-    }
-    // (name, datatype tag) of every profiled column
-    val cols = Seq(
-      ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
-      ("event_type", "str"), ("value", "dbl"), ("props", "str"))
-    val aggs = cols.flatMap { case (n, _) =>
+  private def asStr(c: Column, dt: String): Column = dt match {
+    case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
+    case _     => c.cast(StringType)
+  }
+
+  /** (name, datatype tag) of every profiled column. */
+  private val ProfiledCols = Seq(
+    ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
+    ("event_type", "str"), ("value", "dbl"), ("props", "str"))
+
+  /** Shared profiler body — the exact and approx profilers differ only in
+    * the distinct aggregate and its output alias.
+    */
+  private def profile(spark: SparkSession, dir: String,
+                      distinctAgg: Column => Column,
+                      distinctAlias: String): DataFrame = {
+    val aggs = ProfiledCols.flatMap { case (n, _) =>
       Seq(
         sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
-        countDistinct(col(n)).as(s"${n}_distinct"),
+        distinctAgg(col(n)).as(s"${n}_distinct"),
         min(col(n)).as(s"${n}_min"),
         max(col(n)).as(s"${n}_max"))
     }
     val one = Tables.events(spark, dir)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows = cols.map { case (n, dt) =>
+    val rows = ProfiledCols.map { case (n, dt) =>
       struct(
         lit(n).as("col_name"),
         col("n_rows"),
         col(s"${n}_nulls").as("n_nulls"),
-        col(s"${n}_distinct").as("n_distinct"),
+        col(s"${n}_distinct").as(distinctAlias),
         asStr(col(s"${n}_min"), dt).as("min_value"),
         asStr(col(s"${n}_max"), dt).as("max_value"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Single-scan column profiler over events: per column, the row count,
+    * NULL count, exact distinct count, and min/max rendered as strings
+    * (see [[asStr]] for the engine-stable rendering rules).
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    profile(spark, dir, countDistinct(_), "n_distinct")
 
   /** The 100 TB profiler: same long-form output as [[profileColumns]] but
     * distinct counts come from HLL++ (`approx_count_distinct`, default 5%
@@ -68,35 +81,8 @@ object QualityOps {
     * spec bounds every estimate against the exact profiler. Min/max/null
     * columns are identical to the exact form.
     */
-  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
-    def asStr(c: Column, dt: String): Column = dt match {
-      case "ts"  => date_format(c, "yyyy-MM-dd HH:mm:ss")
-      case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
-      case _     => c.cast(StringType)
-    }
-    val cols = Seq(
-      ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
-      ("event_type", "str"), ("value", "dbl"), ("props", "str"))
-    val aggs = cols.flatMap { case (n, _) =>
-      Seq(
-        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
-        approx_count_distinct(col(n)).as(s"${n}_distinct"),
-        min(col(n)).as(s"${n}_min"),
-        max(col(n)).as(s"${n}_max"))
-    }
-    val one = Tables.events(spark, dir)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows = cols.map { case (n, dt) =>
-      struct(
-        lit(n).as("col_name"),
-        col("n_rows"),
-        col(s"${n}_nulls").as("n_nulls"),
-        col(s"${n}_distinct").as("n_distinct_est"),
-        asStr(col(s"${n}_min"), dt).as("min_value"),
-        asStr(col(s"${n}_max"), dt).as("max_value"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
-  }
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame =
+    profile(spark, dir, approx_count_distinct(_), "n_distinct_est")
 
   /** Declarative rule-violation counter — the CHECK-constraint audit: each
     * rule is a boolean predicate over events, and the op reports how many
