@@ -213,6 +213,8 @@ object SparkEntry {
       |c AS (
       |  SELECT date_trunc('minute', ts) AS window_start, symbol,
       |    CAST(round(CAST(arg_max(price, ts) AS DOUBLE) * 100) AS BIGINT) AS x,
+      |    CAST(round(CAST(max(price) AS DOUBLE) * 100) AS BIGINT) AS hi,
+      |    CAST(round(CAST(min(price) AS DOUBLE) * 100) AS BIGINT) AS lo,
       |    CAST(round(CAST(sum(quantity) AS DOUBLE)) AS BIGINT) AS vol
       |  FROM t GROUP BY 1, 2),
       |""".stripMargin
@@ -1232,7 +1234,7 @@ object SparkEntry {
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |e AS (
         |  SELECT doc_id, toks,
-        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+        |    unnest(generate_series(0, greatest(len(toks) - 33, 0), 32)) AS s
         |  FROM d)
         |SELECT doc_id,
         |  CAST(s // 32 AS INTEGER) AS chunk_id,
@@ -1525,13 +1527,13 @@ object SparkEntry {
       (IndicatorCandleCte +
         """s AS (
         |  SELECT symbol, window_start, x,
-        |    max(x) OVER w AS hi, min(x) OVER w AS lo, count(*) OVER w AS nw
+        |    max(hi) OVER w AS hi14, min(lo) OVER w AS lo14, count(*) OVER w AS nw
         |  FROM c
         |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT symbol, window_start,
-        |  CASE WHEN hi <> lo
-        |       THEN CAST((x - lo) * 100 AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+        |  CASE WHEN hi14 <> lo14
+        |       THEN CAST((x - lo14) * 100 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE)
         |  END AS stoch_k
         |FROM s WHERE nw = 14""".stripMargin),
     "obv" ->
@@ -1637,7 +1639,7 @@ object SparkEntry {
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |e AS (
         |  SELECT doc_id, toks,
-        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+        |    unnest(generate_series(0, greatest(len(toks) - 33, 0), 32)) AS s
         |  FROM d),
         |h AS (
         |  SELECT doc_id,

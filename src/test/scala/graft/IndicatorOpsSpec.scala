@@ -17,17 +17,22 @@ class IndicatorOpsSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** symbol -> candles ordered by window_start: (window_start, closeCents, vol). */
-  private lazy val series: Map[String, Vector[(Timestamp, Long, Long)]] =
+  /** symbol -> candles ordered by window_start:
+    * (window_start, closeCents, hiCents, loCents, vol).
+    */
+  private lazy val series: Map[String, Vector[(Timestamp, Long, Long, Long, Long)]] =
     AggOps.ohlcv1min(spark, sf)
       .select(col("symbol"), col("window_start"),
         round(col("close_price") * 100).cast("long"),
+        round(col("high_price") * 100).cast("long"),
+        round(col("low_price") * 100).cast("long"),
         round(col("total_volume")).cast("long"))
       .collect()
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .groupBy(_._1)
       .map { case (s, rows) =>
-        s -> rows.sortBy(_._2.getTime).map(t => (t._2, t._3, t._4)).toVector
+        s -> rows.sortBy(_._2.getTime).map(t => (t._2, t._3, t._4, t._5, t._6)).toVector
       }
 
   private def collectD(df: org.apache.spark.sql.DataFrame, c: String) =
@@ -74,12 +79,12 @@ class IndicatorOpsSpec extends SparkSuite {
 
   test("stoch_osc matches straight-line recomputation exactly") {
     val expected = series.toSeq.flatMap { case (sym, rows) =>
-      val xs = rows.map(_._2)
-      (13 until xs.length).map { i =>
-        val win = xs.slice(i - 13, i + 1)
-        val hi = win.max; val lo = win.min
+      (13 until rows.length).map { i =>
+        val win = rows.slice(i - 13, i + 1)
+        val hi = win.map(_._3).max; val lo = win.map(_._4).min
+        val x = rows(i)._2
         val k = if (hi == lo) None
-                else Some(((xs(i) - lo) * 100L).toDouble / (hi - lo).toDouble)
+                else Some(((x - lo) * 100L).toDouble / (hi - lo).toDouble)
         (sym, rows(i)._1) -> k
       }
     }.toMap
@@ -96,7 +101,7 @@ class IndicatorOpsSpec extends SparkSuite {
           if (i == 0) 0L
           else {
             val d = rows(i)._2 - rows(i - 1)._2
-            if (d > 0) rows(i)._3 else if (d < 0) -rows(i)._3 else 0L
+            if (d > 0) rows(i)._5 else if (d < 0) -rows(i)._5 else 0L
           }
         acc += signed
         (sym, rows(i)._1) -> acc
@@ -164,7 +169,7 @@ class IndicatorOpsSpec extends SparkSuite {
       val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
       if (xs.size <= 1 || n * sxx - sx * sx == 0.0) Seq.empty
       else rows.collect {
-        case (t, x, _) if math.abs((x.toDouble - mean) / sd) > 3.0 =>
+        case (t, x, _, _, _) if math.abs((x.toDouble - mean) / sd) > 3.0 =>
           (sym, t) -> ((x.toDouble / 100.0, (x.toDouble - mean) / sd))
       }
     }.toMap
@@ -261,7 +266,8 @@ class IndicatorOpsSpec extends SparkSuite {
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = docs.flatMap { case (id, text) =>
       val toks = text.trim.split(" ", -1)
-      (0 until toks.length by 32).map { s =>
+      // the grid stops at the first window reaching the document end
+      (0 to math.max(toks.length - 33, 0) by 32).map { s =>
         val chunk = toks.slice(s, math.min(s + 64, toks.length))
         (id, s / 32) -> ((chunk.length, md5hex(chunk.mkString(" "))))
       }
