@@ -108,6 +108,7 @@ object SparkEntry {
     "zscore_anomaly"    -> (IndicatorOps.zscoreAnomaly _),
     "ohlcv_5min_rollup" -> (AggOps.ohlcv5minRollup _),
     "ts_pattern_search" -> (IndicatorOps.tsPatternSearch _),
+    "atr_14"            -> (IndicatorOps.atr14 _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
@@ -1535,6 +1536,25 @@ object SparkEntry {
         |  CASE WHEN hi14 <> lo14
         |       THEN CAST((x - lo14) * 100 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE)
         |  END AS stoch_k
+        |FROM s WHERE nw = 14""".stripMargin),
+    "atr_14" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start, hi, lo,
+        |    lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS pc
+        |  FROM c),
+        |r AS (
+        |  SELECT symbol, window_start,
+        |    greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
+        |  FROM d WHERE pc IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(tr) OVER w AS BIGINT) AS s, count(*) OVER w AS nw
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CAST(s AS DOUBLE) / 14.0 / 100.0 AS atr
         |FROM s WHERE nw = 14""".stripMargin),
     "obv" ->
       (IndicatorCandleCte +

@@ -149,6 +149,31 @@ object IndicatorOps {
         (dbl(col("num")) / 65535.0 / 100.0).as("ewma"))
   }
 
+  /** ATR(14), Cutler-style: the 14-candle simple average of the TRUE range
+    * — max(high−low, |high−prevClose|, |low−prevClose|), the range measure
+    * that counts an overnight gap as volatility where high−low alone
+    * misses it. True ranges are exact integer cents (greatest/abs of
+    * integer differences), the window sum is exact, and the only double is
+    * the final /14/100; Wilder's recursive smoothing is unbounded float
+    * state no oracle can pin (same reasoning as [[rsi14]]).
+    */
+  def atr14(spark: SparkSession, dir: String): DataFrame = {
+    val w14 = bySym.rowsBetween(-13, 0)
+    closes(spark, dir)
+      .withColumn("pc", lag(col("x"), 1).over(bySym))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(
+        col("hi") - col("lo"),
+        abs(col("hi") - col("pc")),
+        abs(col("lo") - col("pc"))))
+      .withColumn("s", sum(col("tr")).over(w14))
+      .withColumn("nw", count(lit(1)).over(w14))
+      .filter(col("nw") === 14)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("s")) / 14.0 / 100.0).as("atr"))
+  }
+
   /** Time-series pattern search: the 20 sliding 8-candle close windows most
     * similar to a z-normalized query shape (here the monotone riser), by
     * squared Euclidean distance in z-space — subsequence similarity search

@@ -127,6 +127,24 @@ class IndicatorOpsSpec extends SparkSuite {
     expected.foreach { case (k, v) => assert(actual(k) === v, k) }
   }
 
+  test("atr_14 matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val trs = (1 until rows.length).map { i =>
+        val (_, _, hi, lo, _) = rows(i)
+        val pc = rows(i - 1)._2
+        math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc)))
+      }
+      (13 until trs.length).map { j =>
+        val s = trs.slice(j - 13, j + 1).sum
+        (sym, rows(j + 1)._1) -> (s.toDouble / 14.0 / 100.0)
+      }
+    }.toMap
+    val actual = IndicatorOps.atr14(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
   test("pairwise_corr matches straight-line recomputation exactly") {
     val syms = series.keys.toSeq.sorted
     val expected = (for {
