@@ -109,6 +109,7 @@ object SparkEntry {
     "ohlcv_5min_rollup" -> (AggOps.ohlcv5minRollup _),
     "ts_pattern_search" -> (IndicatorOps.tsPatternSearch _),
     "atr_14"            -> (IndicatorOps.atr14 _),
+    "mfi_14"            -> (IndicatorOps.mfi14 _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
@@ -1555,6 +1556,30 @@ object SparkEntry {
         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT symbol, window_start,
         |  CAST(s AS DOUBLE) / 14.0 / 100.0 AS atr
+        |FROM s WHERE nw = 14""".stripMargin),
+    "mfi_14" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start, vol, hi + lo + x AS tp3,
+        |    lag(hi + lo + x) OVER (PARTITION BY symbol ORDER BY window_start) AS prev
+        |  FROM c),
+        |f AS (
+        |  SELECT symbol, window_start,
+        |    CASE WHEN tp3 > prev THEN tp3 * vol ELSE 0 END AS pos,
+        |    CASE WHEN tp3 < prev THEN tp3 * vol ELSE 0 END AS neg
+        |  FROM d WHERE prev IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS p14,
+        |    CAST(sum(neg) OVER w AS BIGINT) AS n14,
+        |    count(*) OVER w AS nw
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN p14 + n14 <> 0
+        |       THEN CAST(p14 AS DOUBLE) * 100.0 / CAST(p14 + n14 AS DOUBLE)
+        |  END AS mfi
         |FROM s WHERE nw = 14""".stripMargin),
     "obv" ->
       (IndicatorCandleCte +

@@ -174,6 +174,33 @@ object IndicatorOps {
         (dbl(col("s")) / 14.0 / 100.0).as("atr"))
   }
 
+  /** MFI(14) — the volume-weighted RSI: money flow = typical price ×
+    * volume, split into positive/negative by the typical-price direction,
+    * then 100·pos/(pos+neg) over the trailing 14 moves. Typical price
+    * (high+low+close)/3 is kept as its 3×-scaled integer (hi+lo+x cents)
+    * so every flow and both window sums are exact int64 — the /3 cancels
+    * in the ratio; one final division, NULL on a flow-less window.
+    */
+  def mfi14(spark: SparkSession, dir: String): DataFrame = {
+    val w14 = bySym.rowsBetween(-13, 0)
+    closes(spark, dir)
+      .withColumn("tp3", col("hi") + col("lo") + col("x"))
+      .withColumn("prev", lag(col("tp3"), 1).over(bySym))
+      .filter(col("prev").isNotNull)
+      .withColumn("pos",
+        when(col("tp3") > col("prev"), col("tp3") * col("vol")).otherwise(0L))
+      .withColumn("neg",
+        when(col("tp3") < col("prev"), col("tp3") * col("vol")).otherwise(0L))
+      .withColumn("p14", sum(col("pos")).over(w14))
+      .withColumn("n14", sum(col("neg")).over(w14))
+      .withColumn("nw", count(lit(1)).over(w14))
+      .filter(col("nw") === 14)
+      .select(
+        col("symbol"), col("window_start"),
+        when(col("p14") + col("n14") =!= 0L,
+          dbl(col("p14")) * 100.0 / dbl(col("p14") + col("n14"))).as("mfi"))
+  }
+
   /** Time-series pattern search: the 20 sliding 8-candle close windows most
     * similar to a z-normalized query shape (here the monotone riser), by
     * squared Euclidean distance in z-space — subsequence similarity search

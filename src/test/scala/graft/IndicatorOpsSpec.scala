@@ -145,6 +145,26 @@ class IndicatorOpsSpec extends SparkSuite {
     expected.foreach { case (k, v) => assert(actual(k) === v, k) }
   }
 
+  test("mfi_14 matches straight-line recomputation exactly") {
+    val expected = series.toSeq.flatMap { case (sym, rows) =>
+      val flows = (1 until rows.length).map { i =>
+        val tp3 = rows(i)._3 + rows(i)._4 + rows(i)._2
+        val prev = rows(i - 1)._3 + rows(i - 1)._4 + rows(i - 1)._2
+        val mf = tp3 * rows(i)._5
+        (if (tp3 > prev) mf else 0L, if (tp3 < prev) mf else 0L)
+      }
+      (13 until flows.length).map { j =>
+        val win = flows.slice(j - 13, j + 1)
+        val p = win.map(_._1).sum; val n = win.map(_._2).sum
+        val mfi = if (p + n == 0L) None else Some(p.toDouble * 100.0 / (p + n).toDouble)
+        (sym, rows(j + 1)._1) -> mfi
+      }
+    }.toMap
+    val actual = collectD(IndicatorOps.mfi14(spark, sf), "mfi")
+    assert(actual.size === expected.size)
+    expected.foreach { case (k, v) => assert(actual(k) === v, k) }
+  }
+
   test("pairwise_corr matches straight-line recomputation exactly") {
     val syms = series.keys.toSeq.sorted
     val expected = (for {
