@@ -1233,7 +1233,8 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
     "doc_chunks" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        |  WHERE trim(text) <> ''),
         |e AS (
         |  SELECT doc_id, toks,
         |    unnest(generate_series(0, greatest(len(toks) - 33, 0), 32)) AS s
@@ -1513,7 +1514,7 @@ object SparkEntry {
         """s AS (
         |  SELECT symbol, window_start,
         |    CAST(sum(x) OVER w AS BIGINT) AS s1,
-        |    CAST(sum(x * x) OVER w AS BIGINT) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x) OVER w AS s2,
         |    count(*) OVER w AS nw
         |  FROM c
         |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
@@ -1521,9 +1522,11 @@ object SparkEntry {
         |SELECT symbol, window_start,
         |  CAST(s1 AS DOUBLE) / 20.0 / 100.0 AS sma,
         |  CAST(s1 AS DOUBLE) / 20.0 / 100.0
-        |    + 2.0 * sqrt(CAST(s2 * 20 - s1 * s1 AS DOUBLE) / 380.0) / 100.0 AS upper_band,
+        |    + 2.0 * sqrt(CAST(s2 * 20 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / 380.0)
+        |      / 100.0 AS upper_band,
         |  CAST(s1 AS DOUBLE) / 20.0 / 100.0
-        |    - 2.0 * sqrt(CAST(s2 * 20 - s1 * s1 AS DOUBLE) / 380.0) / 100.0 AS lower_band
+        |    - 2.0 * sqrt(CAST(s2 * 20 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / 380.0)
+        |      / 100.0 AS lower_band
         |FROM s WHERE nw = 20""".stripMargin),
     "stoch_osc" ->
       (IndicatorCandleCte +
@@ -1565,13 +1568,13 @@ object SparkEntry {
         |  FROM c),
         |f AS (
         |  SELECT symbol, window_start,
-        |    CASE WHEN tp3 > prev THEN tp3 * vol ELSE 0 END AS pos,
-        |    CASE WHEN tp3 < prev THEN tp3 * vol ELSE 0 END AS neg
+        |    CASE WHEN tp3 > prev THEN CAST(tp3 AS HUGEINT) * vol ELSE 0 END AS pos,
+        |    CASE WHEN tp3 < prev THEN CAST(tp3 AS HUGEINT) * vol ELSE 0 END AS neg
         |  FROM d WHERE prev IS NOT NULL),
         |s AS (
         |  SELECT symbol, window_start,
-        |    CAST(sum(pos) OVER w AS BIGINT) AS p14,
-        |    CAST(sum(neg) OVER w AS BIGINT) AS n14,
+        |    sum(pos) OVER w AS p14,
+        |    sum(neg) OVER w AS n14,
         |    count(*) OVER w AS nw
         |  FROM f
         |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
@@ -1624,8 +1627,10 @@ object SparkEntry {
         |    CAST(sum(pc * qty) AS BIGINT) AS tv
         |  FROM t GROUP BY 1, 2)
         |SELECT
-        |  strftime(make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000),
-        |           '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000)
+        |    AS window_start,
+        |  make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000)
+        |    + INTERVAL 5 MINUTE AS window_end,
         |  symbol,
         |  CAST(arg_min(open_c, m) AS DOUBLE) / 100.0 AS open_price,
         |  CAST(max(hi_c) AS DOUBLE) / 100.0 AS high_price,
@@ -1637,7 +1642,7 @@ object SparkEntry {
         |       THEN CAST(CAST(sum(tv) AS BIGINT) AS DOUBLE)
         |            / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) / 100.0
         |  END AS vwap
-        |FROM m GROUP BY 1, 2""".stripMargin,
+        |FROM m GROUP BY 1, 2, 3""".stripMargin,
     "pairwise_corr" ->
       (IndicatorCandleCte +
         """p AS (
@@ -1681,7 +1686,8 @@ object SparkEntry {
         |FROM z WHERE abs(z) > 3.0""".stripMargin),
     "chunk_dedup" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        |  WHERE trim(text) <> ''),
         |e AS (
         |  SELECT doc_id, toks,
         |    unnest(generate_series(0, greatest(len(toks) - 33, 0), 32)) AS s

@@ -335,7 +335,9 @@ object AggOps {
     * aggregation levels, open/close compose as min_by/max_by over the minute
     * key, and VWAP divides the exactly-summed trade value once at the end.
     * The 5-minute bucket is pure epoch arithmetic (µs div 300e6), identical
-    * in any engine; two key-local shuffles total.
+    * in any engine; two key-local shuffles total. Bounds are TIMESTAMP-typed
+    * (`window_start`/`window_end`), matching `ohlcv1min` and the reference
+    * mart row (init.sql:7-8) so the 1-min→5-min ladder joins without casts.
     */
   def ohlcv5minRollup(spark: SparkSession, dir: String): DataFrame = {
     val minute = trades(spark, dir)
@@ -354,9 +356,8 @@ object AggOps {
     val vol5 = sum(col("vol"))
     minute
       .groupBy(
-        date_format(
-          timestamp_seconds(expr("unix_micros(m) div 1000000 div 300") * 300),
-          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        timestamp_seconds(expr("unix_micros(m) div 1000000 div 300") * 300)
+          .as("window_start"),
         col("symbol"))
       .agg(
         (expr("min_by(open_c, m)").cast(DoubleType) / 100.0).as("open_price"),
@@ -368,6 +369,7 @@ object AggOps {
         when(vol5 =!= 0L,
           sum(col("tv")).cast(DoubleType) / vol5.cast(DoubleType) / 100.0)
           .as("vwap"))
+      .withColumn("window_end", col("window_start") + expr("INTERVAL 5 MINUTES"))
   }
 
   /** Lag-1 autocorrelation of minute closes per symbol (mean-reversion /

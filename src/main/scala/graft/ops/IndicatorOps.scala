@@ -69,17 +69,23 @@ object IndicatorOps {
   }
 
   /** Bollinger bands: 20-period SMA of closes ± 2 sample standard
-    * deviations. Variance from the exact integer power sums over the frame
-    * (n·Σx² − (Σx)², bounded ≲ 2^42 at these magnitudes — far inside long),
-    * then one double sqrt/division sequence. Only full 20-candle windows.
+    * deviations. Variance from exact power sums over the frame — the x·x
+    * products and the n·Σx² − (Σx)² combination run in DECIMAL(38,0) (the
+    * [[pairwiseCorr]] discipline): int64 alone would wrap silently (or
+    * abort under ANSI) once a close reaches ~$21M in cents, a magnitude a
+    * 100 TB multi-asset feed can legitimately contain. One double
+    * sqrt/division sequence at the end. Only full 20-candle windows.
     */
   def bollingerBands(spark: SparkSession, dir: String): DataFrame = {
     val w20 = bySym.rowsBetween(-19, 0)
+    val d19 = DecimalType(19, 0)
+    def d(c: Column) = c.cast(d19)
     val mid = dbl(col("s1")) / 20.0 / 100.0
-    val sd = sqrt(dbl(col("s2") * 20L - col("s1") * col("s1")) / 380.0)
+    val sd = sqrt(
+      (col("s2") * lit(20) - d(col("s1")) * d(col("s1"))).cast(DoubleType) / 380.0)
     closes(spark, dir)
       .withColumn("s1", sum(col("x")).over(w20))
-      .withColumn("s2", sum(col("x") * col("x")).over(w20))
+      .withColumn("s2", sum(d(col("x")) * d(col("x"))).over(w20))
       .withColumn("nw", count(lit(1)).over(w20))
       .filter(col("nw") === 20)
       .select(
@@ -178,26 +184,32 @@ object IndicatorOps {
     * volume, split into positive/negative by the typical-price direction,
     * then 100·pos/(pos+neg) over the trailing 14 moves. Typical price
     * (high+low+close)/3 is kept as its 3×-scaled integer (hi+lo+x cents)
-    * so every flow and both window sums are exact int64 — the /3 cancels
-    * in the ratio; one final division, NULL on a flow-less window.
+    * — the /3 cancels in the ratio — and each flow product tp3·vol plus
+    * both window sums run in DECIMAL(38,0) (the [[pairwiseCorr]]
+    * discipline): a high-price high-volume candle overflows the int64
+    * product long before it stresses decimal. One final division, NULL on
+    * a flow-less window.
     */
   def mfi14(spark: SparkSession, dir: String): DataFrame = {
     val w14 = bySym.rowsBetween(-13, 0)
+    val d19 = DecimalType(19, 0)
+    def d(c: Column) = c.cast(d19)
+    val zero = lit(0L).cast(DecimalType(38, 0))
     closes(spark, dir)
       .withColumn("tp3", col("hi") + col("lo") + col("x"))
       .withColumn("prev", lag(col("tp3"), 1).over(bySym))
       .filter(col("prev").isNotNull)
       .withColumn("pos",
-        when(col("tp3") > col("prev"), col("tp3") * col("vol")).otherwise(0L))
+        when(col("tp3") > col("prev"), d(col("tp3")) * d(col("vol"))).otherwise(zero))
       .withColumn("neg",
-        when(col("tp3") < col("prev"), col("tp3") * col("vol")).otherwise(0L))
+        when(col("tp3") < col("prev"), d(col("tp3")) * d(col("vol"))).otherwise(zero))
       .withColumn("p14", sum(col("pos")).over(w14))
       .withColumn("n14", sum(col("neg")).over(w14))
       .withColumn("nw", count(lit(1)).over(w14))
       .filter(col("nw") === 14)
       .select(
         col("symbol"), col("window_start"),
-        when(col("p14") + col("n14") =!= 0L,
+        when(col("p14") + col("n14") =!= 0,
           dbl(col("p14")) * 100.0 / dbl(col("p14") + col("n14"))).as("mfi"))
   }
 

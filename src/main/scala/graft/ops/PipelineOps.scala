@@ -591,9 +591,15 @@ object PipelineOps {
     * windows are strict suffixes of the previous chunk — pure stride
     * artifacts (34% of chunks on the test corpus) that [[chunkDedup]]
     * would then misreport as duplicated passages.
+    *
+    * Empty/whitespace-only documents are dropped up front: `split(trim(''),
+    * ' ')` is `['']`, which would otherwise emit one zero-content chunk per
+    * empty doc, all hashing to the same empty-token md5 — [[chunkDedup]]
+    * would then flag every empty doc as a duplicated passage.
     */
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
       .select(
         col("doc_id"), col("toks"),

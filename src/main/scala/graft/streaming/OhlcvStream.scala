@@ -97,6 +97,14 @@ object OhlcvStream {
     * scale. Consumers read `StreamingQueryProgress.observedMetrics
     * ("ingest")` (or a `StreamingQueryListener`) — the monitoring-plane
     * analog of the reference's freshness DAG, fed from inside the query.
+    *
+    * Approximation, by design: `n_malformed` counts NULL `trade_id` after
+    * [[parseTrades]], which conflates unparseable JSON with a valid object
+    * merely missing `trade_id`; likewise `n_bad_decimal` counts absent
+    * price/quantity fields as cast failures. The feed contract makes both
+    * fields mandatory, so the conflation only matters against a peer that
+    * drops them — wire `from_json`'s `columnNameOfCorruptRecord` column
+    * through `parseTrades` if per-cause attribution is ever needed.
     */
   def observed(trades: DataFrame): DataFrame =
     trades.observe(

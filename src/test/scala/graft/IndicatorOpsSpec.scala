@@ -272,13 +272,11 @@ class IndicatorOpsSpec extends SparkSuite {
           sorted.head._3, rows.map(_._3).max, rows.map(_._3).min, sorted.last._3,
           rows.map(_._4).sum, rows.map(r => r._3 * r._4).sum)
       }
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     val expected = minutes.groupBy { case (m, sym, _, _, _, _, _, _) => (m / 5, sym) }
       .map { case ((b5, sym), rows) =>
         val sorted = rows.toSeq.sortBy(_._1)
         val vol = rows.map(_._7).sum; val tv = rows.map(_._8).sum
-        val ws = fmt.format(java.time.Instant.ofEpochSecond(b5 * 300L))
+        val ws = new java.sql.Timestamp(b5 * 300000L)
         (ws, sym) -> ((
           sorted.head._3.toDouble / 100.0, rows.map(_._4).max.toDouble / 100.0,
           rows.map(_._5).min.toDouble / 100.0, sorted.last._6.toDouble / 100.0,
@@ -287,7 +285,9 @@ class IndicatorOpsSpec extends SparkSuite {
       }
     val actual = graft.ops.AggOps.ohlcv5minRollup(spark, sf).collect().map { r =>
       val vwap: Option[Double] = if (r.isNullAt(8)) None else Some(r.getDouble(8))
-      (r.getString(0), r.getString(1)) ->
+      // window_end (appended last) is the start + 5 minutes, timestamp-typed
+      assert(r.getTimestamp(9).getTime === r.getTimestamp(0).getTime + 300000L)
+      (r.getTimestamp(0), r.getString(1)) ->
         ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
           r.getLong(6), r.getLong(7), vwap))
     }.toMap
