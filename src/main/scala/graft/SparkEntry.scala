@@ -174,6 +174,7 @@ object SparkEntry {
     "split_drift"       -> (PipelineOps.splitDrift _),
     "bigram_lm"         -> (PipelineOps.bigramLm _),
     "merge_upsert_batch" -> (RelationalOps.mergeUpsertBatch _),
+    "merge_full_triad"  -> (RelationalOps.mergeFullTriad _),
     "lm_familiarity"    -> (PipelineOps.lmFamiliarity _),
     "ngram_diversity"   -> (PipelineOps.ngramDiversity _),
     "length_band_filter" -> (PipelineOps.lengthBandFilter _),
@@ -764,6 +765,20 @@ object SparkEntry {
         |  COALESCE(c.c_totalprice, b.o_totalprice) AS o_totalprice,
         |  COALESCE(c.c_orderpriority, b.o_orderpriority) AS o_orderpriority
         |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey""".stripMargin,
+    "merge_full_triad" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |chg AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS c_totalprice,
+        |         'UPDATED' AS c_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 >= 5)
+        |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(c.c_totalprice, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(c.c_orderpriority, b.o_orderpriority) AS o_orderpriority
+        |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.c_orderpriority IS NOT NULL
+        |   OR b.o_orderpriority <> '1-URGENT'""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -603,4 +603,34 @@ object RelationalOps {
         coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
         coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
   }
+
+  /** Full ANSI MERGE triad: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
+    * WHEN NOT MATCHED BY SOURCE [AND cond] DELETE — the third branch the
+    * reference's ON CONFLICT upsert (processor.py:145-164) cannot express.
+    * Same full-outer-join shape as [[mergeUpsertBatch]] plus ONE filter:
+    * the source-presence marker (`c_orderpriority`, a literal on every
+    * change row, so NULL iff no source match) keeps matched+inserted rows,
+    * and base-only rows survive unless they hit the delete condition
+    * (urgent orders absent from the change feed are retired). All four row
+    * fates — updated, inserted, kept, deleted — are exercised by the
+    * fixture. Still a single key-partitioned shuffle; the delete branch
+    * adds no exchange, and AQE skew-splits the merge key as before.
+    */
+  def mergeFullTriad(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val base = o.filter(col("o_orderkey") % 10 < 8)
+    val changes = o.filter(col("o_orderkey") % 10 >= 5)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice") * 2).as("c_totalprice"),
+        lit("UPDATED").as("c_orderpriority"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("c_orderpriority").isNotNull ||
+              col("o_orderpriority") =!= "1-URGENT")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
+  }
 }

@@ -172,6 +172,29 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("merge_full_triad exercises update, insert, keep and delete fates") {
+    val base = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sourceKeys = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 >= 5)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val out = SparkEntry.queries("merge_full_triad")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // WHEN MATCHED / NOT MATCHED: every source key survives, marked UPDATED
+    sourceKeys.foreach(k => assert(out(k) == "UPDATED", s"source key $k"))
+    // NOT MATCHED BY SOURCE + cond: urgent base-only rows are deleted,
+    // every other base-only row is kept verbatim
+    val baseOnly = base.view.filterKeys(k => !sourceKeys.contains(k))
+    val deleted = baseOnly.filter(_._2 == "1-URGENT").keys
+    val kept = baseOnly.filter(_._2 != "1-URGENT")
+    assert(deleted.nonEmpty, "fixture must contain urgent base-only rows")
+    deleted.foreach(k => assert(!out.contains(k), s"key $k not deleted"))
+    kept.foreach { case (k, pri) => assert(out(k) == pri, s"key $k changed") }
+    assert(out.size == sourceKeys.size + kept.size)
+  }
+
   test("incremental_agg_merge equals a direct full aggregation") {
     val merged = SparkEntry.queries("incremental_agg_merge")(spark, sf)
       .collect().map(r => r.getAs[String]("event_type") ->
