@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * min/max surfaced alongside — this box runs other tenants and single
   * cold samples inflate 2-5x, so round-over-round comparisons are only
   * meaningful on medians.
+  *
+  * Load-drift sentinel: after the timed sweep, ONE fixed probe query is
+  * re-timed and compared against its own median from the sweep. A ratio
+  * > 2x in either direction means ambient load shifted mid-run and the
+  * artifact self-identifies as noisy (`"noisy_run":true`) — a
+  * round-over-round reader should prefer `queries_min` over the medians
+  * before chasing an apparent regression (BENCH_r05 recorded 5-10x
+  * tenant-load inflation on several queries that were unchanged).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,13 +75,39 @@ object Bench {
     val fails = samples.collect { case (k, v) if v.exists(_ < 0) => k -> (v.count(_ < 0)) }
     val failStr = fails.map { case (k, c) => s"\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
+    // Post-run drift probe: re-time one fixed mid-weight query and compare
+    // against its sweep median. The probe runs LAST, so a load spike that
+    // arrived mid-sweep (inflating later samples) or departed (deflating
+    // the probe) shows up as a ratio far from 1.
+    val probeName = "ohlcv_1min"
+    val drift: Option[(Double, Double)] =
+      SparkEntry.queries.get(probeName).flatMap { fn =>
+        val warm = med.getOrElse(probeName, -1.0)
+        if (warm <= 0) None
+        else {
+          val t0 = System.nanoTime()
+          val ok = try { run(fn); true } catch { case _: Throwable => false }
+          if (!ok) None
+          else {
+            val probe = (System.nanoTime() - t0) / 1e9
+            Some((probe, probe / warm))
+          }
+        }
+      }
+    val driftStr = drift match {
+      case Some((probe, ratio)) =>
+        val noisy = ratio > 2.0 || ratio < 0.5
+        s""""drift_probe":"$probeName","drift_probe_sec":$probe,""" +
+          s""""drift_ratio":$ratio,"noisy_run":$noisy,"""
+      case None => s""""drift_probe":null,"noisy_run":null,"""
+    }
     // Headline keys LAST: the driver's artifact keeps only the tail of a
     // long line, so the total / failed_passes / sf must survive truncation
     // (rounds 1-4 led with "value" and the artifact lost the total).
     val line = s"""{"metric":"total","unit":"sec","n":$n,"sink":"noop",""" +
       s""""queries":${fmt(med)},"queries_min":${fmt(mins)},""" +
       s""""queries_max":${fmt(maxs)},""" +
-      s""""failed_passes":$failStr,"sf":"$sfDir","value":$total}"""
+      s""""failed_passes":$failStr,$driftStr"sf":"$sfDir","value":$total}"""
     // Stop the session BEFORE printing so the JSON line is the final stdout
     // line of the run (Spark logs go to stderr; sbt's own trailing
     // "[success]" summary is suppressed in build.sbt for the same reason).
