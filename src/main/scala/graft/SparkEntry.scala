@@ -1642,10 +1642,8 @@ object SparkEntry {
         |    CAST(sum(pc * qty) AS BIGINT) AS tv
         |  FROM t GROUP BY 1, 2)
         |SELECT
-        |  make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000)
-        |    AS window_start,
-        |  make_timestamp((epoch_us(m) // 1000000 // 300) * 300 * 1000000)
-        |    + INTERVAL 5 MINUTE AS window_end,
+        |  time_bucket(INTERVAL 5 MINUTE, m) AS window_start,
+        |  time_bucket(INTERVAL 5 MINUTE, m) + INTERVAL 5 MINUTE AS window_end,
         |  symbol,
         |  CAST(arg_min(open_c, m) AS DOUBLE) / 100.0 AS open_price,
         |  CAST(max(hi_c) AS DOUBLE) / 100.0 AS high_price,

@@ -334,10 +334,15 @@ object AggOps {
     * exact integer — cents and volume units sum losslessly through both
     * aggregation levels, open/close compose as min_by/max_by over the minute
     * key, and VWAP divides the exactly-summed trade value once at the end.
-    * The 5-minute bucket is pure epoch arithmetic (µs div 300e6), identical
-    * in any engine; two key-local shuffles total. Bounds are TIMESTAMP-typed
-    * (`window_start`/`window_end`), matching `ohlcv1min` and the reference
-    * mart row (init.sql:7-8) so the 1-min→5-min ladder joins without casts.
+    * The 5-minute bucket is `window(m, "5 minutes")` — FLOOR semantics,
+    * the same bucketing the streaming twin
+    * ([[graft.streaming.CandleLadder]]) gets from its chained window, so
+    * batch and backfill stay bit-identical even for pre-epoch timestamps
+    * (an integer `div` would truncate toward zero there, putting a
+    * 1969-12-31T23:58 minute in the wrong bucket). Two key-local shuffles
+    * total. Bounds are TIMESTAMP-typed (`window_start`/`window_end`),
+    * matching `ohlcv1min` and the reference mart row (init.sql:7-8) so the
+    * 1-min→5-min ladder joins without casts.
     */
   def ohlcv5minRollup(spark: SparkSession, dir: String): DataFrame = {
     val minute = trades(spark, dir)
@@ -355,10 +360,7 @@ object AggOps {
         sum(col("pc") * col("qty")).as("tv"))
     val vol5 = sum(col("vol"))
     minute
-      .groupBy(
-        timestamp_seconds(expr("unix_micros(m) div 1000000 div 300") * 300)
-          .as("window_start"),
-        col("symbol"))
+      .groupBy(window(col("m"), "5 minutes"), col("symbol"))
       .agg(
         (expr("min_by(open_c, m)").cast(DoubleType) / 100.0).as("open_price"),
         (max(col("hi_c")).cast(DoubleType) / 100.0).as("high_price"),
@@ -369,7 +371,12 @@ object AggOps {
         when(vol5 =!= 0L,
           sum(col("tv")).cast(DoubleType) / vol5.cast(DoubleType) / 100.0)
           .as("vwap"))
-      .withColumn("window_end", col("window_start") + expr("INTERVAL 5 MINUTES"))
+      .select(
+        col("window.start").as("window_start"), col("symbol"),
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("total_volume"), col("n_minutes"),
+        col("vwap"),
+        col("window.end").as("window_end"))
   }
 
   /** Lag-1 autocorrelation of minute closes per symbol (mean-reversion /

@@ -103,7 +103,11 @@ class CandleLadderSpec extends SparkSuite {
       r.getAs[Double]("open_price"), r.getAs[Double]("high_price"),
       r.getAs[Double]("low_price"), r.getAs[Double]("close_price"),
       r.getAs[Long]("total_volume"), r.getAs[Long]("n_minutes"),
-      Option(r.getAs[Double]("vwap")), r.getAs[Timestamp]("window_end"))
+      // isNullAt, not Option(getAs): a NULL double unboxes to 0.0 and
+      // would mask a NULL-vs-0.0 vwap divergence between the two paths
+      if (r.isNullAt(r.fieldIndex("vwap"))) None
+      else Some(r.getAs[Double]("vwap")),
+      r.getAs[Timestamp]("window_end"))
     val ladder = CandleLadder.rollup5min(batchTrades).collect()
       .map(r => key(r) -> vals(r)).toMap
     val batch = graft.ops.AggOps.ohlcv5minRollup(spark, sf).collect()

@@ -18,9 +18,13 @@ class ChunkerEdgeSpec extends SparkSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("chunk_edge").toString
     def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
-    // token counts straddling every grid boundary
-    Seq(doc(1, 1), doc(2, 31), doc(3, 32), doc(4, 33), doc(5, 64),
-      doc(6, 65), doc(7, 96), doc(8, 97), doc(9, 128), doc(10, 129))
+    // token counts straddling every grid boundary, plus empty/whitespace
+    // docs (ids 90-92) that the chunker must DROP: split(trim(''), ' ')
+    // is [''], which would otherwise emit one empty-token chunk per doc,
+    // all sharing one md5 — chunk_dedup would report them as duplicates
+    (Seq(doc(1, 1), doc(2, 31), doc(3, 32), doc(4, 33), doc(5, 64),
+      doc(6, 65), doc(7, 96), doc(8, 97), doc(9, 128), doc(10, 129)) ++
+      Seq((90L, ""), (91L, " "), (92L, "     ")))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     tmp
@@ -44,6 +48,8 @@ class ChunkerEdgeSpec extends SparkSuite {
       8L -> Seq(64, 64, 33), // 97: starts 0, 32, 64
       9L -> Seq(64, 64, 64), // 128: starts 0, 32, 64
       10L -> Seq(64, 64, 64, 33)) // 129: starts 0, 32, 64, 96
+    // keySet equality doubles as the empty-doc pin: docs 90-92 (empty /
+    // whitespace-only) must produce NO chunks at all
     assert(got.keySet === expected.keySet)
     expected.foreach { case (id, sizes) => assert(got(id) === sizes, s"doc $id") }
   }

@@ -265,14 +265,16 @@ class IndicatorOpsSpec extends SparkSuite {
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    val minutes = ev.groupBy { case (t, sym, _, _) => (us(t) / 60000000L, sym) }
+    // floorDiv, not /: the engine buckets via window()/date_trunc (floor
+    // semantics), and truncating division would diverge pre-epoch
+    val minutes = ev.groupBy { case (t, sym, _, _) => (Math.floorDiv(us(t), 60000000L), sym) }
       .map { case ((m, sym), rows) =>
         val sorted = rows.sortBy(r => us(r._1))
         (m, sym,
           sorted.head._3, rows.map(_._3).max, rows.map(_._3).min, sorted.last._3,
           rows.map(_._4).sum, rows.map(r => r._3 * r._4).sum)
       }
-    val expected = minutes.groupBy { case (m, sym, _, _, _, _, _, _) => (m / 5, sym) }
+    val expected = minutes.groupBy { case (m, sym, _, _, _, _, _, _) => (Math.floorDiv(m, 5L), sym) }
       .map { case ((b5, sym), rows) =>
         val sorted = rows.toSeq.sortBy(_._1)
         val vol = rows.map(_._7).sum; val tv = rows.map(_._8).sum

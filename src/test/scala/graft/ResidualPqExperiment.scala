@@ -124,13 +124,13 @@ class ResidualPqExperiment extends SparkSuite {
     val codesRes = resids.map(encode(_, cbRes))
 
     val queries = ids.indices.filter(i => ids(i) < 10)
-    def exactTop3(qi: Int): Set[Long] = {
+    val exactTop3: Map[Int, Set[Long]] = queries.map { qi =>
       val uq = us(qi)
-      ids.indices.filter(_ != qi)
+      qi -> ids.indices.filter(_ != qi)
         .map(i => (us(i).zip(uq).map { case (a, b) => a * b }.sum, ids(i)))
         .sortBy { case (cos, id) => (-cos, id) }
         .take(3).map(_._2).toSet
-    }
+    }.toMap
     def rerank(qi: Int, cand: Seq[Int]): Set[Long] = {
       val uq = us(qi)
       cand.map(i => (us(i).zip(uq).map { case (a, b) => a * b }.sum, ids(i)))
@@ -143,10 +143,13 @@ class ResidualPqExperiment extends SparkSuite {
     def run(nProbe: Int, residual: Boolean): Double = recall { qi =>
       val uq = us(qi)
       val probed = (0 until NList).sortBy(c => l2(uq, cents(c))).take(nProbe)
+      // plain mode: ONE query-global lookup table; residual mode is the
+      // per-cell table by construction (the query residual depends on c)
+      lazy val dtabPlain = dtabOf(uq, cbPlain)
       val cand = probed.flatMap { c =>
         val dtab =
           if (residual) dtabOf(uq.zip(cents(c)).map { case (a, b) => a - b }, cbRes)
-          else dtabOf(uq, cbPlain)
+          else dtabPlain
         cellsIdx(c).filter(_ != qi).map { i =>
           (adc(if (residual) codesRes(i) else codesPlain(i), dtab), i)
         }
