@@ -114,6 +114,11 @@ object SparkEntry {
     "profile_columns"   -> (QualityOps.profileColumns _),
     "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
     "dq_checks"         -> (QualityOps.dqChecks _),
+    "dq_quarantine"     -> (QualityOps.dqQuarantine _),
+    "sql_q4"            -> (RelationalOps.sqlQ4 _),
+    "sql_q12"           -> (RelationalOps.sqlQ12 _),
+    "sql_q22"           -> (RelationalOps.sqlQ22 _),
+    "semdedup"          -> (SimilarityOps.semDedup _), // rows-only: float cosine groups
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
@@ -765,6 +770,58 @@ object SparkEntry {
         |  COALESCE(c.c_totalprice, b.o_totalprice) AS o_totalprice,
         |  COALESCE(c.c_orderpriority, b.o_orderpriority) AS o_orderpriority
         |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey""".stripMargin,
+    "sql_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "sql_q22" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "dq_quarantine" ->
+      """SELECT event_id, 'value_positive' AS rule FROM events WHERE value <= 0.0
+        |UNION ALL
+        |SELECT event_id, 'value_below_100' FROM events WHERE value > 100.0
+        |UNION ALL
+        |SELECT event_id, 'ts_in_january' FROM events
+        |WHERE ts < TIMESTAMP '2024-01-01 00:00:00'
+        |   OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |UNION ALL
+        |SELECT event_id, 'event_type_known' FROM events
+        |WHERE event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+        |UNION ALL
+        |SELECT event_id, 'user_id_present' FROM events WHERE user_id IS NULL
+        |UNION ALL
+        |SELECT event_id, 'props_has_k' FROM events
+        |WHERE json_extract_string(props, '$.k') IS NULL
+        |UNION ALL
+        |SELECT event_id, 'purchase_value_min_10' FROM events
+        |WHERE event_type = 'purchase' AND value < 10.0""".stripMargin,
     "merge_full_triad" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice, o_orderpriority

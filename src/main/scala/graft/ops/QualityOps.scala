@@ -91,9 +91,14 @@ object QualityOps {
     * distinguish "checked, clean" from "not checked"). One conditional
     * aggregation, no expansion, no second scan.
     */
-  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared CHECK-rule catalog: (rule name, VIOLATION predicate).
+    * [[dqChecks]] counts violations per rule; [[dqQuarantine]] emits the
+    * violating rows themselves. One definition so gate and quarantine can
+    * never drift.
+    */
+  private def dqRules: Seq[(String, Column)] = {
     val known = Seq("click", "error", "purchase", "signup", "view")
-    val rules: Seq[(String, Column)] = Seq(
+    Seq(
       ("value_positive", col("value") <= 0.0),
       ("value_below_100", col("value") > 100.0),
       ("ts_in_january", col("ts") < lit("2024-01-01 00:00:00").cast(TimestampType) ||
@@ -102,6 +107,10 @@ object QualityOps {
       ("user_id_present", col("user_id").isNull),
       ("props_has_k", get_json_object(col("props"), "$.k").isNull),
       ("purchase_value_min_10", col("event_type") === "purchase" && col("value") < 10.0))
+  }
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val rules = dqRules
     val aggs = rules.map { case (n, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(n)
     }
@@ -116,5 +125,21 @@ object QualityOps {
           .as("violation_rate"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** The quarantine half of the DQ layer: the VIOLATING ROWS themselves,
+    * one output row per (event, violated rule) — what a pipeline routes to
+    * a dead-letter table while the clean subset proceeds. ONE scan: every
+    * rule evaluates in a single projection into an array of fired rule
+    * names, the explode drops clean rows for free (empty array ⇒ no rows),
+    * and output size is bounded by the violation count, not the corpus.
+    * The rule catalog is [[dqRules]], shared with [[dqChecks]], so the
+    * gate's counts and the quarantine's rows always agree.
+    */
+  def dqQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val fired = array(dqRules.map { case (n, pred) => when(pred, lit(n)) }: _*)
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        explode(filter(fired, x => x.isNotNull)).as("rule"))
   }
 }

@@ -604,6 +604,76 @@ object RelationalOps {
         coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking), adapted to the corpus
+    * schema (no l_commitdate/receiptdate: "late" = shipped >60 days after
+    * order date). The defining feature is the correlated EXISTS whose
+    * predicate references BOTH the correlation key and an outer column in
+    * a non-equi comparison — Catalyst decorrelates it to one left-semi
+    * join carrying the l_shipdate > o_orderdate + 60d residual condition;
+    * no per-row subquery re-execution, one fact shuffle.
+    */
+  def sqlQ4(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority split), adapted (no l_shipmode:
+    * grouped by l_returnflag; "late" as in [[sqlQ4]]). The shape: a
+    * fact-fact equi-join where BOTH aggregates are conditional on the
+    * dimension-side priority — one joined scan, two CASE sums, zero extra
+    * passes.
+    */
+  def sqlQ12(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** TPC-H Q22 shape (global-customer relationship), adapted (no c_phone:
+    * grouped by nation). Two decorrelation shapes in one query: an
+    * uncorrelated SCALAR subquery (the global above-zero mean balance —
+    * computed as exact decimal sum / count with ONE IEEE division, not a
+    * float avg whose summation order differs per engine) feeding a filter,
+    * plus a NOT EXISTS anti-join against orders. Catalyst plans the scalar
+    * once (subquery broadcast), the anti join as one hash exchange.
+    */
+  def sqlQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** Full ANSI MERGE triad: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
     * WHEN NOT MATCHED BY SOURCE [AND cond] DELETE — the third branch the
     * reference's ON CONFLICT upsert (processor.py:145-164) cannot express.

@@ -507,4 +507,54 @@ object SimilarityOps {
       .filter(col("cosine") > 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Cosine threshold for [[semDedup]] group membership: above the ~0.35
+    * background cosine of the fixture's near-isotropic vectors while still
+    * admitting the corpus's closest pairs (max pairwise cosine ≈ 0.48-0.51
+    * at fixture SFs — there are no planted high-cosine twins here, so the
+    * fixture exercises the PLUMBING; a production corpus sets τ ≈ 0.9+).
+    */
+  private val SemDedupTau = 0.45
+
+  /** SemDedup (Abbas et al. 2023): semantic deduplication by clustering —
+    * embeddings are k-means-bucketed (the SAME trained coarse quantizer
+    * the IVF index uses, fingerprint-memoized), near-duplicate pairs are
+    * found ONLY within a cell, and each within-cell duplicate group keeps
+    * its min-id representative. This is the dedup that catches what
+    * MinHash cannot: paraphrases and re-encodings whose token overlap is
+    * low but whose embeddings nearly coincide.
+    *
+    * Scale shape: the pair search is an equi-join on the cell id — the
+    * same ids+cell-only shuffle as [[annIvf]]'s probe — and the per-cell
+    * pair fan-out is the SemDedup design point (cells ~ √N keeps cell
+    * populations bounded; cross-cell duplicates are out of scope by
+    * construction, exactly as in the paper). Grouping is the
+    * [[graft.ops.DedupOps.starComponents]] O(log d) labeler over the
+    * within-cell pair graph; duplicate groups rarely exceed a handful of
+    * members, so the label frame converges in 1-2 rounds. Float cosine ⇒
+    * rows-only gate; SemDedupSpec pins the output against brute-force
+    * within-cell components from the op's own cell assignment.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = unitVecs(spark, dir)
+    val cells = Tables.ckpt(
+      withCell(e, ivfCentroids(spark, dir))
+        .select(col("vec_id"), col("cell"), col("u"), col("nrm")))
+    val a = cells.select(col("cell"), col("vec_id").as("doc_a"), col("u").as("ua"))
+    val b = cells.select(col("cell").as("cell_b"), col("vec_id").as("doc_b"),
+      col("u").as("ub"))
+    val pairs = a.join(b,
+        col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .withColumn("cosine", expr("dot_product(ua, ub)"))
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) = DedupOps.starComponents(
+      spark, cells.select(col("vec_id").as("doc_id")), pairs)
+    val w = Window.partitionBy(col("keep_id"))
+    cells.select(col("vec_id").as("doc_id"), col("cell"))
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("cell"), col("label").as("keep_id"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+  }
 }
