@@ -324,4 +324,26 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("partial"), s"$q must combine map-side:\n$p")
     }
   }
+
+  test("dq_quarantine is one scan — every rule evaluates in a single projection") {
+    val p = plan("dq_quarantine")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, found $scans:\n$p")
+    assert(!p.contains("Union"), s"must not union per-rule scans:\n$p")
+  }
+
+  test("sql_q4's correlated non-equi EXISTS decorrelates to one semi join") {
+    val p = plan("sql_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q22 plans the scalar subquery once and NOT EXISTS as an anti join") {
+    val p = plan("sql_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the global-mean scalar must be a reused subquery result, not a
+    // per-row re-aggregation (visible as Subquery/ReusedSubquery nodes)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+  }
 }
