@@ -119,6 +119,8 @@ object SparkEntry {
     "sql_q12"           -> (RelationalOps.sqlQ12 _),
     "sql_q22"           -> (RelationalOps.sqlQ22 _),
     "semdedup"          -> (SimilarityOps.semDedup _), // rows-only: float cosine groups
+    "winsorize"         -> (StatsOps.winsorize _),
+    "copurchase_pairs"  -> (StatsOps.copurchasePairs _),
     "scd2_history"      -> (StatsOps.scd2History _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
@@ -803,6 +805,33 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS p05,
+        |    quantile_cont(l_quantity, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l.l_quantity < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN l.l_quantity > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  min(b.p05) AS p05,
+        |  min(b.p95) AS p95
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY 1""".stripMargin,
+    "copurchase_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM items a
+        |JOIN items b ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
     "dq_quarantine" ->
       """SELECT event_id, 'value_positive' AS rule FROM events WHERE value <= 0.0
         |UNION ALL

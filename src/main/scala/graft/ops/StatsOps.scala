@@ -93,6 +93,55 @@ object StatsOps {
         expr("percentile(l_quantity, 0.9)").as("p90"),
         expr("percentile(l_quantity, 0.99)").as("p99"))
 
+  /** Winsorization audit — the outlier-clamp every robust-statistics prep
+    * step runs before model features: per group, the exact p05/p95 bounds
+    * plus how many values each tail would clamp. Two passes by necessity
+    * (the bound must exist before a row can be compared to it) but the
+    * second is a BROADCAST join of a |groups|-row bounds table back onto
+    * the fact — the series never reshuffles. Output is counts + bounds
+    * only: exact longs and interpolated order statistics, both
+    * engine-identical; a winsorized SUM of doubles would be
+    * order-dependent, so the op deliberately reports the clamp census, not
+    * a float aggregate.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val bounds = l.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.05)").as("p05"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+    l.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("l_quantity") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"))
+  }
+
+  /** Market-basket co-occurrence: part pairs appearing in the same order at
+    * least twice, strongest first — the association-rule primitive. The
+    * self-join fan-out is per-ORDER pair expansion, bounded by basket size
+    * squared (≤13² on this corpus, small constant at any corpus scale), not
+    * corpus squared; the shuffle carries (orderkey, partkey) ids, the pair
+    * aggregation is hash-partial, and the global top-100 compiles to
+    * TakeOrderedAndProject. `l_partkey < l_partkey` orients pairs so each
+    * unordered pair counts once.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+    a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   /** Approximate percentiles via the Greenwald-Khanna sketch
     * (`approx_percentile`) — the mergeable-summary form that scales: exact
     * `percentile` buffers every value per group, the GK sketch is bounded
