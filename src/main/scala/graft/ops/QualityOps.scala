@@ -84,13 +84,6 @@ object QualityOps {
   def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame =
     profile(spark, dir, approx_count_distinct(_), "n_distinct_est")
 
-  /** Declarative rule-violation counter — the CHECK-constraint audit: each
-    * rule is a boolean predicate over events, and the op reports how many
-    * rows violate it plus the violation rate (exact long counts, ONE final
-    * IEEE division). Rules with zero violations still surface (a gate must
-    * distinguish "checked, clean" from "not checked"). One conditional
-    * aggregation, no expansion, no second scan.
-    */
   /** The shared CHECK-rule catalog: (rule name, VIOLATION predicate).
     * [[dqChecks]] counts violations per rule; [[dqQuarantine]] emits the
     * violating rows themselves. One definition so gate and quarantine can
@@ -109,6 +102,13 @@ object QualityOps {
       ("purchase_value_min_10", col("event_type") === "purchase" && col("value") < 10.0))
   }
 
+  /** Declarative rule-violation counter — the CHECK-constraint audit: each
+    * rule is a boolean predicate over events, and the op reports how many
+    * rows violate it plus the violation rate (exact long counts, ONE final
+    * IEEE division). Rules with zero violations still surface (a gate must
+    * distinguish "checked, clean" from "not checked"). One conditional
+    * aggregation, no expansion, no second scan.
+    */
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
     val rules = dqRules
     val aggs = rules.map { case (n, pred) =>

@@ -539,7 +539,7 @@ object SimilarityOps {
     val e = unitVecs(spark, dir)
     val cells = Tables.ckpt(
       withCell(e, ivfCentroids(spark, dir))
-        .select(col("vec_id"), col("cell"), col("u"), col("nrm")))
+        .select(col("vec_id"), col("cell"), col("u")))
     val a = cells.select(col("cell"), col("vec_id").as("doc_a"), col("u").as("ua"))
     val b = cells.select(col("cell").as("cell_b"), col("vec_id").as("doc_b"),
       col("u").as("ub"))

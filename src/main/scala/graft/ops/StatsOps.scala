@@ -126,7 +126,7 @@ object StatsOps {
     * squared (≤13² on this corpus, small constant at any corpus scale), not
     * corpus squared; the shuffle carries (orderkey, partkey) ids, the pair
     * aggregation is hash-partial, and the global top-100 compiles to
-    * TakeOrderedAndProject. `l_partkey < l_partkey` orients pairs so each
+    * TakeOrderedAndProject. `part_a < part_b` orients pairs so each
     * unordered pair counts once.
     */
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
