@@ -118,6 +118,10 @@ object SparkEntry {
     "sql_q4"            -> (RelationalOps.sqlQ4 _),
     "sql_q12"           -> (RelationalOps.sqlQ12 _),
     "sql_q22"           -> (RelationalOps.sqlQ22 _),
+    "sql_q13"           -> (RelationalOps.sqlQ13 _),
+    "sql_q17"           -> (RelationalOps.sqlQ17 _),
+    "sql_q19"           -> (RelationalOps.sqlQ19 _),
+    "sql_q21"           -> (RelationalOps.sqlQ21 _),
     "semdedup"          -> (SimilarityOps.semDedup _), // rows-only: float cosine groups
     "winsorize"         -> (StatsOps.winsorize _),
     "copurchase_pairs"  -> (StatsOps.copurchasePairs _),
@@ -805,6 +809,49 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "sql_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * (sum(l_quantity) / count(*))
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "sql_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "sql_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

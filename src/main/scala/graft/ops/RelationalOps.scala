@@ -674,6 +674,107 @@ object RelationalOps {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution), adapted (no
+    * o_comment: the join-side filter excludes '5-LOW' priority orders). Two
+    * defining features: the filter lives in the OUTER JOIN's ON clause —
+    * push it to WHERE and zero-order customers silently vanish — and the
+    * aggregation is two-level (per-customer order count, then a histogram
+    * of those counts). One outer-join shuffle on the customer key, one
+    * tiny re-aggregation on the count; `count(o_orderkey)` (not `*`)
+    * makes the null-extended rows count as zero in both engines.
+    */
+  def sqlQ13(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue). The defining feature
+    * is the correlated SCALAR AVG subquery over the same fact — Catalyst
+    * decorrelates it to one per-part aggregate joined back to the
+    * filtered scan, not a per-row re-execution. The mean is written as
+    * sum/count, not `avg`: l_quantity is integer-valued, so the sum is
+    * EXACT in double regardless of partition order and the one division
+    * is reproducible across engines — a float `avg` fed into a filter
+    * comparison would make row membership itself order-dependent.
+    * Revenue sum is decimal-exact, one cast to DOUBLE, one /7.0.
+    */
+  def sqlQ17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * (sum(l_quantity) / count(*))
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape (discounted-revenue, disjunctive predicate). The
+    * defining feature is the OR-of-ANDs residual spanning BOTH join sides:
+    * Catalyst extracts the common `p_partkey = l_partkey` equi-key, keeps
+    * the disjunction as the join residual, and pushes the per-side
+    * implied disjunctions (brand set, quantity envelope) down to each
+    * scan — the broadcast-hash join never sees rows no branch could
+    * accept. Revenue is the house decimal-exact pattern.
+    */
+  def sqlQ19(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted (no
+    * l_commitdate/receiptdate: the fault marker is `l_returnflag = 'R'`).
+    * The defining feature is the EXISTS + NOT EXISTS STACK over the same
+    * fact: "another supplier contributed to the order" (semi join) AND
+    * "no OTHER supplier's line was returned" (anti join) — three aliases
+    * of lineitem resolved as one scan + two orderkey-keyed joins carrying
+    * the suppkey-inequality residual, never a per-row subquery. Dim joins
+    * (supplier, 'F'-status orders) broadcast; final top-100 compiles to
+    * TakeOrderedAndProject.
+    */
+  def sqlQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   /** Full ANSI MERGE triad: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
     * WHEN NOT MATCHED BY SOURCE [AND cond] DELETE — the third branch the
     * reference's ON CONFLICT upsert (processor.py:145-164) cannot express.
