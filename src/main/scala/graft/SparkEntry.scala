@@ -126,6 +126,8 @@ object SparkEntry {
     "winsorize"         -> (StatsOps.winsorize _),
     "copurchase_pairs"  -> (StatsOps.copurchasePairs _),
     "scd2_history"      -> (StatsOps.scd2History _),
+    "event_transitions" -> (StatsOps.eventTransitions _),
+    "attribution_last_touch" -> (StatsOps.attributionLastTouch _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
@@ -1969,6 +1971,38 @@ object SparkEntry {
         |  min(us) AS session_start_us, max(us) AS session_end_us,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |a AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE)
+        |    / CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS p_trans
+        |FROM a""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, ts, us,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+        |  FROM e)
+        |SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(click_us) AS BIGINT) AS n_attributed,
+        |  CASE WHEN count(click_us) > 0
+        |       THEN CAST(sum(us - click_us) AS DOUBLE)
+        |            / CAST(count(click_us) AS DOUBLE) END AS avg_gap_us
+        |FROM f WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

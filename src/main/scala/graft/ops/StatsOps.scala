@@ -491,4 +491,59 @@ object StatsOps {
         date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("valid_to_ts").isNull.as("is_current"))
   }
+
+  /** Per-user event-type transition matrix — the Markov-chain / clickstream
+    * primitive: lag each user's (ts, event_id)-ordered stream one step,
+    * count (from, to) bigrams, and derive each source state's transition
+    * probability. ONE (user_id) exchange + sort feeds the lag; the bigram
+    * aggregation collapses to |types|² rows map-side-partial, and the
+    * per-source normalizing window runs over that tiny frame — exact long
+    * counts, one IEEE division per row. The 100 TB cost is exactly the
+    * cost of sorting each user's history once.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byTs))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans",
+        col("n_trans").cast(DoubleType) /
+          sum(col("n_trans")).over(byFrom).cast(DoubleType))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the same user's
+    * most recent STRICTLY-preceding click, carried forward by one
+    * `last(..., ignoreNulls)` window over the (ts, event_id)-ordered
+    * stream — never a time-range self-join, whose candidate set is
+    * unbounded on heavy users. The frame ends at `-1` so a click at the
+    * purchase's own ordinal never credits itself. Daily rollup reports
+    * conversion coverage and the mean click→purchase gap from exact
+    * integer-µs sums (NULL-guarded single division; unattributed
+    * purchases — no prior click — stay in n_purchases only). Same single
+    * (user_id) exchange discipline as [[sessionize]]/[[scd2History]].
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(carry))
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_us")).as("n_attributed"),
+        sum(unix_micros(col("ts")) - col("click_us")).as("gap_us_sum"))
+      .withColumn("avg_gap_us",
+        when(col("n_attributed") > 0L,
+          col("gap_us_sum").cast(DoubleType) / col("n_attributed").cast(DoubleType)))
+      .select(col("day"), col("n_purchases"), col("n_attributed"), col("avg_gap_us"))
+  }
 }
