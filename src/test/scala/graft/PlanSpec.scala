@@ -346,4 +346,47 @@ class PlanSpec extends SparkSuite {
     // per-row re-aggregation (visible as Subquery/ReusedSubquery nodes)
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
   }
+
+  test("sql_q13 pushes the ON-clause filter into the orders scan under the outer join") {
+    val p = plan("sql_q13")
+    assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("sql_q17's correlated mean decorrelates to one per-part aggregate joined back") {
+    val p = plan("sql_q17")
+    // the threshold side is a grouped aggregate feeding a join residual,
+    // not a per-row subquery; the brand filter reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p)
+    assert("HashAggregate\\(keys=\\[l_partkey".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q19 pushes the implied per-side disjunctions into both scans") {
+    val p = plan("sql_q19")
+    // quantity envelope on the lineitem scan, brand/size set on the part
+    // scan — both as pushed OR filters; the full OR-of-ANDs stays residual
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity"
+      .r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(EqualTo\\(p_brand"
+      .r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q21's EXISTS/NOT EXISTS stack is one semi + one anti join with top-k") {
+    val p = plan("sql_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event stream windows reuse a single user_id exchange") {
+    Seq("event_transitions", "attribution_last_touch").foreach { q =>
+      val p = plan(q)
+      val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(userExchanges == 1, s"$q: expected 1 user_id shuffle, plan:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q: $p")
+    }
+  }
 }
