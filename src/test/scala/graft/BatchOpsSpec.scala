@@ -326,4 +326,65 @@ class BatchOpsSpec extends SparkSuite {
       assert(top == mx, s"cust $c top $top != $mx")
     }
   }
+
+  private def eventStream(): Map[Long, Array[(Long, Long, String)]] =
+    graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val us = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        (r.getAs[Long]("user_id"), us, r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"))
+      }
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.map(x => (x._2, x._3, x._4)).sortBy(x => (x._1, x._2))
+      }
+
+  test("event_transitions matches a driver-side replay of each user's stream") {
+    val bigrams = eventStream().values.flatMap { s =>
+      s.map(_._3).sliding(2).collect { case Array(a, b) => (a, b) }
+    }.toSeq
+    val counts = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = counts.map { case ((f, t), n) =>
+      (f, t) -> (n, n.toDouble / fromTotals(f).toDouble)
+    }
+    val got = SparkEntry.queries("event_transitions")(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Double]("p_trans"))).toMap
+    assert(got == expected)
+  }
+
+  test("attribution_last_touch credits only strictly-preceding clicks, exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    val perPurchase = eventStream().values.flatMap { s =>
+      var lastClick = Option.empty[Long]
+      s.flatMap { case (us, _, typ) =>
+        // evaluate the credit BEFORE this row joins the lookback frame
+        val credit = if (typ == "purchase") {
+          val day = java.time.Instant.ofEpochSecond(us / 1000000L)
+            .atZone(utc).toLocalDate.toString
+          Some((day, lastClick.map(us - _)))
+        } else None
+        if (typ == "click") lastClick = Some(us)
+        credit
+      }
+    }.toSeq
+    val expected = perPurchase.groupBy(_._1).map { case (day, ps) =>
+      val gaps = ps.flatMap(_._2)
+      val avg = if (gaps.isEmpty) None
+                else Some(gaps.sum.toDouble / gaps.size.toDouble)
+      day -> (ps.size.toLong, gaps.size.toLong, avg)
+    }
+    val got = SparkEntry.queries("attribution_last_touch")(spark, sf).collect()
+      .map { r =>
+        val avg = if (r.isNullAt(r.fieldIndex("avg_gap_us"))) None
+                  else Some(r.getAs[Double]("avg_gap_us"))
+        r.getAs[String]("day") ->
+          (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"), avg)
+      }.toMap
+    assert(got == expected)
+  }
 }
