@@ -213,6 +213,7 @@ object SparkEntry {
     "frame_sample"      -> (MultimodalOps.frameSample _),
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
+    "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
   )
 
   /** Shared candle-cents CTE for the technical-indicator oracles: the

@@ -107,6 +107,73 @@ object MultimodalOps {
       .select(col("doc_id"), col("feat_norm"), col("features")(0).as("feat0"))
   }
 
+  /** dHash-style 64-bit perceptual hash in the decoder slot: 65 coarse
+    * block sums over the payload, one gradient bit per adjacent pair —
+    * the deterministic stand-in for resize-to-9x8-grayscale-and-compare.
+    * Pure function of the bytes, so near-identical payloads (the planted
+    * near-dup documents) land within a few bits. A deployment swaps this
+    * body for the real image dHash after codec decode; everything
+    * downstream is payload-agnostic.
+    */
+  def stubPhash64(payload: Array[Byte]): Long = {
+    val n = math.max(payload.length, 1)
+    val blocks = new Array[Long](65)
+    var i = 0
+    while (i < payload.length) {
+      blocks(i * 65 / n) += (payload(i) & 0xff).toLong
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (blocks(b + 1) > blocks(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash near-duplicate detection over the media column — the
+    * image-dedup primitive (same phash, near-identical image). Hash in the
+    * partition-wise decode (no shuffle), then the [[graft.ops.DedupOps]]
+    * banding discipline: 4×16-bit bands, candidates only from shared-band
+    * equi-join buckets (ids+bands shuffle, never payloads), exact
+    * `bit_count(xor)` verify. By pigeonhole, EVERY pair within Hamming ≤ 3
+    * shares at least one intact band, so the banded search is exact for
+    * the emitted radius — MediaPhashSpec pins that against a brute-force
+    * all-pairs scan. Rows-only in the registry (bit-level hash output has
+    * no SQL-oracle twin).
+    */
+  def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables.ckpt(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[MediaRow]
+        .mapPartitions(_.map(r => (r.doc_id, stubPhash64(r.payload))))
+        .toDF("doc_id", "phash"))
+    val banded = fp.select(col("doc_id"), expr(
+      """explode(array(
+        |  named_struct('band_id', 0, 'band_val', phash & 65535),
+        |  named_struct('band_id', 1, 'band_val', shiftright(phash, 16) & 65535),
+        |  named_struct('band_id', 2, 'band_val', shiftright(phash, 32) & 65535),
+        |  named_struct('band_id', 3, 'band_val', shiftright(phash, 48) & 65535)))"""
+        .stripMargin).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_val"))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    x.join(y,
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("phash").as("ph_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("phash").as("ph_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Frame sampling for video-like payloads: every 10th frame index,
     * exploded to one row per sampled frame with its byte offset. The
     * explode multiplies rows BEFORE any shuffle — downstream ops see
