@@ -130,6 +130,7 @@ object SparkEntry {
     "attribution_last_touch" -> (StatsOps.attributionLastTouch _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
+    "kll_partial_union" -> (StatsOps.kllPartialUnion _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
     "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
     "variant_extract"   -> (ParseOps.variantExtract _),

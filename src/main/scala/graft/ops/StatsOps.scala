@@ -404,6 +404,73 @@ object StatsOps {
         count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
 
+  /** Binary KLL-sketch union as a typed [[Aggregator]]: rows are
+    * SERIALIZED sketches (one per upstream partition×group, never one per
+    * event), so a merge deserializes O(partitions) sketches, not O(rows).
+    * Commutative/associative — Spark may apply it partial+final in any
+    * order, which is exactly the sketch contract.
+    */
+  private object KllMergeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    private def merge2(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val a = KllDoublesSketch.heapify(Memory.wrap(x))
+        a.merge(KllDoublesSketch.heapify(Memory.wrap(y)))
+        a.toByteArray
+      }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge2(b, a)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = merge2(b1, b2)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Mergeable QUANTILE rollup — the [[hllPartialUnion]] discipline for
+    * percentiles: per-day KLL(200) sketches of event value, unioned per
+    * week; weekly p50/p95 come from the merged sketch, never a re-scan.
+    * This is the PB-scale quantile path: exact percentiles need a full
+    * sort (or a per-query GK pass over raw data), while KLL day-parts
+    * are a few KB each, build partition-LOCAL in one `mapPartitions`
+    * (each partition emits one sketch per day it saw — the shuffle
+    * carries sketches, not events), and union associatively at any
+    * granularity. KLL compaction is randomized → estimates are
+    * run-specific within the ±1.65% rank bound (k=200), so the gate is
+    * rows-only and the spec bounds every estimate against the exact
+    * rank-neighborhood of the sorted per-week values.
+    */
+  def kllPartialUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val kllMerge = udaf(KllMergeAgg)
+    val q = (rank: Double) => udf((b: Array[Byte]) =>
+      KllDoublesSketch.heapify(Memory.wrap(b)).getQuantile(rank))
+    val dayParts = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .as[(String, Double)]
+      .mapPartitions { it => // one sketch per (partition, day) — no shuffle yet
+        val m = scala.collection.mutable.HashMap[String, KllDoublesSketch]()
+        it.foreach { case (d, v) =>
+          m.getOrElseUpdate(d, KllDoublesSketch.newHeapInstance(200)).update(v)
+        }
+        m.iterator.map { case (d, sk) => (d, sk.toByteArray) }
+      }
+      .toDF("day", "sk")
+    dayParts
+      .groupBy(col("day")).agg(kllMerge(col("sk")).as("sk"))
+      .groupBy(date_format(date_trunc("week", to_timestamp(col("day"))), "yyyy-MM-dd")
+        .as("week"))
+      .agg(count(lit(1)).as("n_days"), kllMerge(col("sk")).as("wsk"))
+      .select(col("week"), col("n_days"),
+        q(0.5)(col("wsk")).as("p50_est"),
+        q(0.95)(col("wsk")).as("p95_est"))
+  }
+
   /** Sketch-based audience overlap: |signup ∩ purchase| users estimated by
     * inclusion–exclusion over three HLL sketches (|A| + |B| − |A∪B|) —
     * HLL unions losslessly but cannot intersect, so overlap comes from the

@@ -130,6 +130,35 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
+  test("kll_partial_union weekly quantiles fall inside the exact rank neighborhood") {
+    import org.apache.spark.sql.functions._
+    // KLL(200) guarantees ±1.65% rank error (3-sigma); test at ±4% rank
+    val sorted = graft.model.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .groupBy(date_format(date_trunc("week", to_timestamp(col("day"))), "yyyy-MM-dd")
+        .as("week"))
+      .agg(collect_list(col("value")).as("vs"))
+      .collect()
+      .map(r => r.getAs[String]("week") ->
+        r.getAs[scala.collection.Seq[Double]]("vs").toArray.sorted)
+      .toMap
+    def valueAt(vs: Array[Double], rank: Double): Double =
+      vs(math.min(vs.length - 1, math.max(0, (rank * vs.length).toInt)))
+    val est = SparkEntry.queries("kll_partial_union")(spark, sf).collect()
+      .map(r => r.getAs[String]("week") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est")))
+      .toMap
+    assert(est.keySet == sorted.keySet)
+    est.foreach { case (w, (nDays, p50, p95)) =>
+      assert(nDays >= 1L)
+      val vs = sorted(w)
+      assert(p50 >= valueAt(vs, 0.46) && p50 <= valueAt(vs, 0.54),
+        s"week $w p50 $p50 outside [${valueAt(vs, 0.46)}, ${valueAt(vs, 0.54)}]")
+      assert(p95 >= valueAt(vs, 0.91) && p95 <= valueAt(vs, 0.99),
+        s"week $w p95 $p95 outside [${valueAt(vs, 0.91)}, ${valueAt(vs, 0.99)}]")
+    }
+  }
+
   test("hll_overlap estimates signup∩purchase within 10% of exact") {
     import org.apache.spark.sql.functions._
     val ev = graft.model.Tables.events(spark, sf)
