@@ -131,6 +131,7 @@ object SparkEntry {
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
+    "theta_overlap"     -> (StatsOps.thetaOverlap _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
     "null_safe_join"    -> (RelationalOps.nullSafeJoin _),
     "variant_extract"   -> (ParseOps.variantExtract _),

@@ -159,6 +159,23 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
+  test("theta_overlap intersects signup∩purchase within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val su = users("signup"); val pu = users("purchase")
+    val row = SparkEntry.queries("theta_overlap")(spark, sf).collect().head
+    // below k=4096 distinct ids the Theta sketch is exact — the set sizes
+    // at sf0.001 are, so these should land on the nose; bound at 5% anyway
+    assert(math.abs(row.getAs[Double]("est_signup") - su.size) / su.size <= 0.05)
+    assert(math.abs(row.getAs[Double]("est_purchase") - pu.size) / pu.size <= 0.05)
+    val exact = su.intersect(pu).size.toDouble
+    val est = row.getAs[Double]("est_overlap")
+    info(f"theta_overlap: est $est%.1f vs exact $exact%.0f")
+    assert(math.abs(est - exact) / exact <= 0.05, s"est $est vs exact $exact")
+  }
+
   test("hll_overlap estimates signup∩purchase within 10% of exact") {
     import org.apache.spark.sql.functions._
     val ev = graft.model.Tables.events(spark, sf)
