@@ -116,11 +116,12 @@ object MultimodalOps {
     * downstream is payload-agnostic.
     */
   def stubPhash64(payload: Array[Byte]): Long = {
-    val n = math.max(payload.length, 1)
+    val n = math.max(payload.length, 1).toLong
     val blocks = new Array[Long](65)
     var i = 0
     while (i < payload.length) {
-      blocks(i * 65 / n) += (payload(i) & 0xff).toLong
+      // index math in Long: i * 65 wraps Int once payloads reach ~33 MB
+      blocks((i.toLong * 65L / n).toInt) += (payload(i) & 0xff).toLong
       i += 1
     }
     var h = 0L
