@@ -381,6 +381,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
+    val p = plan("media_phash_dedup")
+    assert(p.contains("band_val"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kll_partial_union shuffles sketches, not events") {
+    val p = plan("kll_partial_union")
+    // the only exchanges are the day-merge and week-union over serialized
+    // sketch rows; the raw value column never reaches a shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 sketch shuffles, plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("event stream windows reuse a single user_id exchange") {
     Seq("event_transitions", "attribution_last_touch").foreach { q =>
       val p = plan(q)
