@@ -163,6 +163,7 @@ object SparkEntry {
     "simhash"           -> (DedupOps.simhash _),
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
+    "ngram_containment" -> (DedupOps.ngramContainment _),
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
     "dedup_clusters_lsh" -> (DedupOps.dedupClustersLsh _),
     "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),
@@ -1095,6 +1096,32 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "ngram_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, anchor,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, md5(substr(text, 1, 100)) AS anchor,
+        |          string_split(trim(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, a.sh, b.sh
+        |  FROM d a JOIN d b ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+        |SELECT DISTINCT doc_a, doc_b, cont_a, cont_b,
+        |  CASE WHEN jaccard >= 0.5 THEN 'near_dup'
+        |       WHEN cont_a >= 0.8 THEN 'a_in_b'
+        |       WHEN cont_b >= 0.8 THEN 'b_in_a'
+        |       ELSE 'distinct' END AS relation
+        |FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(sha) AS cont_a,
+        |    CAST(len(list_intersect(sha, shb)) AS DOUBLE) / len(shb) AS cont_b,
+        |    CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+        |      / len(list_distinct(sha || shb)) AS jaccard
+        |  FROM p)""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |d AS (

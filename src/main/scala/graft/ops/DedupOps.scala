@@ -329,6 +329,57 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** Broder CONTAINMENT over the same shingle pairs — the asymmetric
+    * complement to [[ngramJaccard]]: |A∩B|/|A| and |A∩B|/|B| separate
+    * "B is A plus boilerplate" (one containment high, Jaccard low) from
+    * true near-duplication (both high) — the doc-in-doc / envelope
+    * detector Jaccard alone cannot express. Each pair is classified
+    * (near_dup / a_in_b / b_in_a / distinct) by fixed thresholds in a
+    * CASE whose branch order is mirrored verbatim in the oracle. Pairs
+    * come from the adjacent-id baseline (the ngram_jaccard generator —
+    * 'distinct' floor) plus same-anchor groups (where the corpus's
+    * templated near-dups live: 24 'near_dup' pairs at sf0.01, jac up to
+    * 0.99). The corpus plants no PURE envelope (cont high, jac low), so
+    * a_in_b/b_in_a never fire here — they exist for production corpora,
+    * where the pair source is the LSH candidate stream
+    * (dedup_clusters_lsh), which this scoring composes with unchanged.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    // shingled() + the anchor_dedup prefix key in one frame: candidate
+    // pairs come from BOTH the adjacent-id baseline (overwhelmingly
+    // 'distinct' — the score floor) and same-anchor groups (where the
+    // corpus's planted templated near-dups actually live)
+    val d = Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(substring(col("text"), 1, 100)).as("anchor"),
+        split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .select(col("doc_id"), col("anchor"), col("shingles"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val adj = a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+    val anc = a.join(b,
+      col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+    val inter = size(array_intersect(col("a.shingles"), col("b.shingles")))
+    val contA = inter.cast(DoubleType) / size(col("a.shingles"))
+    val contB = inter.cast(DoubleType) / size(col("b.shingles"))
+    val jac = inter.cast(DoubleType) /
+      size(array_union(col("a.shingles"), col("b.shingles")))
+    def score(pairs: DataFrame): DataFrame = pairs.select(
+      col("a.doc_id").as("doc_a"),
+      col("b.doc_id").as("doc_b"),
+      contA.as("cont_a"),
+      contB.as("cont_b"),
+      when(jac >= 0.5, "near_dup")
+        .when(contA >= 0.8, "a_in_b")
+        .when(contB >= 0.8, "b_in_a")
+        .otherwise("distinct").as("relation"))
+    // a same-anchor pair can also be adjacent; scores are pair-determined,
+    // so full-row distinct collapses the overlap exactly
+    score(adj).unionByName(score(anc)).distinct()
+  }
+
   /** Duplicate-cluster formation through the SQL SURFACE's recursive CTE
     * (Spark 4.1 `WITH RECURSIVE`) — the declarative twin of the iterative
     * [[dedupClusters]] driver loop: each doc walks its predecessor chain
