@@ -122,6 +122,11 @@ object SparkEntry {
     "sql_q17"           -> (RelationalOps.sqlQ17 _),
     "sql_q19"           -> (RelationalOps.sqlQ19 _),
     "sql_q21"           -> (RelationalOps.sqlQ21 _),
+    "sql_q6"            -> (RelationalOps.sqlQ6 _),
+    "sql_q8"            -> (RelationalOps.sqlQ8 _),
+    "sql_q10"           -> (RelationalOps.sqlQ10 _),
+    "sql_q14"           -> (RelationalOps.sqlQ14 _),
+    "sql_q15"           -> (RelationalOps.sqlQ15 _),
     "semdedup"          -> (SimilarityOps.semDedup _), // rows-only: float cosine groups
     "winsorize"         -> (StatsOps.winsorize _),
     "copurchase_pairs"  -> (StatsOps.copurchasePairs _),
@@ -858,6 +863,77 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    "sql_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "sql_q8" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA'
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "sql_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "sql_q14" ->
+      """SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "sql_q15" ->
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier
+        |JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin,
     "winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -775,6 +775,160 @@ object RelationalOps {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change). The whole query is a
+    * scan-local reduction: every predicate (shipdate year, discount band,
+    * quantity cap) pushes to the parquet scan as `PushedFilters`, the
+    * projection prunes to three columns, and the aggregate is a two-stage
+    * partial sum — zero shuffles beyond the single-row final exchange. At
+    * 100 TB this is the canonical "scan speed is the only cost" query;
+    * anything in the plan besides scan+partial-agg would be a bug. The
+    * discount band compares in DECIMAL(18,2) so band membership is exact
+    * digit equality, not an IEEE epsilon question.
+    */
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q8 shape (national market share). The defining feature is the
+    * 8-table snowflake — fact lineitem joined to part/supplier/orders/
+    * customer plus nation TWICE (customer's nation restricts the market
+    * region; supplier's nation labels the share) and region. Catalyst
+    * resolves the two `nation` aliases as two broadcast joins of the same
+    * 25-row dim, and the selective `p_type`/`r_name` dims filter BEFORE
+    * the fact join so the big probe side shrinks first. The share is two
+    * decimal-exact sums per year with one final double division —
+    * numerator conditional on the supplier nation, denominator
+    * unconditional, both from the same grouped aggregate (one pass).
+    */
+  def sqlQ8(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    spark.sql(
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA'
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting), adapted to the fixture's
+    * customer columns (no address/phone/comment; the grouping keys are the
+    * ones that exist). A quarter of orders joined to their 'R'-flagged
+    * lines, grouped per customer, top-20 by lost revenue. The order-date
+    * filter applies to orders BEFORE the lineitem join (the planner pushes
+    * it below), so the fact join probes only one quarter of the orders;
+    * nation broadcasts. Top-20 compiles to TakeOrderedAndProject — no
+    * global sort. The revenue tie is broken by the unique c_custkey so the
+    * selected 20-row SET is deterministic across engines, not just the
+    * ordering (a revenue-only ORDER BY would make boundary membership a
+    * coin flip).
+    */
+  def sqlQ10(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape (promotion effect). One month of lineitem joined to
+    * part, and BOTH the promo-conditional numerator and the total
+    * denominator come out of the same single aggregate — one scan, one
+    * join, no second pass. Each sum is decimal-exact; the `* 100` stays in
+    * decimal (still exact — the product is far inside DECIMAL(38,·));
+    * exactly one double division at the end, so the percentage is
+    * bit-identical across engines and partition orders.
+    */
+  def sqlQ14(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape (top supplier). The revenue CTE is referenced TWICE —
+    * once as the join input, once inside the scalar MAX subquery — and
+    * Catalyst plans the grouped aggregate once per reference over the same
+    * pruned scan (the 3-month shipdate filter pushes into both). The
+    * winner test `total_rev = (SELECT max…)` compares DECIMAL sums, so
+    * "equal to the maximum" is exact digit equality — running this over
+    * double sums would make the answer set partition-order-dependent,
+    * which is precisely the bug the house exact-sum discipline exists to
+    * prevent. Supplier join broadcasts (one row per supplier survives the
+    * agg).
+    */
+  def sqlQ15(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier
+        |JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** Full ANSI MERGE triad: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
     * WHEN NOT MATCHED BY SOURCE [AND cond] DELETE — the third branch the
     * reference's ON CONFLICT upsert (processor.py:145-164) cannot express.

@@ -381,6 +381,48 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q6 is scan-local: every predicate pushed, zero join/range exchanges") {
+    val p = plan("sql_q6")
+    // PushedFilters renders truncated here; the data filters at the scan
+    // carry the same predicates — pin those
+    assert("l_shipdate#\\d+ >= 1996-01-01".r.findFirstIn(p).isDefined, p)
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("sql_q8 broadcasts every dim (both nation aliases) and filters them pre-join") {
+    val p = plan("sql_q8")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bcasts >= 5, s"expected >=5 broadcast joins, found $bcasts:\n$p")
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("EqualTo(r_name,AMERICA)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q10 pushes the quarter filter to orders and compiles top-20 without a global sort") {
+    val p = plan("sql_q10")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("sql_q14 computes numerator and denominator in ONE aggregate over one join") {
+    val p = plan("sql_q14")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected exactly lineitem+part scans, found $scans:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q15 pushes the 3-month filter into the revenue scans and keeps max as a scalar subquery") {
+    val p = plan("sql_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)
