@@ -133,6 +133,11 @@ object SparkEntry {
     "scd2_history"      -> (StatsOps.scd2History _),
     "event_transitions" -> (StatsOps.eventTransitions _),
     "attribution_last_touch" -> (StatsOps.attributionLastTouch _),
+    "pareto_front"      -> (StatsOps.paretoFront _),
+    "interval_merge"    -> (StatsOps.intervalMerge _),
+    "cdc_apply"         -> (PipelineOps.cdcApply _),
+    "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
+    "pagerank"          -> (StatsOps.pagerank _), // rows-only: float iteration sums
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
@@ -2109,6 +2114,42 @@ object SparkEntry {
         |            / CAST(count(click_us) AS DOUBLE) END AS avg_gap_us
         |FROM f WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    "pareto_front" ->
+      """WITH pts AS (SELECT p_retailprice AS price, max(p_size) AS size
+        |             FROM part GROUP BY p_retailprice)
+        |SELECT price, size FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |                  WHERE q.price < p.price AND q.size >= p.size)""".stripMargin,
+    "interval_merge" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e,
+        |    max(epoch_us(ts) + 300000000)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_end IS NOT NULL AND prev_end >= s
+        |             THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(i_end - i_start) // 1000000 AS BIGINT) AS covered_sec
+        |FROM g GROUP BY user_id""".stripMargin,
+    "cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_op, value AS last_value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

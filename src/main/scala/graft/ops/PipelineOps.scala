@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.Tables
@@ -627,4 +628,29 @@ object PipelineOps {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_occurrences") > 1)
+
+  /** CDC log replay: materialize the final state of a keyed table from an
+    * ordered change log — the batch twin of the streaming upsert sink
+    * (reference: processor.py:145-164 applies the same last-writer-wins
+    * contract per key). The event stream is read as a change feed on
+    * user_id: 'error' rows are delete markers, everything else upserts the
+    * row. Final state = the LAST operation per key decides everything
+    * (later updates overwrite, a trailing delete tombstones), so replay is
+    * ONE row_number window over (ts, event_id) — the unique tiebreak makes
+    * the survivor deterministic — never an iterative apply. One user_id
+    * shuffle; at 100 TB the log compacts per partition map-side first
+    * (rank-limit pushdown keeps only each partition's latest candidates).
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("last_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+  }
 }

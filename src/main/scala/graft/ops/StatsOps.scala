@@ -495,6 +495,129 @@ object StatsOps {
     override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** Binary frequent-items (Misra-Gries) sketch union — the [[KllMergeAgg]]
+    * shape for heavy hitters: rows are serialized per-partition sketches.
+    */
+  private object FreqUnionAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.memory.Memory
+    private def merge2(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      val serde = new ArrayOfStringsSerDe()
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val a = ItemsSketch.getInstance[String](Memory.wrap(x), serde)
+        a.merge(ItemsSketch.getInstance[String](Memory.wrap(y), serde))
+        a.toByteArray(serde)
+      }
+    }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge2(b, a)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = merge2(b1, b2)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Approximate top-k tokens by frequent-items sketch — the one-pass,
+    * fixed-memory alternative to [[PipelineOps.freqTokens]]' two-pass
+    * candidates+exact-verify: ONE scan builds a bounded Misra-Gries map
+    * per partition (the token explode never shuffles — only KB-sized
+    * sketches travel), merged associatively by [[FreqUnionAgg]]. The
+    * NO_FALSE_NEGATIVES read-out guarantees every true heavy hitter is
+    * reported with bounds lb ≤ true ≤ ub; with maxMapSize 8192 the test
+    * corpora never purge, so estimates there are exact (spec-checked
+    * against brute-force counts). Rows-only gate: the reported set below
+    * the error threshold is sketch-internal, no SQL twin.
+    */
+  def freqTopkSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.frequencies.ErrorType
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.memory.Memory
+    val freqUnion = udaf(FreqUnionAgg)
+    val parts = Tables.balanced(Tables.documents(spark, dir)
+        .select(col("text")).filter(col("text").isNotNull))
+      .as[String]
+      .mapPartitions { it =>
+        val serde = new ArrayOfStringsSerDe()
+        val sk = new ItemsSketch[String](8192)
+        it.foreach { t =>
+          t.trim.split(" ").foreach(w => if (w.nonEmpty) sk.update(w))
+        }
+        Iterator.single(sk.toByteArray(serde))
+      }
+      .toDF("sk")
+    val readout = udf((b: Array[Byte]) => {
+      val serde = new ArrayOfStringsSerDe()
+      if (b.isEmpty) Seq.empty[(String, Long, Long, Long)]
+      else ItemsSketch.getInstance[String](Memory.wrap(b), serde)
+        .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+        .toSeq
+    })
+    parts.agg(freqUnion(col("sk")).as("sk"))
+      .select(explode(readout(col("sk"))).as("r"))
+      .select(col("r._1").as("term"), col("r._2").as("est"),
+        col("r._3").as("lb"), col("r._4").as("ub"))
+      .orderBy(col("est").desc, col("term"))
+      .limit(20)
+  }
+
+  /** PageRank over the part↔supplier fulfillment graph (5 power
+    * iterations, d = 0.85). The graph derives from lineitem as SYMMETRIC
+    * edges (part→supplier and back), so every node has out-degree ≥ 1 —
+    * no dangling-mass correction needed. Each iteration is the canonical
+    * scalable shape: edges ⋈ ranks on src (both sides hash-partitioned on
+    * the same key), contributions grouped on dst (partial aggregation
+    * map-side), a left join back to the node set for teleport mass —
+    * never an adjacency matrix, never driver-side state. Iterative
+    * lineage is checkpoint-truncated every round ([[Tables.ckpt]]), the
+    * same discipline as the connected-components ops — without it the
+    * plan doubles per iteration and a 20-iteration job dies at scale.
+    * Rows-only gate: float contribution sums are partition-order
+    * dependent in the low bits, so ranks have no hashable SQL twin; the
+    * spec ground-truths all ranks against a straight-line Scala PageRank
+    * at 1e-9 relative tolerance.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val l = Tables.lineitem(spark, dir)
+      .select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = Tables.ckpt(
+      l.union(l.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesW = Tables.ckpt(edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg")))
+    val nodes = Tables.ckpt(outdeg.select(col("src").as("node")))
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to 5) {
+      val contribs = edgesW
+        .join(ranks, edgesW("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = Tables.ckpt(nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) + lit(d) * coalesce(col("csum"), lit(0.0)))
+            .as("rank")))
+    }
+    // Top-30 cut: regular graphs produce large EXACT rank ties (at sf0.001
+    // a 124-node plateau straddles the #30 boundary), and tied ranks differ
+    // across partition orders only in ulp noise — ordering by the raw float
+    // would make boundary membership run-dependent. Quantizing to 12
+    // decimals (far above ulp noise, far below any real rank gap) collapses
+    // ties so the node-asc tiebreak, not summation order, decides.
+    ranks.withColumn("rank_q", round(col("rank"), 12))
+      .orderBy(col("rank_q").desc, col("node")).limit(30)
+      .select(col("node"), col("rank"))
+  }
+
   /** Audience overlap by DIRECT sketch intersection — the Theta-sketch
     * complement to [[hllOverlap]]: HLL can only union, so its overlap is
     * inclusion–exclusion with compounding error; Theta sketches support
@@ -680,5 +803,71 @@ object StatsOps {
         when(col("n_attributed") > 0L,
           col("gap_us_sum").cast(DoubleType) / col("n_attributed").cast(DoubleType)))
       .select(col("day"), col("n_purchases"), col("n_attributed"), col("avg_gap_us"))
+  }
+
+  /** 2-D Pareto frontier (skyline) over parts: the price/size points no
+    * other point beats on both axes. The naive formulation is a dominance
+    * NOT EXISTS — an all-pairs non-equi anti join, quadratic and
+    * unshardable (that shape is the ORACLE here, never the engine). The
+    * engine exploits the 2-D structure: after collapsing to the max size
+    * per distinct price, a point is dominated iff ANY strictly-cheaper
+    * point has size >= its own — a prefix-max over the price order. That
+    * prefix-max is computed distributed, [[RelationalOps]] ntile-style:
+    * fixed-width price buckets give a partitioned within-bucket running
+    * max, and the cross-bucket carry-in comes from a per-bucket summary
+    * (O(buckets) rows — the only single-partition window runs on that
+    * summary, not the data). No self-join, no quadratic step at any scale.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("size"))
+      .withColumn("bucket", floor(col("price")).cast(LongType))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = pts.groupBy(col("bucket")).agg(max(col("size")).as("bmax"))
+    val carry = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1) // O(buckets) rows only
+    val carryIn = perBucket
+      .withColumn("carry_max", max(col("bmax")).over(carry))
+      .select(col("bucket"), col("carry_max"))
+    pts
+      .withColumn("local_max", max(col("size")).over(inBucket))
+      .join(broadcast(carryIn), Seq("bucket"))
+      // greatest() ignores NULLs; NULL-NULL (cheapest point overall) → -1,
+      // below every real size, so the frontier keeps it
+      .filter(coalesce(greatest(col("local_max"), col("carry_max")), lit(-1)) <
+        col("size"))
+      .select(col("price"), col("size"))
+  }
+
+  /** Interval union (gaps-and-islands): each event opens a 5-minute
+    * activity interval; overlapping/touching intervals per user merge into
+    * islands, and the op reports per-user island count and exact covered
+    * time. The merge is the classic running-max-of-end formulation — a new
+    * island starts iff the interval opens past every previous end — ONE
+    * shuffle on user_id, two window passes over it, per-island aggregation
+    * on the same key. Never an interval self-join (unbounded candidates on
+    * active users). All arithmetic in integer epoch-µs; one `div` to
+    * seconds at the boundary.
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + 300L * 1000000L)
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_end").isNotNull && col("prev_end") >= col("s"), 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        expr("sum(i_end - i_start) div 1000000").as("covered_sec"))
   }
 }

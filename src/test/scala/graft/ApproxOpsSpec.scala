@@ -332,4 +332,57 @@ class ApproxOpsSpec extends SparkSuite {
         s"$k: estimate $est vs exact $n (>10%)")
     }
   }
+
+  test("freq_topk_sketch bounds contain exact counts; top exact tokens all reported") {
+    val exact: Map[String, Long] = graft.model.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getAs[String]("text").trim.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val rows = SparkEntry.queries("freq_topk_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, est, lb, ub) = (r.getAs[String]("term"), r.getAs[Long]("est"),
+        r.getAs[Long]("lb"), r.getAs[Long]("ub"))
+      val n = exact.getOrElse(t, 0L)
+      assert(lb <= n && n <= ub, s"$t: exact $n outside [$lb, $ub]")
+      // 8192-slot map never purges at sf0.001 — estimates are exact here
+      assert(est == n, s"$t: est $est != exact $n (unexpected purge)")
+    }
+    val reported = rows.map(_.getAs[String]("term")).toSet
+    val top5 = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5).map(_._1)
+    top5.foreach(t => assert(reported(t), s"true heavy hitter '$t' missing"))
+  }
+
+  test("pagerank matches straight-line Scala power iteration at 1e-9") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (s"p${r.getAs[Long]("l_partkey")}", s"s${r.getAs[Long]("l_suppkey")}"))
+    val edges = (li ++ li.map(_.swap)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val nodes = out.keys.toSeq.sorted
+    val n = nodes.size.toDouble
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      out.foreach { case (s, dsts) =>
+        val c = rank(s) / dsts.size
+        dsts.foreach(dst => contrib(dst) += c)
+      }
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    val got = SparkEntry.queries("pagerank")(spark, sf).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank"))
+    assert(got.length == 30)
+    got.foreach { case (v, r) =>
+      val e = rank(v)
+      assert(math.abs(r - e) <= 1e-9 * math.max(e, 1e-300), s"$v: engine $r vs truth $e")
+    }
+    // the reported 30 are the true top-30 under the engine's quantized
+    // ordering (12-decimal rank, node asc) — exact plateaus tie-break by
+    // node name, so the boundary set is deterministic
+    def q(r: Double) =
+      BigDecimal(r).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trueTop = rank.toSeq.sortBy { case (v, r) => (-q(r), v) }.take(30).map(_._1)
+    assert(got.map(_._1).toSeq == trueTop, "top-30 set/order mismatch")
+  }
 }

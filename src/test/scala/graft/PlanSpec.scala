@@ -423,6 +423,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pareto_front never runs the quadratic dominance join the oracle uses") {
+    val p = plan("pareto_front")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the cross-bucket carry-in joins back as a broadcast of the tiny summary
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("interval_merge and cdc_apply ride ONE user_id exchange, no self-joins") {
+    Seq("interval_merge", "cdc_apply").foreach { q =>
+      val p = plan(q)
+      val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(userExchanges == 1, s"$q: expected 1 user_id shuffle, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
+  test("cdc_apply compacts the log map-side via rank-limit pushdown") {
+    val p = plan("cdc_apply")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)
