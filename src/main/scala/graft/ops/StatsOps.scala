@@ -588,24 +588,34 @@ object StatsOps {
     val l = Tables.lineitem(spark, dir)
       .select(concat(lit("p"), col("l_partkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
-    val edges = Tables.ckpt(
-      l.union(l.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // distinct BEFORE mirroring: dedup shuffles half the rows, and the
+    // reversed copy then derives narrowly from the checkpointed base
+    val e0 = Tables.ckpt(l.distinct())
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesW = Tables.ckpt(edges.join(outdeg, "src")
+    // Pre-partition the (static) weighted edge list by dst ONCE: the
+    // per-iteration contribution aggregate then reuses that partitioning —
+    // with the rank vector broadcast into the join, an iteration is
+    // exchange-FREE (scan checkpointed edges → broadcast join → partial+
+    // final agg in place). Ranks here are catalog-entity-bounded so the
+    // broadcast is right; a billion-node web graph would instead
+    // co-partition ranks by src and pay one shuffle per iteration.
+    val edgesW = Tables.ckpt(edges.join(broadcast(outdeg), "src")
+      .repartition(col("dst"))
       .select(col("src"), col("dst"), col("outdeg")))
-    val nodes = Tables.ckpt(outdeg.select(col("src").as("node")))
-    val n = nodes.count().toDouble
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    val n = outdeg.count().toDouble
+    var ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to 5) {
-      val contribs = edgesW
-        .join(ranks, edgesW("src") === ranks("node"))
+      // symmetric edges → every node has in-degree ≥ 1, so the grouped
+      // contributions already cover the whole node set and no teleport
+      // left-join back to `nodes` is needed (a general digraph would need
+      // it, plus a dangling-mass term)
+      ranks = Tables.ckpt(edgesW
+        .join(broadcast(ranks), edgesW("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-      ranks = Tables.ckpt(nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit((1.0 - d) / n) + lit(d) * coalesce(col("csum"), lit(0.0)))
-            .as("rank")))
+        .select(col("dst").as("node"),
+          (lit((1.0 - d) / n) + lit(d) * col("csum")).as("rank")))
     }
     // Top-30 cut: regular graphs produce large EXACT rank ties (at sf0.001
     // a 124-node plateau straddles the #30 boundary), and tied ranks differ
