@@ -138,6 +138,9 @@ object SparkEntry {
     "cdc_apply"         -> (PipelineOps.cdcApply _),
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
     "pagerank"          -> (StatsOps.pagerank _), // rows-only: float iteration sums
+    "ab_ttest"          -> (StatsOps.abTtest _),
+    "triangle_count"    -> (StatsOps.triangleCount _),
+    "skew_report"       -> (QualityOps.skewReport _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
@@ -2150,6 +2153,53 @@ object SparkEntry {
         |SELECT user_id, event_type AS last_op, value AS last_value,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "ab_ttest" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS DOUBLE) AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |                  THEN CAST(value AS DECIMAL(18,2))
+        |                       * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ssa,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS DOUBLE) AS nb,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |                  THEN CAST(value AS DECIMAL(18,2))
+        |                       * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ssb
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |    sa / na AS mean_a, sb / nb AS mean_b,
+        |    (ssa - sa * sa / na) / (na - 1) AS var_a,
+        |    (ssb - sb * sb / nb) / (nb - 1) AS var_b
+        |  FROM a)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+        |  ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)) /
+        |  ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |   (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
+        |FROM m""".stripMargin,
+    "triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM pairs e1
+        |JOIN pairs e2 ON e2.a = e1.b
+        |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "skew_report" ->
+      """WITH k AS (SELECT user_id, count(*) AS cnt
+        |           FROM events GROUP BY user_id)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  quantile_cont(cnt, 0.5) AS p50_cnt,
+        |  quantile_cont(cnt, 0.99) AS p99_cnt,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
+        |FROM k""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

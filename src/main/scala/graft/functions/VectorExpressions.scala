@@ -148,7 +148,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => Word3GramHashes(children(0))),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
 
   /** Per-corpus `pq_encode` column, the codebook captured in the
     * expression — the codebook is DATA (trained per corpus), so unlike the

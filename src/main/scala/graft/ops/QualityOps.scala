@@ -142,4 +142,27 @@ object QualityOps {
       .select(col("event_id"),
         explode(filter(fired, x => x.isNotNull)).as("rule"))
   }
+
+  /** Join-key skew report — the diagnostic a pipeline runs BEFORE a big
+    * join to decide whether it needs salting/AQE skew handling (the
+    * engine's own `join_skew_salted` is the remedy; this is the detector).
+    * One groupBy collapses the fact table to per-key counts (partial agg
+    * map-side — the shuffle carries keys, not rows), then one tiny
+    * aggregate over ~|keys| rows derives the shape: top-key share and the
+    * p50/p99 per-key-count quantiles whose ratio is the skew signal.
+    * Exact percentiles are fine HERE because the input is already
+    * key-cardinality-sized — running them on raw rows would be the
+    * anti-pattern ([[StatsOps.kllPartialUnion]] is that scale path).
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .withColumn("top_share",
+        col("max_cnt").cast(DoubleType) / col("n_rows").cast(DoubleType))
 }

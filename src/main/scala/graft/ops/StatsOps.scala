@@ -495,6 +495,111 @@ object StatsOps {
     override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** Welch's t-test between two user cohorts (A/B experiment read-out):
+    * purchase values split by user-id parity, compared on mean with
+    * unequal-variance t and Welch–Satterthwaite df. BOTH cohorts aggregate
+    * in ONE conditional pass (n / Σx / Σx² per arm from the same scan —
+    * the FILTER-clause discipline of [[AggOps.conditionalAgg]]); the power
+    * sums are decimal-EXACT, so the handful of IEEE steps that follow
+    * (mean, variance, t, df — written symbol-for-symbol identically in
+    * the oracle SQL) are bit-reproducible across engines and partition
+    * orders. A float `avg`/`var_samp` would make the t-statistic itself
+    * order-dependent.
+    */
+  def abTtest(spark: SparkSession, dir: String): DataFrame = {
+    def arm(parity: Int, c: Column) = when(col("user_id") % 2 === parity, c)
+    def n(p: Int) = count(arm(p, lit(1))).cast(DoubleType)
+    def s(p: Int) = sum(arm(p, dec2(col("value")))).cast(DoubleType)
+    def ss(p: Int) = sum(arm(p, dec2(col("value")) * dec2(col("value"))))
+      .cast(DoubleType)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(n(0).as("na"), s(0).as("sa"), ss(0).as("ssa"),
+        n(1).as("nb"), s(1).as("sb"), ss(1).as("ssb"))
+      .select(
+        col("na").cast(LongType).as("n_a"), col("nb").cast(LongType).as("n_b"),
+        (col("sa") / col("na")).as("mean_a"), (col("sb") / col("nb")).as("mean_b"),
+        ((col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1))
+          .as("var_a"),
+        ((col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
+          .as("var_b"))
+      // squares as explicit products, not pow(): Math.pow and the oracle
+      // engine's std::pow are not guaranteed to round squaring identically
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("t_stat"),
+        (((col("var_a") / col("n_a") + col("var_b") / col("n_b")) *
+          (col("var_a") / col("n_a") + col("var_b") / col("n_b"))) /
+          ((col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) /
+            (col("n_a") - 1) +
+           (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) /
+            (col("n_b") - 1)))
+          .as("df"))
+  }
+
+  /** Triangle counting over the co-purchase item graph — the clustering
+    * primitive behind community/cohesion metrics. Edges are distinct
+    * same-order part pairs; the count uses the DEGREE-ORDERED orientation:
+    * every edge points from its (degree, id)-smaller endpoint, so each
+    * triangle is counted exactly once at its unique ≺-smallest vertex and
+    * — the scale property — wedge fan-out is bounded by the max ORIENTED
+    * out-degree, O(√m) on any graph, instead of the raw hub degree that
+    * makes the naive node-id orientation blow up on power-law graphs. Two
+    * equi-joins (wedge build on the shared smallest vertex, then existence
+    * check against the oriented edge list); the id-ordered quadratic
+    * 3-way join is the ORACLE formulation only — same count, either
+    * orientation, because both orders are total.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("v"))
+      .union(pairs.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    // orient each edge from its (deg, id)-smaller endpoint; keep the
+    // destination's (deg, id) so wedge endpoints order by the same ≺
+    // The (deg, id) order key is PACKED into one long (deg·2³² + id —
+    // lexicographic order preserved for ids < 2³²; a keyspace past that
+    // would keep a struct key): primitive compare/hash in the hot loop.
+    val P = 4294967296L
+    val oriented = Tables.ckpt(withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), (col("db") * P + col("b")).as("dk")))
+        .otherwise(
+          struct(col("b").as("src"), (col("da") * P + col("a")).as("dk")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dk").as("dk")))
+    // Edge-iterator over sorted out-adjacency: for each oriented edge
+    // u→v, triangles at that edge = |N⁺(u) ∩ N⁺(v)| — each triangle is
+    // found exactly once, at its ≺-smallest edge. The m·√m wedge stream
+    // is never MATERIALIZED as rows: it lives inside the per-edge
+    // array_intersect, one codegen stage over m edge rows. The adjacency
+    // table is node-cardinality-sized (here: broadcast); at web-graph
+    // scale the same plan co-partitions adjacency and edges on the join
+    // keys instead — two shuffles of m rows, still never m·√m.
+    graft.functions.GraftFunctions.register(spark)
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
+    oriented
+      .select(col("src").as("u"), col("dk").bitwiseAND(P - 1).as("v"))
+      .join(broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))), Seq("v"))
+      // native merge-walk count (inputs sorted+distinct by construction):
+      // array_intersect here allocates a hash set + array per edge row
+      .select(expr("sorted_intersect_count(nu, nv)").as("c"))
+      // coalesce: a triangle-free graph leaves zero edge rows after the
+      // joins, and sum-over-nothing is NULL where the oracle counts 0
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+  }
+
   /** Binary frequent-items (Misra-Gries) sketch union — the [[KllMergeAgg]]
     * shape for heavy hitters: rows are serialized per-partition sketches.
     */

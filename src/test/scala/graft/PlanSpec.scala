@@ -446,6 +446,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ab_ttest is one conditional aggregate over one scan (no per-arm pass)") {
+    val p = plan("ab_ttest")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("skew_report collapses to per-key counts in ONE exchange before the tiny shape agg") {
+    val p = plan("skew_report")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("triangle_count closes wedges in the native merge-walk over broadcast adjacency") {
+    val p = plan("triangle_count")
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)

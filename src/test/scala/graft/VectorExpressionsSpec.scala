@@ -39,6 +39,23 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct sets") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      def set() = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (set(), set())
+    } :+ ((Array.empty[Long], Array(1L, 2L)))
+    val diff = rows.toDF("x", "y")
+      .select(
+        expr("sorted_intersect_count(x, y)").as("native"),
+        size(array_intersect(col("x"), col("y"))).cast("long").as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+  }
+
   test("null inputs propagate to null") {
     import spark.implicits._
     GraftFunctions.register(spark)
