@@ -141,6 +141,9 @@ object SparkEntry {
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "skew_report"       -> (QualityOps.skewReport _),
+    "fuzzy_join"        -> (TextOps.fuzzyJoin _),
+    "mad_outliers"      -> (StatsOps.madOutliers _),
+    "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
@@ -2200,6 +2203,36 @@ object SparkEntry {
         |  quantile_cont(cnt, 0.99) AS p99_cnt,
         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
         |FROM k""".stripMargin,
+    "fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+        |                  split_part(p_name, ' ', 2) AS block FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, med.med,
+        |             abs(e.value - med.med) AS ad
+        |      FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(d.med) AS med, min(mad.mad) AS mad,
+        |  CAST(count(CASE WHEN d.ad > 3 * 1.4826 * mad.mad THEN 1 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
+    "seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |                      count(*) AS cnt
+        |               FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(a.cnt - b.cnt)) AS DOUBLE) / count(*) AS mae
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.d = b.d + 7
+        |GROUP BY a.event_type""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -600,6 +600,57 @@ object StatsOps {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
   }
 
+  /** Robust outlier census by median absolute deviation — the
+    * [[winsorize]] discipline with medians instead of tail percentiles:
+    * per-group median, then the median of absolute deviations, each an
+    * exact percentile over the group (the 100 TB path swaps in KLL
+    * sketches, [[kllPartialUnion]]); both stats broadcast back to the
+    * series, which never reshuffles. The 1.4826 normal-consistency factor
+    * and the 3σ cut are written identically in the oracle — counts are
+    * then exact integers, immune to the float noise that makes
+    * mean/stddev outlier rules order-dependent (the point of MAD).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(col("ad") > lit(3) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /** Seasonal-naive forecast backtest — the sanity baseline every
+    * forecasting pipeline scores first: predict each day's event volume
+    * with the SAME WEEKDAY a week earlier, report per-type MAE. The lag
+    * is an equi-join on (type, day−7) over the already-day-collapsed
+    * counts (shuffle carries one row per type×day, never events); counts
+    * are exact integers so the MAE is one reproducible division. A lag-7
+    * ROW window would silently mis-forecast across gap days — calendar
+    * join semantics are the correct ones and cost the same.
+    */
+  def seasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val prior = daily.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("cnt").as("prior_cnt"))
+    daily.join(prior, Seq("event_type", "d"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        (sum(abs(col("cnt") - col("prior_cnt"))).cast(DoubleType) /
+          count(lit(1))).as("mae"))
+  }
+
   /** Binary frequent-items (Misra-Gries) sketch union — the [[KllMergeAgg]]
     * shape for heavy hitters: rows are serialized per-partition sketches.
     */

@@ -190,4 +190,28 @@ object TextOps {
           ",").as("first_docs"),
         count(lit(1)).as("n_docs"))
   }
+  /** Blocked fuzzy self-join — approximate-string-matching's scalable
+    * shape: candidate pairs come from an EQUI-join on a blocking key (here
+    * the name's noun; production uses q-gram/LSH blocks, same plan), and
+    * the edit-distance predicate evaluates only within blocks — never a
+    * cross join of the name universe. Distinct-first: at any scale the
+    * name dictionary is orders of magnitude smaller than its usage rows.
+    * `levenshtein` is unit-cost in both engines, so the oracle is exact.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    // split_part, not split(...).getItem(1): ANSI mode ABORTS on the
+    // array index for a one-token name; split_part returns '' and matches
+    // the oracle's split_part semantics exactly
+    val n = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("block", split_part(col("p_name"), lit(" "), lit(2)))
+    n.as("a").join(n.as("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      // threshold-bounded levenshtein: early-exits past the cutoff
+      // (returns -1) and is computed ONCE — the unbounded two-site form
+      // pays the full O(|a|·|b|) table twice per candidate pair
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))
+      .filter(col("dist") >= 0)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist"))
+  }
 }

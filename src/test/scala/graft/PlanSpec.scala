@@ -465,6 +465,28 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
   }
 
+  test("fuzzy_join pairs come from the blocking equi-join, never a name cross product") {
+    val p = plan("fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mad_outliers broadcasts every stat join; the series never reshuffles") {
+    val p = plan("mad_outliers")
+    // 3 broadcasts: med joins back twice (the med+ad subtree is
+    // recomputed under the mad branch — rescanning beats materializing
+    // an events-sized intermediate) and mad joins back once
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("seasonal_backtest joins day-collapsed counts on calendar keys, no window funnel") {
+    val p = plan("seasonal_backtest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)
