@@ -142,6 +142,7 @@ object SparkEntry {
     "triangle_count"    -> (StatsOps.triangleCount _),
     "skew_report"       -> (QualityOps.skewReport _),
     "fuzzy_join"        -> (TextOps.fuzzyJoin _),
+    "decile_drift"      -> (QualityOps.decileDrift _),
     "mad_outliers"      -> (StatsOps.madOutliers _),
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
@@ -2203,6 +2204,46 @@ object SparkEntry {
         |  quantile_cont(cnt, 0.99) AS p99_cnt,
         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
         |FROM k""".stripMargin,
+    "decile_drift" ->
+      """WITH ev AS (SELECT value,
+        |              ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        |            FROM events),
+        |rc AS (SELECT value, count(*) AS c
+        |       FROM ev WHERE is_ref GROUP BY value),
+        |cc AS (SELECT value,
+        |         sum(c) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER () AS n
+        |       FROM rc),
+        |c AS (SELECT [
+        |        min(CASE WHEN cum*10 >= 1*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 2*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 3*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 4*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 5*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 6*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 7*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 8*n THEN value END),
+        |        min(CASE WHEN cum*10 >= 9*n THEN value END)] AS cuts
+        |      FROM cc),
+        |b AS (SELECT is_ref,
+        |        1 + len(list_filter(cuts, x -> value > x)) AS bin
+        |      FROM ev, c),
+        |g AS (SELECT bin,
+        |        count(CASE WHEN is_ref THEN 1 END) AS ref_cnt,
+        |        count(CASE WHEN NOT is_ref THEN 1 END) AS cur_cnt
+        |      FROM b GROUP BY bin)
+        |SELECT CAST(bin AS INTEGER) AS bin,
+        |  CAST(ref_cnt AS BIGINT) AS ref_cnt,
+        |  CAST(cur_cnt AS BIGINT) AS cur_cnt,
+        |  CAST(ref_cnt AS DOUBLE) / CAST(sum(ref_cnt) OVER () AS DOUBLE)
+        |    AS ref_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(sum(cur_cnt) OVER () AS DOUBLE)
+        |    AS cur_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(sum(cur_cnt) OVER () AS DOUBLE)
+        |  - CAST(ref_cnt AS DOUBLE) / CAST(sum(ref_cnt) OVER () AS DOUBLE)
+        |    AS share_gap
+        |FROM g""".stripMargin,
     "fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name,
         |                  split_part(p_name, ' ', 2) AS block FROM part)

@@ -165,4 +165,61 @@ object QualityOps {
         expr("percentile(cnt, 0.99)").as("p99_cnt"))
       .withColumn("top_share",
         col("max_cnt").cast(DoubleType) / col("n_rows").cast(DoubleType))
+
+  /** Distribution-drift histogram — the population-stability check a
+    * pipeline runs between a reference window and the current one: the
+    * REFERENCE half's exact value deciles become fixed bin cuts, both
+    * halves are binned against them, and the op reports per-bin exact
+    * counts plus the share gap (current − reference). Flat reference
+    * shares (~0.1) with skewed current shares = drift. One pass over the
+    * series after a broadcast of the 9 cuts; per-bin output keeps every
+    * reported float a PER-ROW expression — a summed PSI (Σ(q−p)·ln(q/p))
+    * would hash-diverge two ways (cross-bin float addition order, and ln
+    * is not correctly-rounded across libm implementations), which is why
+    * the ln-free histogram IS the contract and any scalar drift score
+    * derives client-side.
+    */
+  def decileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val ev = Tables.events(spark, dir)
+      .select(col("value"), (col("ts") < split).as("is_ref"))
+    // Decile cuts by EXACT integer rank over the per-distinct-value count
+    // summary — never an interpolated percentile: Spark's `percentile`
+    // and the oracle engine's `quantile_cont` interpolate with different
+    // IEEE expression shapes, and a 1-ulp cut difference shifts whole
+    // rows across bins (an integer-count hash mismatch, data-dependent).
+    // cut_k = smallest value whose cumulative ref count reaches k·n/10,
+    // tested as `cum·10 ≥ k·n` in pure integers — bit-identical in any
+    // engine, and every cut is an actual data value. The summary is
+    // value-cardinality-sized (a continuous high-cardinality metric
+    // would be quantized first); only it crosses the tiny rank window.
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cc = ev.filter(col("is_ref"))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", expr("sum(c) over ()"))
+    val cutCols = (1 to 9).map(k =>
+      min(when(col("cum") * 10 >= lit(k) * col("n"), col("value")))
+        .as(s"c$k"))
+    val cuts = cc.agg(cutCols.head, cutCols.tail: _*)
+      .select(array((1 to 9).map(k => col(s"c$k")): _*).as("cuts"))
+    ev.crossJoin(broadcast(cuts))
+      .select(col("is_ref"),
+        expr("1 + size(filter(cuts, c -> value > c))").as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        count(when(col("is_ref"), 1)).as("ref_cnt"),
+        count(when(!col("is_ref"), 1)).as("cur_cnt"))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        (col("ref_cnt").cast(DoubleType) /
+          expr("sum(ref_cnt) over ()").cast(DoubleType)).as("ref_share"),
+        (col("cur_cnt").cast(DoubleType) /
+          expr("sum(cur_cnt) over ()").cast(DoubleType)).as("cur_share"),
+        (col("cur_cnt").cast(DoubleType) /
+          expr("sum(cur_cnt) over ()").cast(DoubleType) -
+         col("ref_cnt").cast(DoubleType) /
+          expr("sum(ref_cnt) over ()").cast(DoubleType)).as("share_gap"))
+  }
 }

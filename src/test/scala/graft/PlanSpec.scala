@@ -487,6 +487,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("decile_drift windows run on summaries only — never over the raw series") {
+    val p = plan("decile_drift")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly the three summary windows (cum, n over the distinct-value
+    // counts; shares over the 10-row bin table) — a refactor that windows
+    // the raw series would add a fourth and fail here
+    assert("Window ".r.findAllIn(p).length == 3, p)
+    // every single-partition funnel must sit directly above an
+    // aggregation (i.e. consume summary rows, not the series): the line
+    // after each SinglePartition exchange is a HashAggregate
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val below = lines.slice(i + 1, i + 3).mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"SinglePartition exchange not fed by an aggregate:\n$p")
+    }
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)
