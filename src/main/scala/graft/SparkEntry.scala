@@ -143,6 +143,9 @@ object SparkEntry {
     "skew_report"       -> (QualityOps.skewReport _),
     "fuzzy_join"        -> (TextOps.fuzzyJoin _),
     "decile_drift"      -> (QualityOps.decileDrift _),
+    "json_lines_scan"   -> (StorageOps.jsonLinesScan _),
+    "csv_scan"          -> (StorageOps.csvScan _),
+    "orc_scan"          -> (StorageOps.orcScan _),
     "mad_outliers"      -> (StatsOps.madOutliers _),
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
@@ -291,6 +294,17 @@ object SparkEntry {
       |    $dist AS dist
       |FROM g ORDER BY dist, symbol, window_start LIMIT 20""").stripMargin
   }
+
+  /** One probe oracle shared STRUCTURALLY by compaction_scan and the three
+    * format round-trip sources — a layout/format change must never change
+    * results, and a single constant makes that identity uneditable apart.
+    */
+  private val FormatProbeSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(event_id) AS min_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ts_pattern_search" -> TsPatternSql,
@@ -1029,11 +1043,13 @@ object SparkEntry {
         |WHERE d.first_ts < TIMESTAMP '2024-01-01 01:00:00'
         |GROUP BY 1""".stripMargin,
     "compaction_scan" ->
-      """SELECT event_type,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  min(event_id) AS min_event,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+      FormatProbeSql,
+    "json_lines_scan" ->
+      FormatProbeSql,
+    "csv_scan" ->
+      FormatProbeSql,
+    "orc_scan" ->
+      FormatProbeSql,
     // the z-key interleave is the SAME generated expression text on both
     // sides — the oracle proves the bit arithmetic is engine-identical
     "zorder_key" ->

@@ -56,6 +56,14 @@ object StorageOps {
     * that orphan location (LOCATION_ALREADY_EXISTS; `overwrite` only drops
     * locations of tables the catalog knows), so delete it before building.
     */
+  /** The ONE place the managed-table-location assumption lives: staging
+    * moving to a named database or explicit LOCATION changes this and
+    * nothing else ([[ensure]]'s orphan cleanup and every path-based
+    * reader go through it).
+    */
+  private[ops] def tableLocation(spark: SparkSession, tbl: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/" + tbl
+
   private[ops] def ensure(spark: SparkSession, dir: String, source: String,
                           base: String)(build: String => Unit): String = {
     val key = s"$dir#$base#${fingerprint(spark, dir, source)}"
@@ -67,8 +75,7 @@ object StorageOps {
         .digest(k.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val tbl = base + "_" + digest
       if (!spark.catalog.tableExists(tbl)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+        val loc = new org.apache.hadoop.fs.Path(tableLocation(spark, tbl))
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
         build(tbl)
@@ -192,12 +199,75 @@ object StorageOps {
         .coalesce(4)
         .write.format("parquet").mode("overwrite").saveAsTable(tbl)
     }
-    spark.table(compacted)
-      .groupBy(col("event_type"))
+    formatProbe(spark.table(compacted))
+  }
+
+  /** Shared probe aggregate for the format round-trip sources: identical
+    * to [[compactionScan]]'s — a format change must never change query
+    * results, so all three text/columnar sources share ONE oracle (the
+    * same SQL over the parquet original).
+    */
+  private def formatProbe(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("event_id")).as("min_event"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+
+  private val evSchema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+  /** JSON-lines batch source — the reference's wire format read from
+    * files instead of a topic (producer/producer.py:51-58 emits exactly
+    * such lines). Schema-on-READ: the explicit schema + PERMISSIVE mode
+    * means a malformed line NULLs its row instead of killing the job, and
+    * no sampling inference pass runs (inference is a full extra scan at
+    * corpus scale AND nondeterministic under sampling). The timestamp
+    * column stays OUT of the round-trip: JSON text serialization of
+    * sub-second precision is formatter-dependent, the one lossy field in
+    * an otherwise exact long/double round-trip (doubles print
+    * shortest-form and reparse bit-exactly).
+    */
+  def jsonLinesScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_jsonl") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("json").mode("overwrite").saveAsTable(tbl)
+    }
+    val loc = tableLocation(spark, staged)
+    formatProbe(spark.read.schema(evSchema).option("mode", "PERMISSIVE").json(loc))
+  }
+
+  /** CSV batch source, header + explicit schema (no inference pass —
+    * see [[jsonLinesScan]]). Long/double fields round-trip exactly
+    * through CSV text; the probe aggregate hash-matches the parquet
+    * original's oracle.
+    */
+  def csvScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_csv") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("csv").option("header", "true").mode("overwrite")
+        .saveAsTable(tbl)
+    }
+    val loc = tableLocation(spark, staged)
+    formatProbe(spark.read.schema(evSchema)
+      .option("header", "true").option("mode", "PERMISSIVE").csv(loc))
+  }
+
+  /** ORC batch source — the other columnar format a lakehouse inherits;
+    * types round-trip natively (no text serialization), and a PATH read
+    * (symmetric with the other two sources) makes the ORC footer schema
+    * authoritative; the scan gets the same pushdown/pruning treatment as
+    * parquet (FileSourceScanExec either way).
+    */
+  def orcScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_orc") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("orc").mode("overwrite").saveAsTable(tbl)
+    }
+    formatProbe(spark.read.orc(tableLocation(spark, staged)))
   }
 
   /** Morton (z-order) key: the low 16 bits of two BIGINT dimensions bit-

@@ -507,6 +507,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("format round-trip sources prune the unused column at every format's scan") {
+    Seq("json_lines_scan" -> "Scan json", "csv_scan" -> "Scan csv",
+        "orc_scan" -> "Scan orc").foreach { case (q, scan) =>
+      val p = plan(q)
+      assert(p.contains(scan), s"$q: expected '$scan' in:\n$p")
+      // user_id is staged but unused by the probe aggregate — pruning
+      // must keep it out of the read schema
+      assert(!p.contains("user_id"), s"$q read user_id:\n$p")
+    }
+  }
+
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
     val p = plan("media_phash_dedup")
     assert(p.contains("band_val"), p)
