@@ -138,6 +138,7 @@ object SparkEntry {
     "cdc_apply"         -> (PipelineOps.cdcApply _),
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
     "pagerank"          -> (StatsOps.pagerank _), // rows-only: float iteration sums
+    "kcore_nodes"       -> (StatsOps.kcoreNodes _), // rows-only: iterate-to-fixpoint, exact spec
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "skew_report"       -> (QualityOps.skewReport _),

@@ -551,13 +551,71 @@ object StatsOps {
     * 3-way join is the ORACLE formulation only — same count, either
     * orientation, because both orders are total.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct undirected co-purchase edges (a < b): part pairs appearing
+    * in the same order — shared graph base of [[triangleCount]] and
+    * [[kcoreNodes]]. Basket-size-bounded self-join fan-out, then a
+    * distinct that shuffles (a, b) id pairs only.
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = l.as("x").join(l.as("y"),
+    l.as("x").join(l.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
+  }
+
+  /** k-core decomposition (k = 65) of the co-purchase graph by iterative
+    * peeling — the standard cohesion filter before community detection:
+    * repeatedly drop nodes with degree < k until the survivor set is
+    * stable; the result is the unique maximal subgraph with min degree
+    * ≥ k (order of deletions never matters, so the output is exactly
+    * deterministic even distributed). Each round is two semi-joins (keep
+    * edges whose BOTH endpoints survive) + one degree count — all
+    * equi-joins on node ids, checkpoint-truncated like the
+    * connected-components ops, with the driver testing only a survivor
+    * COUNT per round (a long, never row data). Convergence is monotone
+    * (survivors only shrink), so the loop is bounded by the peeling
+    * depth; 20 rounds is far past any real graph's depth at these ks.
+    * Rows-only gate: no SQL twin for an iterate-to-fixpoint, but the
+    * spec EXACT-matches the full (node, core_deg) set against
+    * straight-line Scala peeling — a deterministic-set op gets an exact
+    * spec, not a tolerance.
+    */
+  def kcoreNodes(spark: SparkSession, dir: String): DataFrame = {
+    val k = 65 // inside the degree distribution at every SF: peeling
+               // cascades 1-3 rounds and the core stays non-empty
+    val edges = Tables.ckpt(copurchaseEdges(spark, dir))
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("a").as("v")).union(es.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // each round checkpoints (v, d): on the STABLE round, d is the
+    // induced-subgraph degree of the converged core — returned directly,
+    // no epilogue recomputation of the whole last round
+    var live = Tables.ckpt(degrees(edges).filter(col("d") >= k))
+    var n = live.count()
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 20) {
+      val keep = live.select(col("v"))
+      val sub = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      val next = Tables.ckpt(degrees(sub).filter(col("d") >= k))
+      val m = next.count()
+      stable = m == n
+      live = next
+      n = m
+      rounds += 1
+    }
+    // fail LOUDLY on cap-hit: exiting unconverged would silently return
+    // degrees counting neighbors the same filter dropped — not a k-core
+    require(stable, s"k-core peeling did not converge in $rounds rounds")
+    live.select(col("v").as("node"), col("d").as("core_deg"))
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
     val deg = pairs.select(col("a").as("v"))
       .union(pairs.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

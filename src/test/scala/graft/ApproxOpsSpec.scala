@@ -353,6 +353,37 @@ class ApproxOpsSpec extends SparkSuite {
     top5.foreach(t => assert(reported(t), s"true heavy hitter '$t' missing"))
   }
 
+  test("kcore_nodes exactly equals straight-line Scala peeling (set and degrees)") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val k = 65
+    var live = edges.flatMap(e => Seq(e._1, e._2))
+    var done = false
+    while (!done) {
+      val sub = edges.filter(e => live(e._1) && live(e._2))
+      val deg = sub.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, a) => v -> a.size }
+      val next = deg.filter(_._2 >= k).keySet
+      done = next == live
+      live = next
+    }
+    val finalDeg = edges.filter(e => live(e._1) && live(e._2)).toSeq
+      .flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, a) => v -> a.size.toLong }
+    assert(finalDeg.nonEmpty, "65-core empty at sf0.001 — spec vacuous")
+    assert(finalDeg.size < edges.flatMap(e => Seq(e._1, e._2)).size,
+      "no node peeled — k outside the degree distribution, spec vacuous")
+    val got = SparkEntry.queries("kcore_nodes")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(got == finalDeg,
+      s"engine ${got.size} nodes vs truth ${finalDeg.size}")
+  }
+
   test("pagerank matches straight-line Scala power iteration at 1e-9") {
     val li = graft.model.Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").collect()
