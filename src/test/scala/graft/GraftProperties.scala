@@ -159,6 +159,62 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("interval-merge recurrence equals brute-force interval union") =
+    // StatsOps.intervalMerge marks a new island iff no PRECEDING interval's
+    // end reaches the current start (running max of end over the start
+    // order) — pin that recurrence against literal set-union of intervals
+    // for random starts, including duplicates and touching endpoints.
+    forAll(Gen.listOf(Gen.choose(0L, 400L))) { starts =>
+      val len = 50L
+      val sorted = starts.sorted
+      // the windowed recurrence, replicated sequentially
+      var maxEnd = Long.MinValue
+      var islands = 0
+      var covered = 0L
+      var islandStart = 0L
+      sorted.foreach { s =>
+        if (maxEnd == Long.MinValue || s > maxEnd) {
+          if (maxEnd != Long.MinValue) covered += maxEnd - islandStart
+          islands += 1; islandStart = s; maxEnd = s + len
+        } else maxEnd = math.max(maxEnd, s + len)
+      }
+      if (maxEnd != Long.MinValue) covered += maxEnd - islandStart
+      // brute force: membership count over the union of half-open intervals
+      val points = sorted.flatMap(s => s until s + len).toSet
+      val bruteCovered = points.size.toLong
+      val bruteIslands =
+        if (sorted.isEmpty) 0
+        else 1 + sorted.sliding(2).count {
+          case Seq(a, b) => b > a + len
+          case _         => false
+        }
+      islands == bruteIslands && covered == bruteCovered
+    }
+
+  property("pareto prefix-max formulation equals brute-force dominance") =
+    // StatsOps.paretoFront: after collapsing to max size per price, a
+    // point survives iff every strictly-cheaper point has smaller size —
+    // computed as bucketed within-bucket prefix max + cross-bucket
+    // carry-in. Pin that decomposition against the quadratic NOT EXISTS
+    // definition on random points.
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 80), Gen.choose(0, 40)))) { pts =>
+      val byPrice = pts.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).max }
+      val w = 10 // bucket width
+      val buckets = byPrice.groupBy { case (p, _) => p / w }
+      val bmax = buckets.map { case (b, m) => b -> m.values.max }
+      val got = byPrice.filter { case (p, s) =>
+        val sameBucketPrev = buckets(p / w).filter { case (q, _) => q < p }
+          .values.maxOption.getOrElse(Int.MinValue)
+        val carry = bmax.filter { case (b, _) => b < p / w }
+          .values.maxOption.getOrElse(Int.MinValue)
+        math.max(sameBucketPrev, carry) < s
+      }.keySet
+      val want = byPrice.filter { case (p, s) =>
+        !byPrice.exists { case (q, t) => q < p && t >= s }
+      }.keySet
+      got == want
+    }
+
   property("stubDecode is deterministic with bounded dimensions") =
     forAll(Gen.choose(0, 100000), Gen.choose(0L, 1000000L)) { (n, id) =>
       val row = MultimodalOps.MediaRow(id, Array.fill(n)(7.toByte))
