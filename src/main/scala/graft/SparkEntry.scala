@@ -127,6 +127,12 @@ object SparkEntry {
     "sql_q10"           -> (RelationalOps.sqlQ10 _),
     "sql_q14"           -> (RelationalOps.sqlQ14 _),
     "sql_q15"           -> (RelationalOps.sqlQ15 _),
+    "sql_q1"            -> (RelationalOps.sqlQ1 _),
+    "sql_q2"            -> (RelationalOps.sqlQ2 _),
+    "sql_q9"            -> (RelationalOps.sqlQ9 _),
+    "sql_q11"           -> (RelationalOps.sqlQ11 _),
+    "sql_q16"           -> (RelationalOps.sqlQ16 _),
+    "sql_q20"           -> (RelationalOps.sqlQ20 _),
     "semdedup"          -> (SimilarityOps.semDedup _), // rows-only: float cosine groups
     "winsorize"         -> (StatsOps.winsorize _),
     "copurchase_pairs"  -> (StatsOps.copurchasePairs _),
@@ -961,6 +967,98 @@ object SparkEntry {
         |JOIN revenue0 ON s_suppkey = supplier_no
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
         |ORDER BY s_suppkey""".stripMargin,
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+        |FROM part, cost, supplier, nation, region
+        |WHERE p_partkey = cost.l_partkey AND s_suppkey = cost.l_suppkey
+        |  AND p_size <= 10 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND unit_cost = (SELECT min(c2.unit_cost)
+        |                   FROM cost c2, supplier s2, nation n2, region r2
+        |                   WHERE c2.l_partkey = p_partkey
+        |                     AND s2.s_suppkey = c2.l_suppkey
+        |                     AND s2.s_nationkey = n2.n_nationkey
+        |                     AND n2.n_regionkey = r2.r_regionkey
+        |                     AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "sql_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |           - CAST(p_retailprice AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2)) * 0.6) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "sql_q11" ->
+      """WITH sval AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_7', 'NATION_8')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM sval
+        |WHERE CAST(val AS DOUBLE)
+        |      > CAST((SELECT sum(val) FROM sval) AS DOUBLE) / 1000
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "sql_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey IN
+        |      (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |          (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |ORDER BY s_name""".stripMargin,
     "winsorize" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -958,4 +958,212 @@ object RelationalOps {
         coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
         coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
   }
+
+  /** TPC-H Q1 shape (pricing summary report): the canonical full-scan
+    * multi-aggregate — seven aggregates over two low-cardinality grouping
+    * keys, one scan, map-side partial agg, a 6-row final exchange. At
+    * 100 TB this is pure scan bandwidth; anything but scan+partial-agg in
+    * the plan is a bug. Every sum runs in DECIMAL: `sum_charge` is a
+    * THREE-factor product, so the factors cast to DECIMAL(12,2) —
+    * (12,2)×(12,2)×(12,2) lands at DECIMAL(38,6), exactly at Spark's and
+    * DuckDB's shared precision ceiling with zero truncation; (18,2)
+    * factors would overflow 38 digits and silently lose scale. `avg_qty`
+    * follows the house discipline: exact decimal sum ÷ exact count, ONE
+    * IEEE division at the end — never a streaming `avg` whose partial-merge
+    * order could differ between engines.
+    */
+  def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier), adapted to the fixture's
+    * schema: there is no `partsupp`, so the part⇄supplier catalog is
+    * DERIVED from lineitem — `min(l_extendedprice / l_quantity)` per
+    * (part, supplier) is the observed unit cost. The defining feature
+    * survives intact: a correlated scalar subquery (`unit_cost = (SELECT
+    * min … WHERE c2.l_partkey = p_partkey)`) over the same
+    * region-restricted catalog, which Catalyst decorrelates into a grouped
+    * min joined back on the correlation key — NO per-row re-aggregation,
+    * no cartesian. The CTE is referenced twice; both references read the
+    * same pruned scan. Unit cost is one IEEE division per (part,supp)
+    * group and `min` over doubles is order-insensitive, so the equality
+    * test is bit-identical across engines and partition orders. Dims
+    * (supplier/nation/region) broadcast; the only big shuffle is the
+    * grouped min on (l_partkey, l_suppkey).
+    */
+  def sqlQ2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    spark.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+        |FROM part, cost, supplier, nation, region
+        |WHERE p_partkey = cost.l_partkey AND s_suppkey = cost.l_suppkey
+        |  AND p_size <= 10 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND unit_cost = (SELECT min(c2.unit_cost)
+        |                   FROM cost c2, supplier s2, nation n2, region r2
+        |                   WHERE c2.l_partkey = p_partkey
+        |                     AND s2.s_suppkey = c2.l_suppkey
+        |                     AND s2.s_nationkey = n2.n_nationkey
+        |                     AND n2.n_regionkey = r2.r_regionkey
+        |                     AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape (product-type profit), adapted: no `partsupp`, so the
+    * supply cost is proxied as 60% of the part's retail price —
+    * `p_retailprice` plays `ps_supplycost`, preserving the defining shape:
+    * a 5-way snowflake (lineitem ⋈ orders ⋈ supplier ⋈ part ⋈ nation) with
+    * a LIKE-filtered part dim, grouped by (supplier nation, order year).
+    * The part filter applies BEFORE the fact join (the planner pushes the
+    * LIKE into the dim scan), nation broadcasts, and profit is an exact
+    * decimal expression per row — (12,2)×(12,2) products and a (2,1)
+    * literal keep every intermediate inside DECIMAL(38,·), with ONE double
+    * cast after the grouped sum.
+    */
+  def sqlQ9(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |           - CAST(p_retailprice AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2)) * 0.6) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape (important stock identification), adapted: the
+    * "stock value" per part is the summed traded value
+    * (extendedprice × quantity) of that part through the chosen nations'
+    * suppliers — lineitem plays `partsupp`. The defining feature is the
+    * HAVING-against-a-scalar-subquery: the per-part grouped sum is
+    * compared to a fraction of the SAME aggregation's grand total, and
+    * Catalyst plans the total as one reused scalar subquery, not a per-row
+    * re-scan. Both sides aggregate in exact DECIMAL; the fraction compare
+    * happens on the final double cast (one cast each side, same bits in
+    * both engines — multiplying the DECIMAL(38,·) sum by 1000 would
+    * overflow the shared precision ceiling, so the exact sums are cast
+    * first and compared in IEEE).
+    */
+  def sqlQ11(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """WITH sval AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_7', 'NATION_8')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM sval
+        |WHERE CAST(val AS DOUBLE)
+        |      > CAST((SELECT sum(val) FROM sval) AS DOUBLE) / 1000
+        |ORDER BY part_value DESC, p_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    * supplier) per (brand, type, size) bucket with a NOT IN exclusion
+    * list. Adapted: lineitem is the part⇄supplier bridge (no `partsupp`),
+    * and the "customer complaints" exclusion becomes negative-balance
+    * suppliers. The shape pins three planner behaviors: the `p_size IN`
+    * set and type filter push into the part scan; NOT IN over a provably
+    * non-null key plans as an anti join against the tiny broadcast
+    * exclusion list (never null-aware nested-loop); and the distinct-agg
+    * expands to the two-phase (key+suppkey dedup, then count) aggregate so
+    * duplicate (part, supplier) lineitem pairs collapse map-side before
+    * the shuffle.
+    */
+  def sqlQ16(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): the nested IN-subquery
+    * stack — suppliers IN (per-supplier grouped HAVING over lineitems of
+    * parts IN (name-filtered part list)) — restricted to one region's
+    * nations. Adapted: the availability threshold (`ps_availqty > ½
+    * shipped`) becomes a shipped-quantity floor over the two-year window,
+    * lineitem again playing `partsupp`. Both IN levels plan as semi joins
+    * (part list broadcast into the lineitem probe, qualifying suppkeys
+    * semi-joined into supplier); the HAVING sum runs in DECIMAL so the
+    * threshold is exact digit comparison, not an IEEE epsilon question.
+    * Region/nation broadcast; the single real shuffle is the per-supplier
+    * grouped sum.
+    */
+  def sqlQ20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey IN
+        |      (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |          (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |ORDER BY s_name""".stripMargin)
+  }
 }

@@ -423,6 +423,50 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q1 is one scan + partial agg: no join, shipdate pushed") {
+    val p = plan("sql_q1")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, found $scans:\n$p")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sql_q2's correlated min decorrelates to a grouped aggregate joined back") {
+    val p = plan("sql_q2")
+    assert("HashAggregate\\(keys=\\[l_partkey".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q9 pushes the part-name LIKE into the dim scan and broadcasts the dims") {
+    val p = plan("sql_q9")
+    assert(p.contains("StringContains(p_name,gear)"), p)
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bcasts >= 3, s"expected >=3 broadcast joins, found $bcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q11 plans the grand total as a reused scalar subquery, not a re-scan per row") {
+    val p = plan("sql_q11")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q16's NOT IN is an anti join and the size set pushes to the part scan") {
+    val p = plan("sql_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("In(p_size"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q20's nested IN stack is semi joins all the way down") {
+    val p = plan("sql_q20")
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2, s"expected >=2 semi joins, found $semis:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pareto_front never runs the quadratic dominance join the oracle uses") {
     val p = plan("pareto_front")
     assert(!p.contains("CartesianProduct"), p)
