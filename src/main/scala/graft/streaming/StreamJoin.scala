@@ -38,6 +38,34 @@ object StreamJoin {
         (col("ask") - col("bid")).as("spread"))
   }
 
+  /** LEFT OUTER interval join — [[tradesWithQuotes]] that also emits
+    * quote-less trades. The semantics only exist BECAUSE state is bounded:
+    * an outer result cannot be emitted when the trade arrives (a matching
+    * quote may still come), so Spark holds the trade in state and emits
+    * the null-padded row exactly when the quote-side watermark passes the
+    * end of the trade's match window — i.e. when "no match" becomes a
+    * theorem rather than an observation. Downstream consumers therefore
+    * see matched rows promptly and unmatched rows one lateness horizon
+    * later; that delay is the price of append-mode exactly-once (no
+    * retractions). Same eviction bounds as the inner form — state size
+    * tracks lookback + lateness, never stream history.
+    */
+  def tradesWithQuotesLeftOuter(trades: DataFrame, quotes: DataFrame,
+                                lookback: String = "10 seconds",
+                                lateness: String = "1 minute"): DataFrame = {
+    val t = trades.withWatermark("trade_time", lateness)
+    val q = quotes.withWatermark("quote_time", lateness)
+    t.join(q,
+        col("symbol") === col("q_symbol") &&
+          col("quote_time") >= col("trade_time") - expr(s"INTERVAL $lookback") &&
+          col("quote_time") <= col("trade_time"),
+        "leftOuter")
+      .select(
+        col("trade_id"), col("symbol"), col("price"),
+        col("quote_time"), col("bid"), col("ask"),
+        (col("ask") - col("bid")).as("spread"))
+  }
+
   /** Stream-static enrichment: each streaming trade joined to a static
     * dimension table on symbol. The static side is broadcast — no state,
     * no watermark needed (a static side can't be late), and the stream

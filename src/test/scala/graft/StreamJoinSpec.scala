@@ -55,6 +55,52 @@ class StreamJoinSpec extends SparkSuite {
       s"got $matched from ${out.size} rows")
   }
 
+  test("left-outer interval join null-pads unmatched trades only after the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val trades = MemoryStream[(Long, String, Double, Timestamp)]
+    val quotes = MemoryStream[(String, Double, Double, Timestamp)]
+    val joined = StreamJoin.tradesWithQuotesLeftOuter(
+      trades.toDF().toDF("trade_id", "symbol", "price", "trade_time"),
+      quotes.toDF().toDF("q_symbol", "bid", "ask", "quote_time"))
+
+    val out = mutable.Buffer[Row]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) => out ++= df.collect(); () }
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sjlo_ckpt").toString)
+      .start()
+    try {
+      quotes.addData(Seq(
+        ("BTCUSDT", 99.0, 101.0, new Timestamp(T0 + 1000)))) // matches trade 1
+      trades.addData(Seq(
+        (1L, "BTCUSDT", 100.0, new Timestamp(T0 + 5000)),    // has a quote
+        (2L, "ETHUSDT", 10.0, new Timestamp(T0 + 5000))))    // never gets one
+      q.processAllAvailable()
+      // before the watermark clears trade 2's window, it must NOT emit:
+      // "no match yet" is not "no match"
+      assert(!out.exists(_.getAs[Long]("trade_id") == 2L),
+        s"outer row emitted before watermark proof: $out")
+      // advance both watermarks past trade 2's window + lateness
+      quotes.addData(Seq(("ZZZ", 0.0, 0.0, new Timestamp(T0 + 600000))))
+      trades.addData(Seq((99L, "ZZZ", 0.0, new Timestamp(T0 + 600000))))
+      q.processAllAvailable()
+      trades.addData(Seq((98L, "ZZZ", 0.0, new Timestamp(T0 + 1200000))))
+      quotes.addData(Seq(("ZZZ", 0.0, 0.0, new Timestamp(T0 + 1200000))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t1 = out.filter(_.getAs[Long]("trade_id") == 1L)
+      .map(r => (r.getAs[Double]("bid"), r.getAs[Double]("ask"))).toSet
+    assert(t1 == Set((99.0, 101.0)), s"matched side wrong: $out")
+    val t2 = out.filter(_.getAs[Long]("trade_id") == 2L)
+    assert(t2.size == 1 && t2.head.isNullAt(t2.head.fieldIndex("bid")),
+      s"expected exactly one null-padded row for trade 2, got: $out")
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unmatched trades") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
