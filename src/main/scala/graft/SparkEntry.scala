@@ -128,6 +128,8 @@ object SparkEntry {
     "sql_q14"           -> (RelationalOps.sqlQ14 _),
     "sql_q15"           -> (RelationalOps.sqlQ15 _),
     "sql_q1"            -> (RelationalOps.sqlQ1 _),
+    "pit_features"      -> (RelationalOps.pitFeatures _),
+    "snapshot_diff"     -> (RelationalOps.snapshotDiff _),
     "sql_q2"            -> (RelationalOps.sqlQ2 _),
     "sql_q9"            -> (RelationalOps.sqlQ9 _),
     "sql_q11"           -> (RelationalOps.sqlQ11 _),
@@ -967,6 +969,47 @@ object SparkEntry {
         |JOIN revenue0 ON s_suppkey = supplier_no
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
         |ORDER BY s_suppkey""".stripMargin,
+    "pit_features" ->
+      """WITH labels AS (SELECT event_id, user_id, ts FROM events
+        |               WHERE event_type = 'purchase'),
+        |fv AS (SELECT user_id, ts, max_by(value, event_id) AS f_view
+        |       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |fc AS (SELECT user_id, ts, max_by(value, event_id) AS f_click
+        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |withv AS (
+        |  SELECT l.event_id, l.user_id, l.ts, fv.f_view AS last_view
+        |  FROM labels l ASOF LEFT JOIN fv
+        |    ON l.user_id = fv.user_id AND l.ts >= fv.ts)
+        |SELECT w.event_id, w.user_id, w.ts, w.last_view,
+        |       fc.f_click AS last_click
+        |FROM withv w ASOF LEFT JOIN fc
+        |  ON w.user_id = fc.user_id AND w.ts >= fc.ts""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price_a,
+        |         o_orderpriority AS prio_a
+        |  FROM o WHERE o_orderkey % 20 <> 3),
+        |next AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS price_b,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'RECHECK'
+        |              ELSE o_orderpriority END AS prio_b
+        |  FROM o WHERE o_orderkey % 20 <> 7)
+        |SELECT CASE WHEN price_a IS NULL THEN 'added'
+        |            WHEN price_b IS NULL THEN 'removed'
+        |            WHEN price_a <> price_b OR prio_a <> prio_b THEN 'changed'
+        |            ELSE 'unchanged' END AS diff_status,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN price_a IS NOT NULL AND price_b IS NOT NULL
+        |                 AND price_a <> price_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_price_changed,
+        |  CAST(sum(CASE WHEN prio_a IS NOT NULL AND prio_b IS NOT NULL
+        |                 AND prio_a <> prio_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_priority_changed
+        |FROM base FULL OUTER JOIN next USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -310,6 +310,90 @@ object RelationalOps {
         col("value_r").as("asof_value"))
   }
 
+  /** Point-in-time feature join (the feature-store "PIT join"): each label
+    * row (purchase events = training labels) takes the entity's latest
+    * prior-or-equal VIEW value and CLICK value — two feature tables
+    * as-of joined without ever leaking future information, the correctness
+    * property that makes or breaks offline training data. Built as TWO
+    * chained native [[graft.plans.AsofJoin]]s on the same entity key: the
+    * first as-of shuffles labels and views onto user_id, and the second
+    * reuses that partitioning for its probe side — feature tables are
+    * each shuffled once, the label stream exactly once (PlanSpec pins the
+    * exchange count). Each feature side is pre-aggregated to one row per
+    * (user_id, ts) so tie resolution is deterministic in both engines;
+    * the oracle is DuckDB's native ASOF LEFT JOIN applied twice.
+    */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // repartition on user_id BEFORE the (user_id, ts) dedup-agg:
+    // hashpartitioning(user_id) satisfies the agg's clustered distribution
+    // (subset of grouping keys) AND the as-of join's key requirement, so
+    // each feature table is shuffled ONCE, not agg-shuffled then
+    // join-shuffled. (user_id, ts) is near-unique here, so the forfeited
+    // map-side combine is a no-op anyway.
+    def feature(eventType: String, alias: String): DataFrame =
+      ev.filter(col("event_type") === eventType)
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(expr("max_by(value, event_id)").as(alias))
+    val withView = graft.plans.AsofJoinOps.asofJoin(
+        labels, feature("view", "f_view"), on = Seq("user_id"),
+        leftTimeCol = "ts", rightTimeCol = "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("f_view_r").as("last_view"))
+    graft.plans.AsofJoinOps.asofJoin(
+        withView, feature("click", "f_click"), on = Seq("user_id"),
+        leftTimeCol = "ts", rightTimeCol = "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_view"), col("f_click_r").as("last_click"))
+  }
+
+  /** Snapshot reconciliation (table diff): two versions of the orders
+    * table — a base snapshot and a successor with deterministic inserts,
+    * deletes, and in-place updates — diffed into per-status row counts
+    * with a per-column change census. The shape is ONE full-outer join on
+    * the snapshot key (single key-partitioned shuffle, AQE skew-splits
+    * apply) followed by a tiny grouped aggregate; at 100 TB with wide
+    * schemas the per-column compares would collapse to one xxhash64 over
+    * a struct per side, but with three compared columns the direct
+    * compares stay inside whole-stage codegen and keep the per-column
+    * census exact. Doubling a price is IEEE-exact (power of two), so
+    * "changed" is bit-deterministic in both engines.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val base = o.filter(col("o_orderkey") % 20 =!= 3)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price_a"),
+        col("o_orderpriority").as("prio_a"))
+    val next = o.filter(col("o_orderkey") % 20 =!= 7)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("price_b"),
+        when(col("o_orderkey") % 7 === 0, lit("RECHECK"))
+          .otherwise(col("o_orderpriority")).as("prio_b"))
+    base.join(next, Seq("k"), "full_outer")
+      .withColumn("diff_status",
+        when(col("price_a").isNull, "added")
+          .when(col("price_b").isNull, "removed")
+          .when(col("price_a") =!= col("price_b") ||
+                col("prio_a") =!= col("prio_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("diff_status"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("price_a").isNotNull && col("price_b").isNotNull &&
+                 col("price_a") =!= col("price_b"), 1L).otherwise(0L))
+          .cast("long").as("n_price_changed"),
+        sum(when(col("prio_a").isNotNull && col("prio_b").isNotNull &&
+                 col("prio_a") =!= col("prio_b"), 1L).otherwise(0L))
+          .cast("long").as("n_priority_changed"))
+      .orderBy(col("diff_status"))
+  }
+
   /** Full outer join: high-value orders against orders having oversized
     * line items — rows survive from BOTH unmatched sides (null-padded),
     * the join form the reference lacks entirely. Both keys are surfaced

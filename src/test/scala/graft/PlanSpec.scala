@@ -460,6 +460,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pit_features chains two as-of joins on THREE exchanges: labels and each feature shuffle once") {
+    val p = plan("pit_features")
+    val asofs = "AsofJoin".r.findAllIn(p).length
+    assert(asofs == 2, s"expected 2 native as-of joins, found $asofs:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 3,
+      s"expected 3 exchanges (label side reused by the second as-of, " +
+        s"features pre-partitioned through their dedup agg), found $exchanges:\n$p")
+  }
+
+  test("snapshot_diff is one full-outer key shuffle + a tiny grouped census") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected base+next scans only, found $scans:\n$p")
+  }
+
   test("sql_q20's nested IN stack is semi joins all the way down") {
     val p = plan("sql_q20")
     val semis = "LeftSemi".r.findAllIn(p).length
