@@ -110,6 +110,14 @@ object SparkEntry {
     "ts_pattern_search" -> (IndicatorOps.tsPatternSearch _),
     "atr_14"            -> (IndicatorOps.atr14 _),
     "mfi_14"            -> (IndicatorOps.mfi14 _),
+    "macd"              -> (IndicatorOps.macd _),
+    "donchian_channels" -> (IndicatorOps.donchianChannels _),
+    "keltner_channels"  -> (IndicatorOps.keltnerChannels _),
+    "realized_vol"      -> (IndicatorOps.realizedVol _),
+    "rolling_beta"      -> (IndicatorOps.rollingBeta _),
+    "lead_lag_corr"     -> (IndicatorOps.leadLagCorr _),
+    "volume_profile"    -> (IndicatorOps.volumeProfile _),
+    "drawdown_duration" -> (IndicatorOps.drawdownDuration _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
     "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
@@ -2010,6 +2018,178 @@ object SparkEntry {
         |       THEN CAST(p14 AS DOUBLE) * 100.0 / CAST(p14 + n14 AS DOUBLE)
         |  END AS mfi
         |FROM s WHERE nw = 14""".stripMargin),
+    "macd" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(x) OVER w12 AS BIGINT) AS s12,
+        |    CAST(sum(x) OVER w26 AS BIGINT) AS s26,
+        |    count(*) OVER w26 AS n26
+        |  FROM c
+        |  WINDOW w12 AS (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+        |         w26 AS (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT symbol, window_start, 26 * s12 - 12 * s26 AS macd_num
+        |  FROM s WHERE n26 = 26),
+        |g AS (
+        |  SELECT symbol, window_start, macd_num,
+        |    CAST(sum(macd_num) OVER w9 AS BIGINT) AS sig_num,
+        |    count(*) OVER w9 AS n9
+        |  FROM m
+        |  WINDOW w9 AS (PARTITION BY symbol ORDER BY window_start
+        |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CAST(macd_num AS DOUBLE) / 312.0 / 100.0 AS macd,
+        |  CAST(sig_num AS DOUBLE) / 2808.0 / 100.0 AS signal,
+        |  CAST(9 * macd_num - sig_num AS DOUBLE) / 2808.0 / 100.0 AS histogram
+        |FROM g WHERE n9 = 9""".stripMargin),
+    "donchian_channels" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    max(hi) OVER w AS up, min(lo) OVER w AS dn, count(*) OVER w AS nw
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CAST(up AS DOUBLE) / 100.0 AS upper,
+        |  CAST(dn AS DOUBLE) / 100.0 AS lower,
+        |  CAST(up + dn AS DOUBLE) / 200.0 AS mid
+        |FROM s WHERE nw = 20""".stripMargin),
+    "keltner_channels" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start, hi, lo, x,
+        |    lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS pc
+        |  FROM c),
+        |r AS (
+        |  SELECT symbol, window_start, hi + lo + x AS tp3,
+        |    greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
+        |  FROM d WHERE pc IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(tp3) OVER w20 AS BIGINT) AS c20,
+        |    CAST(sum(tr) OVER w10 AS BIGINT) AS t10,
+        |    count(*) OVER w20 AS nw
+        |  FROM r
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w10 AS (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CAST(c20 AS DOUBLE) / 6000.0 AS center,
+        |  CAST(c20 AS DOUBLE) / 6000.0 + CAST(t10 AS DOUBLE) / 500.0 AS upper,
+        |  CAST(c20 AS DOUBLE) / 6000.0 - CAST(t10 AS DOUBLE) / 500.0 AS lower
+        |FROM s WHERE nw = 20""".stripMargin),
+    "realized_vol" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start,
+        |    x - lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS dx
+        |  FROM c),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    CAST(sum(dx) OVER w AS BIGINT) AS s1,
+        |    sum(CAST(dx AS HUGEINT) * dx) OVER w AS s2,
+        |    count(*) OVER w AS nw
+        |  FROM d WHERE dx IS NOT NULL
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  sqrt(CAST(30 * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / 870.0) / 100.0
+        |    AS realized_vol
+        |FROM s WHERE nw = 30""".stripMargin),
+    "rolling_beta" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start,
+        |    x - lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS dx
+        |  FROM c),
+        |dd AS (SELECT symbol, window_start, dx FROM d WHERE dx IS NOT NULL),
+        |j AS (
+        |  SELECT a.symbol, a.window_start, a.dx, b.db
+        |  FROM dd a JOIN (SELECT window_start AS bws, dx AS db FROM dd
+        |                  WHERE symbol = 'purchase') b
+        |    ON a.window_start = b.bws),
+        |s AS (
+        |  SELECT symbol, window_start,
+        |    sum(CAST(dx AS HUGEINT) * db) OVER w AS sxy,
+        |    sum(CAST(db AS HUGEINT) * db) OVER w AS sbb,
+        |    CAST(sum(dx) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(db) OVER w AS BIGINT) AS sb,
+        |    count(*) OVER w AS nw
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN 30 * sbb - CAST(sb AS HUGEINT) * sb <> 0
+        |       THEN CAST(30 * sxy - CAST(sx AS HUGEINT) * sb AS DOUBLE)
+        |            / CAST(30 * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+        |  END AS beta
+        |FROM s WHERE nw = 30""".stripMargin),
+    "lead_lag_corr" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol,
+        |    date_diff('minute', TIMESTAMP '1970-01-01 00:00:00', window_start) AS m,
+        |    x - lag(x) OVER (PARTITION BY symbol ORDER BY window_start) AS dx
+        |  FROM c),
+        |dd AS (SELECT symbol, m, dx FROM d WHERE dx IS NOT NULL),
+        |j AS (
+        |  SELECT a.symbol, l.lag_min, a.dx, b.dx AS db
+        |  FROM dd a
+        |  CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag_min) l
+        |  JOIN (SELECT m, dx FROM dd WHERE symbol = 'purchase') b
+        |    ON a.m - l.lag_min = b.m),
+        |s AS (
+        |  SELECT symbol, lag_min, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(db) AS BIGINT) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * db) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    sum(CAST(db AS HUGEINT) * db) AS syy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT symbol, lag_min, n,
+        |  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |        AND n * syy - CAST(sy AS HUGEINT) * sy <> 0
+        |       THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |            / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+        |  END AS corr
+        |FROM s""".stripMargin),
+    "volume_profile" ->
+      (IndicatorCandleCte.stripSuffix(",\n") + "\n" +
+        """SELECT symbol, x // 500 AS bucket,
+        |  CAST(x // 500 AS DOUBLE) * 5.0 AS price_lo,
+        |  CAST(count(*) AS BIGINT) AS n_candles,
+        |  CAST(sum(vol) AS BIGINT) AS total_volume
+        |FROM c GROUP BY 1, 2""".stripMargin),
+    "drawdown_duration" ->
+      (IndicatorCandleCte +
+        """r AS (
+        |  SELECT symbol, window_start, x,
+        |    max(x) OVER (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM c),
+        |u AS (
+        |  SELECT symbol, window_start,
+        |    CASE WHEN x < runmax THEN 1 ELSE 0 END AS uw
+        |  FROM r),
+        |g AS (
+        |  SELECT symbol, uw,
+        |    CAST(sum(1 - uw) OVER (PARTITION BY symbol ORDER BY window_start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS grp
+        |  FROM u),
+        |runs AS (
+        |  SELECT symbol, grp, CAST(sum(uw) AS BIGINT) AS run_len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT symbol,
+        |  max(run_len) AS max_underwater,
+        |  CAST(sum(run_len) AS BIGINT) AS total_underwater,
+        |  CAST(count(CASE WHEN run_len > 0 THEN 1 END) AS BIGINT) AS n_drawdowns
+        |FROM runs GROUP BY 1""".stripMargin),
     "obv" ->
       (IndicatorCandleCte +
         """d AS (

@@ -69,12 +69,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md) which Spark 4 has
-    * no native type for — it either throws PARQUET_TYPE_ILLEGAL or, with the
-    * legacy conf, reads INT64 nanos. We read nanos and truncate to
-    * microsecond TimestampType with integer arithmetic (`div`, not double
-    * division — epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range).
-    * DuckDB truncates ns→µs the same way, so the oracle agrees.
+  /** `events.ts` normalized to session-zone TimestampType whatever the
+    * parquet file declares — fixture generations have varied:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 has no native type for it — it either
+    *    throws PARQUET_TYPE_ILLEGAL or, with the legacy conf, reads INT64
+    *    nanos. We read nanos and truncate to microsecond TimestampType with
+    *    integer arithmetic (`div`, not double division — epoch-nanos ≈
+    *    1.7e18 exceeds double's 2^53 integer range).
+    *  - TIMESTAMP(µs, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, on which `unix_micros`/epoch casts are type errors.
+    *    Cast to TimestampType — the session zone is pinned to UTC
+    *    ([[graft.GraftSession]]), so the wall-clock instant is unchanged
+    *    and DuckDB (which reads the same values as naive timestamps)
+    *    still agrees bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,6 +90,10 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -318,4 +318,231 @@ object IndicatorOps {
         (dbl(col("x")) / 100.0).as("close_price"),
         col("z"))
   }
+
+  /** MACD(12, 26, 9) in the bounded-window (SMA) oscillator form — the
+    * same declared divergence as [[rsi14]]/[[atr14]]: the textbook EMAs
+    * are unbounded recursive float state no oracle can pin, so fast and
+    * slow legs are the 12- and 26-candle simple means. The whole ladder
+    * stays integer until the final division: macd_num = 26·Σ12 − 12·Σ26
+    * (common denominator 312), signal_num = Σ9(macd_num) (denominator
+    * 2808), hist_num = 9·macd_num − signal_num — three outputs, each ONE
+    * exact-int-to-double division. Plan: one window pass per symbol over
+    * the candle frame, no self-joins.
+    */
+  def macd(spark: SparkSession, dir: String): DataFrame = {
+    val w12 = bySym.rowsBetween(-11, 0)
+    val w26 = bySym.rowsBetween(-25, 0)
+    val w9  = bySym.rowsBetween(-8, 0)
+    closes(spark, dir)
+      .withColumn("s12", sum(col("x")).over(w12))
+      .withColumn("s26", sum(col("x")).over(w26))
+      .withColumn("n26", count(lit(1)).over(w26))
+      .filter(col("n26") === 26)
+      .withColumn("macd_num", lit(26L) * col("s12") - lit(12L) * col("s26"))
+      .withColumn("sig_num", sum(col("macd_num")).over(w9))
+      .withColumn("n9", count(lit(1)).over(w9))
+      .filter(col("n9") === 9)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("macd_num")) / 312.0 / 100.0).as("macd"),
+        (dbl(col("sig_num")) / 2808.0 / 100.0).as("signal"),
+        (dbl(lit(9L) * col("macd_num") - col("sig_num")) / 2808.0 / 100.0)
+          .as("histogram"))
+  }
+
+  /** Donchian channel (20): trailing 20-candle highest high / lowest low
+    * and their midpoint — the breakout band. Pure integer min/max over one
+    * ROWS frame; the midpoint keeps (up+dn) integer and divides once.
+    */
+  def donchianChannels(spark: SparkSession, dir: String): DataFrame = {
+    val w20 = bySym.rowsBetween(-19, 0)
+    closes(spark, dir)
+      .withColumn("up", max(col("hi")).over(w20))
+      .withColumn("dn", min(col("lo")).over(w20))
+      .withColumn("nw", count(lit(1)).over(w20))
+      .filter(col("nw") === 20)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("up")) / 100.0).as("upper"),
+        (dbl(col("dn")) / 100.0).as("lower"),
+        (dbl(col("up") + col("dn")) / 200.0).as("mid"))
+  }
+
+  /** Keltner channel: 20-candle typical-price center ± 2 × the 10-candle
+    * mean true range. Typical price rides as its 3×-scaled integer
+    * (hi+lo+x, the [[mfi14]] trick), true range as in [[atr14]]; each band
+    * is a SUM of two single exact-int divisions (c20/6000 ± t10/500),
+    * written symbol-for-symbol identically in the oracle. One filtered
+    * window pass per symbol — the lag(close) row drop happens BEFORE both
+    * frames so engine and oracle walk identical row sets.
+    */
+  def keltnerChannels(spark: SparkSession, dir: String): DataFrame = {
+    val w20 = bySym.rowsBetween(-19, 0)
+    val w10 = bySym.rowsBetween(-9, 0)
+    closes(spark, dir)
+      .withColumn("pc", lag(col("x"), 1).over(bySym))
+      .filter(col("pc").isNotNull)
+      .withColumn("tp3", col("hi") + col("lo") + col("x"))
+      .withColumn("tr", greatest(
+        col("hi") - col("lo"),
+        abs(col("hi") - col("pc")),
+        abs(col("lo") - col("pc"))))
+      .withColumn("c20", sum(col("tp3")).over(w20))
+      .withColumn("t10", sum(col("tr")).over(w10))
+      .withColumn("nw", count(lit(1)).over(w20))
+      .filter(col("nw") === 20)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("c20")) / 6000.0).as("center"),
+        (dbl(col("c20")) / 6000.0 + dbl(col("t10")) / 500.0).as("upper"),
+        (dbl(col("c20")) / 6000.0 - dbl(col("t10")) / 500.0).as("lower"))
+  }
+
+  /** Realized volatility (30): trailing sample standard deviation of the
+    * close-to-close price CHANGE in cents — log-free by oracle-determinism
+    * design (ln is not correctly-rounded across libm implementations; see
+    * the engine's no-log discipline), so this is absolute-change
+    * volatility, the right units for a fixed-tick market-making book.
+    * Power sums promote to DECIMAL(38,0) ([[pairwiseCorr]] discipline):
+    * a large gap squared times 30 stresses int64. One sqrt of one exact
+    * division.
+    */
+  def realizedVol(spark: SparkSession, dir: String): DataFrame = {
+    val w30 = bySym.rowsBetween(-29, 0)
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def d(c: Column) = c.cast(d38)
+    closes(spark, dir)
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(bySym))
+      .filter(col("dx").isNotNull)
+      .withColumn("s1", sum(col("dx")).over(w30))
+      .withColumn("s2", sum(col("dx").cast(d19) * col("dx").cast(d19)).over(w30))
+      .withColumn("nw", count(lit(1)).over(w30))
+      .filter(col("nw") === 30)
+      .select(
+        col("symbol"), col("window_start"),
+        (sqrt(dbl(lit(30L).cast(d38) * col("s2") - d(col("s1")) * d(col("s1"))) / 870.0)
+          / 100.0).as("realized_vol"))
+  }
+
+  /** Rolling beta (30) of each symbol's close-to-close change against the
+    * benchmark series (the `purchase` stream — the highest-volume symbol
+    * in the fixture, standing in for an index leg): β = cov(dS, dB) /
+    * var(dB) over the trailing 30 co-traded minutes. Per-symbol diffs are
+    * computed BEFORE the benchmark equi-join on window_start (so a gap in
+    * one series never fabricates a cross-minute diff), the join's right
+    * side is a single symbol's candles — broadcast-sized at any scale —
+    * and the window walk is per-symbol rank-file. Numerator and
+    * denominator are exact DECIMAL(38,0) moment combinations; one final
+    * division, NULL when the benchmark is locally flat.
+    */
+  def rollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def d(c: Column) = c.cast(d38)
+    val diffs = closes(spark, dir)
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(bySym))
+      .filter(col("dx").isNotNull)
+      .select(col("symbol"), col("window_start"), col("dx"))
+    val bench = diffs.filter(col("symbol") === "purchase")
+      .select(col("window_start"), col("dx").as("db"))
+    val w30 = bySym.rowsBetween(-29, 0)
+    diffs.join(broadcast(bench), Seq("window_start"))
+      .withColumn("sxy", sum(col("dx").cast(d19) * col("db").cast(d19)).over(w30))
+      .withColumn("sbb", sum(col("db").cast(d19) * col("db").cast(d19)).over(w30))
+      .withColumn("sx", sum(col("dx")).over(w30))
+      .withColumn("sb", sum(col("db")).over(w30))
+      .withColumn("nw", count(lit(1)).over(w30))
+      .filter(col("nw") === 30)
+      .select(
+        col("symbol"), col("window_start"),
+        when(lit(30L).cast(d38) * col("sbb") - d(col("sb")) * d(col("sb")) =!= 0,
+          dbl(lit(30L).cast(d38) * col("sxy") - d(col("sx")) * d(col("sb"))) /
+            dbl(lit(30L).cast(d38) * col("sbb") - d(col("sb")) * d(col("sb"))))
+          .as("beta"))
+  }
+
+  /** Lead–lag cross-correlation: Pearson r between each symbol's minute
+    * change and the benchmark's change shifted by −3…+3 minutes (positive
+    * lag = benchmark leads), over ALL co-traded minutes — the price-
+    * discovery table ("who moves first"). The 7-lag fan-out explodes on
+    * the LEFT side only, the join stays a pure equi-join on an integer
+    * minute key, and the benchmark side broadcasts. Exact int64 minute
+    * keys, DECIMAL(38,0) moment combines, sqrt-only final formula
+    * ([[pairwiseCorr]] discipline).
+    */
+  def leadLagCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def d(c: Column) = c.cast(d38)
+    val minuteKey = expr(
+      "timestampdiff(MINUTE, TIMESTAMP '1970-01-01 00:00:00', window_start)")
+    val diffs = closes(spark, dir)
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(bySym))
+      .filter(col("dx").isNotNull)
+      .withColumn("m", minuteKey)
+      .select(col("symbol"), col("m"), col("dx"))
+    val bench = diffs.filter(col("symbol") === "purchase")
+      .select(col("m").as("bm"), col("dx").as("db"))
+    diffs
+      .withColumn("lag_min", explode(array((-3 to 3).map(l => lit(l.toLong)): _*)))
+      .withColumn("bkey", col("m") - col("lag_min"))
+      .join(broadcast(bench), col("bkey") === col("bm"))
+      .groupBy(col("symbol"), col("lag_min"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("db")).as("sy"),
+        sum(col("dx").cast(d19) * col("db").cast(d19)).as("sxy"),
+        sum(col("dx").cast(d19) * col("dx").cast(d19)).as("sxx"),
+        sum(col("db").cast(d19) * col("db").cast(d19)).as("syy"))
+      .select(
+        col("symbol"), col("lag_min"), col("n"),
+        when(
+          d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")) =!= 0 &&
+          d(col("n")) * col("syy") - d(col("sy")) * d(col("sy")) =!= 0,
+          dbl(d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy"))) /
+            (sqrt(dbl(d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")))) *
+             sqrt(dbl(d(col("n")) * col("syy") - d(col("sy")) * d(col("sy"))))))
+          .as("corr"))
+  }
+
+  /** Volume profile: total traded volume per $5 price bucket per symbol —
+    * the support/resistance histogram. Integer close cents floor-divide
+    * into buckets (prices are positive, so `div` and floor agree), then
+    * ONE hash aggregation whose shuffle carries (symbol, bucket) pairs —
+    * cardinality price-range/5 × symbols, independent of row count.
+    */
+  def volumeProfile(spark: SparkSession, dir: String): DataFrame =
+    closes(spark, dir)
+      .withColumn("bucket", expr("x div 500"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        sum(col("vol")).as("total_volume"))
+      .select(
+        col("symbol"), col("bucket"),
+        (dbl(col("bucket")) * 5.0).as("price_lo"),
+        col("n_candles"), col("total_volume"))
+
+  /** Drawdown duration: per symbol, the longest and total run of candles
+    * strictly below the running maximum close — how LONG the book sits
+    * underwater, the complement of [[AggOps.maxDrawdown]]'s how-deep. Runs
+    * are delimited by the classic gaps-and-islands group key (a running
+    * count of new-high candles); everything is integer window arithmetic
+    * in two per-symbol passes plus one tiny per-symbol aggregate.
+    */
+  def drawdownDuration(spark: SparkSession, dir: String): DataFrame = {
+    val unb = bySym.rowsBetween(Window.unboundedPreceding, 0)
+    closes(spark, dir)
+      .withColumn("runmax", max(col("x")).over(unb))
+      .withColumn("uw", (col("x") < col("runmax")).cast(LongType))
+      .withColumn("grp", sum(lit(1L) - col("uw")).over(unb))
+      .groupBy(col("symbol"), col("grp"))
+      .agg(sum(col("uw")).as("run_len"))
+      .groupBy(col("symbol"))
+      .agg(
+        max(col("run_len")).as("max_underwater"),
+        sum(col("run_len")).as("total_underwater"),
+        count(when(col("run_len") > 0, lit(1))).as("n_drawdowns"))
+  }
 }
