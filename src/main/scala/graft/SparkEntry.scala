@@ -123,6 +123,10 @@ object SparkEntry {
     "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
     "dq_checks"         -> (QualityOps.dqChecks _),
     "dq_quarantine"     -> (QualityOps.dqQuarantine _),
+    "benford_check"     -> (QualityOps.benfordCheck _),
+    "gini_profile"      -> (QualityOps.giniProfile _),
+    "orphan_fk_check"   -> (QualityOps.orphanFkCheck _),
+    "mode_median"       -> (StatsOps.modeMedian _),
     "sql_q4"            -> (RelationalOps.sqlQ4 _),
     "sql_q12"           -> (RelationalOps.sqlQ12 _),
     "sql_q22"           -> (RelationalOps.sqlQ22 _),
@@ -2344,6 +2348,89 @@ object SparkEntry {
         |  CAST(count(DISTINCT props) AS BIGINT),
         |  min(props), max(props)
         |FROM events""".stripMargin,
+    "benford_check" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM g),
+        |e AS (SELECT * FROM (VALUES
+        |  (1, 3.010299956639812e-1), (2, 1.7609125905568124e-1),
+        |  (3, 1.2493873660829992e-1), (4, 9.691001300805642e-2),
+        |  (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+        |  (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+        |  (9, 4.575749056067514e-2)) AS v(digit, expected))
+        |SELECT g.digit, g.obs,
+        |  CAST(g.obs AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+        |  e.expected,
+        |  (CAST(g.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.expected)
+        |    * (CAST(g.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.expected)
+        |    / (CAST(t.n AS DOUBLE) * e.expected) AS chi_term
+        |FROM g CROSS JOIN t JOIN e ON g.digit = e.digit""".stripMargin,
+    "gini_profile" ->
+      """WITH gl AS (
+        |  SELECT lang AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |al AS (
+        |  SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(c) AS BIGINT) AS n, sum(CAST(c AS HUGEINT) * c) AS s2,
+        |    max(c) AS mx
+        |  FROM gl),
+        |gs AS (
+        |  SELECT source AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |asrc AS (
+        |  SELECT 'source' AS col_name, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(c) AS BIGINT) AS n, sum(CAST(c AS HUGEINT) * c) AS s2,
+        |    max(c) AS mx
+        |  FROM gs),
+        |u AS (SELECT * FROM al UNION ALL SELECT * FROM asrc)
+        |SELECT col_name, n_groups, n,
+        |  1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini,
+        |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+        |FROM u""".stripMargin,
+    "orphan_fk_check" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (
+        |  SELECT 'lineitem.l_partkey->part' AS fk,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+        |e3 AS (
+        |  SELECT 'lineitem.l_suppkey->supplier' AS fk,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e4 AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT fk, total, orphans,
+        |  CAST(orphans AS DOUBLE) / CAST(total AS DOUBLE) AS orphan_rate
+        |FROM u""".stripMargin,
+    "mode_median" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY c DESC, l_quantity ASC) AS rn
+        |  FROM f),
+        |s AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty,
+        |    avg(l_quantity) AS mean_qty, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, s.median_qty, s.mean_qty, s.n, m.mode_qty
+        |FROM s JOIN m ON s.l_returnflag = m.l_returnflag AND m.rn = 1""".stripMargin,
     "dq_checks" ->
       """WITH s AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

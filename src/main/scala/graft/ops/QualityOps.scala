@@ -222,4 +222,106 @@ object QualityOps {
          col("ref_cnt").cast(DoubleType) /
           expr("sum(ref_cnt) over ()").cast(DoubleType)).as("share_gap"))
   }
+
+  /** Benford's-law expected first-digit shares, log10(1 + 1/d), as exact
+    * double LITERALS — computing them with `log10` at runtime would put a
+    * non-correctly-rounded libm call in an oracle-hashed output (the
+    * engine's no-log discipline); the literal text appears symbol-for-
+    * symbol in the oracle SQL (E-notation there, so DuckDB parses DOUBLE,
+    * not DECIMAL).
+    */
+  private[ops] val BenfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
+    4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+
+  /** Benford's-law conformance of order totals: observed vs expected
+    * first-significant-digit distribution plus each digit's χ² term — the
+    * classic fabricated-amounts fraud screen. The digit is extracted by
+    * STRING head of the exact integer cents (prices are 2-decimal and
+    * ≥ 0.01, so no leading zero/sign cases exist) — log-free, hence
+    * oracle-hashable. One scan, 9-group aggregate, broadcast total; the
+    * χ² algebra is plain +,·,/ over the exact counts.
+    */
+  def benfordCheck(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(
+      round(col("o_totalprice") * 100).cast(LongType).cast(StringType), 1, 1)
+      .cast(IntegerType)
+    val expected = element_at(
+      map(BenfordShares.flatMap { case (d, e) => Seq(lit(d), lit(e)) }: _*),
+      col("digit"))
+    val g = Tables.orders(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val t = g.agg(sum(col("obs")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    val obsD = col("obs").cast(DoubleType)
+    g.crossJoin(broadcast(t))
+      .withColumn("expected", expected)
+      .select(
+        col("digit"), col("obs"),
+        (obsD / nD).as("share"),
+        col("expected"),
+        ((obsD - nD * col("expected")) * (obsD - nD * col("expected")) /
+          (nD * col("expected"))).as("chi_term"))
+  }
+
+  /** Categorical purity profile of the documents corpus: per column, the
+    * group count, Gini impurity 1 − Σp², and the modal share — the
+    * class-balance report a training-data pipeline gates corpus mixes on.
+    * Gini replaces Shannon entropy BY DESIGN: it is the same concentration
+    * ordering with +,·,/ only (entropy's ln is not correctly-rounded
+    * across engines — no-log discipline). One count-per-value aggregate
+    * per column (shuffles carry (value, count) pairs, never rows), squared
+    * counts promoted to DECIMAL(38,0)/HUGEINT — at 100 TB a modal class
+    * count squared overflows int64.
+    */
+  def giniProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def profileCol(name: String): DataFrame =
+      Tables.documents(spark, dir)
+        .groupBy(col(name).as("v")).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("c")).as("n"),
+          sum(col("c").cast(d19) * col("c").cast(d19)).as("s2"),
+          max(col("c")).as("mx"))
+        .select(
+          lit(name).as("col_name"), col("n_groups"), col("n"),
+          (lit(1.0) - col("s2").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType))).as("gini"),
+          (col("mx").cast(DoubleType) / col("n").cast(DoubleType)).as("top_share"))
+    profileCol("lang").unionAll(profileCol("source"))
+  }
+
+  /** Referential-integrity audit of the star schema: for each declared
+    * FK edge, the fact row count, rows whose key misses the dimension
+    * (orphans), and the orphan rate — the join-will-silently-drop-rows
+    * gate run before any fact/dim join ships. Each edge is ONE left join
+    * collapsed to a two-number aggregate (null-count pattern) — shuffles
+    * carry keys only, dimension PKs are unique so the join never fans
+    * out, and AQE broadcasts genuinely small dims at runtime.
+    */
+  def orphanFkCheck(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk).as("k"))
+        .join(dim.select(col(pk).as("dk")), col("k") === col("dk"), "left")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("dk").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(
+          lit(name).as("fk"), col("total"), col("orphans"),
+          (col("orphans").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("orphan_rate"))
+    val li = Tables.lineitem(spark, dir)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+  }
 }

@@ -1094,4 +1094,32 @@ object StatsOps {
         count(lit(1)).as("n_islands"),
         expr("sum(i_end - i_start) div 1000000").as("covered_sec"))
   }
+
+  /** Robust center per group: deterministic mode (the SMALLEST value among
+    * those with maximal frequency — `mode()` itself is tie-arbitrary in
+    * every engine, a hash-compare landmine), interpolated median, and mean
+    * of lineitem quantities per return flag. Two-level aggregation: the
+    * value-frequency table is tiny after the first map-side combine, the
+    * mode is a rank-1 row per group (WindowGroupLimit prunes the rest),
+    * and the median/mean ride a separate single-pass agg joined back on
+    * the handful of flags. Quantities are integer-valued doubles « 2^53,
+    * so sums and the median midpoint are exact in any summation order.
+    */
+  def modeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val freq = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = freq
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        avg(col("l_quantity")).as("mean_qty"),
+        count(lit(1)).as("n"))
+    stats.join(mode, Seq("l_returnflag"))
+  }
 }
