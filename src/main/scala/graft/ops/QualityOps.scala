@@ -230,7 +230,7 @@ object QualityOps {
     * symbol in the oracle SQL (E-notation there, so DuckDB parses DOUBLE,
     * not DECIMAL).
     */
-  private[ops] val BenfordShares: Seq[(Int, Double)] = Seq(
+  private[graft] val BenfordShares: Seq[(Int, Double)] = Seq(
     1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
     4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
     7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
