@@ -127,6 +127,10 @@ object SparkEntry {
     "gini_profile"      -> (QualityOps.giniProfile _),
     "orphan_fk_check"   -> (QualityOps.orphanFkCheck _),
     "mode_median"       -> (StatsOps.modeMedian _),
+    "wow_growth"        -> (StatsOps.wowGrowth _),
+    "degree_distribution" -> (StatsOps.degreeDistribution _),
+    "basket_lift"       -> (StatsOps.basketLift _),
+    "session_stats"     -> (StatsOps.sessionStats _),
     "sql_q4"            -> (RelationalOps.sqlQ4 _),
     "sql_q12"           -> (RelationalOps.sqlQ12 _),
     "sql_q22"           -> (RelationalOps.sqlQ22 _),
@@ -2416,6 +2420,85 @@ object SparkEntry {
         |SELECT fk, total, orphans,
         |  CAST(orphans AS DOUBLE) / CAST(total AS DOUBLE) AS orphan_rate
         |FROM u""".stripMargin,
+    "wow_growth" ->
+      """WITH w AS (
+        |  SELECT date_trunc('week', o_orderdate) AS wk,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT wk, n_orders, rev,
+        |    lag(rev, 1) OVER (ORDER BY wk) AS prev
+        |  FROM w)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week, n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CASE WHEN prev IS NOT NULL AND prev <> 0
+        |       THEN CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        |  END AS wow_growth
+        |FROM l""".stripMargin,
+    "degree_distribution" ->
+      """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+        |      FROM e GROUP BY 1),
+        |pd AS (SELECT 'part' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM p GROUP BY 2),
+        |s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS degree
+        |      FROM e GROUP BY 1),
+        |sd AS (SELECT 'supplier' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM s GROUP BY 2)
+        |SELECT * FROM pd UNION ALL SELECT * FROM sd""".stripMargin,
+    "basket_lift" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM i),
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM i a JOIN i b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |  ORDER BY c_ab DESC, part_a, part_b LIMIT 100)
+        |SELECT pr.part_b, pr.part_a, pr.c_ab, sa.c AS c_a, sb.c AS c_b,
+        |  CAST(pr.c_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+        |    / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+        |FROM pr
+        |JOIN sup sa ON pr.part_a = sa.l_partkey
+        |JOIN sup sb ON pr.part_b = sb.l_partkey
+        |CROSS JOIN n""".stripMargin,
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |              OR us - lag(us, 1) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(us) AS session_start_us, max(us) AS session_end_us
+        |  FROM g GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        |    CAST(sum(n_events) AS BIGINT) AS total_events,
+        |    CAST(sum(session_end_us - session_start_us) AS BIGINT) AS dur_us
+        |  FROM sess)
+        |SELECT n_sessions, n_users, bounces,
+        |  CAST(bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS bounce_rate,
+        |  CAST(total_events AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS avg_events,
+        |  CAST(dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) / 1000000.0
+        |    AS avg_duration_sec
+        |FROM tot""".stripMargin,
     "mode_median" ->
       """WITH f AS (
         |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c

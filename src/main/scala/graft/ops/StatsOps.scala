@@ -1095,6 +1095,103 @@ object StatsOps {
         expr("sum(i_end - i_start) div 1000000").as("covered_sec"))
   }
 
+  /** Week-over-week revenue growth: weekly order revenue (exact
+    * DECIMAL(18,2) sums — double summation is order-dependent) with the
+    * lag-ratio growth rate. The window ORDER BY week runs over the
+    * ALREADY-AGGREGATED weekly frame — 52 rows/year regardless of fact
+    * size, so the single-partition window is a driver-trivial tail on a
+    * one-exchange aggregate, never a global sort of facts. Weeks render
+    * as strings (DATE-typed outputs hash-mismatch across engines).
+    */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("wk"))
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(
+        date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_orders"),
+        col("rev").cast(DoubleType).as("revenue"),
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          (col("rev") - col("prev")).cast(DoubleType) / col("prev").cast(DoubleType))
+          .as("wow_growth"))
+  }
+
+  /** Degree distribution of the part↔supplier bipartite graph: how many
+    * parts have k suppliers and vice versa — the graph-shape profile run
+    * before any graph algorithm (skew in this histogram predicts skew in
+    * every traversal). Distinct edges, then two count aggregations per
+    * side; every shuffle carries (node, degree) pairs, cardinality =
+    * node count, never edges.
+    */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    def side(key: String, label: String): DataFrame =
+      edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(label).as("side"), col("degree"), col("n_nodes"))
+    side("l_partkey", "part").unionAll(side("l_suppkey", "supplier"))
+  }
+
+  /** Market-basket lift over the co-purchase pairs: lift(a,b) =
+    * P(a,b) / (P(a)·P(b)) = n·c_ab / (c_a·c_b) — association strength
+    * normalized for item popularity, the ranking [[copurchasePairs]]'s
+    * raw counts cannot give. The top-100 cut orders by the EXACT pair
+    * count (float-ordered cuts tie-break on ulp noise); lift itself is
+    * output-only IEEE from exact integers. Item supports broadcast back
+    * onto the pair frame — the basket self-join fan-out stays
+    * basket-size-bounded exactly as in [[copurchasePairs]].
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val support = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+    a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+      .orderBy(col("c_ab").desc, col("part_a"), col("part_b"))
+      .limit(100)
+      .join(broadcast(support.select(col("l_partkey").as("part_a"), col("c").as("c_a"))), "part_a")
+      .join(broadcast(support.select(col("l_partkey").as("part_b"), col("c").as("c_b"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast(DoubleType) * col("n_baskets").cast(DoubleType) /
+          (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))).as("lift"))
+  }
+
+  /** Corpus-level session KPIs on top of [[sessionize]]'s islands: session
+    * count, engaged users, bounce rate (single-event sessions), mean
+    * events per session, and mean duration — the product-analytics
+    * headline numbers. One extra GLOBAL aggregate over the per-session
+    * frame (cardinality = sessions, already tiny relative to events);
+    * durations are exact integer µs, means are single IEEE divisions.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("bounces"),
+        sum(col("n_events")).as("total_events"),
+        sum(col("session_end_us") - col("session_start_us")).as("dur_us"))
+      .select(
+        col("n_sessions"), col("n_users"), col("bounces"),
+        (col("bounces").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+          .as("bounce_rate"),
+        (col("total_events").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+          .as("avg_events"),
+        (col("dur_us").cast(DoubleType) / col("n_sessions").cast(DoubleType)
+          / 1000000.0).as("avg_duration_sec"))
+
   /** Robust center per group: deterministic mode (the SMALLEST value among
     * those with maximal frequency — `mode()` itself is tie-arbitrary in
     * every engine, a hash-compare landmine), interpolated median, and mean
