@@ -223,4 +223,65 @@ object GraftProperties extends Properties("graft") {
       m1 == m2 && m1.width >= 64 && m1.width < 576 &&
         m1.height >= 64 && m1.height < 576 && m1.n_bytes == n
     }
+
+  // ---- round-7 op algebra ----
+
+  /** macd_num = 26·Σ12 − 12·Σ26 over trailing windows (IndicatorOps.macd). */
+  private def macdNums(xs: List[Long]): List[Long] =
+    (25 until xs.length).toList.map { i =>
+      26L * xs.slice(i - 11, i + 1).sum - 12L * xs.slice(i - 25, i + 1).sum
+    }
+
+  property("macd oscillator is invariant under a constant price shift") =
+    forAll(Gen.listOfN(40, Gen.choose(100L, 100000L)), Gen.choose(-5000L, 5000L)) {
+      (xs, c) => macdNums(xs) == macdNums(xs.map(_ + c))
+    }
+
+  property("realized_vol variance numerator is shift-invariant and non-negative") =
+    forAll(Gen.listOfN(31, Gen.choose(100L, 1000000L)), Gen.choose(-9999L, 9999L)) {
+      (xs, c) =>
+        def varNum(s: List[Long]): BigInt = {
+          val d = s.sliding(2).map { case List(a, b) => BigInt(b - a) }.toList
+          BigInt(d.length) * d.map(x => x * x).sum - d.sum * d.sum
+        }
+        val v = varNum(xs)
+        v >= 0 && v == varNum(xs.map(_ + c))
+    }
+
+  /** The gaps-and-islands drawdown formulation (group key = prefix count of
+    * new-high candles, run = group size − 1) equals a direct scan.
+    */
+  property("drawdown islands equal the sequential underwater scan") =
+    forAll(Gen.listOfN(60, Gen.choose(1L, 50L))) { xs =>
+      // direct scan
+      var runmax = Long.MinValue; var cur = 0L; var mx = 0L; var tot = 0L
+      xs.foreach { x =>
+        runmax = math.max(runmax, x)
+        if (x < runmax) { cur += 1; tot += 1; mx = math.max(mx, cur) } else cur = 0
+      }
+      // island formulation (what the window plan computes)
+      val runmaxes = xs.scanLeft(Long.MinValue)(math.max).tail
+      val uw = xs.zip(runmaxes).map { case (x, m) => if (x < m) 1L else 0L }
+      val grp = uw.map(1L - _).scanLeft(0L)(_ + _).tail
+      val runs = uw.zip(grp).groupBy(_._2).view.mapValues(_.map(_._1).sum).values.toList
+      mx == runs.maxOption.getOrElse(0L) && tot == runs.sum
+    }
+
+  property("benford first digit via cents-string head is the true leading digit") =
+    forAll(Gen.choose(1L, 99999999999L)) { cents =>
+      val viaString = cents.toString.head.asDigit
+      var m = cents
+      while (m >= 10) m /= 10
+      viaString == m.toInt && viaString >= 1 && viaString <= 9
+    }
+
+  property("gini impurity is replication-invariant and within [0, 1)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2, 5)) { (counts, k) =>
+      def gini(cs: List[Long]): Double = {
+        val n = cs.sum.toDouble
+        1.0 - cs.map(c => c.toDouble * c.toDouble).sum / (n * n)
+      }
+      val g = gini(counts)
+      g >= 0.0 && g < 1.0 && math.abs(g - gini(counts.map(_ * k))) < 1e-12
+    }
 }

@@ -604,4 +604,48 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("Exchange rangepartitioning"), s"$q: $p")
     }
   }
+
+  test("indicator family rides ONE symbol exchange over the candle frame (no self-joins)") {
+    Seq("macd", "donchian_channels", "keltner_channels", "realized_vol",
+        "drawdown_duration").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+      val symExchanges = "Exchange hashpartitioning\\(symbol".r.findAllIn(p).length
+      assert(symExchanges == 1, s"$q: expected 1 symbol shuffle, plan:\n$p")
+    }
+  }
+
+  test("rolling_beta and lead_lag_corr broadcast the benchmark series") {
+    Seq("rolling_beta", "lead_lag_corr").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("wow_growth windows the weekly summary, never range-shuffles the fact table") {
+    val p = plan("wow_growth")
+    // the lag window runs AFTER aggregation: its single-partition exchange
+    // moves ~n_weeks rows; the fact table itself sees one hash exchange
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 fact shuffle:\n$p")
+  }
+
+  test("basket_lift broadcasts supports and the basket count onto the top-100 pairs") {
+    val p = plan("basket_lift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"supports must broadcast:\n$p")
+  }
+
+  test("benford_check and gini_profile collapse to scalar-sized frames before any join") {
+    val p = plan("benford_check")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    val g = plan("gini_profile")
+    // two column profiles, each: one count-pair exchange + one scalar agg;
+    // no exchange may carry raw document rows (the scan side feeds a
+    // partial_count immediately)
+    assert(g.contains("partial_count") || g.contains("HashAggregate"), g)
+  }
 }
