@@ -214,6 +214,7 @@ object SparkEntry {
     "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
+    "filtered_knn"      -> (SimilarityOps.filteredKnn _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
@@ -1426,6 +1427,22 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM (SELECT doc_id, min(lab) AS cluster_id FROM walk GROUP BY doc_id) t""".stripMargin,
+    "filtered_knn" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e WHERE label IN (2, 5, 7)),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id, label,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM c, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, CAST(label AS INTEGER) AS label, cosine,
+        |  CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM s) t WHERE rk <= 5""".stripMargin,
     "knn_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -80,6 +80,37 @@ object SimilarityOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Hybrid (filtered) vector search: metadata predicate first, exact
+    * cosine top-k over the SURVIVORS — the filter-then-rank shape every
+    * production vector store exposes (pre-filtering, not post-filtering:
+    * a post-filter of an unfiltered top-k under-fills k whenever the
+    * predicate is selective). The label predicate pushes into the parquet
+    * scan (PushedFilters), so at 100 TB the corpus read itself shrinks by
+    * the filter's selectivity before any vector math runs; the query side
+    * broadcasts exactly as in [[knnCosine]].
+    */
+  def filteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val corpus = prep(base.filter(col("label").isin(2, 5, 7)))
+    val q = prep(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
   /** Multi-table sign-LSH (L tables × k hyperplanes): plane components are
     * derived from xxhash64(plane, dim) — deterministic, no stored model.
     * Each vector lands in ONE bucket per table; a candidate pair meets if
