@@ -221,6 +221,7 @@ object SparkEntry {
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
+    "pps_sample"        -> (PipelineOps.ppsSample _),
     "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
     "char_ngrams"       -> (PipelineOps.charNgrams _),
     "freq_tokens"       -> (PipelineOps.freqTokens _),
@@ -694,6 +695,11 @@ object SparkEntry {
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 20""".stripMargin,
+    "pps_sample" ->
+      """SELECT doc_id, n_chars, least(100, n_chars // 20) AS keep_pct
+        |FROM documents
+        |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |      < least(100, n_chars // 20)""".stripMargin,
     "pack_sequences" ->
       """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
         |  CAST(cum_before // 2048 AS INTEGER) AS pack_id,

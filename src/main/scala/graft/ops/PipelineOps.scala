@@ -44,6 +44,23 @@ object PipelineOps {
           .when(hashBucket(col("doc_id")) < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
 
+  /** Probability-proportional-to-size sample: each document is kept with
+    * probability ≈ min(1, n_chars/2000) — the weighted-sampling primitive
+    * a training-mix builder uses to bias toward long documents without a
+    * per-row RNG (nondeterministic under retries/partitioning) or a
+    * global pass. Acceptance compares the SAME deterministic
+    * [[hashBucket]] the split/sample family uses against a per-row
+    * integer threshold, so the op is a pure pushed-down filter: no
+    * shuffle, rerun-stable, and the realized rate converges to the
+    * target weight per size stratum. Output carries the threshold so a
+    * downstream estimator can Horvitz-Thompson reweight (1/p) exactly.
+    */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("keep_pct", least(lit(100L), expr("n_chars div 20")))
+      .filter(hashBucket(col("doc_id")) < col("keep_pct"))
+      .select(col("doc_id"), col("n_chars"), col("keep_pct"))
+
   /** Stratified ~20% sample: the rate applies within every `lang` stratum
     * because the hash is independent of the stratum — no per-group pass, no
     * shuffle, filter pushes to the scan.
