@@ -128,6 +128,7 @@ object SparkEntry {
     "orphan_fk_check"   -> (QualityOps.orphanFkCheck _),
     "mode_median"       -> (StatsOps.modeMedian _),
     "wow_growth"        -> (StatsOps.wowGrowth _),
+    "cohort_ltv"        -> (StatsOps.cohortLtv _),
     "degree_distribution" -> (StatsOps.degreeDistribution _),
     "basket_lift"       -> (StatsOps.basketLift _),
     "session_stats"     -> (StatsOps.sessionStats _),
@@ -2585,6 +2586,31 @@ object SparkEntry {
         |  FROM act JOIN fs ON act.user_id = fs.user_id
         |  GROUP BY 1, 2) a
         |JOIN cs ON a.cohort_week = cs.cohort_week""".stripMargin,
+    "cohort_ltv" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM fs GROUP BY 1),
+        |p AS (
+        |  SELECT fs.cohort_week,
+        |    CAST(date_diff('day', fs.cohort_week, date_trunc('week', e.ts)) // 7
+        |         AS INTEGER) AS week_offset,
+        |    sum(CAST(e.value AS DECIMAL(18,2))) AS rev,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_week, week_offset, n_purchases, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM p)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  c.week_offset, c.n_purchases, CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(c.rev AS DOUBLE) AS revenue,
+        |  CAST(c.cum_rev AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE)
+        |    AS cum_ltv_per_user
+        |FROM c JOIN cs ON c.cohort_week = cs.cohort_week""".stripMargin,
     "funnel_stages" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

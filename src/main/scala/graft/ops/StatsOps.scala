@@ -352,6 +352,40 @@ object StatsOps {
         (col("n_active").cast(DoubleType) / col("n_cohort")).as("retention"))
   }
 
+  /** Cohort lifetime value — the revenue twin of [[retentionCohorts]]:
+    * purchase value per signup-week cohort per week offset, plus the
+    * running cumulative LTV per cohort member. Money stays DECIMAL-exact
+    * through the aggregation AND the cumulative window (double summation
+    * is order-dependent); the cumsum runs over the already-aggregated
+    * (cohort, offset) frame — cardinality weeks², never events. Divisions
+    * to DOUBLE happen once per output column.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
+    val cohortSizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast(IntegerType).as("week_offset"))
+      .agg(sum(dec2(col("value"))).as("rev"),
+        count(lit(1)).as("n_purchases"))
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .join(cohortSizes, "cohort_week")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_purchases"), col("n_cohort"),
+        col("rev").cast(DoubleType).as("revenue"),
+        (col("cum_rev").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+          .as("cum_ltv_per_user"))
+  }
+
   /** Strictly-ordered funnel: first signup, then the first click AFTER it,
     * then the first purchase AFTER that click, per user; output is users
     * surviving each stage. Each stage is a groupBy on user_id over a
