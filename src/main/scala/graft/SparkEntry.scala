@@ -129,6 +129,10 @@ object SparkEntry {
     "mode_median"       -> (StatsOps.modeMedian _),
     "wow_growth"        -> (StatsOps.wowGrowth _),
     "cohort_ltv"        -> (StatsOps.cohortLtv _),
+    "ship_sla"          -> (StatsOps.shipSla _),
+    "cci_20"            -> (IndicatorOps.cci20 _),
+    "williams_r"        -> (IndicatorOps.williamsR _),
+    "price_roc"         -> (IndicatorOps.priceRoc _),
     "degree_distribution" -> (StatsOps.degreeDistribution _),
     "basket_lift"       -> (StatsOps.basketLift _),
     "session_stats"     -> (StatsOps.sessionStats _),
@@ -286,6 +290,36 @@ object SparkEntry {
       |    CAST(round(CAST(sum(quantity) AS DOUBLE)) AS BIGINT) AS vol
       |  FROM t GROUP BY 1, 2),
       |""".stripMargin
+
+  /** cci_20 oracle, generated so the 20 unrolled lag terms mirror the Spark
+    * projection exactly (same structure as [[TsPatternSql]]); 0.015 is
+    * written 1.5e-2 so DuckDB parses DOUBLE, not DECIMAL.
+    */
+  private val Cci20Sql: String = {
+    val K = 20
+    val lags = (0 until K).map(k =>
+      if (k == K - 1) s"tp3 AS t${K - 1}"
+      else s"lag(tp3, ${K - 1 - k}) OVER w AS t$k").mkString(",\n|    ")
+    val s20 = (0 until K).map(i => s"t$i").mkString(" + ")
+    val dev = (0 until K).map(i => s"abs(20 * t$i - s20)").mkString(" + ")
+    (IndicatorCandleCte +
+      s"""d AS (
+      |  SELECT symbol, window_start, hi + lo + x AS tp3 FROM c),
+      |l AS (
+      |  SELECT symbol, window_start,
+      |    $lags
+      |  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY window_start)),
+      |s AS (
+      |  SELECT *, $s20 AS s20 FROM l WHERE t0 IS NOT NULL),
+      |e AS (
+      |  SELECT symbol, window_start, t${K - 1}, s20, $dev AS dev FROM s)
+      |SELECT symbol, window_start,
+      |  CASE WHEN dev <> 0
+      |       THEN CAST((20 * t${K - 1} - s20) * 20 AS DOUBLE)
+      |            / (1.5e-2 * CAST(dev AS DOUBLE))
+      |  END AS cci
+      |FROM e""").stripMargin
+  }
 
   /** ts_pattern_search oracle, generated so the 8 z-terms and the pattern
     * literals are symbol-for-symbol the Spark expression (Double.toString
@@ -2077,6 +2111,57 @@ object SparkEntry {
         |  CAST(sig_num AS DOUBLE) / 2808.0 / 100.0 AS signal,
         |  CAST(9 * macd_num - sig_num AS DOUBLE) / 2808.0 / 100.0 AS histogram
         |FROM g WHERE n9 = 9""".stripMargin),
+    "cci_20" -> Cci20Sql,
+    "williams_r" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start, x,
+        |    max(hi) OVER w AS hh, min(lo) OVER w AS ll, count(*) OVER w AS nw
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN hh <> ll
+        |       THEN CAST(hh - x AS DOUBLE) * -100.0 / CAST(hh - ll AS DOUBLE)
+        |  END AS williams_r
+        |FROM s WHERE nw = 14""".stripMargin),
+    "price_roc" ->
+      (IndicatorCandleCte +
+        """d AS (
+        |  SELECT symbol, window_start, x,
+        |    lag(x, 12) OVER (PARTITION BY symbol ORDER BY window_start) AS x12
+        |  FROM c)
+        |SELECT symbol, window_start,
+        |  CAST(x - x12 AS DOUBLE) * 100.0 / CAST(x12 AS DOUBLE) AS roc
+        |FROM d WHERE x12 IS NOT NULL""".stripMargin),
+    "ship_sla" ->
+      """WITH lg AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bylag AS (
+        |  SELECT priority, lag_days, CAST(count(*) AS BIGINT) AS c
+        |  FROM lg GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, lag_days,
+        |    CAST(sum(c) OVER (PARTITION BY priority ORDER BY lag_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |  FROM bylag),
+        |p90 AS (
+        |  SELECT priority, CAST(min(lag_days) AS INTEGER) AS p90_lag
+        |  FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1),
+        |st AS (
+        |  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lag_days) AS BIGINT) AS sum_lag,
+        |    CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS within_30
+        |  FROM lg GROUP BY 1)
+        |SELECT st.priority, st.n,
+        |  CAST(st.sum_lag AS DOUBLE) / CAST(st.n AS DOUBLE) AS avg_lag_days,
+        |  CAST(st.within_30 AS DOUBLE) / CAST(st.n AS DOUBLE) AS pct_within_30d,
+        |  p90.p90_lag
+        |FROM st JOIN p90 ON st.priority = p90.priority""".stripMargin,
     "donchian_channels" ->
       (IndicatorCandleCte +
         """s AS (

@@ -524,6 +524,71 @@ object IndicatorOps {
         (dbl(col("bucket")) * 5.0).as("price_lo"),
         col("n_candles"), col("total_volume"))
 
+  /** CCI(20) — Commodity Channel Index: (tp − SMA(tp)) / (0.015 · mean
+    * deviation), scored entirely in scaled integers: with tp as its
+    * 3×-scaled integer (hi+lo+x), both `20·tp3 − Σtp3` and the window sum
+    * of |20·tp3ᵢ − Σtp3| are EXACT, the /20s and /3s cancel in the ratio,
+    * and the one output division carries the 0.015 constant. The mean
+    * deviation needs the window sum AT each row of |tp3ᵢ − sma| where sma
+    * itself is the CURRENT row's — so the 20 lagged tp3 terms unroll into
+    * a single projection exactly like [[ewmaPrice]]'s dyadic unroll (20
+    * shared lags, one window pass, no self-join). NULL on a flat window
+    * (zero deviation).
+    */
+  def cci20(spark: SparkSession, dir: String): DataFrame = {
+    val K = 20
+    val tps = (0 until K).map(k =>
+      if (k == K - 1) col("tp3") else lag(col("tp3"), K - 1 - k).over(bySym))
+    val frame = closes(spark, dir)
+      .withColumn("tp3", col("hi") + col("lo") + col("x"))
+      .select(Seq(col("symbol"), col("window_start")) ++
+        tps.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
+      .filter(col("t0").isNotNull)
+      .withColumn("s20", (0 until K).map(i => col(s"t$i")).reduce(_ + _))
+      .withColumn("dev",
+        (0 until K).map(i => abs(lit(K.toLong) * col(s"t$i") - col("s20")))
+          .reduce(_ + _))
+    // cci = (tp − sma)/(0.015·md) = (20·tp − s20)·20 / (0.015·dev) with
+    // dev = Σ|20·tpᵢ − s20| (the /20·20 of md cancels one 20 in the
+    // numerator) — exact ints, one division
+    frame.select(
+      col("symbol"), col("window_start"),
+      when(col("dev") =!= 0L,
+        dbl((lit(K.toLong) * col(s"t${K - 1}") - col("s20")) * lit(K.toLong)) /
+          (lit(0.015) * dbl(col("dev")))).as("cci"))
+  }
+
+  /** Williams %R(14): (highestHigh − close) / (highestHigh − lowestLow)
+    * × −100 over the trailing 14 candles — the inverted complement of
+    * [[stochOsc]]'s %K. Integer band arithmetic, one division, NULL on a
+    * flat band.
+    */
+  def williamsR(spark: SparkSession, dir: String): DataFrame = {
+    val w14 = bySym.rowsBetween(-13, 0)
+    closes(spark, dir)
+      .withColumn("hh", max(col("hi")).over(w14))
+      .withColumn("ll", min(col("lo")).over(w14))
+      .withColumn("nw", count(lit(1)).over(w14))
+      .filter(col("nw") === 14)
+      .select(
+        col("symbol"), col("window_start"),
+        when(col("hh") =!= col("ll"),
+          dbl(col("hh") - col("x")) * -100.0 / dbl(col("hh") - col("ll")))
+          .as("williams_r"))
+  }
+
+  /** Price rate-of-change (12): 100 · (close − close₁₂) / close₁₂ — the
+    * momentum baseline. One lag, one division (prices are positive so the
+    * divisor never vanishes).
+    */
+  def priceRoc(spark: SparkSession, dir: String): DataFrame =
+    closes(spark, dir)
+      .withColumn("x12", lag(col("x"), 12).over(bySym))
+      .filter(col("x12").isNotNull)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("x") - col("x12")) * 100.0 / dbl(col("x12"))).as("roc"))
+
   /** Drawdown duration: per symbol, the longest and total run of candles
     * strictly below the running maximum close — how LONG the book sits
     * underwater, the complement of [[AggOps.maxDrawdown]]'s how-deep. Runs

@@ -1226,6 +1226,44 @@ object StatsOps {
         (col("dur_us").cast(DoubleType) / col("n_sessions").cast(DoubleType)
           / 1000000.0).as("avg_duration_sec"))
 
+  /** Order→ship lead-time SLA per order priority: mean lag, the EXACT
+    * p90 order statistic, and the share shipped within 30 days. The p90
+    * is rank-selected over the per-distinct-lag count summary with pure
+    * integer arithmetic (`cum·10 ≥ 9·n` — ceil(0.9n) without the 0.9
+    * double whose cross-engine ulp could shift the cut row; the
+    * [[QualityOps.decileDrift]] discipline), so the reported value is an
+    * actual data value, identical in any engine. Lags are exact integer
+    * days; shuffles carry (priority, lag) count pairs.
+    */
+  def shipSla(spark: SparkSession, dir: String): DataFrame = {
+    val lagged = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+    val byLag = lagged.groupBy(col("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p90 = byLag
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("priority"))))
+      .filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy(col("priority")).agg(min(col("lag_days")).as("p90_lag"))
+    val stats = lagged.groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("lag_days")).as("sum_lag"),
+        sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).as("within_30"))
+      .select(
+        col("priority"), col("n"),
+        (col("sum_lag").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("avg_lag_days"),
+        (col("within_30").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("pct_within_30d"))
+    stats.join(p90, Seq("priority"))
+  }
+
   /** Robust center per group: deterministic mode (the SMALLEST value among
     * those with maximal frequency — `mode()` itself is tie-arbitrary in
     * every engine, a hash-compare landmine), interpolated median, and mean
