@@ -2132,7 +2132,9 @@ object SparkEntry {
         |    lag(x, 12) OVER (PARTITION BY symbol ORDER BY window_start) AS x12
         |  FROM c)
         |SELECT symbol, window_start,
-        |  CAST(x - x12 AS DOUBLE) * 100.0 / CAST(x12 AS DOUBLE) AS roc
+        |  CASE WHEN x12 <> 0
+        |       THEN CAST(x - x12 AS DOUBLE) * 100.0 / CAST(x12 AS DOUBLE)
+        |  END AS roc
         |FROM d WHERE x12 IS NOT NULL""".stripMargin),
     "ship_sla" ->
       """WITH lg AS (

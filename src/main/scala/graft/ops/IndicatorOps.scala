@@ -578,8 +578,11 @@ object IndicatorOps {
   }
 
   /** Price rate-of-change (12): 100 · (close − close₁₂) / close₁₂ — the
-    * momentum baseline. One lag, one division (prices are positive so the
-    * divisor never vanishes).
+    * momentum baseline. One lag, one division. The sf0.1 fixture proved a
+    * base close CAN be exactly 0.00 (value is an arbitrary double, not a
+    * real price), so the divisor is NULL-guarded — under Spark 4 ANSI an
+    * unguarded /0 aborts the whole query, and NULL (undefined momentum
+    * from a zero base) is the declared semantics.
     */
   def priceRoc(spark: SparkSession, dir: String): DataFrame =
     closes(spark, dir)
@@ -587,7 +590,8 @@ object IndicatorOps {
       .filter(col("x12").isNotNull)
       .select(
         col("symbol"), col("window_start"),
-        (dbl(col("x") - col("x12")) * 100.0 / dbl(col("x12"))).as("roc"))
+        when(col("x12") =!= 0L,
+          dbl(col("x") - col("x12")) * 100.0 / dbl(col("x12"))).as("roc"))
 
   /** Drawdown duration: per symbol, the longest and total run of candles
     * strictly below the running maximum close — how LONG the book sits
