@@ -132,6 +132,39 @@ class RobustOpsSpec extends SparkSuite {
     assert(out("MIX") === ((mx, tot, runs)), s"got ${out("MIX")} want ($mx,$tot,$runs)")
   }
 
+  test("cci_20 and williams_r are NULL on a flat series; price_roc is zero") {
+    val cci = IndicatorOps.cci20(spark, edgeDir)
+      .filter(col("symbol") === "FLAT").collect()
+    assert(cci.nonEmpty); cci.foreach(r => assert(r.isNullAt(2), r))
+    val wr = IndicatorOps.williamsR(spark, edgeDir)
+      .filter(col("symbol") === "FLAT").collect()
+    assert(wr.nonEmpty); wr.foreach(r => assert(r.isNullAt(2), r))
+    val roc = IndicatorOps.priceRoc(spark, edgeDir)
+      .filter(col("symbol") === "FLAT").collect()
+    assert(roc.nonEmpty); roc.foreach(r => assert(r.getDouble(2) === 0.0, r))
+  }
+
+  test("ship_sla p90 is the exact ceil-rank order statistic per priority") {
+    val out = StatsOps.shipSla(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lags = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    lags.groupBy(_._1).foreach { case (prio, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      val k = (9 * n + 9) / 10 // ceil(0.9n) in pure ints
+      val p90 = sorted(k - 1)
+      val r = out(prio)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getInt(4) === p90, s"$prio p90 ${r.getInt(4)} vs $p90")
+      assert(r.getDouble(2) === sorted.map(_.toLong).sum.toDouble / n)
+    }
+  }
+
   test("benford_check: digits partition the order count and chi terms match a replay") {
     val rows = QualityOps.benfordCheck(spark, sf).collect()
     val total = graft.model.Tables.orders(spark, sf).count()
