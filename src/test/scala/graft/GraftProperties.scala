@@ -275,6 +275,21 @@ object GraftProperties extends Properties("graft") {
       viaString == m.toInt && viaString >= 1 && viaString <= 9
     }
 
+  /** cci numerator/deviation pair (IndicatorOps.cci20, K=20): both are
+    * invariant under a constant shift of the typical price (the SMA
+    * absorbs it), so CCI is level-free — the property that makes it
+    * comparable across symbols.
+    */
+  property("cci numerator and deviation are shift-invariant") =
+    forAll(Gen.listOfN(20, Gen.choose(300L, 3000000L)), Gen.choose(-90000L, 90000L)) {
+      (tps, c) =>
+        def pair(s: List[Long]): (Long, Long) = {
+          val s20 = s.sum
+          (20L * s.last - s20, s.map(t => math.abs(20L * t - s20)).sum)
+        }
+        pair(tps) == pair(tps.map(_ + c))
+    }
+
   property("gini impurity is replication-invariant and within [0, 1)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2, 5)) { (counts, k) =>
       def gini(cs: List[Long]): Double = {
