@@ -620,8 +620,13 @@ object StatsOps {
     val k = 65 // inside the degree distribution at every SF: peeling
                // cascades 1-3 rounds and the core stays non-empty
     val edges = Tables.ckpt(copurchaseEdges(spark, dir))
+    // ONE pass per round: exploding both endpoints of each edge before the
+    // count means the (uncheckpointed) semi-joined subgraph is evaluated
+    // once — the union-of-two-selects form reads the same expensive
+    // subplan twice unless ReuseExchange happens to dedupe it. Map-side
+    // partial aggregation keeps the shuffle node-bounded either way.
     def degrees(es: DataFrame): DataFrame =
-      es.select(col("a").as("v")).union(es.select(col("b").as("v")))
+      es.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // each round checkpoints (v, d): on the STABLE round, d is the
     // induced-subgraph degree of the converged core — returned directly,
@@ -649,9 +654,12 @@ object StatsOps {
   }
 
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = copurchaseEdges(spark, dir)
-    val deg = pairs.select(col("a").as("v"))
-      .union(pairs.select(col("b").as("v")))
+    // checkpoint the edge list: it feeds the degree count AND both sides
+    // of the orientation join — materializing once makes the basket
+    // self-join single-execution by construction instead of relying on
+    // ReuseExchange to dedupe three reads of the same subplan
+    val pairs = Tables.ckpt(copurchaseEdges(spark, dir))
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = pairs
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
