@@ -130,6 +130,7 @@ object SparkEntry {
     "wow_growth"        -> (StatsOps.wowGrowth _),
     "cohort_ltv"        -> (StatsOps.cohortLtv _),
     "ship_sla"          -> (StatsOps.shipSla _),
+    "funnel_latency"    -> (StatsOps.funnelLatency _),
     "cci_20"            -> (IndicatorOps.cci20 _),
     "williams_r"        -> (IndicatorOps.williamsR _),
     "price_roc"         -> (IndicatorOps.priceRoc _),
@@ -2698,6 +2699,29 @@ object SparkEntry {
         |  CAST(c.cum_rev AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE)
         |    AS cum_ltv_per_user
         |FROM c JOIN cs ON c.cohort_week = cs.cohort_week""".stripMargin,
+    "funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |j AS (SELECT s1.user_id,
+        |        epoch_us(CAST(s1.t1 AS TIMESTAMP)) AS u1,
+        |        epoch_us(CAST(s2.t2 AS TIMESTAMP)) AS u2,
+        |        epoch_us(CAST(s3.t3 AS TIMESTAMP)) AS u3
+        |      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |                JOIN s3 ON s1.user_id = s3.user_id),
+        |h AS (SELECT 'signup_to_click' AS hop, u2 - u1 AS us FROM j
+        |      UNION ALL SELECT 'click_to_purchase', u3 - u2 FROM j
+        |      UNION ALL SELECT 'signup_to_purchase', u3 - u1 FROM j)
+        |SELECT hop, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+        |    AS avg_sec,
+        |  CAST(max(us) // 1000000 AS BIGINT) AS max_sec
+        |FROM h GROUP BY 1""".stripMargin,
     "funnel_stages" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

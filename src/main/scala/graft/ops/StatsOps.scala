@@ -420,6 +420,42 @@ object StatsOps {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Funnel time-to-convert: for users completing the strict
+    * signup→click→purchase funnel ([[funnelStages]]'s stage times), the
+    * per-hop and end-to-end latency — count, exact-integer mean seconds,
+    * and the maximum. Latencies are exact µs differences of the SAME
+    * min-timestamps the funnel computes (one definition, no drift);
+    * the three hops unpivot into long form via a 3-row explode so the
+    * aggregate is one pass over the converting-users frame (cardinality
+    * = survivors, already tiny).
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("click").join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, "user_id").join(s3, "user_id")
+      .select(
+        explode(array(
+          struct(lit("signup_to_click").as("hop"),
+            (unix_micros(col("t2")) - unix_micros(col("t1"))).as("us")),
+          struct(lit("click_to_purchase").as("hop"),
+            (unix_micros(col("t3")) - unix_micros(col("t2"))).as("us")),
+          struct(lit("signup_to_purchase").as("hop"),
+            (unix_micros(col("t3")) - unix_micros(col("t1"))).as("us"))))
+          .as("h"))
+      .select(col("h.hop").as("hop"), col("h.us").as("us"))
+      .groupBy(col("hop"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        (sum(col("us")).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+          / 1000000.0).as("avg_sec"),
+        expr("max(us) div 1000000").as("max_sec"))
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
     * 4's `hll_sketch_agg`/`hll_union_agg`): per-DAY user sketches built
     * once, then UNIONED per week — the incremental-distinct architecture.
