@@ -177,6 +177,7 @@ object SparkEntry {
     "json_lines_scan"   -> (StorageOps.jsonLinesScan _),
     "csv_scan"          -> (StorageOps.csvScan _),
     "orc_scan"          -> (StorageOps.orcScan _),
+    "schema_evolution_scan" -> (StorageOps.schemaEvolutionScan _),
     "mad_outliers"      -> (StatsOps.madOutliers _),
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
@@ -1251,6 +1252,13 @@ object SparkEntry {
       FormatProbeSql,
     "orc_scan" ->
       FormatProbeSql,
+    "schema_evolution_scan" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '_legacy' ELSE event_type END
+        |    AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     // the z-key interleave is the SAME generated expression text on both
     // sides — the oracle proves the bit arithmetic is engine-identical
     "zorder_key" ->

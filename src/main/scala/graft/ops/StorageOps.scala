@@ -207,6 +207,42 @@ object StorageOps {
     * results, so all three text/columnar sources share ONE oracle (the
     * same SQL over the parquet original).
     */
+  /** Schema-evolution scan: a table whose files span TWO schema
+    * generations — v1 (even event_ids) lacks `event_type`, v2 (odd) has
+    * it — read through `mergeSchema`, the lakehouse mechanism for
+    * widening a table without rewriting history. The merged scan NULLs
+    * the missing column for v1 files; the aggregate groups legacy rows
+    * under `_legacy` so the oracle can reproduce it from the raw table
+    * with a parity CASE. mergeSchema costs a footer read per file at
+    * planning (not a data scan); steady-state reads pin the explicit
+    * merged schema instead.
+    */
+  def schemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_evo") { tbl =>
+      val ev = Tables.events(spark, dir)
+      // v1 generation becomes the catalog table; the v2 generation (wider
+      // schema) lands in a sibling location — saveAsTable(append) would
+      // reject the widened schema against the catalog, which is exactly
+      // the migration moment mergeSchema reads bridge
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+      val loc2 = new org.apache.hadoop.fs.Path(tableLocation(spark, tbl) + "_g2")
+      val fs = loc2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc2)) fs.delete(loc2, true)
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.parquet(loc2.toString)
+    }
+    val loc = tableLocation(spark, staged)
+    spark.read.option("mergeSchema", "true").parquet(loc, loc + "_g2")
+      .groupBy(coalesce(col("event_type"), lit("_legacy")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
   private def formatProbe(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
       .agg(
