@@ -131,6 +131,7 @@ object SparkEntry {
     "cohort_ltv"        -> (StatsOps.cohortLtv _),
     "ship_sla"          -> (StatsOps.shipSla _),
     "funnel_latency"    -> (StatsOps.funnelLatency _),
+    "revenue_concentration" -> (StatsOps.revenueConcentration _),
     "cci_20"            -> (IndicatorOps.cci20 _),
     "williams_r"        -> (IndicatorOps.williamsR _),
     "price_roc"         -> (IndicatorOps.priceRoc _),
@@ -2707,6 +2708,26 @@ object SparkEntry {
         |  CAST(c.cum_rev AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE)
         |    AS cum_ltv_per_user
         |FROM c JOIN cs ON c.cohort_week = cs.cohort_week""".stripMargin,
+    "revenue_concentration" ->
+      """WITH bc AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM bc),
+        |b AS (
+        |  SELECT (rk - 1) * 10 // n AS band, rev, rk FROM r),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(rev) AS band_rev, CAST(min(rk) AS BIGINT) AS top_rank
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(band AS INTEGER) AS band, n_customers,
+        |  CAST(band_rev AS DOUBLE) AS band_revenue,
+        |  CAST(band_rev AS DOUBLE) / CAST(sum(band_rev) OVER () AS DOUBLE)
+        |    AS revenue_share
+        |FROM g""".stripMargin,
     "funnel_latency" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

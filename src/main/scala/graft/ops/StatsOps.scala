@@ -420,6 +420,37 @@ object StatsOps {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Revenue concentration (Lorenz deciles): customers ranked by exact
+    * decimal revenue (descending, custkey tiebreak), assigned to ten
+    * equal-population bands by pure integer rank arithmetic
+    * ((rank−1)·10 div n — never a float quantile at a band edge), with
+    * each band's exact revenue and share — the Pareto 80/20 table. Both
+    * windows run over the customer-cardinality frame (already collapsed
+    * from orders), and money stays DECIMAL until the one share division.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val wRank = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = byCust
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("band", expr("(rk - 1) * 10 div n"))
+    ranked.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("band_rev"),
+        min(col("rk")).as("top_rank"))
+      .withColumn("total_rev", sum(col("band_rev")).over(Window.partitionBy()))
+      .select(
+        col("band").cast(IntegerType).as("band"),
+        col("n_customers"),
+        col("band_rev").cast(DoubleType).as("band_revenue"),
+        (col("band_rev").cast(DoubleType) / col("total_rev").cast(DoubleType))
+          .as("revenue_share"))
+  }
+
   /** Funnel time-to-convert: for users completing the strict
     * signup→click→purchase funnel ([[funnelStages]]'s stage times), the
     * per-hop and end-to-end latency — count, exact-integer mean seconds,
