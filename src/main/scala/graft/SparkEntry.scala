@@ -132,6 +132,8 @@ object SparkEntry {
     "ship_sla"          -> (StatsOps.shipSla _),
     "funnel_latency"    -> (StatsOps.funnelLatency _),
     "revenue_concentration" -> (StatsOps.revenueConcentration _),
+    "vocab_growth"      -> (TextOps.vocabGrowth _),
+    "source_divergence" -> (TextOps.sourceDivergence _),
     "cci_20"            -> (IndicatorOps.cci20 _),
     "williams_r"        -> (IndicatorOps.williamsR _),
     "price_roc"         -> (IndicatorOps.priceRoc _),
@@ -2708,6 +2710,55 @@ object SparkEntry {
         |  CAST(c.cum_rev AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE)
         |    AS cum_ltv_per_user
         |FROM c JOIN cs ON c.cohort_week = cs.cohort_week""".stripMargin,
+    "vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |fd AS (SELECT tok, min(doc_id) AS fdoc FROM toks GROUP BY 1),
+        |na AS (SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS new_toks
+        |       FROM fd GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT b.doc_id, b.toks, coalesce(na.new_toks, 0) AS new_toks,
+        |    row_number() OVER (ORDER BY b.doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM base b LEFT JOIN na ON b.doc_id = na.doc_id),
+        |cum AS (
+        |  SELECT doc_id, rn, n,
+        |    CAST(sum(toks) OVER w AS BIGINT) AS total_tokens,
+        |    CAST(sum(new_toks) OVER w AS BIGINT) AS vocab_size
+        |  FROM g WINDOW w AS (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST((rn * 10) // n AS INTEGER) AS checkpoint,
+        |  CAST(rn AS BIGINT) AS n_docs, total_tokens, vocab_size
+        |FROM cum WHERE (rn * 10) // n > ((rn - 1) * 10) // n""".stripMargin,
+    "source_divergence" ->
+      """WITH ex AS (
+        |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |cc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM ex GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+        |j AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    ta.n AS na, tb.n AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(a.c) AS BIGINT) AS sca,
+        |    CAST(sum(b.c) AS BIGINT) AS scb,
+        |    sum(abs(CAST(a.c AS HUGEINT) * tb.n - CAST(b.c AS HUGEINT) * ta.n))
+        |      AS both_num
+        |  FROM cc a JOIN cc b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN t ta ON a.source = ta.source
+        |  JOIN t tb ON b.source = tb.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_common,
+        |  CAST(both_num + nb * (CAST(na AS HUGEINT) - sca)
+        |               + na * (CAST(nb AS HUGEINT) - scb) AS DOUBLE)
+        |    / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tv_distance
+        |FROM j""".stripMargin,
     "revenue_concentration" ->
       """WITH bc AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.Tables
@@ -213,5 +213,81 @@ object TextOps {
       .filter(col("dist") >= 0)
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
         col("dist"))
+  }
+
+  /** Heaps-law vocabulary growth: distinct-token vocabulary size vs
+    * cumulative token count at ten equal-population document checkpoints
+    * (doc_id order) — the saturation curve that decides whether more
+    * corpus still buys new vocabulary. The trick that makes it ONE pass
+    * instead of a distinct-count per checkpoint: a token enters the
+    * vocabulary exactly at its MINIMUM doc_id, so the vocabulary size at
+    * any prefix is the running sum of per-doc new-token counts — two
+    * integer cumsums over the doc-cardinality frame, checkpoint rows
+    * selected by pure integer rank arithmetic ((rn·10) div n changing
+    * value), never a float decile.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val newAt = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("new_toks"))
+    val wDoc = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+      .join(newAt.withColumnRenamed("fd", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total_tokens", sum(col("toks")).over(wDoc))
+      .withColumn("vocab_size", sum(coalesce(col("new_toks"), lit(0L))).over(wDoc))
+      .filter(expr("(rn * 10) div n > ((rn - 1) * 10) div n"))
+      .select(
+        expr("(rn * 10) div n").cast(IntegerType).as("checkpoint"),
+        col("rn").cast(LongType).as("n_docs"),
+        col("total_tokens"), col("vocab_size"))
+  }
+
+  /** Pairwise source-distribution divergence as total-variation distance —
+    * 0.5·Σ|p − q| over the token distributions of every source pair, the
+    * corpus-mixing drift metric. TV replaces JS/KL BY DESIGN (they need
+    * ln; the no-log oracle discipline), and the float sum Σ|ca/na − cb/nb|
+    * is restated over the common denominator as EXACT integers:
+    * Σ_both|ca·nb − cb·na| + nb·(na − Σ_both ca) + na·(nb − Σ_both cb)
+    * — the one-sided tails fall out of Σ_all ca = na, so only the
+    * token-partitioned INNER join ever materializes. One division per
+    * pair at the boundary; products promote to DECIMAL(38,0) (count ×
+    * corpus-size wraps int64 long before it stresses decimal).
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column) = c.cast(d19)
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = counts.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
+    val b = counts.select(col("source").as("sb"), col("tok"), col("c").as("cb"))
+    // both_num is already DECIMAL(38,0) from the summed products — never
+    // re-cast it down to d19 (ANSI overflow); the one-sided tails promote
+    // their FACTORS instead
+    val num = col("both_num") +
+      d(col("nb")) * (d(col("na")) - d(col("sca"))) +
+      d(col("na")) * (d(col("nb")) - d(col("scb")))
+    a.join(b, Seq("tok")).filter(col("sa") < col("sb"))
+      .join(broadcast(totals.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(totals.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+        sum(abs(d(col("ca")) * d(col("nb")) - d(col("cb")) * d(col("na"))))
+          .as("both_num"))
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"), col("n_common"),
+        (num.cast(DoubleType) /
+          (lit(2L).cast(DecimalType(19, 0)) * d(col("na")) * d(col("nb")))
+            .cast(DoubleType)).as("tv_distance"))
   }
 }
