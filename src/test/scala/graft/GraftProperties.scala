@@ -290,6 +290,49 @@ object GraftProperties extends Properties("graft") {
         pair(tps) == pair(tps.map(_ + c))
     }
 
+  /** source_divergence's common-denominator restatement: the exact-integer
+    * Σ_both|ca·nb − cb·na| + nb·(na − Σca) + na·(nb − Σcb) over 2·na·nb
+    * equals the textbook 0.5·Σ_union|ca/na − cb/nb| within float noise.
+    */
+  property("TV distance integer restatement equals the direct union sum") =
+    forAll(
+      Gen.mapOf(Gen.zip(Gen.choose(1, 30), Gen.choose(1L, 50L))),
+      Gen.mapOf(Gen.zip(Gen.choose(1, 30), Gen.choose(1L, 50L)))) { (ma, mb) =>
+      if (ma.isEmpty || mb.isEmpty) Prop.passed
+      else {
+        val na = ma.values.sum; val nb = mb.values.sum
+        val union = ma.keySet ++ mb.keySet
+        val direct = 0.5 * union.toList.map { k =>
+          math.abs(ma.getOrElse(k, 0L).toDouble / na -
+            mb.getOrElse(k, 0L).toDouble / nb)
+        }.sum
+        val both = ma.keySet & mb.keySet
+        val bothNum = both.toList.map(k =>
+          BigInt((ma(k) * nb - mb(k) * na).abs)).sum
+        val sca = both.toList.map(ma).sum
+        val scb = both.toList.map(mb).sum
+        val num = bothNum + BigInt(nb) * (na - sca) + BigInt(na) * (nb - scb)
+        val restated = num.toDouble / (2.0 * na.toDouble * nb.toDouble)
+        Prop(math.abs(restated - direct) < 1e-9)
+      }
+    }
+
+  /** vocab_growth's one-pass formulation: prefix vocabulary as the running
+    * sum of per-doc new-token counts (token enters at its min doc index)
+    * equals the direct distinct count over each prefix.
+    */
+  property("prefix vocabulary via min-doc new-token counts equals direct distinct") =
+    forAll(Gen.listOf(Gen.listOf(Gen.choose(0, 20)))) { docs =>
+      val firstAt = docs.zipWithIndex
+        .flatMap { case (ts, i) => ts.map(t => (t, i)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val newCounts = docs.indices.map(i => firstAt.count(_._2 == i).toLong)
+      val running = newCounts.scanLeft(0L)(_ + _).tail
+      docs.indices.forall { i =>
+        running(i) == docs.take(i + 1).flatten.distinct.size.toLong
+      }
+    }
+
   property("gini impurity is replication-invariant and within [0, 1)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2, 5)) { (counts, k) =>
       def gini(cs: List[Long]): Double = {
