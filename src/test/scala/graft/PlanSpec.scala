@@ -639,6 +639,18 @@ class PlanSpec extends SparkSuite {
     assert(bhj >= 2, s"supports must broadcast:\n$p")
   }
 
+  test("source_divergence pairs ride the token equi-join with broadcast totals") {
+    val p = plan("source_divergence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("revenue_concentration windows run over the customer frame, one fact exchange") {
+    val p = plan("revenue_concentration")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 2, s"customer collapse + band agg only:\n$p")
+  }
+
   test("benford_check and gini_profile collapse to scalar-sized frames before any join") {
     val p = plan("benford_check")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
