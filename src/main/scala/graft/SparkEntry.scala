@@ -171,7 +171,7 @@ object SparkEntry {
     "cdc_apply"         -> (PipelineOps.cdcApply _),
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
     "pagerank"          -> (StatsOps.pagerank _), // rows-only: float iteration sums
-    "kcore_nodes"       -> (StatsOps.kcoreNodes _), // rows-only: iterate-to-fixpoint, exact spec
+    "kcore_nodes"       -> (StatsOps.kcoreNodes _),
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "skew_report"       -> (QualityOps.skewReport _),
@@ -2290,12 +2290,15 @@ object SparkEntry {
         |  END AS corr
         |FROM s""".stripMargin),
     "volume_profile" ->
-      (IndicatorCandleCte.stripSuffix(",\n") + "\n" +
-        """SELECT symbol, x // 500 AS bucket,
-        |  CAST(x // 500 AS DOUBLE) * 5.0 AS price_lo,
+      (IndicatorCandleCte +
+        """b AS (
+        |  SELECT symbol, (x - ((x % 500) + 500) % 500) // 500 AS bucket, vol
+        |  FROM c)
+        |SELECT symbol, bucket,
+        |  CAST(bucket AS DOUBLE) * 5.0 AS price_lo,
         |  CAST(count(*) AS BIGINT) AS n_candles,
         |  CAST(sum(vol) AS BIGINT) AS total_volume
-        |FROM c GROUP BY 1, 2""".stripMargin),
+        |FROM b GROUP BY 1, 2""".stripMargin),
     "drawdown_duration" ->
       (IndicatorCandleCte +
         """r AS (
@@ -2933,6 +2936,44 @@ object SparkEntry {
         |  ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |   (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
         |FROM m""".stripMargin,
+    // kcore oracle mirrors the engine's peeling loop as a recursive CTE:
+    // each iteration re-derives the induced-degree live set from the
+    // previous one and stops (emits nothing) on the first round whose
+    // cardinality is unchanged; the epilogue recomputes induced degrees
+    // over the converged set — exactly the engine's returned frame (the
+    // last EMITTED round's degrees still count just-peeled neighbors).
+    "kcore_nodes" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT x.pk AS a, y.pk AS b FROM
+        |    (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem) x
+        |    JOIN (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem) y
+        |    ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2),
+        |live(rnd, v, d) AS (
+        |  SELECT 0, v, d FROM (
+        |    SELECT v, count(*) AS d FROM
+        |      (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |  WHERE d >= 65
+        |  UNION ALL
+        |  (WITH prev AS (SELECT * FROM live),
+        |   se AS (SELECT a, b FROM e
+        |          JOIN (SELECT v FROM prev) pa ON e.a = pa.v
+        |          JOIN (SELECT v FROM prev) pb ON e.b = pb.v),
+        |   nxt AS (
+        |     SELECT v, count(*) AS d FROM
+        |       (SELECT a AS v FROM se UNION ALL SELECT b FROM se) GROUP BY 1
+        |     HAVING count(*) >= 65)
+        |   SELECT p.rnd + 1, nxt.v, nxt.d
+        |   FROM nxt CROSS JOIN (SELECT max(rnd) AS rnd FROM prev) p
+        |   WHERE (SELECT count(*) FROM nxt) <> (SELECT count(*) FROM prev))
+        |),
+        |last AS (SELECT v FROM live WHERE rnd = (SELECT max(rnd) FROM live)),
+        |se2 AS (SELECT a, b FROM e
+        |        JOIN last la ON e.a = la.v JOIN last lb ON e.b = lb.v)
+        |SELECT v AS node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS v FROM se2 UNION ALL SELECT b FROM se2)
+        |GROUP BY 1""".stripMargin,
     "triangle_count" ->
       """WITH pairs AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -507,14 +507,19 @@ object IndicatorOps {
   }
 
   /** Volume profile: total traded volume per $5 price bucket per symbol —
-    * the support/resistance histogram. Integer close cents floor-divide
-    * into buckets (prices are positive, so `div` and floor agree), then
+    * the support/resistance histogram. Integer close cents FLOOR-divide
+    * into buckets via the engine-neutral formula
+    * `(x − ((x % 500) + 500) % 500) div 500`: the euclidean-mod subtract
+    * makes the dividend an exact multiple of 500, where truncating `div`
+    * (Spark) and flooring `//` (DuckDB) agree for ANY sign — the bare
+    * `div`/`//` pair silently diverges on a negative cents value (the
+    * price_roc lesson: `value` is an arbitrary double incl. 0.00). Then
     * ONE hash aggregation whose shuffle carries (symbol, bucket) pairs —
     * cardinality price-range/5 × symbols, independent of row count.
     */
   def volumeProfile(spark: SparkSession, dir: String): DataFrame =
     closes(spark, dir)
-      .withColumn("bucket", expr("x div 500"))
+      .withColumn("bucket", expr("(x - ((x % 500) + 500) % 500) div 500"))
       .groupBy(col("symbol"), col("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),

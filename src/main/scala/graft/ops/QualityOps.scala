@@ -190,14 +190,23 @@ object QualityOps {
     // rows across bins (an integer-count hash mismatch, data-dependent).
     // cut_k = smallest value whose cumulative ref count reaches k·n/10,
     // tested as `cum·10 ≥ k·n` in pure integers — bit-identical in any
-    // engine, and every cut is an actual data value. The summary is
-    // value-cardinality-sized (a continuous high-cardinality metric
-    // would be quantized first); only it crosses the tiny rank window.
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+    // engine, and every cut is an actual data value (each grid cell's
+    // MIN observed value represents it, so no decode division re-enters
+    // float land). The count summary is QUANTIZED to a fixed 0.01 grid
+    // (integer cents) before the rank window: a continuous metric's
+    // distinct-value "summary" is ≈ row cardinality, but the cents grid
+    // is bounded by the VALUE RANGE (max_value·100 cells) no matter how
+    // many rows flow in — only that range-bounded frame ever crosses
+    // the single-partition cumsum. On 2-decimal data (the events.value
+    // contract) the grid is lossless, so cuts — and the oracle — are
+    // unchanged.
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("cell"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cc = ev.filter(col("is_ref"))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .withColumn("cell", round(col("value") * 100).cast(LongType))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"), min(col("value")).as("value"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", expr("sum(c) over ()"))
     val cutCols = (1 to 9).map(k =>
@@ -257,6 +266,11 @@ object QualityOps {
     val nD = col("n").cast(DoubleType)
     val obsD = col("obs").cast(DoubleType)
     g.crossJoin(broadcast(t))
+      // match the oracle's INNER join against the 9-row expected table: a
+      // degenerate price rounding to 0 cents yields digit 0, which must be
+      // a dropped row on BOTH engines (not a NULL-expected row here) — n
+      // still counts it, exactly as the oracle's `t` does
+      .filter(col("digit").between(1, 9))
       .withColumn("expected", expected)
       .select(
         col("digit"), col("obs"),

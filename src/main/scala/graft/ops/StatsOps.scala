@@ -424,19 +424,54 @@ object StatsOps {
     * decimal revenue (descending, custkey tiebreak), assigned to ten
     * equal-population bands by pure integer rank arithmetic
     * ((rank−1)·10 div n — never a float quantile at a band edge), with
-    * each band's exact revenue and share — the Pareto 80/20 table. Both
-    * windows run over the customer-cardinality frame (already collapsed
-    * from orders), and money stays DECIMAL until the one share division.
+    * each band's exact revenue and share — the Pareto 80/20 table. Money
+    * stays DECIMAL until the one share division.
+    *
+    * The global rank is computed DISTRIBUTED (the customer frame is
+    * data-cardinality — `row_number() OVER (ORDER BY rev)` would funnel
+    * every customer through one task's sort), via the same literal-slice
+    * ladder as [[ntileBuckets]]: equi-depth rev boundaries from one
+    * `approx_percentile` pass collected as a LITERAL array (boundary
+    * quality only affects balance, never correctness — slice membership
+    * is monotone in the rank order because equal revs share a slice and
+    * the custkey tiebreak is therefore entirely within-slice), per-slice
+    * counts → literal rank offsets, rank = offset + in-slice
+    * `row_number` over a slice-PARTITIONED window. Ranks are BIGINT
+    * end-to-end: `(rk−1)·10` on IntegerType overflows (ANSI: aborts)
+    * past ~214 M customers.
     */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val nSlices = 32
     val byCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("rev"))
-    val wRank = Window.orderBy(col("rev").desc, col("o_custkey"))
-    val ranked = byCust
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("band", expr("(rk - 1) * 10 div n"))
+    // slicing key: double image of the exact decimal rev — the cast is
+    // monotone, so slice assignment can never disagree with the exact
+    // within-slice DECIMAL ordering
+    val pcts = (1 until nSlices).map(i => i.toDouble / nSlices).mkString(", ")
+    val bRow = byCust
+      .agg(expr(
+        s"approx_percentile(cast(rev as double), array($pcts), 1000)")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty
+      else bRow.getSeq[Double](0).distinct.sorted.reverse
+    // slice = count of boundaries strictly above this rev (descending
+    // boundaries: top earners land in slice 0, matching the rank order)
+    val sliceExpr =
+      if (bounds.isEmpty) lit(0)
+      else expr(
+        s"size(filter(array(${bounds.mkString(", ")}), b -> cast(rev as double) < b))")
+    val withSlice = byCust.withColumn("slice", sliceExpr)
+    val cnts = withSlice.groupBy(col("slice")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    val offs = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val wRank = Window.partitionBy(col("slice"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = withSlice
+      .withColumn("rk",
+        element_at(typedLit(offs), col("slice")) + row_number().over(wRank))
+      .withColumn("band", expr(s"(rk - 1) * 10 div ${n}L"))
     ranked.groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_customers"),

@@ -225,26 +225,65 @@ object TextOps {
     * integer cumsums over the doc-cardinality frame, checkpoint rows
     * selected by pure integer rank arithmetic ((rn·10) div n changing
     * value), never a float decile.
+    *
+    * The cumsums are SLICE-PARTITIONED (the doc frame is
+    * data-cardinality — a no-partition cumulative window would sort and
+    * scan every document in ONE task): literal equi-depth doc_id
+    * boundaries from one `approx_percentile` pass split the frame into
+    * doc_id ranges; per-slice (count, Σtoks, Σnew) totals — an O(slices)
+    * collect — become literal prefix-carry maps, and each slice's window
+    * runs partition-parallel with its carry added back. Identical rows
+    * to the single-window form, proven by the unchanged oracle.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nSlices = 32
     val docs = Tables.documents(spark, dir)
     val newAt = docs
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
       .groupBy(col("fd")).agg(count(lit(1)).as("new_toks"))
-    val wDoc = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"),
+    val base = docs.select(col("doc_id"),
         size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
       .join(newAt.withColumnRenamed("fd", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("total_tokens", sum(col("toks")).over(wDoc))
-      .withColumn("vocab_size", sum(coalesce(col("new_toks"), lit(0L))).over(wDoc))
-      .filter(expr("(rn * 10) div n > ((rn - 1) * 10) div n"))
+      .withColumn("new_toks", coalesce(col("new_toks"), lit(0L)))
+    // slice = count of ascending literal boundaries at or below doc_id —
+    // monotone in doc_id order; boundary quality only affects balance
+    val pcts = (1 until nSlices).map(i => i.toDouble / nSlices).mkString(", ")
+    val bRow = docs
+      .agg(expr(
+        s"approx_percentile(cast(doc_id as double), array($pcts), 1000)")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0).distinct.sorted
+    val sliceExpr =
+      if (bounds.isEmpty) lit(0)
+      else expr(
+        s"size(filter(array(${bounds.mkString(", ")}), b -> cast(doc_id as double) >= b))")
+    val withSlice = base.withColumn("slice", sliceExpr)
+    val tots = withSlice.groupBy(col("slice"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("st"),
+        sum(col("new_toks")).as("sn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = tots.map(_._2).sum
+    def carry(f: ((Int, Long, Long, Long)) => Long): Map[Int, Long] =
+      tots.map(_._1).zip(tots.map(f).scanLeft(0L)(_ + _)).toMap
+    val offRn = carry(_._2)
+    val offToks = carry(_._3)
+    val offNew = carry(_._4)
+    val w = Window.partitionBy(col("slice")).orderBy(col("doc_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSlice
+      .withColumn("rn",
+        element_at(typedLit(offRn), col("slice")) + row_number().over(w))
+      .withColumn("total_tokens",
+        element_at(typedLit(offToks), col("slice")) + sum(col("toks")).over(wCum))
+      .withColumn("vocab_size",
+        element_at(typedLit(offNew), col("slice")) + sum(col("new_toks")).over(wCum))
+      .filter(expr(s"(rn * 10) div ${n}L > ((rn - 1) * 10) div ${n}L"))
       .select(
-        expr("(rn * 10) div n").cast(IntegerType).as("checkpoint"),
+        expr(s"(rn * 10) div ${n}L").cast(IntegerType).as("checkpoint"),
         col("rn").cast(LongType).as("n_docs"),
         col("total_tokens"), col("vocab_size"))
   }

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{struct, to_json}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Producer-side JSON line sink — the Spark analog of the reference's
   * Kafka producer (producer/producer.py:22-25: JSON-serialize each event,
@@ -37,4 +39,24 @@ object JsonFeedSink {
       }
     }
   }
+
+  /** Durable streaming form: every row JSON-serialized into the Kafka
+    * `value` column (the reference producer's wire format,
+    * producer/producer.py:24) and written with the in-box Kafka sink —
+    * one producer per task, checkpointed offsets, at-least-once like the
+    * reference. Requires `spark-sql-kafka-0-10` on the classpath (absent
+    * in this sandbox — see [[OhlcvStream.fromKafka]]); the returned
+    * writer is fully configured, so call sites just `.start()`.
+    */
+  def toKafkaWriter(stream: DataFrame, servers: String, topic: String,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[Row] =
+    stream
+      .select(to_json(struct(stream.columns.map(stream.col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
 }

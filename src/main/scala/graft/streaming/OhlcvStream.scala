@@ -68,6 +68,28 @@ object OhlcvStream {
       .load()
       .select(col("value").as("json"))
 
+  /** Reconnecting TCP line feed — [[fromSocket]] hardened with the
+    * reference producer's retry loop (producer/producer.py:100-115). The
+    * in-box socket source dies SILENTLY on a peer drop (EOF and IO errors
+    * both just end its reader thread — the query keeps running against a
+    * dead feed), so the reconnect-with-capped-exponential-backoff loop
+    * lives inside [[ResilientSocketProvider]]'s read thread, exactly
+    * where the reference wraps `ws.run_forever()`. Emits the same `json`
+    * column as the other entry points; `conn_epoch` (which connection
+    * attempt delivered each line) is surfaced for drop monitoring.
+    */
+  def fromResilientSocket(spark: SparkSession, host: String, port: Int,
+                          retryDelayMs: Long = 500L,
+                          maxRetryDelayMs: Long = 60000L): DataFrame =
+    spark.readStream
+      .format(classOf[ResilientSocketProvider].getName)
+      .option("host", host)
+      .option("port", port)
+      .option("retryDelayMs", retryDelayMs)
+      .option("maxRetryDelayMs", maxRetryDelayMs)
+      .load()
+      .select(col("value").as("json"), col("conn_epoch"))
+
   /** JSON line → typed trade row (reference: processor.py:65-75).
     * `from_json` is PERMISSIVE: malformed input → NULL fields, matching the
     * reference's explicit-schema behavior. The decimal casts are TRY casts:

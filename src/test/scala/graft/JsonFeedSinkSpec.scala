@@ -103,4 +103,30 @@ class JsonFeedSinkSpec extends SparkSuite {
       server.close()
     }
   }
+
+  test("kafka writer is fully configured and its value projection round-trips") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = OhlcvStream.ohlcv(OhlcvStream.parseTrades(
+      input.toDF().select(col("value").as("json"))))
+    // the connector jar is absent in this sandbox, so start() can't run —
+    // but the writer must build (format/topic/checkpoint/trigger wiring)
+    val w = JsonFeedSink.toKafkaWriter(agg, "broker:9092", "ohlcv_1min",
+      java.nio.file.Files.createTempDirectory("kafka_ckpt").toString)
+    assert(w != null)
+    // and the value projection (to_json over the full row — the wire
+    // format producer.py:24 serializes) is executable on the batch twin
+    val t0 = 1700000040000L
+    val batch = Seq(
+      jsonTrade(1, "BTCUSDT", "100.0", "2.0", t0 + 1000),
+      jsonTrade(2, "BTCUSDT", "110.0", "1.0", t0 + 30000)).toDF("json")
+    val aggBatch = OhlcvStream.ohlcvWatermarked(OhlcvStream.parseTrades(batch))
+    val line = aggBatch
+      .select(to_json(struct(aggBatch.columns.map(aggBatch.col): _*)).as("value"))
+      .as[String].collect().head
+    assert(line.contains(""""symbol":"BTCUSDT"""") &&
+      line.contains(""""total_volume":3""") &&
+      line.contains(""""close_price":110"""), line)
+  }
 }

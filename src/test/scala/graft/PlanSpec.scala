@@ -645,10 +645,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("revenue_concentration windows run over the customer frame, one fact exchange") {
+  test("revenue_concentration ranks through a slice-partitioned window, never one task") {
+    // r7-flagged scale-killer: row_number() OVER (ORDER BY rev) funnelled
+    // the customer-cardinality frame through one task. Pin the ntile-style
+    // fix: the rank window is partitioned by the literal-boundary slice,
+    // and any remaining single-partition funnel consumes an aggregated
+    // summary (the 10-row band table), never the customer frame.
     val p = plan("revenue_concentration")
+    assert(p.contains("windowspecdefinition(slice"),
+      "rank window must be partitioned by slice:\n" + p)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges <= 2, s"customer collapse + band agg only:\n$p")
+    assert(hashExchanges <= 3, s"customer collapse + slice window + band agg only:\n$p")
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val below = lines.slice(i + 1, i + 3).mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"SinglePartition exchange not fed by an aggregate:\n$p")
+    }
+  }
+
+  test("vocab_growth cumsums run slice-partitioned — no single-partition window at all") {
+    // r7-flagged scale-killer: two unbounded cumsums OVER (ORDER BY doc_id)
+    // sorted every document row in one task. The fix carries per-slice
+    // prefix totals as literals; pin that the plan has NO SinglePartition
+    // exchange and the cumulative windows are slice-partitioned.
+    val p = plan("vocab_growth")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(slice"),
+      "cumsum windows must be partitioned by slice:\n" + p)
   }
 
   test("benford_check and gini_profile collapse to scalar-sized frames before any join") {

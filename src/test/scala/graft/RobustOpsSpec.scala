@@ -47,7 +47,6 @@ class RobustOpsSpec extends SparkSuite {
   }
 
   test("macd on the real fixture matches a driver-side sliding-window recompute") {
-    val candles = spark.sql("select 1").sparkSession.emptyDataFrame // placeholder unused
     val bysym = IndicatorOps.macd(spark, sf).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1)), (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       .toMap
