@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling-exponent probe for the super-linear operator band
+  * (builder-side tooling; results recorded in BASELINE.md).
+  *
+  * No sf1 fixture exists (and /root/testdata is read-only), so the probe
+  * DERIVES a 10× corpus from sf0.1 into a scratch dir, replicating each
+  * table with per-copy remappings chosen so the interesting structure
+  * scales honestly instead of degenerating:
+  *
+  *  - lineitem: order/part/supp keys offset per copy → the co-purchase /
+  *    part↔supplier graphs become 10 disjoint copies of the sf0.1 graph
+  *    (community structure scales; no artificial mega-hub).
+  *  - documents: every token suffixed with the copy index → shingle
+  *    universes are DISJOINT across copies, so LSH buckets stay
+  *    within-copy and near-dup structure is exactly 10× the original
+  *    (verbatim replication would make every doc a 10-way near-dup and
+  *    square the candidate pair count — a worst case, not a scale-up).
+  *  - embeddings: coordinates ROTATED by a per-copy stride → within-copy
+  *    pairwise cosines are IDENTICAL (dot products are permutation-
+  *    invariant) while cross-copy cosines fall to background noise.
+  *
+  * For each probed op: warm + timed noop-sink pass at sf0.01, sf0.1 and
+  * the derived sf1; prints per-sf seconds and the empirical exponent
+  * log10(t_sf1 / t_sf0.1) — 1.0 = linear, ~2.0 = quadratic.
+  *
+  * Usage: `runMain graft.tools.ScaleProbe <scratchDir> [op ...]`
+  * (default ops: the round-7 super-linear band).
+  */
+object ScaleProbe {
+  private val DefaultOps =
+    Seq("pagerank", "kcore_nodes", "dedup_clusters_lsh", "semdedup", "triangle_count")
+
+  def main(args: Array[String]): Unit = {
+    val scratch = args(0)
+    val ops = if (args.length > 1) args.drop(1).toSeq else DefaultOps
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf1 = s"$scratch/sf1x"
+    buildSf1(spark, "/root/testdata/sf0.1", sf1)
+
+    def time(op: String, dir: String): Double = {
+      def run(): Unit =
+        graft.SparkEntry.queries(op)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      run() // warm
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"op"}%-20s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1x"}%8s  exp(0.1->1)")
+    ops.foreach { op =>
+      val t001 = time(op, "/root/testdata/sf0.01")
+      val t01 = time(op, "/root/testdata/sf0.1")
+      val t1 = time(op, sf1)
+      val exp = math.log10(t1 / t01)
+      println(f"$op%-20s $t001%8.2f $t01%8.2f $t1%8.2f  $exp%.2f")
+    }
+    spark.stop()
+  }
+
+  /** Derive the 10× corpus (idempotent: skips tables already written). */
+  def buildSf1(spark: SparkSession, from: String, out: String): Unit = {
+    val copies = spark.range(0, 10).select(col("id").cast("int").as("i"))
+    def done(name: String) =
+      new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()
+
+    if (!done("lineitem")) {
+      val l = spark.read.parquet(s"$from/lineitem.parquet")
+      val maxes = l.agg(
+        max("l_orderkey").as("mo"), max("l_partkey").as("mp"),
+        max("l_suppkey").as("ms")).head()
+      val (mo, mp, ms) = (maxes.getLong(0), maxes.getLong(1), maxes.getLong(2))
+      l.crossJoin(broadcast(copies))
+        .withColumn("l_orderkey", col("l_orderkey") + col("i") * (mo + 1))
+        .withColumn("l_partkey", col("l_partkey") + col("i") * (mp + 1))
+        .withColumn("l_suppkey", col("l_suppkey") + col("i") * (ms + 1))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    if (!done("documents")) {
+      val d = spark.read.parquet(s"$from/documents.parquet")
+      val maxDoc = d.agg(max("doc_id")).head().getLong(0)
+      d.crossJoin(broadcast(copies))
+        .withColumn("doc_id", col("doc_id") + col("i") * (maxDoc + 1))
+        .withColumn("text", array_join(
+          transform(split(trim(col("text")), " "),
+            t => concat(t, lit("_"), col("i"))), " "))
+        .withColumn("source", concat(col("source"), lit("_"), col("i")))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    if (!done("embeddings")) {
+      val e = spark.read.parquet(s"$from/embeddings.parquet")
+      val maxVec = e.agg(max("vec_id")).head().getLong(0)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      e.crossJoin(broadcast(copies))
+        .withColumn("vec_id", col("vec_id") + col("i") * (maxVec + 1))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => element_at(col("embedding"),
+              pmod(j + col("i") * lit(13), lit(dim)) + 1)))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // small dims some probed plans touch (read-through copies)
+    Seq("part", "supplier", "orders").foreach { t =>
+      if (new java.io.File(s"$from/$t.parquet").exists() && !done(t))
+        spark.read.parquet(s"$from/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+}
