@@ -238,6 +238,8 @@ object SparkEntry {
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     "pack_sequences"    -> (PipelineOps.packSequences _),
     "contamination_check" -> (PipelineOps.contaminationCheck _),
+    "decontaminate_train" -> (PipelineOps.decontaminateTrain _),
+    "incremental_dedup"  -> (DedupOps.incrementalDedup _),
     "repetition_score"  -> (PipelineOps.repetitionScore _),
     "token_budget_select" -> (PipelineOps.tokenBudgetSelect _),
     "corpus_clean"      -> (PipelineOps.corpusClean _),
@@ -768,6 +770,70 @@ object SparkEntry {
         |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
         |FROM te LEFT JOIN tr ON te.sh = tr.sh
         |GROUP BY 1""".stripMargin,
+    "decontaminate_train" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS bucket,
+        |    string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, bucket,
+        |        unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |      FROM d WHERE len(w) >= 3),
+        |tr AS (SELECT doc_id AS tdoc, sh FROM s WHERE bucket < 80),
+        |te AS (SELECT doc_id AS edoc, sh FROM s WHERE bucket >= 90),
+        |hot AS (SELECT sh FROM te GROUP BY sh HAVING count(*) > 5),
+        |trk AS (SELECT tdoc, sh FROM tr WHERE sh NOT IN (SELECT sh FROM hot)),
+        |tek AS (SELECT edoc, sh FROM te WHERE sh NOT IN (SELECT sh FROM hot)),
+        |ne AS (SELECT edoc, count(*) AS n_e FROM tek GROUP BY 1),
+        |iv AS (SELECT tdoc, edoc, count(*) AS i
+        |       FROM trk JOIN tek USING (sh) GROUP BY 1, 2),
+        |sc AS (SELECT tdoc, iv.edoc,
+        |         CAST(i AS DOUBLE) / n_e AS containment,
+        |         row_number() OVER (PARTITION BY tdoc
+        |           ORDER BY CAST(i AS DOUBLE) / n_e DESC, iv.edoc) AS rn
+        |       FROM iv JOIN ne ON iv.edoc = ne.edoc)
+        |SELECT d.doc_id,
+        |  coalesce(sc.containment, 0.0) AS max_containment,
+        |  sc.edoc AS blame_doc,
+        |  CASE WHEN coalesce(sc.containment, 0.0) >= 0.5
+        |       THEN 'dropped' ELSE 'kept' END AS verdict
+        |FROM d LEFT JOIN (SELECT * FROM sc WHERE rn = 1) sc
+        |  ON d.doc_id = sc.tdoc
+        |WHERE d.bucket < 80""".stripMargin,
+    "incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS bucket,
+        |    string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, bucket,
+        |        unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |      FROM d WHERE len(w) >= 3),
+        |hot AS (SELECT sh FROM s GROUP BY sh HAVING count(*) > 20),
+        |k AS (SELECT doc_id, bucket, sh FROM s
+        |      WHERE sh NOT IN (SELECT sh FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS ns FROM k GROUP BY 1),
+        |p AS (SELECT a.doc_id AS nd, b.doc_id AS rd, count(*) AS i
+        |      FROM k a JOIN k b ON a.sh = b.sh
+        |      WHERE a.bucket >= 80 AND (b.bucket < 80 OR b.doc_id < a.doc_id)
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT nd, rd,
+        |         CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jac
+        |       FROM p JOIN n na ON na.doc_id = p.nd
+        |              JOIN n nb ON nb.doc_id = p.rd),
+        |r AS (SELECT nd, rd, jac,
+        |        row_number() OVER (PARTITION BY nd
+        |          ORDER BY jac DESC, rd) AS rn
+        |      FROM sc)
+        |SELECT d.doc_id, coalesce(r.jac, 0.0) AS max_jaccard,
+        |  r.rd AS blame_doc,
+        |  CASE WHEN coalesce(r.jac, 0.0) >= 0.5
+        |       THEN 'dropped' ELSE 'kept' END AS verdict
+        |FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |  ON d.doc_id = r.nd
+        |WHERE d.bucket >= 80""".stripMargin,
     "repetition_score" ->
       """SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
         |  1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac

@@ -417,4 +417,65 @@ object DedupOps {
         |FROM (SELECT doc_id, min(lab) AS cluster_id FROM walk GROUP BY doc_id) t
         |""".stripMargin)
   }
+
+  /** Incremental batch-vs-corpus dedup — the production ingest shape: a
+    * 20% "incoming batch" (hash-bucket split) is deduped against the 80%
+    * standing corpus AND against earlier-id batch docs, by EXACT 3-gram
+    * Jaccard (|∩| / (nₐ+n_b−|∩|), all integers, one division). A batch
+    * doc with Jaccard ≥ 0.5 against any reference is `dropped`, blamed on
+    * its best match (row_number by jac desc, ref id — exact-ratio doubles
+    * compare identically in any engine). The corpus is NEVER re-clustered:
+    * the join is new-side-driven, which is what makes the op incremental.
+    *
+    * Greedy-by-id contract (documented divergence from a sequential
+    * accept/reject index): blame references ALL earlier batch docs, not
+    * only accepted ones — the same greedy semantics as min-id cluster
+    * dedup, and the only form that stays embarrassingly parallel (a
+    * sequential index is an inherently serial chain).
+    *
+    * Scale shape: candidates come only from the shingle-hash equi-join
+    * (ids+hashes through the shuffle); shingles with corpus-wide document
+    * frequency > 20 are dropped from the index first — the stop-shingle
+    * valve bounding per-key fan-out (binds at sf0.1), part of the exact
+    * contract and applied identically by the oracle. Jaccard denominators
+    * are post-cap set sizes.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", PipelineOps.hashBucket(col("doc_id")))
+    val k = Tables.balanced(docs)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("word3gram_hashes(text)")).as("sh"))
+    val hot = k.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 20).select(col("sh"))
+    val kept = k.join(hot, Seq("sh"), "left_anti")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val newd = kept.filter(col("bucket") >= 80)
+      .select(col("doc_id").as("nd"), col("sh"))
+    val refd = kept
+      .select(col("doc_id").as("rd"), (col("bucket") < 80).as("is_corpus"),
+        col("sh"))
+    val scored = newd.join(refd, Seq("sh"))
+      .filter(col("is_corpus") || col("rd") < col("nd"))
+      .groupBy(col("nd"), col("rd")).agg(count(lit(1)).as("i"))
+      .join(n.select(col("doc_id").as("nd"), col("ns").as("na")), Seq("nd"))
+      .join(n.select(col("doc_id").as("rd"), col("ns").as("nb")), Seq("rd"))
+      .withColumn("jac", col("i").cast(DoubleType) /
+        (col("na") + col("nb") - col("i")).cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nd")).orderBy(col("jac").desc, col("rd"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("nd").as("doc_id"), col("rd").as("blame_doc"),
+        col("jac").as("max_jaccard"))
+    docs.filter(col("bucket") >= 80).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        col("blame_doc"),
+        when(coalesce(col("max_jaccard"), lit(0.0)) >= 0.5, lit("dropped"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
 }

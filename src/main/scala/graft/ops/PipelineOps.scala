@@ -32,7 +32,7 @@ object PipelineOps {
     * a 100 TB corpus lives. pmod(x·m, p) = pmod(pmod(x,p)·m, p), so
     * in-range buckets are unchanged.
     */
-  private def hashBucket(c: org.apache.spark.sql.Column) =
+  private[ops] def hashBucket(c: org.apache.spark.sql.Column) =
     pmod(pmod(pmod(c, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(100))
 
   /** Deterministic 80/10/10 train/val/test split over documents. */
@@ -205,6 +205,61 @@ object PipelineOps {
         count(col("hit")).as("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast(DoubleType) / col("n_shingles"))
+  }
+
+  /** Benchmark decontamination — the ENFORCEMENT twin of
+    * [[contaminationCheck]] (which only measures): every train-split doc
+    * is scored by the maximum eval-shingle containment any single eval
+    * doc has inside it (|∩| / |eval shingles| — "how much of this eval
+    * doc leaked into this train doc"), and docs at ≥ 0.5 are verdicted
+    * `dropped` with the worst eval doc as blame. Deterministic blame:
+    * row_number over (containment desc, eval doc id) — the containment
+    * is an exact integer ratio, so the double compares identically in
+    * any engine.
+    *
+    * Scale shape: candidates come ONLY from the shingle-hash equi-join
+    * (ids+hashes shuffle, never text), and shingles whose eval document
+    * frequency exceeds 5 are dropped from BOTH sides first — the
+    * stop-shingle valve that bounds per-key join fan-out (the
+    * [[DedupOps]] degenerate-bucket cap, applied to an index key). The
+    * cap is part of the op contract — computed from exact counts, so the
+    * oracle applies it identically (it genuinely binds at sf0.1).
+    * Containment denominators are post-cap for the same reason.
+    */
+  def decontaminateTrain(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+    def shingles(d: DataFrame): DataFrame =
+      Tables.balanced(d)
+        .select(col("doc_id"), explode(expr("word3gram_hashes(text)")).as("sh"))
+    val tr = shingles(docs.filter(col("bucket") < 80))
+      .withColumnRenamed("doc_id", "tdoc")
+    val te = shingles(docs.filter(col("bucket") >= 90))
+      .withColumnRenamed("doc_id", "edoc")
+    val hot = te.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 5).select(col("sh"))
+    val trk = tr.join(hot, Seq("sh"), "left_anti")
+    val tek = te.join(hot, Seq("sh"), "left_anti")
+    val ne = tek.groupBy(col("edoc")).agg(count(lit(1)).as("n_e"))
+    val scored = trk.join(tek, Seq("sh"))
+      .groupBy(col("tdoc"), col("edoc")).agg(count(lit(1)).as("i"))
+      .join(ne, Seq("edoc"))
+      .withColumn("containment",
+        col("i").cast(DoubleType) / col("n_e").cast(DoubleType))
+    val w = Window.partitionBy(col("tdoc"))
+      .orderBy(col("containment").desc, col("edoc"))
+    val worst = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tdoc").as("doc_id"), col("edoc"), col("containment"))
+    docs.filter(col("bucket") < 80).select(col("doc_id"))
+      .join(worst, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("containment"), lit(0.0)).as("max_containment"),
+        col("edoc").as("blame_doc"),
+        when(coalesce(col("containment"), lit(0.0)) >= 0.5, lit("dropped"))
+          .otherwise(lit("kept")).as("verdict"))
   }
 
   /** Within-document repetition signal (the Gopher-style quality rule that

@@ -676,6 +676,38 @@ class PlanSpec extends SparkSuite {
       "cumsum windows must be partitioned by slice:\n" + p)
   }
 
+  test("GLOBAL: no registry query funnels a non-summary frame through a single-partition exchange") {
+    // The r4/r7 scale-killer class, pinned for EVERY query at once: any
+    // `Exchange SinglePartition` in any executed plan must consume an
+    // aggregated summary (child = an aggregate node) or a literal local
+    // frame — never a data-cardinality table. A refactor that sneaks a
+    // no-partition window/sort over raw rows into ANY of the 240 queries
+    // fails here with the query named.
+    val summaryChild = "(HashAggregate|SortAggregate|LocalTableScan)".r
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = plan(q)
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          summaryChild.findFirstIn(
+            lines.slice(i + 1, i + 3).mkString("\n")).isEmpty =>
+          s"$q (plan line ${i + 1})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchanges over non-summary frames:\n${offenders.mkString("\n")}")
+  }
+
+  test("decontaminate_train and incremental_dedup ride shingle equi-joins with hot-key pruning") {
+    Seq("decontaminate_train", "incremental_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+      assert(p.contains("word3gram_hashes"), s"$q must shingle natively:\n$p")
+      assert(p.contains("LeftAnti"), s"$q must anti-join away hot shingles:\n$p")
+    }
+  }
+
   test("benford_check and gini_profile collapse to scalar-sized frames before any join") {
     val p = plan("benford_check")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
