@@ -44,9 +44,11 @@ object JsonFeedSink {
     * `value` column (the reference producer's wire format,
     * producer/producer.py:24) and written with the in-box Kafka sink —
     * one producer per task, checkpointed offsets, at-least-once like the
-    * reference. Requires `spark-sql-kafka-0-10` on the classpath (absent
-    * in this sandbox — see [[OhlcvStream.fromKafka]]); the returned
-    * writer is fully configured, so call sites just `.start()`.
+    * reference. Requires `spark-sql-kafka-0-10` on the classpath; in tests
+    * the KafkaEmulatedSpec `.start()`s this exact writer against
+    * `graft.kafka.EmulatedKafkaProvider` (the test-classpath contract
+    * double registered as `kafka`) and round-trips the published values
+    * back through [[OhlcvStream.fromKafka]]'s schema.
     */
   def toKafkaWriter(stream: DataFrame, servers: String, topic: String,
                     checkpointDir: String,

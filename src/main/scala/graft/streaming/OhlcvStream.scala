@@ -36,10 +36,16 @@ object OhlcvStream {
     StructField("trade_time", LongType), // epoch milliseconds
     StructField("is_buyer_maker", BooleanType)))
 
-  /** Kafka source (reference: processor.py:54-60). Production entry point;
-    * tests substitute a MemoryStream upstream of [[parseTrades]]. Requires
-    * the `spark-sql-kafka-0-10` connector on the classpath (not bundled in
-    * spark's default jars) — the rest of the pipeline is source-agnostic.
+  /** Kafka source (reference: processor.py:54-60). Production entry point.
+    * Requires the `spark-sql-kafka-0-10` connector on the classpath (not
+    * bundled in spark's default jars). EXECUTED end-to-end by
+    * KafkaEmulatedSpec: the test classpath registers
+    * `graft.kafka.EmulatedKafkaProvider` under the connector's shortName
+    * `kafka` — a contract double covering the fixed read schema,
+    * startingOffsets latest/earliest/JSON, per-partition offset
+    * checkpointing + restart resume, failOnDataLoss, and
+    * maxOffsetsPerTrigger admission control — so this exact code path runs
+    * unmodified in tests while production resolves the real connector.
     */
   def fromKafka(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream
