@@ -36,6 +36,7 @@ object SparkEntry {
     "date_funcs"        -> (ParseOps.dateFuncs _),
     "math_funcs"        -> (ParseOps.mathFuncs _),
     "json_extract"      -> (ParseOps.jsonExtract _),
+    "xml_funcs"         -> (ParseOps.xmlFuncs _),
     "bitwise_funcs"     -> (ParseOps.bitwiseFuncs _),
     "date_format_funcs" -> (ParseOps.dateFormatFuncs _),
     "date_arith"        -> (ParseOps.dateArith _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "session_window"    -> (AggOps.sessionWindowAgg _),
     // ---- relational surface (SURVEY §2.5) ----
     "join_inner"        -> (RelationalOps.joinInner _),
+    "bloom_prefilter_join" -> (RelationalOps.bloomPrefilterJoin _),
     "join_left"         -> (RelationalOps.joinLeft _),
     "join_semi"         -> (RelationalOps.joinSemi _),
     "join_anti"         -> (RelationalOps.joinAnti _),
@@ -180,6 +182,7 @@ object SparkEntry {
     "json_lines_scan"   -> (StorageOps.jsonLinesScan _),
     "csv_scan"          -> (StorageOps.csvScan _),
     "orc_scan"          -> (StorageOps.orcScan _),
+    "xml_scan"          -> (StorageOps.xmlScan _),
     "schema_evolution_scan" -> (StorageOps.schemaEvolutionScan _),
     "mad_outliers"      -> (StatsOps.madOutliers _),
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
@@ -475,6 +478,12 @@ object SparkEntry {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+    // the oracle is the identity projection: the op's point is that the
+    // to_xml → from_xml round-trip is lossless for long/double/string
+    "xml_funcs" ->
+      """SELECT event_id, event_type AS rt_type, value AS rt_value,
+        |  event_type AS xp_type
+        |FROM events WHERE value > 50.0""".stripMargin,
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -511,6 +520,16 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // bloom false positives are removed by the exact join, so the oracle
+    // is the PLAIN join — the prefilter must be result-invisible
+    "bloom_prefilter_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1""".stripMargin,
     "join_left" ->
       """SELECT o_orderkey,
@@ -1320,6 +1339,8 @@ object SparkEntry {
     "csv_scan" ->
       FormatProbeSql,
     "orc_scan" ->
+      FormatProbeSql,
+    "xml_scan" ->
       FormatProbeSql,
     "schema_evolution_scan" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN '_legacy' ELSE event_type END

@@ -126,6 +126,34 @@ object ParseOps {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .filter(col("k") > 50)
 
+  /** XML scalar-function roundtrip (Spark 4 in-core `to_xml`/`from_xml`,
+    * the P-family twin of [[jsonExtract]] for the other enterprise wire
+    * format): each event serialized to an XML fragment, parsed back with
+    * an explicit schema, fields re-projected. Long/double element text
+    * round-trips exactly (shortest-form printing), so the oracle is the
+    * identity projection — proving serialize∘parse is lossless is the
+    * point. `xpath_*` extraction rides the same fragment.
+    */
+  def xmlFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        to_xml(struct(col("event_id"), col("event_type"), col("value")))
+          .as("frag"))
+      .select(
+        col("event_id"),
+        from_xml(col("frag"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE"),
+          java.util.Collections.emptyMap[String, String]()).as("x"),
+        expr("xpath_string(frag, '/ROW/event_type')").as("xp_type"))
+      .select(
+        col("event_id"),
+        col("x.event_type").as("rt_type"),
+        col("x.value").as("rt_value"),
+        col("xp_type"))
+      .filter(col("rt_value") > 50.0)
+
   /** Bitwise function family over integer keys. */
   def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

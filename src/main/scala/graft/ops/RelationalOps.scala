@@ -41,6 +41,44 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Bloom-prefiltered join — AQE's runtime-filter pattern written out
+    * explicitly, for when the optimizer can't inject it (the build side
+    * comes from an earlier pipeline stage, or the engine sits below the
+    * size thresholds that trigger `InjectRuntimeFilter`). The build side's
+    * join keys are collapsed into a ~1.2 MB bloom sketch (driver-bounded:
+    * size is fixed by expectedItems × fpp, never by row width) embedded as
+    * a binary literal, and the probe side is pre-filtered with the native
+    * codegen'd [[org.apache.spark.sql.catalyst.expressions
+    * .BloomFilterMightContain]] BEFORE its shuffle — at 100 TB the orders
+    * scan drops ~(1 - selectivity) of its rows ahead of the exchange
+    * instead of shuffling them to die in the join. False positives
+    * (fpp=1%) survive the prefilter but are removed by the exact join that
+    * follows, so the result is byte-identical to the plain join and fully
+    * oracle-checkable. Sketch semantics match `DataFrame.stat.bloomFilter`:
+    * raw `putLong` on build = raw `mightContainLong` on probe.
+    */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.GraftBridge
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = keys.stat.bloomFilter("c_custkey", math.max(keys.count(), 1024L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val o = Tables.orders(spark, dir)
+    val prefiltered = o.filter(GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftBridge.expression(col("o_custkey")))))
+    prefiltered.join(keys, prefiltered("o_custkey") === keys("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
   /** Left outer join: every order with its lineitem count (0 for none) and
     * exact quantity sum. Aggregate-then-join: lineitem is pre-aggregated to
     * one row per orderkey BEFORE the join, so the join input is minimal —

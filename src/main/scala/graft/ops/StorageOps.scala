@@ -291,6 +291,29 @@ object StorageOps {
       .option("header", "true").option("mode", "PERMISSIVE").csv(loc))
   }
 
+  /** XML batch source — Spark 4 folded `spark-xml` into core, so XML is a
+    * first-class FileFormat (`org.apache.spark.sql.execution.datasources
+    * .xml`); an ingest pipeline meets it as the export format of legacy
+    * enterprise systems. Same schema-on-READ discipline as the other text
+    * formats: explicit schema + PERMISSIVE (inference on XML is an extra
+    * full scan that must sample attribute/element ambiguity). Long/double
+    * fields round-trip exactly through element text (shortest-form double
+    * printing, like JSON); `rowTag` is pinned on BOTH sides because write
+    * and read defaults differ.
+    */
+  def xmlScan(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensure(spark, dir, "events", "graft_events_xml") { tbl =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("xml").option("rowTag", "event").mode("overwrite")
+        .saveAsTable(tbl)
+    }
+    val loc = tableLocation(spark, staged)
+    formatProbe(spark.read.schema(evSchema)
+      .option("rowTag", "event").option("mode", "PERMISSIVE")
+      .format("xml").load(loc))
+  }
+
   /** ORC batch source — the other columnar format a lakehouse inherits;
     * types round-trip natively (no text serialization), and a PATH read
     * (symmetric with the other two sources) makes the ORC footer schema

@@ -571,13 +571,26 @@ class PlanSpec extends SparkSuite {
 
   test("format round-trip sources prune the unused column at every format's scan") {
     Seq("json_lines_scan" -> "Scan json", "csv_scan" -> "Scan csv",
-        "orc_scan" -> "Scan orc").foreach { case (q, scan) =>
+        "orc_scan" -> "Scan orc", "xml_scan" -> "Scan xml").foreach { case (q, scan) =>
       val p = plan(q)
       assert(p.contains(scan), s"$q: expected '$scan' in:\n$p")
       // user_id is staged but unused by the probe aggregate — pruning
       // must keep it out of the read schema
       assert(!p.contains("user_id"), s"$q read user_id:\n$p")
     }
+  }
+
+  test("bloom_prefilter_join probes the sketch BELOW the join, on the orders scan side") {
+    val p = plan("bloom_prefilter_join")
+    val mc = p.indexOf("might_contain")
+    assert(mc >= 0, s"bloom prefilter lost from the plan:\n$p")
+    // tree prints root-first: the join line must be ABOVE the might_contain
+    // filter, i.e. the prefilter runs on the probe side before rows reach
+    // the join — filtering after the join would shuffle/broadcast-probe
+    // every row just to drop it
+    val join = p.indexOf("HashJoin")
+    assert(join >= 0 && join < mc,
+      s"might_contain must sit under the join on the probe side:\n$p")
   }
 
   test("media_phash_dedup candidates come from band equi-joins, never all pairs") {
