@@ -333,6 +333,24 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // checkpointed offsets survive a process restart only if serialization
+  // round-trips exactly and deterministically (byte-stable JSON: the
+  // offset log compares entries textually)
+  property("Kafka offset JSON round-trips and is order-canonical") = {
+    val genTp = for {
+      t <- Gen.oneOf("alpha", "beta", "gamma-topic")
+      p <- Gen.choose(0, 31)
+      o <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield ((t, p), o)
+    forAll(Gen.mapOf(genTp)) { m =>
+      val json = graft.kafka.EmulatedKafka.offsetsToJson(m)
+      val back = graft.kafka.EmulatedKafka.jsonToOffsets(json)
+      val shuffled = graft.kafka.EmulatedKafka.offsetsToJson(
+        scala.util.Random.shuffle(m.toList).toMap)
+      back == m && shuffled == json
+    }
+  }
+
   property("gini impurity is replication-invariant and within [0, 1)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2, 5)) { (counts, k) =>
       def gini(cs: List[Long]): Double = {

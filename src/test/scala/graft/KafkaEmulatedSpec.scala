@@ -180,6 +180,42 @@ class KafkaEmulatedSpec extends SparkSuite {
     assert(nonEmpty.size >= 4, "the cap must split delivery into multiple batches")
   }
 
+  test("partitions added mid-stream are discovered and read from earliest") {
+    val servers = "emu-grow:9092"
+    val topic = "grow_topic"
+    EmulatedBroker.createTopic(servers, topic, 1)
+    val seen = mutable.Buffer[(String, Int)]()
+    val q = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS v", "partition")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen ++= df.collect().map(r => (r.getString(0), r.getInt(1))); ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("grow").toString)
+      .start()
+    try {
+      q.processAllAvailable() // initial offsets resolved: 1 partition, latest
+      EmulatedBroker.send(servers, topic, null,
+        "p0".getBytes(java.nio.charset.StandardCharsets.UTF_8), Some(0))
+      q.processAllAvailable()
+      // topic repartitioned under a LIVE query; records land on the new
+      // partition, which the checkpoint has never seen
+      EmulatedBroker.addPartitions(servers, topic, 1)
+      EmulatedBroker.send(servers, topic, null,
+        "p1".getBytes(java.nio.charset.StandardCharsets.UTF_8), Some(1))
+      q.processAllAvailable()
+      assert(seen.toSet === Set(("p0", 0), ("p1", 1)),
+        s"new partition must be read from its earliest offset, got $seen")
+    } finally q.stop()
+  }
+
   test("batch read: keyed records stick to a partition; kafka schema surfaces") {
     val servers = "emu-batch:9092"
     val topic = "batch_topic"

@@ -168,6 +168,17 @@ object EmulatedBroker {
       }.toArray
     }
 
+  /** Partition-expansion emulation (`kafka-topics --alter --partitions`):
+    * the consumer contract is that partitions discovered mid-stream are
+    * read from their EARLIEST offset, not the startingOffsets spec.
+    */
+  def addPartitions(servers: String, topic: String, count: Int): Unit =
+    synchronized {
+      val logs = topicLogs(servers, topic)
+      require(count > 0)
+      clusters(servers)(topic) = logs ++ Array.fill(count)(new PartitionLog)
+    }
+
   /** Retention emulation: delete every record below `newStart`. */
   def truncateTo(servers: String, topic: String, p: Int, newStart: Long): Unit =
     synchronized {
