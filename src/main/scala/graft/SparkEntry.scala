@@ -481,8 +481,7 @@ object SparkEntry {
     // the oracle is the identity projection: the op's point is that the
     // to_xml → from_xml round-trip is lossless for long/double/string
     "xml_funcs" ->
-      """SELECT event_id, event_type AS rt_type, value AS rt_value,
-        |  event_type AS xp_type
+      """SELECT event_id, event_type AS rt_type, value AS rt_value
         |FROM events WHERE value > 50.0""".stripMargin,
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,

