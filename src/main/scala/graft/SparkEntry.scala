@@ -53,6 +53,8 @@ object SparkEntry {
     // ---- relational surface (SURVEY §2.5) ----
     "join_inner"        -> (RelationalOps.joinInner _),
     "bloom_prefilter_join" -> (RelationalOps.bloomPrefilterJoin _),
+    "bpe_merges"        -> ((s, d) => BpeOps.bpeMerges(s, d)),
+    "bpe_segment"       -> ((s, d) => BpeOps.bpeSegment(s, d)),
     "join_left"         -> (RelationalOps.joinLeft _),
     "join_semi"         -> (RelationalOps.joinSemi _),
     "join_anti"         -> (RelationalOps.joinAnti _),
