@@ -186,6 +186,8 @@ object SparkEntry {
     "orc_scan"          -> (StorageOps.orcScan _),
     "xml_scan"          -> (StorageOps.xmlScan _),
     "schema_evolution_scan" -> (StorageOps.schemaEvolutionScan _),
+    "dynamic_partition_overwrite" -> (StorageOps.dynamicPartitionOverwrite _),
+    "collation_distinct" -> (RelationalOps.collationDistinct _),
     "mad_outliers"      -> (StatsOps.madOutliers _),
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
@@ -233,6 +235,8 @@ object SparkEntry {
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
+    "int8_quantize"     -> (SimilarityOps.int8Quantize _),
+    "quality_classifier" -> (ClassifierOps.qualityClassifier _),
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
@@ -1350,6 +1354,17 @@ object SparkEntry {
         |  min(event_id) AS min_event,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // partition overwrite must touch ONLY the partitions in the incoming
+    // frame: the oracle is the raw table with the backfill filter applied
+    // to the overwritten partition and siblings passed through untouched
+    "dynamic_partition_overwrite" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type <> 'click' OR value >= 1.0
+        |GROUP BY event_type""".stripMargin,
     // the z-key interleave is the SAME generated expression text on both
     // sides — the oracle proves the bit arithmetic is engine-identical
     "zorder_key" ->
@@ -1597,6 +1612,30 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    // the integer codes themselves are engine-identical (exact float→double
+    // cast, same two IEEE ops, same half-away-from-zero round), so the
+    // per-dim audit hashes exactly — see SimilarityOps.int8Quantize
+    "int8_quantize" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |s AS (SELECT dim, nullif(max(abs(x)), 0) AS mx FROM e GROUP BY dim),
+        |c AS (SELECT e.dim, CAST(round(127 * x / mx) AS BIGINT) AS code
+        |      FROM e JOIN s USING (dim))
+        |SELECT dim, min(code) AS min_code, max(code) AS max_code,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(count(*) FILTER (WHERE abs(code) = 127) AS BIGINT) AS n_sat
+        |FROM c GROUP BY dim""".stripMargin,
+    // Spark groups under the UTF8_LCASE collation natively; the oracle
+    // states the same semantics as count(DISTINCT lower(...))
+    "collation_distinct" ->
+      """WITH u AS (SELECT p_brand AS brand, p_name AS nm FROM part
+        |           UNION ALL
+        |           SELECT p_brand, upper(p_name) FROM part)
+        |SELECT brand,
+        |  CAST(count(DISTINCT lower(nm)) AS BIGINT) AS n_names_ci,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM u GROUP BY brand""".stripMargin,
     "scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

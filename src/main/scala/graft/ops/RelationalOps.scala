@@ -1288,4 +1288,27 @@ object RelationalOps {
         |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
         |ORDER BY s_name""".stripMargin)
   }
+
+  /** Collation-aware distinct — Spark 4's native string collations
+    * (`collate(col, 'UTF8_LCASE')`) push case-insensitivity into the
+    * TYPE, so comparisons, grouping and distinct honor it inside codegen
+    * and hash exchanges instead of via `lower()` wrappers that defeat
+    * per-column stats and dictionary pushdown. The fixture's part names
+    * are single-case, so the query manufactures case variance (each name
+    * unioned with its uppercase twin) and counts distinct names per
+    * brand under the case-insensitive collation: exactly half the
+    * raw distinct count, which the oracle reproduces with
+    * `count(DISTINCT lower(nm))` — the semantics collations subsume.
+    * One data-key shuffle (container); distinct runs as a partial
+    * aggregate under it.
+    */
+  def collationDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"), col("p_name").as("nm"))
+    names.union(names.select(col("brand"), upper(col("nm"))))
+      .groupBy(col("brand"))
+      .agg(
+        count_distinct(collate(col("nm"), "UTF8_LCASE")).as("n_names_ci"),
+        count(lit(1)).as("n_rows"))
+  }
 }

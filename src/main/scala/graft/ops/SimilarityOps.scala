@@ -588,4 +588,39 @@ object SimilarityOps {
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_kept", col("doc_id") === col("keep_id"))
   }
+
+  /** Int8 absmax scalar quantization audit — the compression step an
+    * embedding store runs before serving (4× smaller vectors, SIMD int8
+    * dot products): per-dimension scale = max |x|, code = round(127·x/mx),
+    * reported per dimension as (min/max/Σ of codes, saturation count).
+    *
+    * Scale shape: codes never materialize as a stored column here — the
+    * exploded (vec_id, dim, x) frame reduces `groupBy(dim)` with map-side
+    * combine to D=64 scale rows, which then BROADCAST back onto the data
+    * (scales are summary-cardinality; the data frame never re-shuffles).
+    * The audit row count is D regardless of corpus size.
+    *
+    * Engine-portable by construction: float→double casts are exact,
+    * `127 * x / mx` is two IEEE double ops in the same order on both
+    * engines, and round-half-away-from-zero agrees between Spark
+    * (BigDecimal HALF_UP on doubles) and DuckDB — so the integer codes,
+    * not just their aggregates, are bit-identical and the op is fully
+    * oracle-checked. An all-zero dimension would divide by zero, so the
+    * scale is NULLed (nullif) identically on both sides.
+    */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"), col("xf").cast(DoubleType).as("x"))
+    val scales = e.groupBy(col("dim"))
+      .agg(nullif(max(abs(col("x"))), lit(0.0)).as("mx"))
+    e.join(broadcast(scales), Seq("dim"))
+      .withColumn("code", expr("cast(round(127 * x / mx) as bigint)"))
+      .groupBy(col("dim"))
+      .agg(
+        min(col("code")).as("min_code"),
+        max(col("code")).as("max_code"),
+        sum(col("code")).as("sum_code"),
+        count(when(abs(col("code")) === 127, 1)).as("n_sat"))
+  }
 }

@@ -396,4 +396,49 @@ object StorageOps {
         min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+
+  /** Dynamic partition overwrite — the idempotent-backfill primitive of a
+    * partitioned lake: rewriting ONE partition's contents replaces exactly
+    * the partitions the incoming frame touches and leaves every sibling
+    * directory byte-untouched (static overwrite mode would TRUNCATE the
+    * whole table first — the classic backfill footgun). Here the `click`
+    * partition is re-derived from source with a quality filter
+    * (value ≥ 1.00, a reprocessing-style correction); `signup`/`error`/
+    * `view`/`purchase` survive as-is, proven by the oracle computing the
+    * same CASE-split over raw events. The overwrite reads from the RAW
+    * source, never from the table being overwritten (self-read-overwrite
+    * is both rejected by Spark and semantically circular for a backfill),
+    * and re-running it is a no-op rewrite of identical bytes — the
+    * at-least-once retry contract a scheduled backfill needs. The mode
+    * conf is set scoped-and-restored, not globally.
+    */
+  def dynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val evCols = Seq(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val staged = ensure(spark, dir, "events", "graft_events_dpo") { tbl =>
+      Tables.events(spark, dir)
+        .select(evCols :+ col("event_type"): _*)
+        .write.format("parquet").partitionBy("event_type")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      // insertInto is POSITIONAL; the catalog schema has the partition
+      // column last, so the select matches spark.table(staged).columns
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "click" && col("value") >= 1.0)
+        .select(evCols :+ col("event_type"): _*)
+        .write.mode("overwrite").insertInto(staged)
+    } finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None    => spark.conf.unset(modeKey)
+    }
+    spark.table(staged)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
 }

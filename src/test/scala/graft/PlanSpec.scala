@@ -730,4 +730,34 @@ class PlanSpec extends SparkSuite {
     // partial_count immediately)
     assert(g.contains("partial_count") || g.contains("HashAggregate"), g)
   }
+
+  test("int8_quantize broadcasts the 64 per-dim scales back onto the data") {
+    val p = plan("int8_quantize")
+    // scales are summary-cardinality: they must travel TO the data via a
+    // broadcast hash join — a sort-merge join here would re-shuffle the
+    // whole exploded frame on dim
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dynamic partition overwrite leaves sibling partition files untouched") {
+    // first run stages + backfills; capture a sibling partition's files
+    SparkEntry.queries("dynamic_partition_overwrite")(spark, sf).count()
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val tableDir = warehouse.listFiles().filter(_.getName.startsWith("graft_events_dpo")).head
+    def snap(part: String): Map[String, Long] = {
+      val d = new java.io.File(tableDir, s"event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val sigBefore = snap("signup")
+    val clickBefore = snap("click")
+    // second run re-executes the backfill: click MAY be rewritten, the
+    // sibling partitions MUST be byte-level untouched (same files, same
+    // mtimes) — dynamic mode's whole contract vs static truncate-all
+    SparkEntry.queries("dynamic_partition_overwrite")(spark, sf).count()
+    assert(snap("signup") == sigBefore, "sibling partition was rewritten")
+    assert(clickBefore.nonEmpty && snap("click").nonEmpty)
+  }
 }
