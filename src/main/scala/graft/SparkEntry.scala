@@ -249,6 +249,7 @@ object SparkEntry {
     "contamination_check" -> (PipelineOps.contaminationCheck _),
     "decontaminate_train" -> (PipelineOps.decontaminateTrain _),
     "incremental_dedup"  -> (DedupOps.incrementalDedup _),
+    "exact_substr_spans" -> (DedupOps.exactSubstrSpans _),
     "repetition_score"  -> (PipelineOps.repetitionScore _),
     "token_budget_select" -> (PipelineOps.tokenBudgetSelect _),
     "corpus_clean"      -> (PipelineOps.corpusClean _),
@@ -794,6 +795,36 @@ object SparkEntry {
         |  CAST(count(tr.sh) AS DOUBLE) / count(*) AS contamination
         |FROM te LEFT JOIN tr ON te.sh = tr.sh
         |GROUP BY 1""".stripMargin,
+    // joins on literal window STRINGS where Spark joins on xxhash64 of the
+    // same strings — pinning the hash join's semantics (contamination_check
+    // precedent); islands pass merges overlapping [pos, pos+19] ranges
+    "exact_substr_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, len(w) AS n, w FROM d WHERE len(w) >= 20),
+        |wins AS (SELECT doc_id, n, unnest(range(1, n - 18)) AS pos, w FROM t),
+        |wh AS (SELECT doc_id, n, pos,
+        |         array_to_string(w[pos:pos+19], ' ') AS win FROM wins),
+        |dup AS (SELECT win FROM wh GROUP BY win HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, n, pos FROM wh JOIN dup USING (win)),
+        |sp AS (SELECT doc_id, n, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 19) OVER (
+        |             PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END AS new_span
+        |       FROM hits),
+        |sid AS (SELECT doc_id, n, pos,
+        |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM sp),
+        |spans AS (SELECT doc_id, n, span_id, min(pos) AS s, max(pos) + 19 AS e,
+        |            count(*) AS nw
+        |          FROM sid GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(e - s + 1) AS DOUBLE) / max(n) AS dup_frac
+        |FROM spans GROUP BY 1""".stripMargin,
     "decontaminate_train" ->
       """WITH d AS (
         |  SELECT doc_id,

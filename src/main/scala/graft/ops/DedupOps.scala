@@ -478,4 +478,69 @@ object DedupOps {
         when(coalesce(col("max_jaccard"), lit(0.0)) >= 0.5, lit("dropped"))
           .otherwise(lit("kept")).as("verdict"))
   }
+
+  /** ExactSubstr-style duplicated-span report (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * STRIDE-1 20-token window is counted corpus-wide; windows occurring
+    * more than once mark their [pos, pos+19] token range as duplicated,
+    * and per document the overlapping ranges merge into maximal spans —
+    * the strongest dedup signal in the literature, catching duplicated
+    * runs at ANY offset where [[PipelineOps.passageDedup]]'s ALIGNED
+    * windows only catch stride-multiples.
+    *
+    * Scale shape: the n−19 window hashes per document are computed INSIDE
+    * the row (`transform(sequence(...))` + `xxhash64` over an in-row
+    * slice — O(n·w) compute, O(n) output longs) and explode as
+    * (hash, doc_id, pos) triples; the corpus-wide count is one hash-keyed
+    * partial agg, and span merging is the classic islands pass under a
+    * doc_id-PARTITIONED window (data-parallel — never a global sort).
+    * Nothing ever shuffles window TEXT; the oracle joins on the literal
+    * window strings, pinning the hash-join's semantics (the same
+    * hash-vs-string contract as contamination_check).
+    *
+    * Output: one row per document that contains at least one duplicated
+    * window — token count, duplicated-window count, merged span count,
+    * duplicated-token total, duplicated fraction (exact ints, ONE IEEE
+    * division at the boundary).
+    */
+  def exactSubstrSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 20
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= W)
+      // the n >= W guard is REPEATED inside the expression: sequence(1, x)
+      // REVERSES for x < 1 (emitting offset 0, which slice rejects), and
+      // the row-level filter is not a guarantee about evaluation order
+      // once the frame is branched (the dup-count side re-derives this
+      // subtree) — IF short-circuits per row in both eval and codegen
+      .withColumn("hs", expr(
+        s"IF(n >= $W, transform(sequence(1, n - ${W - 1}), " +
+          s"i -> xxhash64(array_join(slice(w, i, $W), ' '))), array())"))
+      .select(col("doc_id"), col("n"), posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = hits.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits.join(dup, Seq("h"))
+      .withColumn("new_span",
+        when(col("pos") >
+          coalesce(max(col("pos") + (W - 1)).over(prev), lit(-1L)), 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(upToHere))
+      .groupBy(col("doc_id"), col("n"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (W - 1)).as("e"),
+        count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).cast(LongType).as("n_tokens"),
+        sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        (sum(col("e") - col("s") + 1).cast(DoubleType) /
+          max(col("n"))).as("dup_frac"))
+  }
 }

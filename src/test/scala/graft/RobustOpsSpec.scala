@@ -266,4 +266,57 @@ class RobustOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("xp_nan").isNaN, "non-numeric xpath_number is NaN")
     }
   }
+
+  test("exact_substr_spans matches a brute-force window-count + interval-merge replay") {
+    val W = 20
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1)))
+    // corpus-wide window counts on the literal strings (the op hashes;
+    // 64-bit collisions are out of scope, same contract as the oracle)
+    val wins = docs.flatMap { case (id, w) =>
+      if (w.length < W) Array.empty[(Long, Int, String)]
+      else (0 to w.length - W).map(i => (id, i + 1, w.slice(i, i + W).mkString(" "))).toArray
+    }
+    val counts = wins.groupBy(_._3).map { case (k, v) => k -> v.length }
+    val expected = wins.filter(t => counts(t._3) > 1)
+      .groupBy(_._1).map { case (id, hs) =>
+        val pos = hs.map(_._2).sorted
+        // merge overlapping [p, p+W-1] ranges
+        // join iff the window overlaps the open span (pos <= span end) —
+        // exactly the op's `pos > prevmax(e)` new-span test, adjacency
+        // (pos == end + 1) starts a NEW span on both sides
+        val spans = pos.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+            (acc.head._1, math.max(acc.head._2, p + W - 1)) :: acc.tail
+          case (acc, p) => (p, p + W - 1) :: acc
+        }
+        val n = docs.find(_._1 == id).get._2.length
+        (id, (n.toLong, pos.length.toLong, spans.length.toLong,
+          spans.map(s => s._2 - s._1 + 1).sum.toLong))
+      }
+    val got = SparkEntry.queries("exact_substr_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == expected.keySet, s"doc sets differ: ${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id: ${got(id)} vs $e") }
+  }
+
+  test("exact_substr_spans merges staggered duplicated runs into one maximal span") {
+    // synthetic: two docs share a 25-token run => stride-1 windows at 6
+    // offsets, all overlapping => ONE span of 25 tokens; plus unique tails
+    import spark.implicits._
+    val run = (1 to 25).map(i => s"dup$i").mkString(" ")
+    val a = s"$run ${(1 to 10).map(i => s"ua$i").mkString(" ")}"
+    val b = s"${(1 to 10).map(i => s"ub$i").mkString(" ")} $run"
+    val tmp = java.nio.file.Files.createTempDirectory("substr").toString
+    Seq((1L, a, "en", "src1", a.length.toLong), (2L, b, "en", "src1", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.DedupOps.exactSubstrSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 25-token run => 6 duplicated windows per doc, merged into 1 span of 25
+    assert(rows(1L) == ((6L, 1L, 25L)), rows.toString)
+    assert(rows(2L) == ((6L, 1L, 25L)), rows.toString)
+  }
 }
