@@ -420,3 +420,88 @@ object Word3GramHashes {
     new GenericArrayData(if (k == nSh) out else java.util.Arrays.copyOf(out, k))
   }
 }
+
+/** ALL stride-1 word-window hashes with positions preserved —
+  * `word_window_hashes(string, W) -> array<bigint>` where element g
+  * (0-based) is the hash of the W-token window starting at token g+1.
+  *
+  * Semantically identical (pinned by GraftProperties) to the HOF form
+  * {{{
+  *   w = split(trim(text), " ")
+  *   transform(sequence(1, size(w) - W + 1),
+  *     i -> xxhash64(array_join(slice(w, i, W), ' ')))
+  * }}}
+  * for inputs with at least W words, and EMPTY for shorter inputs (the
+  * HOF sequence would reverse through offset 0 and abort). Unlike
+  * [[Word3GramHashes]] there is NO distinct — [[graft.ops.DedupOps
+  * .exactSubstrSpans]] needs every offset, in order.
+  *
+  * Same 100 TB rationale as the 3-gram walk: `split` keeps empty tokens
+  * and `array_join(…, ' ')` re-joins with the separators the splitter
+  * consumed, so window g's text is EXACTLY the trimmed input's bytes
+  * from the start of word g to the end of word g+W−1 — each xxhash64
+  * (seed 42, the SQL function's) reads the original bytes in place; the
+  * O(n·W) per-document string materialization of the HOF form (the
+  * whole cost of the first exact_substr_spans cut) becomes one O(n)
+  * byte walk.
+  */
+case class WordWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType if width >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a positive window width, got $width")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordWindowHashes.hashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WordWindowHashes.hashes($s, $width);")
+
+  override def prettyName: String = "word_window_hashes"
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashes =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  private val Empty = new GenericArrayData(new Array[Long](0))
+
+  def hashes(s: org.apache.spark.unsafe.types.UTF8String, width: Int): GenericArrayData = {
+    val bytes = s.trim().getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (len == 0 || nWords < width) return Empty
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val nWin = nWords - width + 1
+    val out = new Array[Long](nWin)
+    var g = 0
+    while (g < nWin) {
+      val off = starts(g)
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+        ends(g + width - 1) - off, 42L)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}

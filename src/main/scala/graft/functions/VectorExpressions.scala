@@ -146,6 +146,15 @@ object GraftFunctions {
     (FunctionIdentifier("word3gram_hashes"),
       new ExpressionInfo(classOf[Word3GramHashes].getName, "word3gram_hashes"),
       (children: Seq[Expression]) => Word3GramHashes(children(0))),
+    (FunctionIdentifier("word_window_hashes"),
+      new ExpressionInfo(classOf[WordWindowHashes].getName, "word_window_hashes"),
+      (children: Seq[Expression]) => WordWindowHashes(children(0),
+        // width must be a literal: it is baked into codegen
+        children(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"word_window_hashes width must be an integer literal, got $other")
+        })),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))),

@@ -19,13 +19,14 @@ import graft.model.Tables
   *    seedless hash), distinct per doc, L1-normalized per doc — and
   *    checkpoint-materialized, so T iterations re-scan a compact
   *    integer-triple frame, never the raw text.
-  *  - Each iteration is exactly the two shuffles of distributed GD, both
-  *    keyed on BOUNDED or data-parallel keys: (1) margins — per-doc sums of
-  *    `element_at(w_map, idx)` where the D+1 weights travel as a broadcast
-  *    literal map (weights are summary-cardinality, docs are
-  *    data-cardinality, so weights move to data, never the reverse);
-  *    (2) gradient — residuals join back to the feature frame and reduce
-  *    `groupBy(idx)` to D partial sums with map-side combine.
+  *  - Each iteration is ONE job with ONE shuffle: margins/residuals are a
+  *    pure per-row fold of the feature array against the D+1 weights
+  *    traveling as a broadcast literal map (weights are
+  *    summary-cardinality, docs are data-cardinality, so weights move to
+  *    data, never the reverse — and the doc frame is never re-keyed);
+  *    the gradient explodes the arrays and reduces `groupBy(idx)` to D
+  *    partial sums with map-side combine, unioned with the scalar
+  *    loss/accuracy/bias row into a single collect.
   *  - The ONLY driver-side materialization per iteration is the gradient:
   *    D+1 doubles (an O(model) collect, the same bounded-summary discipline
   *    as [[SimilarityOps]]' codebooks). Documents are never collected.
@@ -54,10 +55,11 @@ object ClassifierOps {
   private[ops] val Iters = 8
   private[ops] val Lr = 0.5
 
-  /** (doc_id, y, xw, idx) feature triples: one row per DISTINCT hashed
-    * token per document, each carrying the document's L1 weight
-    * xw = 1/|distinct features|. `array_distinct` runs inside the row
-    * before the explode, so duplicate tokens never inflate the shuffle.
+  /** (doc_id, y, xw, fs) — one row per DOCUMENT, features kept as the
+    * in-row array of DISTINCT hashed token indices with the L1 weight
+    * xw = 1/|fs|. Keeping features un-exploded is what makes every
+    * margin pass shuffle-FREE (a per-row array fold against the
+    * broadcast weight map); only the gradient reduction ever explodes.
     */
   private def featureFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -66,10 +68,16 @@ object ClassifierOps {
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
         array_distinct(expr(
           s"transform(split(trim(text), ' '), t -> crc32(t) % $D)")).as("fs"))
-      .select(
-        col("doc_id"), col("y"),
-        (lit(1.0) / size(col("fs"))).as("xw"),
-        explode(col("fs")).as("idx"))
+      .withColumn("xw", lit(1.0) / size(col("fs")))
+
+  /** Per-row margin m = b + xw · Σ_{i∈fs} w[i]: a left-fold over the
+    * feature array against the broadcast literal weight map — no shuffle,
+    * and the fold order (array order) is deterministic, so margins are
+    * bit-reproducible on any partitioning.
+    */
+  private def margin(wMap: org.apache.spark.sql.Column, b: Double) =
+    lit(b) + col("xw") * aggregate(col("fs"), lit(0.0),
+      (acc, i) => acc + element_at(wMap, i))
 
   /** Train and return (weights, bias, learning curve): the curve has one
     * (iter, loss, accuracy) point per iteration — mean stable logistic
@@ -79,9 +87,7 @@ object ClassifierOps {
   private[graft] def train(spark: SparkSession, dir: String)
       : (Array[Double], Double, Seq[(Int, Double, Double)]) = {
     val fx = Tables.ckpt(featureFrame(spark, dir))
-    // n for the 1/n gradient scaling: one count over the doc frame (cheap,
-    // and exact — fx rows are feature triples, not docs)
-    val n = Tables.documents(spark, dir).count().toDouble
+    val n = fx.count().toDouble // one row per doc; also warms the checkpoint
 
     var w = Array.fill(D)(0.0) // hashed-feature weights
     var b = 0.0                // bias
@@ -89,51 +95,54 @@ object ClassifierOps {
 
     for (it <- 1 to Iters) {
       val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
-      // per-doc margin m = b + Σ_{idx∈doc} w[idx]; element_at on the
-      // broadcast literal map keeps the lookup inside codegen
-      val doc = fx.groupBy(col("doc_id"), col("y"))
-        .agg((lit(b) + sum(element_at(wMap, col("idx")) * col("xw"))).as("m"))
+      val doc = fx
+        .withColumn("m", margin(wMap, b))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
         .withColumn("resid", col("p") - col("y"))
-      doc.persist()
-      try {
-        // numerically-stable mean logistic loss: log(1+e^-|m|) + max(0, m·(1-2y))
-        // (≡ -y·log p - (1-y)·log(1-p) without overflow for any margin)
-        val stats = doc.agg(
-          avg(log1p(exp(-abs(col("m")))) +
-            greatest(lit(0.0), col("m") * (lit(1.0) - lit(2.0) * col("y")))).as("loss"),
-          avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)).as("acc"))
-          .head()
-        curve += ((it, stats.getDouble(0), stats.getDouble(1)))
-        // gradient: residuals fan back over the feature triples and reduce
-        // to D partial sums (map-side combine; D-bounded shuffle), plus the
-        // bias term from the doc frame directly
-        val grad = fx.join(doc.select(col("doc_id"), col("resid")), Seq("doc_id"))
-          .groupBy(col("idx")).agg(sum(col("resid") * col("xw")).as("g"))
-          .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
-        val gb = doc.agg(sum(col("resid"))).head().getDouble(0)
-        w = Array.tabulate(D)(i => w(i) - Lr / n * grad.getOrElse(i, 0.0))
-        b = b - Lr / n * gb
-      } finally doc.unpersist()
+      // ONE action and ONE shuffle per iteration: the margin/residual is
+      // a pure per-row fold (no doc-key exchange), the gradient explodes
+      // the feature arrays and partial-aggregates groupBy(idx) to D
+      // sums, and the scalar stats row — numerically-stable mean
+      // logistic loss log(1+e^-|m|) + max(0, m·(1-2y)) (≡ -y·log p −
+      // (1−y)·log(1−p) without overflow), train accuracy, bias gradient
+      // Σ resid — unions in under sentinel idx −1. One D+2-row collect.
+      val gradRows = doc
+        .select(col("resid"), col("xw"), explode(col("fs")).as("idx"))
+        .groupBy(col("idx")).agg(
+          sum(col("resid") * col("xw")).as("v1"),
+          lit(0.0).as("v2"), lit(0.0).as("v3"))
+      val statsRow = doc.agg(
+        sum(col("resid")).as("v1"),
+        avg(log1p(exp(-abs(col("m")))) +
+          greatest(lit(0.0), col("m") * (lit(1.0) - lit(2.0) * col("y")))).as("v2"),
+        avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)).as("v3"))
+        .select(lit(-1L).as("idx"), col("v1"), col("v2"), col("v3"))
+      val rows = gradRows.select(col("idx"), col("v1"), col("v2"), col("v3"))
+        .union(statsRow).collect()
+      val grad = rows.filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+      val st = rows.find(_.getLong(0) == -1L).get
+      curve += ((it, st.getDouble(2), st.getDouble(3)))
+      w = Array.tabulate(D)(i => w(i) - Lr / n * grad.getOrElse(i, 0.0))
+      b = b - Lr / n * st.getDouble(1)
     }
     (w, b, curve.result().toSeq)
   }
 
   /** The pipeline product: every document scored by the trained filter —
-    * a fully distributed pass (weights broadcast as a literal map, one
-    * doc-key shuffle for the margins), the shape a 100 TB corpus filter
-    * actually runs after training on a sample. Columns: doc_id, the
-    * training label, the sigmoid score, and the 0.5-threshold decision.
-    * Iterative float training has no SQL oracle (rows-only, one row per
-    * document); ClassifierSpec pins both the learning curve and these
-    * scores against the single-threaded recomputation.
+    * a fully distributed SHUFFLE-FREE pass (weights broadcast as a
+    * literal map, margin folded per row), the shape a 100 TB corpus
+    * filter actually runs after training on a sample. Columns: doc_id,
+    * the training label, the sigmoid score, and the 0.5-threshold
+    * decision. Iterative float training has no SQL oracle (rows-only,
+    * one row per document); ClassifierSpec pins both the learning curve
+    * and these scores against the single-threaded recomputation.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (w, b, _) = train(spark, dir)
     val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
     featureFrame(spark, dir)
-      .groupBy(col("doc_id"), col("y"))
-      .agg((lit(b) + sum(element_at(wMap, col("idx")) * col("xw"))).as("m"))
+      .withColumn("m", margin(wMap, b))
       .select(
         col("doc_id"),
         col("y").cast(IntegerType).as("label"),

@@ -488,11 +488,14 @@ object DedupOps {
     * runs at ANY offset where [[PipelineOps.passageDedup]]'s ALIGNED
     * windows only catch stride-multiples.
     *
-    * Scale shape: the n−19 window hashes per document are computed INSIDE
-    * the row (`transform(sequence(...))` + `xxhash64` over an in-row
-    * slice — O(n·w) compute, O(n) output longs) and explode as
-    * (hash, doc_id, pos) triples; the corpus-wide count is one hash-keyed
-    * partial agg, and span merging is the classic islands pass under a
+    * Scale shape: the n−19 window hashes per document come from ONE
+    * native O(n) byte walk ([[graft.functions.WordWindowHashes]] — each
+    * window hashed over the original bytes in place; the HOF
+    * transform+slice+array_join form was measured at 7.4 s/sf0.1 against
+    * ~1 s for the walk) and explode as (hash, doc_id, pos) triples,
+    * checkpoint-materialized ONCE since both the corpus-wide count and
+    * the dup join consume them; the count is one hash-keyed partial agg,
+    * and span merging is the classic islands pass under a
     * doc_id-PARTITIONED window (data-parallel — never a global sort).
     * Nothing ever shuffles window TEXT; the oracle joins on the literal
     * window strings, pinning the hash-join's semantics (the same
@@ -505,21 +508,21 @@ object DedupOps {
     */
   def exactSubstrSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
     val W = 20
-    val hits = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      .withColumn("n", size(col("w")))
-      .filter(col("n") >= W)
-      // the n >= W guard is REPEATED inside the expression: sequence(1, x)
-      // REVERSES for x < 1 (emitting offset 0, which slice rejects), and
-      // the row-level filter is not a guarantee about evaluation order
-      // once the frame is branched (the dup-count side re-derives this
-      // subtree) — IF short-circuits per row in both eval and codegen
-      .withColumn("hs", expr(
-        s"IF(n >= $W, transform(sequence(1, n - ${W - 1}), " +
-          s"i -> xxhash64(array_join(slice(w, i, $W), ' '))), array())"))
-      .select(col("doc_id"), col("n"), posexplode(col("hs")).as(Seq("p0", "h")))
-      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h"))
+    // word_window_hashes returns EMPTY for docs under W tokens (no
+    // upstream length filter needed — the expression is total); the token
+    // count n is recovered as windows + W − 1, so the text is never
+    // split() at all
+    val hits = Tables.ckpt(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(s"word_window_hashes(text, $W)").as("hs"))
+        .filter(size(col("hs")) >= 1)
+        .withColumn("n", size(col("hs")) + (W - 1))
+        .select(col("doc_id"), col("n"),
+          posexplode(col("hs")).as(Seq("p0", "h")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("h")))
     val dup = hits.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -38,7 +38,9 @@ class ClassifierSpec extends SparkSuite {
     val curve = Seq.newBuilder[(Double, Double)]
     for (_ <- 1 to Iters) {
       val scored = feats.map { case (fs, xw, y) =>
-        val m = b + fs.map(i => w(i) * xw).sum
+        // factored form xw·Σw(i), folded in array order — matches the
+        // op's per-row `aggregate` margin bit for bit
+        val m = b + xw * fs.foldLeft(0.0)((acc, i) => acc + w(i))
         val p = 1.0 / (1.0 + math.exp(-m))
         (fs, xw, y, m, p)
       }

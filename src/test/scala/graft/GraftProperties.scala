@@ -351,6 +351,26 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("word_window_hashes equals xxhash64 of the joined window tokens") = {
+    val genTok = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""))
+    forAll(Gen.listOfN(30, genTok), Gen.choose(1, 8)) { (toks, w) =>
+      val text = toks.mkString(" ")
+      val got = graft.functions.WordWindowHashes.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), w)
+        .toLongArray().toSeq
+      val words = text.trim.split(" ", -1)
+      val expect =
+        if (text.trim.isEmpty || words.length < w) Seq.empty[Long]
+        else (0 to words.length - w).map { i =>
+          val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+            words.slice(i, i + w).mkString(" "))
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      got == expect
+    }
+  }
+
   property("gini impurity is replication-invariant and within [0, 1)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000L)), Gen.choose(2, 5)) { (counts, k) =>
       def gini(cs: List[Long]): Double = {
