@@ -237,6 +237,8 @@ object SparkEntry {
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
     "int8_quantize"     -> (SimilarityOps.int8Quantize _),
     "quality_classifier" -> (ClassifierOps.qualityClassifier _),
+    "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
+    "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
@@ -1657,6 +1659,38 @@ object SparkEntry {
         |  CAST(sum(code) AS BIGINT) AS sum_code,
         |  CAST(count(*) FILTER (WHERE abs(code) = 127) AS BIGINT) AS n_sat
         |FROM c GROUP BY dim""".stripMargin,
+    // centroid per dim from exact floor(x·1e6) integer sums (label_centroids
+    // discipline) divided once; cosine via the same list fold as knn_cosine
+    "semantic_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |      FROM embeddings),
+        |c0 AS (SELECT label, dim,
+        |         CAST(sum(xq) AS DOUBLE) / count(*) / 1e6 AS cd
+        |       FROM q GROUP BY 1, 2),
+        |c AS (SELECT label, list(cd ORDER BY dim) AS cv FROM c0 GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label,
+        |        list_sum(list_transform(list_zip(v, cv), p -> p[1] * p[2]))
+        |          / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |             * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cosine
+        |      FROM e JOIN c USING (label))
+        |SELECT label, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT label, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rk
+        |  FROM s) t WHERE rk <= 3""".stripMargin,
+    // the permutation key is pure BIGINT arithmetic (no RNG, no engine
+    // hash) so the oracle reproduces the exact epoch order
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |             (doc_id % 1000000007) * 2654435761 % 1000000007 AS hkey
+        |           FROM documents)
+        |SELECT doc_id, hkey, hkey % 64 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hkey % 64
+        |                          ORDER BY hkey, doc_id) AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     // Spark groups under the UTF8_LCASE collation natively; the oracle
     // states the same semantics as count(DISTINCT lower(...))
     "collation_distinct" ->

@@ -725,4 +725,27 @@ object PipelineOps {
         col("value").as("last_value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
   }
+
+  /** Deterministic global shuffle — the training-order permutation every
+    * epoch needs over a corpus too big to `ORDER BY rand()`: the same
+    * multiplicative hash as [[hashBucket]] (un-reduced, full 0..p−1
+    * range) is the permutation key, its low bits pick one of 64 output
+    * shards, and the within-shard position is a rank over the hash order
+    * (doc_id tiebreak for the p-collision case). No RNG: rerun-stable
+    * under retries and repartitioning, and any engine reproduces the
+    * exact permutation (the oracle does). Scale shape: assigning shards
+    * is a pure projection; ranking runs under a 64-way shard-PARTITIONED
+    * window — at 100 TB that IS the distributed shuffle (one exchange +
+    * per-shard local sort), with shard count sized to the write target
+    * (not a global sort, not a single partition).
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val hkey = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hkey.as("hkey"))
+      .withColumn("shard", col("hkey") % 64)
+      .withColumn("pos", row_number().over(w))
+  }
 }

@@ -589,6 +589,46 @@ object SimilarityOps {
       .withColumn("is_kept", col("doc_id") === col("keep_id"))
   }
 
+  /** Label-noise audit (Cleanlab-style curation): each labeled vector's
+    * cosine to its OWN class centroid, bottom-3 per label — the vectors
+    * least like their class are the mislabeling/outlier candidates a
+    * curation pass reviews before training a classifier on the labels.
+    *
+    * Centroids follow [[labelCentroids]]' exactness discipline — per-dim
+    * `floor(x·10⁶)` integer sums (order-independent) divided once — then
+    * assemble into an ordered array (sort by dim inside the row) that
+    * BROADCASTS back onto the data: centroids are summary-cardinality
+    * (labels × 64 dims), vectors never re-shuffle, and the only exchange
+    * is the per-label bottom-k window (WindowGroupLimit prunes it
+    * map-side). Cosine runs through the native codegen'd `dot_product`
+    * fold, bit-equal to the oracle's list fold (knn_cosine precedent), so
+    * the op is fully oracle-checked despite float output.
+    */
+  def semanticOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x") * lit(1000000.0)).cast(LongType))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("xq")).cast(DoubleType) / count(lit(1)) / lit(1000000.0)).as("cd"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)").as("cv"))
+      .withColumn("cnrm", expr(
+        "sqrt(aggregate(transform(cv, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cosine"), col("vec_id"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cosine", expr("dot_product(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
   /** Int8 absmax scalar quantization audit — the compression step an
     * embedding store runs before serving (4× smaller vectors, SIMD int8
     * dot products): per-dimension scale = max |x|, code = round(127·x/mx),

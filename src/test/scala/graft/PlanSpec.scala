@@ -731,6 +731,15 @@ class PlanSpec extends SparkSuite {
     assert(g.contains("partial_count") || g.contains("HashAggregate"), g)
   }
 
+  test("semantic_outliers broadcasts label centroids; bottom-k prunes map-side") {
+    val p = plan("semantic_outliers")
+    // centroids are summary-cardinality — they travel TO the vectors
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-label bottom-3: rank-limit pushdown compacts before the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("int8_quantize broadcasts the 64 per-dim scales back onto the data") {
     val p = plan("int8_quantize")
     // scales are summary-cardinality: they must travel TO the data via a
