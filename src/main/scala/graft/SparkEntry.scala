@@ -239,6 +239,7 @@ object SparkEntry {
     "quality_classifier" -> (ClassifierOps.qualityClassifier _),
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
+    "dataset_card"      -> (PipelineOps.datasetCard _),
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
@@ -1681,6 +1682,22 @@ object SparkEntry {
         |  SELECT label, vec_id, cosine,
         |    row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rk
         |  FROM s) t WHERE rk <= 3""".stripMargin,
+    "dataset_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks,
+        |             md5(text) AS h
+        |           FROM documents),
+        |g AS (SELECT source, lang, n_chars, toks,
+        |        count(*) OVER (PARTITION BY source, h) AS grp
+        |      FROM d)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(toks) AS DOUBLE) / count(*) AS tokens_per_doc
+        |FROM g GROUP BY source""".stripMargin,
     // the permutation key is pure BIGINT arithmetic (no RNG, no engine
     // hash) so the oracle reproduces the exact epoch order
     "corpus_shuffle" ->

@@ -748,4 +748,30 @@ object PipelineOps {
       .withColumn("shard", col("hkey") % 64)
       .withColumn("pos", row_number().over(w))
   }
+
+  /** Dataset card — the per-source datasheet a released corpus ships
+    * with (Gebru et al.'s "Datasheets for Datasets", the model-card
+    * sibling): per source, document/language/token/char totals, the
+    * exact-duplicate count, and mean tokens per doc. One scan; every
+    * statistic is an exact integer until the single division at the
+    * output boundary. The duplicate count rides a (source, md5) window —
+    * partitions are duplicate GROUPS (bounded by the dup cluster size),
+    * never a source-wide sort.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("h"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"),
+        md5(col("text")).as("h"))
+      .withColumn("grp", count(lit(1)).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_exact_dups"),
+        (sum(col("toks")).cast(DoubleType) / count(lit(1))).as("tokens_per_doc"))
+  }
 }
