@@ -24,9 +24,10 @@ import graft.model.Tables
   *    traveling as a broadcast literal map (weights are
   *    summary-cardinality, docs are data-cardinality, so weights move to
   *    data, never the reverse — and the doc frame is never re-keyed);
-  *    the gradient explodes the arrays and reduces `groupBy(idx)` to D
-  *    partial sums with map-side combine, unioned with the scalar
-  *    loss/accuracy/bias row into a single collect.
+  *    the gradient explodes the arrays (a sentinel index appended per
+  *    doc) and reduces `groupBy(idx)` to D+1 partial sums with map-side
+  *    combine — gradient, bias gradient, loss and accuracy all ride the
+  *    SAME single exchange and collect.
   *  - The ONLY driver-side materialization per iteration is the gradient:
   *    D+1 doubles (an O(model) collect, the same bounded-summary discipline
   *    as [[SimilarityOps]]' codebooks). Documents are never collected.
@@ -79,13 +80,15 @@ object ClassifierOps {
     lit(b) + col("xw") * aggregate(col("fs"), lit(0.0),
       (acc, i) => acc + element_at(wMap, i))
 
-  /** Train and return (weights, bias, learning curve): the curve has one
-    * (iter, loss, accuracy) point per iteration — mean stable logistic
-    * loss and 0.5-threshold train accuracy BEFORE that iteration's update.
-    * Driver state is O(model) throughout.
+  /** Train and return (weights, bias, learning curve, the materialized
+    * feature frame): the curve has one (iter, loss, accuracy) point per
+    * iteration — mean stable logistic loss and 0.5-threshold train
+    * accuracy BEFORE that iteration's update. Driver state is O(model)
+    * throughout; the returned frame lets callers score WITHOUT
+    * re-tokenizing the corpus.
     */
   private[graft] def train(spark: SparkSession, dir: String)
-      : (Array[Double], Double, Seq[(Int, Double, Double)]) = {
+      : (Array[Double], Double, Seq[(Int, Double, Double)], DataFrame) = {
     val fx = Tables.ckpt(featureFrame(spark, dir))
     val n = fx.count().toDouble // one row per doc; also warms the checkpoint
 
@@ -95,53 +98,58 @@ object ClassifierOps {
 
     for (it <- 1 to Iters) {
       val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
-      val doc = fx
+      // ONE job, ONE scan of the checkpointed frame, ONE idx-keyed
+      // exchange per iteration: margins/residuals are a pure per-row
+      // fold (no doc-key exchange); then every doc row explodes its
+      // feature array WITH a sentinel idx −1 appended, so a single
+      // groupBy(idx) partial agg carries BOTH the D gradient sums
+      // (resid·xw on real features) and — on the sentinel rows — the
+      // bias gradient Σ resid, the summed stable logistic loss
+      // log(1+e^-|m|) + max(0, m·(1-2y)) (≡ -y·log p − (1−y)·log(1−p)
+      // without overflow), and the correct-prediction count. One
+      // D+1-row collect; loss/accuracy divide by n on the driver.
+      val rows = fx
         .withColumn("m", margin(wMap, b))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
         .withColumn("resid", col("p") - col("y"))
-      // ONE action and ONE shuffle per iteration: the margin/residual is
-      // a pure per-row fold (no doc-key exchange), the gradient explodes
-      // the feature arrays and partial-aggregates groupBy(idx) to D
-      // sums, and the scalar stats row — numerically-stable mean
-      // logistic loss log(1+e^-|m|) + max(0, m·(1-2y)) (≡ -y·log p −
-      // (1−y)·log(1−p) without overflow), train accuracy, bias gradient
-      // Σ resid — unions in under sentinel idx −1. One D+2-row collect.
-      val gradRows = doc
-        .select(col("resid"), col("xw"), explode(col("fs")).as("idx"))
+        .select(col("resid"), col("xw"), col("m"), col("y"), col("p"),
+          explode(concat(col("fs"), array(lit(-1L)))).as("idx"))
         .groupBy(col("idx")).agg(
-          sum(col("resid") * col("xw")).as("v1"),
-          lit(0.0).as("v2"), lit(0.0).as("v3"))
-      val statsRow = doc.agg(
-        sum(col("resid")).as("v1"),
-        avg(log1p(exp(-abs(col("m")))) +
-          greatest(lit(0.0), col("m") * (lit(1.0) - lit(2.0) * col("y")))).as("v2"),
-        avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)).as("v3"))
-        .select(lit(-1L).as("idx"), col("v1"), col("v2"), col("v3"))
-      val rows = gradRows.select(col("idx"), col("v1"), col("v2"), col("v3"))
-        .union(statsRow).collect()
+          sum(when(col("idx") >= 0, col("resid") * col("xw"))
+            .otherwise(col("resid"))).as("v1"),
+          sum(when(col("idx") === -1,
+            log1p(exp(-abs(col("m")))) +
+              greatest(lit(0.0), col("m") * (lit(1.0) - lit(2.0) * col("y"))))
+            .otherwise(0.0)).as("v2"),
+          sum(when(col("idx") === -1 &&
+              ((col("p") >= 0.5) === (col("y") === 1.0)), 1.0)
+            .otherwise(0.0)).as("v3"))
+        .collect()
       val grad = rows.filter(_.getLong(0) >= 0)
         .map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
       val st = rows.find(_.getLong(0) == -1L).get
-      curve += ((it, st.getDouble(2), st.getDouble(3)))
+      curve += ((it, st.getDouble(2) / n, st.getDouble(3) / n))
       w = Array.tabulate(D)(i => w(i) - Lr / n * grad.getOrElse(i, 0.0))
       b = b - Lr / n * st.getDouble(1)
     }
-    (w, b, curve.result().toSeq)
+    (w, b, curve.result().toSeq, fx)
   }
 
   /** The pipeline product: every document scored by the trained filter —
-    * a fully distributed SHUFFLE-FREE pass (weights broadcast as a
-    * literal map, margin folded per row), the shape a 100 TB corpus
-    * filter actually runs after training on a sample. Columns: doc_id,
-    * the training label, the sigmoid score, and the 0.5-threshold
-    * decision. Iterative float training has no SQL oracle (rows-only,
-    * one row per document); ClassifierSpec pins both the learning curve
-    * and these scores against the single-threaded recomputation.
+    * a fully distributed SHUFFLE-FREE pass over the SAME checkpointed
+    * feature frame training used (the corpus is tokenized exactly once),
+    * weights broadcast as a literal map, margin folded per row — the
+    * shape a 100 TB corpus filter actually runs after training on a
+    * sample. Columns: doc_id, the training label, the sigmoid score, and
+    * the 0.5-threshold decision. Iterative float training has no SQL
+    * oracle (rows-only, one row per document); ClassifierSpec pins both
+    * the learning curve and these scores against the single-threaded
+    * recomputation.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val (w, b, _) = train(spark, dir)
+    val (w, b, _, fx) = train(spark, dir)
     val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
-    featureFrame(spark, dir)
+    fx
       .withColumn("m", margin(wMap, b))
       .select(
         col("doc_id"),

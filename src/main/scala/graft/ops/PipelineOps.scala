@@ -32,8 +32,16 @@ object PipelineOps {
     * a 100 TB corpus lives. pmod(x·m, p) = pmod(pmod(x,p)·m, p), so
     * in-range buckets are unchanged.
     */
+  /** The un-reduced permutation key (full 0..p−1 range) the bucket above
+    * truncates: the ONE definition of the multiplicative hash — every
+    * deterministic ordering/sharding op derives from it, so the
+    * overflow-safety argument above guards them all.
+    */
+  private[ops] def permKey(c: org.apache.spark.sql.Column) =
+    pmod(pmod(c, lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
+
   private[ops] def hashBucket(c: org.apache.spark.sql.Column) =
-    pmod(pmod(pmod(c, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(100))
+    pmod(permKey(c), lit(100))
 
   /** Deterministic 80/10/10 train/val/test split over documents. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
@@ -369,8 +377,7 @@ object PipelineOps {
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 10
-    val order = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(1000000007L))
+    val order = permKey(col("doc_id"))
     val w = Window.partitionBy(col("lang")).orderBy(order, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
@@ -740,8 +747,7 @@ object PipelineOps {
     * (not a global sort, not a single partition).
     */
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val hkey = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(1000000007L))
+    val hkey = permKey(col("doc_id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), hkey.as("hkey"))

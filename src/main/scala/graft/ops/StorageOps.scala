@@ -410,7 +410,12 @@ object StorageOps {
     * is both rejected by Spark and semantically circular for a backfill),
     * and re-running it is a no-op rewrite of identical bytes — the
     * at-least-once retry contract a scheduled backfill needs. The mode
-    * conf is set scoped-and-restored, not globally.
+    * conf is set scoped-and-restored, not globally. Dynamic mode's one
+    * semantic hole is guarded explicitly: an EMPTY backfill frame
+    * touches no partitions under dynamic overwrite (stale rows would
+    * survive, silently diverging from the declared result), so that
+    * case routes through the STATIC partition-spec INSERT OVERWRITE,
+    * which truncates the named partition regardless of row count.
     */
   def dynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val evCols = Seq(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -420,19 +425,31 @@ object StorageOps {
         .write.format("parquet").partitionBy("event_type")
         .mode("overwrite").saveAsTable(tbl)
     }
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try {
-      // insertInto is POSITIONAL; the catalog schema has the partition
-      // column last, so the select matches spark.table(staged).columns
-      Tables.events(spark, dir)
-        .filter(col("event_type") === "click" && col("value") >= 1.0)
-        .select(evCols :+ col("event_type"): _*)
-        .write.mode("overwrite").insertInto(staged)
-    } finally prev match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None    => spark.conf.unset(modeKey)
+    val backfill = Tables.events(spark, dir)
+      .filter(col("event_type") === "click" && col("value") >= 1.0)
+      .select(evCols :+ col("event_type"): _*)
+    if (backfill.isEmpty) {
+      // dynamic overwrite's one semantic hole: an EMPTY frame touches no
+      // partitions, which would leave the stale click rows in place (and
+      // silently diverge from the backfill's declared result). "Replace
+      // with nothing" needs the STATIC partition-spec form, which
+      // truncates the named partition regardless of row count.
+      backfill.createOrReplaceTempView("graft_dpo_backfill")
+      spark.sql(
+        s"INSERT OVERWRITE TABLE $staged PARTITION (event_type = 'click') " +
+        "SELECT event_id, ts, user_id, value FROM graft_dpo_backfill")
+    } else {
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try {
+        // insertInto is POSITIONAL; the catalog schema has the partition
+        // column last, so the select matches spark.table(staged).columns
+        backfill.write.mode("overwrite").insertInto(staged)
+      } finally prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
     }
     spark.table(staged)
       .groupBy(col("event_type"))

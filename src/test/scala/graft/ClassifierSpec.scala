@@ -68,12 +68,16 @@ class ClassifierSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val expected = groundTruthCurve(docs)
 
-    val (_, _, got) = ClassifierOps.train(spark, sf)
+    val (_, _, got, _) = ClassifierOps.train(spark, sf)
 
+    val n = docs.size.toDouble
     assert(got.length == Iters)
     got.zip(expected).foreach { case ((it, loss, acc), (eLoss, eAcc)) =>
       assert(math.abs(loss - eLoss) < 1e-9, s"iter $it loss: $loss vs $eLoss")
-      assert(acc == eAcc, s"iter $it accuracy: $acc vs $eAcc")
+      // weights differ ~1e-16 between the distributed and sequential
+      // gradient sums; a margin within that of exactly 0 could flip one
+      // doc's 0.5-threshold decision — allow a single boundary flip
+      assert(math.abs(acc - eAcc) <= 1.5 / n, s"iter $it accuracy: $acc vs $eAcc")
     }
     // full-batch GD on convex loss with an in-range step: monotone descent
     got.map(_._2).sliding(2).foreach { case Seq(a, b) =>
