@@ -240,6 +240,7 @@ object SparkEntry {
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "dataset_card"      -> (PipelineOps.datasetCard _),
+    "ann_index_upsert"  -> (SimilarityOps.annIndexUpsert _),
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),

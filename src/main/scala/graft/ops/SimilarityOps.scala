@@ -494,6 +494,56 @@ object SimilarityOps {
     exactRerank(cand, e, q)
   }
 
+  /** Incremental index maintenance — the ingest path of a deployed ANN
+    * index: a NEW batch of vectors (the ≥90 hash buckets, the same
+    * batch-split discipline as [[graft.ops.DedupOps.incrementalDedup]])
+    * arrives AFTER the index was built, is encoded with the FROZEN
+    * quantizers (coarse centroids + PQ codebooks trained at build time —
+    * retraining per batch would invalidate every stored code), and lands
+    * as a DELTA segment beside the immutable base: the exact main+delta
+    * shape production vector stores run (FAISS IndexShards / Lucene HNSW
+    * segments), compacted offline, never rewritten per batch. Queries
+    * read base ∪ delta under the SAME planning-time cell pruning — both
+    * segments are cell-partitioned, so the probe set prunes directories
+    * in each. ApproxOpsSpec pins the upsert path ROW-IDENTICAL to the
+    * inline full-corpus [[annIvfPq]]: since base ∪ delta = corpus and
+    * the quantizers are shared, incremental ingest must not change a
+    * single answer.
+    */
+  def annIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = IvfPqProbe
+    val e = unitVecs(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    def segment(rows: DataFrame): DataFrame =
+      withCell(rows, cents)
+        .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("u"), cb))
+        .select(col("vec_id"), col("codes"), col("cell"))
+    val standing = PipelineOps.hashBucket(col("vec_id")) < 90
+    val base = StorageOps.ensure(spark, dir, "embeddings", "graft_ivfpq_base") { tbl =>
+      segment(e.filter(standing))
+        .write.format("parquet").partitionBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    val delta = StorageOps.ensure(spark, dir, "embeddings", "graft_ivfpq_delta") { tbl =>
+      segment(e.filter(!standing))
+        .write.format("parquet").partitionBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    val probes = cellProbes(spark, pqQueries(e, cb), cents, nProbe)
+      .select(col("q_id"), col("dtab"), col("c_id"))
+    val probedCells = probes.select(col("c_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.table(base).unionByName(spark.table(delta))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val cand = adcTopC(
+      idx.join(broadcast(probes),
+        col("cell") === col("c_id") && col("vec_id") =!= col("q_id")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
+    exactRerank(cand, e, q)
+  }
+
   /** Per-label centroid of the first 8 embedding dimensions — the
     * class-prototype computation (label → mean vector) behind centroid
     * classifiers and cluster audits. Distributed float summation is

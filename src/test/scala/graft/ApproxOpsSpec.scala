@@ -199,6 +199,17 @@ class ApproxOpsSpec extends SparkSuite {
       s"only-inline=${inline -- stored} only-stored=${stored -- inline}")
   }
 
+  test("ann_index_upsert (base ∪ delta segments) answers exactly like the full rebuild") {
+    // base ∪ delta = corpus and the quantizers are frozen/shared, so
+    // incremental ingest must not change a single row vs inline ann_ivfpq
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rk"))
+    val inline = SparkEntry.queries("ann_ivfpq")(spark, sf).collect().map(key).toSet
+    val upsert = SparkEntry.queries("ann_index_upsert")(spark, sf).collect().map(key).toSet
+    assert(upsert == inline,
+      s"only-inline=${inline -- upsert} only-upsert=${upsert -- inline}")
+  }
+
   test("embed_neardup pairs are exactly cosine > 0.35 among LSH candidates, with bounded misses") {
     val vecs = graft.model.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
