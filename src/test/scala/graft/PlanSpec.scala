@@ -731,6 +731,28 @@ class PlanSpec extends SparkSuite {
     assert(g.contains("partial_count") || g.contains("HashAggregate"), g)
   }
 
+  test("exact_substr_spans hashes windows natively and islands ride doc-partitioned windows") {
+    val p = plan("exact_substr_spans")
+    // the (hash, doc, pos) triples are checkpoint-materialized ONCE (the
+    // native word_window_hashes walk runs at materialization and is
+    // lineage-truncated out of this plan — the byte-walk itself is pinned
+    // by GraftProperties); both the dup-count and join branches must read
+    // the checkpointed RDD, never recompute the scan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    // candidate generation is a hash equi-join — never all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both islands window functions share one (doc_id, pos) sort — no
+    // second exchange between new_span and the running span_id sum
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("dataset_card is one scan: dup-group window + rollup, no joins") {
+    val p = plan("dataset_card")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("semantic_outliers broadcasts label centroids; bottom-k prunes map-side") {
     val p = plan("semantic_outliers")
     // centroids are summary-cardinality — they travel TO the vectors
