@@ -116,6 +116,8 @@ object SparkEntry {
     "mfi_14"            -> (IndicatorOps.mfi14 _),
     "macd"              -> (IndicatorOps.macd _),
     "donchian_channels" -> (IndicatorOps.donchianChannels _),
+    "ichimoku"          -> (IndicatorOps.ichimoku _),
+    "anchored_vwap"     -> (IndicatorOps.anchoredVwap _),
     "keltner_channels"  -> (IndicatorOps.keltnerChannels _),
     "realized_vol"      -> (IndicatorOps.realizedVol _),
     "rolling_beta"      -> (IndicatorOps.rollingBeta _),
@@ -2386,6 +2388,59 @@ object SparkEntry {
         |  CAST(st.within_30 AS DOUBLE) / CAST(st.n AS DOUBLE) AS pct_within_30d,
         |  p90.p90_lag
         |FROM st JOIN p90 ON st.priority = p90.priority""".stripMargin,
+    // ichimoku: every line is integer-cents window extremes summed exactly
+    // and divided ONCE by 200/400; senkou displacement is lag-26 of the
+    // int sums, chikou is lead-26 (NULL tail on both engines)
+    "ichimoku" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    max(hi) OVER w9 AS u9, min(lo) OVER w9 AS d9,
+        |    max(hi) OVER w26 AS u26, min(lo) OVER w26 AS d26,
+        |    max(hi) OVER w52 AS u52, min(lo) OVER w52 AS d52,
+        |    count(*) OVER w26 AS nw26, count(*) OVER w52 AS nw52,
+        |    x
+        |  FROM c
+        |  WINDOW
+        |    w9 AS (PARTITION BY symbol ORDER BY window_start
+        |           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY symbol ORDER BY window_start
+        |            ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (PARTITION BY symbol ORDER BY window_start
+        |            ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT symbol, window_start, u9, d9, u26, d26, nw26,
+        |    lag(u9 + d9 + u26 + d26, 26) OVER ws AS sa_int,
+        |    lag(u52 + d52, 26) OVER ws AS sb_int,
+        |    lag(nw52, 26) OVER ws AS nw52_lag,
+        |    lead(x, 26) OVER ws AS chikou_int
+        |  FROM s
+        |  WINDOW ws AS (PARTITION BY symbol ORDER BY window_start))
+        |SELECT symbol, window_start,
+        |  CAST(u9 + d9 AS DOUBLE) / 200.0 AS tenkan,
+        |  CAST(u26 + d26 AS DOUBLE) / 200.0 AS kijun,
+        |  CAST(sa_int AS DOUBLE) / 400.0 AS senkou_a,
+        |  CAST(sb_int AS DOUBLE) / 200.0 AS senkou_b,
+        |  CAST(chikou_int AS DOUBLE) / 100.0 AS chikou
+        |FROM d WHERE nw26 = 26 AND nw52_lag = 52""".stripMargin),
+    // anchored VWAP: HUGEINT flow sums (cents x volume cumsums can pass
+    // 2^53), one boundary division, NULL on a zero-volume prefix
+    "anchored_vwap" ->
+      (IndicatorCandleCte +
+        """s AS (
+        |  SELECT symbol, window_start,
+        |    sum(CAST(x AS HUGEINT) * vol) OVER wd AS cum_pv,
+        |    CAST(sum(vol) OVER wd AS BIGINT) AS cum_v
+        |  FROM c
+        |  WINDOW wd AS (PARTITION BY symbol, date_trunc('day', window_start)
+        |                ORDER BY window_start
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, window_start,
+        |  CASE WHEN cum_v <> 0
+        |       THEN CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE) / 100.0
+        |  END AS avwap,
+        |  cum_v AS cum_volume
+        |FROM s""".stripMargin),
     "donchian_channels" ->
       (IndicatorCandleCte +
         """s AS (

@@ -368,6 +368,73 @@ object IndicatorOps {
         (dbl(col("up") + col("dn")) / 200.0).as("mid"))
   }
 
+  /** Ichimoku cloud (9/26/52 candles): tenkan/kijun midpoints, the two
+    * senkou cloud spans displaced 26 candles FORWARD (expressed as lag-26
+    * of the span inputs — at row t the cloud overhead was computed at
+    * t−26), and the chikou lagging close displaced backward (lead-26).
+    * Every line is a midpoint of integer-cents window extremes: the int
+    * sums stay exact and each output is ONE division by a power-of-ten ×
+    * 2 constant (200/400), so parity is arithmetic, not libm. Rows emit
+    * once tenkan/kijun windows are full AND the lagged 52-window was full
+    * at t−26; chikou is NULL in the trailing 26 rows on both engines.
+    * One symbol-partitioned window pass, same single exchange as the
+    * rest of the indicator family.
+    */
+  def ichimoku(spark: SparkSession, dir: String): DataFrame = {
+    val w9 = bySym.rowsBetween(-8, 0)
+    val w26 = bySym.rowsBetween(-25, 0)
+    val w52 = bySym.rowsBetween(-51, 0)
+    closes(spark, dir)
+      .withColumn("u9", max(col("hi")).over(w9))
+      .withColumn("d9", min(col("lo")).over(w9))
+      .withColumn("u26", max(col("hi")).over(w26))
+      .withColumn("d26", min(col("lo")).over(w26))
+      .withColumn("u52", max(col("hi")).over(w52))
+      .withColumn("d52", min(col("lo")).over(w52))
+      .withColumn("nw26", count(lit(1)).over(w26))
+      .withColumn("nw52", count(lit(1)).over(w52))
+      .withColumn("sa_int",
+        lag(col("u9") + col("d9") + col("u26") + col("d26"), 26).over(bySym))
+      .withColumn("sb_int", lag(col("u52") + col("d52"), 26).over(bySym))
+      .withColumn("nw52_lag", lag(col("nw52"), 26).over(bySym))
+      .withColumn("chikou_int", lead(col("x"), 26).over(bySym))
+      .filter(col("nw26") === 26 && col("nw52_lag") === 52)
+      .select(
+        col("symbol"), col("window_start"),
+        (dbl(col("u9") + col("d9")) / 200.0).as("tenkan"),
+        (dbl(col("u26") + col("d26")) / 200.0).as("kijun"),
+        (dbl(col("sa_int")) / 400.0).as("senkou_a"),
+        (dbl(col("sb_int")) / 200.0).as("senkou_b"),
+        (dbl(col("chikou_int")) / 100.0).as("chikou"))
+  }
+
+  /** Anchored (intraday running) VWAP: Σ price·volume / Σ volume from the
+    * day's first candle to the current one, re-anchoring at each day
+    * boundary — the execution benchmark every trading desk plots. The
+    * price·volume flow products and their running sums ride
+    * DECIMAL(38,0)/HUGEINT (a $21M-cents close × volume cumsum can pass
+    * 2^53, where double would silently round — the [[mfi14]] lesson);
+    * the division happens ONCE at the boundary, NULL-guarded for a
+    * zero-volume prefix. One (symbol, day)-partitioned running window —
+    * partitions are intraday slices, so the sort is day-bounded.
+    */
+  def anchoredVwap(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window
+      .partitionBy(col("symbol"), date_trunc("DAY", col("window_start")))
+      .orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    closes(spark, dir)
+      .withColumn("pv",
+        col("x").cast(DecimalType(19, 0)) * col("vol").cast(DecimalType(19, 0)))
+      .withColumn("cum_pv", sum(col("pv")).over(wDay))
+      .withColumn("cum_v", sum(col("vol")).over(wDay))
+      .select(
+        col("symbol"), col("window_start"),
+        when(col("cum_v") =!= 0,
+          dbl(col("cum_pv")) / dbl(col("cum_v")) / 100.0).as("avwap"),
+        col("cum_v").as("cum_volume"))
+  }
+
   /** Keltner channel: 20-candle typical-price center ± 2 × the 10-candle
     * mean true range. Typical price rides as its 3×-scaled integer
     * (hi+lo+x, the [[mfi14]] trick), true range as in [[atr14]]; each band
