@@ -419,15 +419,22 @@ object IndicatorOps {
     * partitions are intraday slices, so the sort is day-bounded.
     */
   def anchoredVwap(spark: SparkSession, dir: String): DataFrame = {
+    // the day anchor is materialized as a COLUMN before the window: an
+    // expression-valued partitionBy is re-projected per window function,
+    // splitting the two cumsums onto two (symbol, _w0) exchanges —
+    // PlanSpec pins the single shared shuffle
     val wDay = Window
-      .partitionBy(col("symbol"), date_trunc("DAY", col("window_start")))
+      .partitionBy(col("symbol"), col("day"))
       .orderBy(col("window_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     closes(spark, dir)
+      .withColumn("day", date_trunc("DAY", col("window_start")))
       .withColumn("pv",
         col("x").cast(DecimalType(19, 0)) * col("vol").cast(DecimalType(19, 0)))
-      .withColumn("cum_pv", sum(col("pv")).over(wDay))
-      .withColumn("cum_v", sum(col("vol")).over(wDay))
+      .select(
+        col("symbol"), col("window_start"),
+        sum(col("pv")).over(wDay).as("cum_pv"),
+        sum(col("vol")).over(wDay).as("cum_v"))
       .select(
         col("symbol"), col("window_start"),
         when(col("cum_v") =!= 0,

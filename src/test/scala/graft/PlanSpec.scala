@@ -620,12 +620,17 @@ class PlanSpec extends SparkSuite {
 
   test("indicator family rides ONE symbol exchange over the candle frame (no self-joins)") {
     Seq("macd", "donchian_channels", "keltner_channels", "realized_vol",
-        "drawdown_duration").foreach { q =>
+        "drawdown_duration", "ichimoku").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val symExchanges = "Exchange hashpartitioning\\(symbol".r.findAllIn(p).length
       assert(symExchanges == 1, s"$q: expected 1 symbol shuffle, plan:\n$p")
     }
+    // anchored_vwap re-keys on (symbol, day): BOTH running sums must share
+    // ONE exchange — an expression-valued partitionBy would split them
+    val pv = plan("anchored_vwap")
+    assert(!pv.contains("Join"), s"anchored_vwap must be join-free:\n$pv")
+    assert("Exchange hashpartitioning\\(symbol".r.findAllIn(pv).length == 1, pv)
   }
 
   test("rolling_beta and lead_lag_corr broadcast the benchmark series") {
