@@ -14,11 +14,12 @@ import graft.model.Tables
   *
   * Scale shape (the part that matters at 100 TB):
   *
-  *  - The feature frame (doc_id, y, xw, idx) is built ONCE — tokenize,
+  *  - The feature frame (doc_id, y, xw, fs) is built ONCE — tokenize,
   *    hash each token into D buckets with `crc32 % D` (a portable,
   *    seedless hash), distinct per doc, L1-normalized per doc — and
-  *    checkpoint-materialized, so T iterations re-scan a compact
-  *    integer-triple frame, never the raw text.
+  *    checkpoint-materialized, so T iterations (and the final scoring
+  *    pass) re-scan a compact per-doc integer-array frame, never the
+  *    raw text.
   *  - Each iteration is ONE job with ONE shuffle: margins/residuals are a
   *    pure per-row fold of the feature array against the D+1 weights
   *    traveling as a broadcast literal map (weights are
