@@ -439,6 +439,12 @@ object StorageOps {
         s"INSERT OVERWRITE TABLE $staged PARTITION (event_type = 'click') " +
         "SELECT event_id, ts, user_id, value FROM graft_dpo_backfill")
     } else {
+      // The mode flip is SESSION-wide (restored in finally, but not
+      // atomic): a concurrent writer on this SparkSession would silently
+      // inherit dynamic-overwrite semantics for the duration. This op
+      // assumes the registry's single-threaded driver; a multi-tenant
+      // deployment should scope the mode via a dedicated session
+      // (spark.newSession()) or DataFrameWriterV2.overwritePartitions.
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(modeKey)
       spark.conf.set(modeKey, "dynamic")

@@ -27,9 +27,11 @@ class ClassifierSpec extends SparkSuite {
   private def groundTruthCurve(docs: Seq[(String, String)]): Seq[(Double, Double)] = {
     // (features, xw, y) per doc with L1 weight xw = 1/|features|;
     // split(" ", -1) matches Spark's split semantics (trailing empties
-    // kept) so double-space tokens hash identically
+    // kept) so double-space tokens hash identically; the strip is
+    // SPACE-only (SQL trim semantics — Java String.trim would also eat
+    // \n/\t and diverge on non-space edge whitespace)
     val feats = docs.map { case (text, lang) =>
-      val fs = text.trim.split(" ", -1).map(crcIdx).distinct
+      val fs = SparkSuite.sqlTrim(text).split(" ", -1).map(crcIdx).distinct
       (fs, 1.0 / fs.length, if (lang == "en") 1.0 else 0.0)
     }
     val n = feats.size.toDouble

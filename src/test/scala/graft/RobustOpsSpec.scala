@@ -271,7 +271,9 @@ class RobustOpsSpec extends SparkSuite {
     val W = 20
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1)))
+      // SPACE-only strip = SQL trim semantics (Java String.trim also
+      // eats \n/\t and would diverge on non-space edge whitespace)
+      .map(r => (r.getLong(0), SparkSuite.sqlTrim(r.getString(1)).split(" ", -1)))
     // corpus-wide window counts on the literal strings (the op hashes;
     // 64-bit collisions are out of scope, same contract as the oracle)
     val wins = docs.flatMap { case (id, w) =>

@@ -22,3 +22,12 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 }
+
+object SparkSuite {
+  /** SQL `trim` twin for spec replays: strips ASCII SPACES only. Java
+    * String.trim strips every char <= U+0020 (\n, \t, ...) and would
+    * diverge from Spark/DuckDB trim on non-space edge whitespace.
+    */
+  def sqlTrim(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+}
