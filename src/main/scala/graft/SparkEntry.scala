@@ -176,7 +176,7 @@ object SparkEntry {
     "interval_merge"    -> (StatsOps.intervalMerge _),
     "cdc_apply"         -> (PipelineOps.cdcApply _),
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
-    "pagerank"          -> (StatsOps.pagerank _), // rows-only: float iteration sums
+    "pagerank"          -> (StatsOps.pagerank _),
     "kcore_nodes"       -> (StatsOps.kcoreNodes _),
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
@@ -3201,6 +3201,43 @@ object SparkEntry {
         |  ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |   (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
         |FROM m""".stripMargin,
+    // pagerank replays the engine's 5 FIXED-POINT power iterations as 5
+    // chained CTEs: ranks are BIGINTs in 1e-17 units, contributions are
+    // integer divisions r // outdeg, damping 0.85 = (17·csum) // 20 — all
+    // integer sums, so the result is summation-order independent and
+    // hash-exact across engines (see StatsOps.pagerank)
+    "pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'p' || l_partkey AS src,
+        |                            's' || l_suppkey AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |        FROM e GROUP BY src),
+        |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |tele AS (SELECT ((3 * 100000000000000000) // 20) // n AS t FROM c0),
+        |r0 AS (SELECT src AS node, 100000000000000000 // n AS r FROM deg, c0),
+        |r1 AS (SELECT e.dst AS node, CAST((SELECT t FROM tele)
+        |         + (17 * sum(p.r // d.outdeg)) // 20 AS BIGINT) AS r
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 p ON p.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, CAST((SELECT t FROM tele)
+        |         + (17 * sum(p.r // d.outdeg)) // 20 AS BIGINT) AS r
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 p ON p.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, CAST((SELECT t FROM tele)
+        |         + (17 * sum(p.r // d.outdeg)) // 20 AS BIGINT) AS r
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r2 p ON p.node = e.src
+        |       GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node, CAST((SELECT t FROM tele)
+        |         + (17 * sum(p.r // d.outdeg)) // 20 AS BIGINT) AS r
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r3 p ON p.node = e.src
+        |       GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node, CAST((SELECT t FROM tele)
+        |         + (17 * sum(p.r // d.outdeg)) // 20 AS BIGINT) AS r
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r4 p ON p.node = e.src
+        |       GROUP BY e.dst)
+        |SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1e17 AS rank
+        |FROM r5 ORDER BY r DESC, node LIMIT 30""".stripMargin,
     // kcore oracle mirrors the engine's peeling loop as a recursive CTE:
     // each iteration re-derives the induced-degree live set from the
     // previous one and stops (emits nothing) on the first round whose

@@ -936,13 +936,23 @@ object StatsOps {
     * lineage is checkpoint-truncated every round ([[Tables.ckpt]]), the
     * same discipline as the connected-components ops — without it the
     * plan doubles per iteration and a 20-iteration job dies at scale.
-    * Rows-only gate: float contribution sums are partition-order
-    * dependent in the low bits, so ranks have no hashable SQL twin; the
-    * spec ground-truths all ranks against a straight-line Scala PageRank
-    * at 1e-9 relative tolerance.
+    *
+    * Arithmetic is FIXED-POINT: ranks are BIGINTs in units of 1e-17
+    * (`PrScale`), contributions are integer divisions `r div outdeg`,
+    * and the damping 0.85 = `(17·csum) div 20` — every per-iteration sum
+    * is an INTEGER sum, so the result is partition-order independent and
+    * a DuckDB oracle replays the 5 iterations as 5 chained CTEs with the
+    * identical integer ops (full hash match, where the float form was
+    * rows-only: float contribution sums differ in the low bits by
+    * summation order). Truncation loses < indeg units ≈ 1e-14 absolute
+    * per node per iteration — ApproxOpsSpec pins the ranks within 1e-9
+    * relative of the exact float power iteration, and the top-30 cut
+    * ties break EXACTLY (equal fixed-point values → node-asc), needing
+    * no quantization step.
     */
+  private val PrScale = 100000000000000000L // 1e17; 17·PrScale < 2^63
+
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val d = 0.85
     val l = Tables.lineitem(spark, dir)
       .select(concat(lit("p"), col("l_partkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
@@ -961,8 +971,12 @@ object StatsOps {
     val edgesW = Tables.ckpt(edges.join(broadcast(outdeg), "src")
       .repartition(col("dst"))
       .select(col("src"), col("dst"), col("outdeg")))
-    val n = outdeg.count().toDouble
-    var ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    val n = outdeg.count()
+    // teleport mass (1-d)/n = (3/20)/n and the uniform start 1/n, both in
+    // fixed-point integer ops mirrored verbatim by the oracle SQL
+    val tele = (3L * PrScale / 20L) / n
+    var ranks = outdeg.select(col("src").as("node"),
+      lit(PrScale / n).as("r"))
     for (_ <- 1 to 5) {
       // symmetric edges → every node has in-degree ≥ 1, so the grouped
       // contributions already cover the whole node set and no teleport
@@ -970,20 +984,19 @@ object StatsOps {
       // it, plus a dangling-mass term)
       ranks = Tables.ckpt(edgesW
         .join(broadcast(ranks), edgesW("src") === ranks("node"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
         .select(col("dst").as("node"),
-          (lit((1.0 - d) / n) + lit(d) * col("csum")).as("rank")))
+          (lit(tele) + expr("(17 * csum) div 20")).as("r")))
     }
-    // Top-30 cut: regular graphs produce large EXACT rank ties (at sf0.001
-    // a 124-node plateau straddles the #30 boundary), and tied ranks differ
-    // across partition orders only in ulp noise — ordering by the raw float
-    // would make boundary membership run-dependent. Quantizing to 12
-    // decimals (far above ulp noise, far below any real rank gap) collapses
-    // ties so the node-asc tiebreak, not summation order, decides.
-    ranks.withColumn("rank_q", round(col("rank"), 12))
-      .orderBy(col("rank_q").desc, col("node")).limit(30)
-      .select(col("node"), col("rank"))
+    // Top-30 cut: regular graphs produce large rank plateaus straddling
+    // the boundary; fixed-point plateaus tie EXACTLY, so the node-asc
+    // tiebreak is deterministic without quantization. rank_fp rides along
+    // as the exact integer twin of the double readout.
+    ranks
+      .orderBy(col("r").desc, col("node")).limit(30)
+      .select(col("node"), col("r").as("rank_fp"),
+        (col("r").cast(DoubleType) / lit(1e17)).as("rank"))
   }
 
   /** Audience overlap by DIRECT sketch intersection — the Theta-sketch

@@ -395,14 +395,31 @@ class ApproxOpsSpec extends SparkSuite {
       s"engine ${got.size} nodes vs truth ${finalDeg.size}")
   }
 
-  test("pagerank matches straight-line Scala power iteration at 1e-9") {
+  test("pagerank: exact fixed-point replay, and 1e-9 of the float power iteration") {
     val li = graft.model.Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").collect()
       .map(r => (s"p${r.getAs[Long]("l_partkey")}", s"s${r.getAs[Long]("l_suppkey")}"))
     val edges = (li ++ li.map(_.swap)).distinct
     val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     val nodes = out.keys.toSeq.sorted
-    val n = nodes.size.toDouble
+    val n = nodes.size
+
+    // (a) exact ground truth: the identical fixed-point algorithm
+    // (1e-17-unit BIGINT ranks, integer divisions) straight-line in Scala
+    val Scale = 100000000000000000L
+    val tele = (3L * Scale / 20L) / n
+    var fp = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      out.foreach { case (s, dsts) =>
+        val c = fp(s) / dsts.size
+        dsts.foreach(dst => contrib(dst) += c)
+      }
+      fp = nodes.map(v => v -> (tele + 17L * contrib(v) / 20L)).toMap
+    }
+
+    // (b) float power iteration — the fixed-point truncation (< indeg
+    // units of 1e-17 per node per round) must stay within 1e-9 relative
     var rank = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 5) {
       val contrib = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
@@ -412,19 +429,21 @@ class ApproxOpsSpec extends SparkSuite {
       }
       rank = nodes.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
     }
+
     val got = SparkEntry.queries("pagerank")(spark, sf).collect()
-      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank"))
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank_fp"),
+        r.getAs[Double]("rank")))
     assert(got.length == 30)
-    got.foreach { case (v, r) =>
+    got.foreach { case (v, rfp, r) =>
+      assert(rfp == fp(v), s"$v: engine fp $rfp vs truth ${fp(v)}")
+      assert(r == rfp.toDouble / 1e17, s"$v: double readout not fp/1e17")
       val e = rank(v)
-      assert(math.abs(r - e) <= 1e-9 * math.max(e, 1e-300), s"$v: engine $r vs truth $e")
+      assert(math.abs(r - e) <= 1e-9 * math.max(e, 1e-300), s"$v: engine $r vs float truth $e")
     }
-    // the reported 30 are the true top-30 under the engine's quantized
-    // ordering (12-decimal rank, node asc) — exact plateaus tie-break by
-    // node name, so the boundary set is deterministic
-    def q(r: Double) =
-      BigDecimal(r).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val trueTop = rank.toSeq.sortBy { case (v, r) => (-q(r), v) }.take(30).map(_._1)
+    // the reported 30 are the true top-30 under (rank_fp desc, node asc) —
+    // fixed-point plateaus tie EXACTLY, so the boundary set is
+    // deterministic without any quantization step
+    val trueTop = fp.toSeq.sortBy { case (v, r) => (-r, v) }.take(30).map(_._1)
     assert(got.map(_._1).toSeq == trueTop, "top-30 set/order mismatch")
   }
 }
