@@ -1703,6 +1703,58 @@ object SparkEntry {
         |FROM g GROUP BY source""".stripMargin,
     // the permutation key is pure BIGINT arithmetic (no RNG, no engine
     // hash) so the oracle reproduces the exact epoch order
+    // bpe_segment's oracle replays the ENTIRE BPE training (not just the
+    // re-segmentation under given merges): a recursive CTE carries the
+    // distinct-word segmentation state, each round picks the argmax pair
+    // (count desc, l, r — binary string order, same as the engine's) and
+    // applies it with replace() on a chr(31)-wrapped token encoding —
+    // SQL replace is non-overlapping left-to-right with resume-after-
+    // replacement, exactly BpeMergeStep's greedy walk ("aaa" under (a,a)
+    // -> ["aa","a"]). The wrap chars make token boundaries unambiguous
+    // and survive the pair's internal separator being consumed (the
+    // following token's own wrap stays intact). bpe_merges itself stays
+    // rows-only (its k-row merge TABLE output needs driver iteration),
+    // ground-truthed by BpeSpec's independent trainer.
+    "bpe_segment" ->
+      ("""WITH RECURSIVE
+        |wt AS (SELECT t.w AS w, count(*) AS n
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |            FROM documents) t
+        |      WHERE len(t.w) > 0 GROUP BY t.w),
+        |seg AS (SELECT w, n,
+        |          regexp_replace(w, '(.)', chr(31) || '""" + "\\" + """1' || chr(31), 'g') AS s
+        |        FROM wt),
+        |bpe(rnd, w, n, s) AS (
+        |  SELECT 0 AS rnd, w, n, s FROM seg
+        |  UNION ALL
+        |  (WITH prev AS (SELECT rnd, w, n, s FROM bpe),
+        |   toks AS (SELECT n, string_split(trim(s, chr(31)),
+        |                                   chr(31) || chr(31)) AS ts FROM prev),
+        |   pairs AS (SELECT t.n, t.ts[t.i] AS l, t.ts[t.i+1] AS r
+        |             FROM (SELECT n, ts,
+        |                     unnest(generate_series(1, len(ts)-1)) AS i
+        |                   FROM toks) t),
+        |   best AS (SELECT l, r FROM pairs GROUP BY l, r
+        |            ORDER BY sum(n) DESC, l, r LIMIT 1)
+        |   SELECT p.rnd + 1, p.w, p.n,
+        |          replace(p.s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+        |                       chr(31)||b.l||b.r||chr(31)) AS s
+        |   FROM prev p, best b
+        |   WHERE p.rnd < 8)
+        |),
+        |fin AS (SELECT w, len(string_split(trim(s, chr(31)),
+        |                                   chr(31)||chr(31))) AS ntok
+        |        FROM bpe WHERE rnd = (SELECT max(rnd) FROM bpe)),
+        |inst AS (SELECT t.source AS source, t.w AS w
+        |         FROM (SELECT source,
+        |                 unnest(string_split(lower(text), ' ')) AS w
+        |               FROM documents) t
+        |         WHERE len(t.w) > 0)
+        |SELECT i.source AS source,
+        |  CAST(sum(length(i.w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(f.ntok) AS BIGINT) AS n_tokens
+        |FROM inst i JOIN fin f ON f.w = i.w
+        |GROUP BY i.source""").stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |             (doc_id % 1000000007) * 2654435761 % 1000000007 AS hkey

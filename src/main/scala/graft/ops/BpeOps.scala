@@ -97,6 +97,12 @@ object BpeOps {
     * merges arrive as literals baked into a k-deep [[BpeMergeStep]] chain
     * (k codegen'd array walks per word — no join, no shuffle beyond the
     * final per-source aggregate).
+    *
+    * Fully oracle-checked: the DuckDB twin replays the whole training as
+    * a recursive CTE (argmax pair per round, greedy merge via replace()
+    * on a wrapped-token string encoding) and re-aggregates — no learned
+    * literal leaks into the oracle, so the check covers training AND
+    * segmentation end to end.
     */
   def bpeSegment(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val merges = bpeMerges(spark, dir, k).collect()
