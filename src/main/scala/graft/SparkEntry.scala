@@ -228,6 +228,7 @@ object SparkEntry {
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "ngram_containment" -> (DedupOps.ngramContainment _),
+    "containment_lsh"   -> (DedupOps.containmentLsh _), // rows-only: LSH candidate stream
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
     "dedup_clusters_lsh" -> (DedupOps.dedupClustersLsh _),
     "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),
@@ -1560,12 +1561,14 @@ object SparkEntry {
         |  FROM (SELECT doc_id, md5(substr(text, 1, 100)) AS anchor,
         |          string_split(trim(text), ' ') AS w FROM documents)
         |  WHERE len(w) >= 3),
+        |ac AS (SELECT anchor FROM d GROUP BY anchor HAVING count(*) <= 64),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |  UNION ALL
         |  SELECT a.doc_id, b.doc_id, a.sh, b.sh
-        |  FROM d a JOIN d b ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+        |  FROM d a JOIN d b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+        |  JOIN ac ON ac.anchor = a.anchor)
         |SELECT DISTINCT doc_a, doc_b, cont_a, cont_b,
         |  CASE WHEN jaccard >= 0.5 THEN 'near_dup'
         |       WHEN cont_a >= 0.8 THEN 'a_in_b'

@@ -81,6 +81,23 @@ object DedupOps {
     */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.ckpt(signed(spark, dir))
+    lshCandidatePairs(fp)
+      .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** The banded-LSH candidate-pair generator shared by [[minhashNeardup]]
+    * and [[containmentLsh]]: band the checkpointed signature frame,
+    * equi-join on (band, band_hash) buckets (ids only through the
+    * shuffle), cap degenerate buckets at [[MaxBucket]] with a logged
+    * count, expand within-bucket pairs, and dedup pairs that collide in
+    * more than one band. Output: (doc_a, doc_b), doc_a < doc_b.
+    */
+  private def lshCandidatePairs(fp: DataFrame): DataFrame = {
     val buckets = fp
       .select(col("doc_id"), expr(
         s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
@@ -92,7 +109,7 @@ object DedupOps {
       .transform(Tables.ckpt) // tiny (bucketed ids); reused by drop-count + pairs
     val dropped = buckets.filter(size(col("ds")) > MaxBucket).count()
     if (dropped > 0)
-      log.warn(s"minhashNeardup: dropped $dropped degenerate band buckets (> $MaxBucket docs)")
+      log.warn(s"lshCandidatePairs: dropped $dropped degenerate band buckets (> $MaxBucket docs)")
     buckets
       .filter(size(col("ds")) <= MaxBucket)
       .withColumn("ds", array_sort(col("ds")))
@@ -102,12 +119,38 @@ object DedupOps {
           |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
-      .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", expr(
-        s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** Containment scoring composed with the LSH candidate stream — the
+    * production form of [[ngramContainment]]: candidate pairs come from
+    * [[lshCandidatePairs]] (banded signature equi-join, ids-only shuffle,
+    * bucket-capped) instead of fixture-shaped generators, and each
+    * surviving pair is scored on its EXACT shingle sets with the same
+    * |A∩B|/|A|, |A∩B|/|B|, Jaccard and CASE classification. This is the
+    * composition the doc-in-doc detector runs at 100 TB: candidate
+    * generation never materializes all pairs, and exact verification
+    * touches only candidates. LSH-derived pair set → no SQL oracle;
+    * ContainmentLshSpec pins score exactness per emitted pair and recall
+    * of the planted near-dup pairs against [[ngramContainment]].
+    */
+  def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.ckpt(signed(spark, dir))
+    val d = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val contA = inter.cast(DoubleType) / size(col("sh_a"))
+    val contB = inter.cast(DoubleType) / size(col("sh_b"))
+    val jac = inter.cast(DoubleType) /
+      size(array_union(col("sh_a"), col("sh_b")))
+    lshCandidatePairs(fp)
+      .join(d.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        contA.as("cont_a"), contB.as("cont_b"),
+        when(jac >= 0.5, "near_dup")
+          .when(contA >= 0.8, "a_in_b")
+          .when(contB >= 0.8, "b_in_a")
+          .otherwise("distinct").as("relation"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Bit j of the simhash
@@ -359,7 +402,21 @@ object DedupOps {
     val a = d.alias("a")
     val b = d.alias("b")
     val adj = a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
-    val anc = a.join(b,
+    // Same-anchor fan-out cap — the MaxBucket discipline applied to
+    // anchor groups: a production corpus with one dominant template puts
+    // k docs in one anchor and k² pairs in one task. Groups above the cap
+    // are dropped from the ANCHOR generator (adjacent-id pairs are
+    // unaffected); the oracle applies the identical HAVING filter. The
+    // capped frame joins on anchor, which the pair join shuffles on
+    // anyway, so the guard adds no extra exchange pattern.
+    val anchorOk = d.groupBy(col("anchor"))
+      .agg(count(lit(1)).as("anchor_n"))
+      .filter(col("anchor_n") <= MaxBucket)
+      .select(col("anchor"))
+    val dc = d.join(anchorOk, Seq("anchor"), "left_semi")
+    val aC = dc.alias("a")
+    val bC = dc.alias("b")
+    val anc = aC.join(bC,
       col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
     val inter = size(array_intersect(col("a.shingles"), col("b.shingles")))
     val contA = inter.cast(DoubleType) / size(col("a.shingles"))

@@ -55,6 +55,62 @@ class ApproxOpsSpec extends SparkSuite {
     assert(bad.isEmpty, s"false positives: ${bad.take(5).mkString(", ")}")
   }
 
+  test("containment_lsh: exact scores per emitted pair + planted near-dup recall") {
+    val rows = SparkEntry.queries("containment_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty, "no LSH candidates at sf0.001 — spec vacuous")
+    // every emitted score is the exact set computation (same int->double
+    // cast, one IEEE division — bit-identical to the brute replay)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val i = sa.intersect(sb).size.toDouble
+      val (ca, cb) = (i / sa.size, i / sb.size)
+      val j = i / sa.union(sb).size
+      assert(r.getAs[Double]("cont_a") == ca && r.getAs[Double]("cont_b") == cb,
+        s"($a,$b): scores diverge from exact sets")
+      val rel = if (j >= 0.5) "near_dup"
+                else if (ca >= 0.8) "a_in_b"
+                else if (cb >= 0.8) "b_in_a" else "distinct"
+      assert(r.getAs[String]("relation") == rel, s"($a,$b): relation mismatch")
+    }
+    // recall 1.0 on planted near-dups: every true-Jaccard >= 0.7 pair is
+    // in the LSH candidate stream and classified near_dup
+    val byPair = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[String]("relation")).toMap
+    val ids = shingleSets.keys.toSeq.sorted
+    val truth = for {
+      i <- ids; j <- ids if i < j
+      if shingleSets(i).nonEmpty && jaccard(shingleSets(i), shingleSets(j)) >= 0.7
+    } yield (i, j)
+    assert(truth.nonEmpty, "no planted near-dups — spec vacuous")
+    truth.foreach { p =>
+      assert(byPair.get(p).contains("near_dup"), s"planted pair $p missed or misclassified")
+    }
+    info(s"${rows.length} candidate pairs scored; ${truth.size} planted pairs all near_dup")
+  }
+
+  test("ngram_containment caps same-anchor groups at MaxBucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_anchor_cap").toString
+    // 100+ char shared prefix => one md5(substr(text,1,100)) anchor group
+    val prefixA = (1 to 20).map(i => f"alpha$i%02d").mkString(" ") // 20*8-1 = 159 chars
+    val prefixB = (1 to 20).map(i => f"bravo$i%02d").mkString(" ")
+    val big = (0 until 70).map(i => (1000L + i, s"$prefixA tail$i end$i extra$i"))
+    val ctl = Seq((2000L, s"$prefixB tailx endx"), (2005L, s"$prefixB taily endy"))
+    (big ++ ctl).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.DedupOps.ngramContainment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the 70-doc anchor group is OVER the cap: only its adjacent-id pairs
+    // survive (69 of them); the 2-doc group is under the cap and its
+    // non-adjacent same-anchor pair is emitted
+    assert(got.contains((2000L, 2005L)), "under-cap anchor pair missing")
+    assert(!got.contains((1000L, 1050L)), "over-cap anchor pair leaked")
+    assert(got.size == 69 + 1, s"expected 70 pairs, got ${got.size}")
+  }
+
   test("simhash_neardup pair set equals brute-force Hamming <= 3 (pigeonhole-exact)") {
     val fps = SparkEntry.queries("simhash")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
