@@ -10,11 +10,13 @@ import graft.model.Tables
   * every production LLM data pipeline trains over its own corpus (GPT-3's
   * WebText-vs-CommonCrawl quality model, LLaMA/CCNet's fastText language
   * and quality gates): hashed bag-of-words features, logistic regression,
-  * full-batch gradient descent, scored back over every document.
+  * full-batch gradient descent on the deterministic 80% TRAIN bucket,
+  * held-out loss/accuracy reported on the 10% test bucket per iteration,
+  * scored back over every document.
   *
   * Scale shape (the part that matters at 100 TB):
   *
-  *  - The feature frame (doc_id, y, xw, fs) is built ONCE — tokenize,
+  *  - The feature frame (doc_id, y, xw, fs, split) is built ONCE — tokenize,
   *    hash each token into D buckets with `crc32 % D` (a portable,
   *    seedless hash), distinct per doc, L1-normalized per doc — and
   *    checkpoint-materialized, so T iterations (and the final scoring
@@ -26,11 +28,12 @@ import graft.model.Tables
   *    summary-cardinality, docs are data-cardinality, so weights move to
   *    data, never the reverse — and the doc frame is never re-keyed);
   *    the gradient explodes the arrays (a sentinel index appended per
-  *    doc) and reduces `groupBy(idx)` to D+1 partial sums with map-side
-  *    combine — gradient, bias gradient, loss and accuracy all ride the
-  *    SAME single exchange and collect.
+  *    train doc, a bare sentinel per test doc) and reduces `groupBy(idx)`
+  *    to D+2 partial sums with map-side combine — gradient, bias
+  *    gradient, train and holdout loss/accuracy all ride the SAME single
+  *    exchange and collect.
   *  - The ONLY driver-side materialization per iteration is the gradient:
-  *    D+1 doubles (an O(model) collect, the same bounded-summary discipline
+  *    D+2 doubles (an O(model) collect, the same bounded-summary discipline
   *    as [[SimilarityOps]]' codebooks). Documents are never collected.
   *
   * No RNG anywhere: weights init at zero, the hash is seedless, labels
@@ -57,11 +60,15 @@ object ClassifierOps {
   private[ops] val Iters = 8
   private[ops] val Lr = 0.5
 
-  /** (doc_id, y, xw, fs) — one row per DOCUMENT, features kept as the
-    * in-row array of DISTINCT hashed token indices with the L1 weight
+  /** (doc_id, y, xw, fs, split) — one row per DOCUMENT, features kept as
+    * the in-row array of DISTINCT hashed token indices with the L1 weight
     * xw = 1/|fs|. Keeping features un-exploded is what makes every
     * margin pass shuffle-FREE (a per-row array fold against the
     * broadcast weight map); only the gradient reduction ever explodes.
+    * `split` is [[PipelineOps.trainTestSplit]]'s deterministic 80/10/10
+    * hash bucket: the model trains on `train` and reports held-out
+    * metrics on `test` — the production shape, where a quality filter is
+    * fit on a labeled sample and validated on data it never saw.
     */
   private def featureFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -69,7 +76,10 @@ object ClassifierOps {
         col("doc_id"),
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
         array_distinct(expr(
-          s"transform(split(trim(text), ' '), t -> crc32(t) % $D)")).as("fs"))
+          s"transform(split(trim(text), ' '), t -> crc32(t) % $D)")).as("fs"),
+        when(PipelineOps.hashBucket(col("doc_id")) < 80, "train")
+          .when(PipelineOps.hashBucket(col("doc_id")) < 90, "val")
+          .otherwise("test").as("split"))
       .withColumn("xw", lit(1.0) / size(col("fs")))
 
   /** Per-row margin m = b + xw · Σ_{i∈fs} w[i]: a left-fold over the
@@ -81,71 +91,94 @@ object ClassifierOps {
     lit(b) + col("xw") * aggregate(col("fs"), lit(0.0),
       (acc, i) => acc + element_at(wMap, i))
 
-  /** Train and return (weights, bias, learning curve, the materialized
-    * feature frame): the curve has one (iter, loss, accuracy) point per
-    * iteration — mean stable logistic loss and 0.5-threshold train
-    * accuracy BEFORE that iteration's update. Driver state is O(model)
+  /** One learning-curve point: train loss/accuracy and HELD-OUT (test
+    * bucket) loss/accuracy, all measured BEFORE that iteration's update.
+    */
+  final case class CurvePoint(
+      iter: Int, loss: Double, acc: Double,
+      holdoutLoss: Double, holdoutAcc: Double)
+
+  /** Train on the `train` bucket and return (weights, bias, learning
+    * curve, the materialized feature frame). The curve carries train AND
+    * held-out metrics per iteration — gradient sums see ONLY train rows;
+    * test rows contribute a loss/accuracy sentinel and never a gradient
+    * (val rows ride the scan but emit nothing). Driver state is O(model)
     * throughout; the returned frame lets callers score WITHOUT
     * re-tokenizing the corpus.
     */
   private[graft] def train(spark: SparkSession, dir: String)
-      : (Array[Double], Double, Seq[(Int, Double, Double)], DataFrame) = {
+      : (Array[Double], Double, Seq[CurvePoint], DataFrame) = {
     val fx = Tables.ckpt(featureFrame(spark, dir))
-    val n = fx.count().toDouble // one row per doc; also warms the checkpoint
+    // O(splits) collect; also warms the checkpoint
+    val byCnt = fx.groupBy(col("split")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byCnt.getOrElse("train", 0L).toDouble
+    val nTest = byCnt.getOrElse("test", 0L).toDouble
 
     var w = Array.fill(D)(0.0) // hashed-feature weights
     var b = 0.0                // bias
-    val curve = Array.newBuilder[(Int, Double, Double)]
+    val curve = Array.newBuilder[CurvePoint]
 
     for (it <- 1 to Iters) {
       val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
       // ONE job, ONE scan of the checkpointed frame, ONE idx-keyed
       // exchange per iteration: margins/residuals are a pure per-row
-      // fold (no doc-key exchange); then every doc row explodes its
-      // feature array WITH a sentinel idx −1 appended, so a single
-      // groupBy(idx) partial agg carries BOTH the D gradient sums
-      // (resid·xw on real features) and — on the sentinel rows — the
-      // bias gradient Σ resid, the summed stable logistic loss
+      // fold (no doc-key exchange); then every TRAIN row explodes its
+      // feature array WITH a sentinel idx −1 appended and every TEST row
+      // emits only the sentinel −2, so a single groupBy(idx) partial agg
+      // carries the D gradient sums (resid·xw on real features — train
+      // rows only by construction) and, on the sentinel rows, the bias
+      // gradient Σ resid, the summed stable logistic loss
       // log(1+e^-|m|) + max(0, m·(1-2y)) (≡ -y·log p − (1−y)·log(1−p)
-      // without overflow), and the correct-prediction count. One
-      // D+1-row collect; loss/accuracy divide by n on the driver.
+      // without overflow) and the correct-prediction count, keyed per
+      // split. One D+2-row collect; metrics divide by n / nTest on the
+      // driver.
       val rows = fx
         .withColumn("m", margin(wMap, b))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
         .withColumn("resid", col("p") - col("y"))
         .select(col("resid"), col("xw"), col("m"), col("y"), col("p"),
-          explode(concat(col("fs"), array(lit(-1L)))).as("idx"))
+          explode(
+            when(col("split") === "train", concat(col("fs"), array(lit(-1L))))
+              .when(col("split") === "test", array(lit(-2L)))
+              .otherwise(array(lit(-3L)))).as("idx"))
+        .filter(col("idx") =!= -3L)
         .groupBy(col("idx")).agg(
           sum(when(col("idx") >= 0, col("resid") * col("xw"))
             .otherwise(col("resid"))).as("v1"),
-          sum(when(col("idx") === -1,
+          sum(when(col("idx") < 0,
             log1p(exp(-abs(col("m")))) +
               greatest(lit(0.0), col("m") * (lit(1.0) - lit(2.0) * col("y"))))
             .otherwise(0.0)).as("v2"),
-          sum(when(col("idx") === -1 &&
+          sum(when(col("idx") < 0 &&
               ((col("p") >= 0.5) === (col("y") === 1.0)), 1.0)
             .otherwise(0.0)).as("v3"))
         .collect()
       val grad = rows.filter(_.getLong(0) >= 0)
         .map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
       val st = rows.find(_.getLong(0) == -1L).get
-      curve += ((it, st.getDouble(2) / n, st.getDouble(3) / n))
+      val ho = rows.find(_.getLong(0) == -2L)
+      curve += CurvePoint(it, st.getDouble(2) / n, st.getDouble(3) / n,
+        ho.map(_.getDouble(2) / nTest).getOrElse(Double.NaN),
+        ho.map(_.getDouble(3) / nTest).getOrElse(Double.NaN))
       w = Array.tabulate(D)(i => w(i) - Lr / n * grad.getOrElse(i, 0.0))
       b = b - Lr / n * st.getDouble(1)
     }
     (w, b, curve.result().toSeq, fx)
   }
 
-  /** The pipeline product: every document scored by the trained filter —
-    * a fully distributed SHUFFLE-FREE pass over the SAME checkpointed
-    * feature frame training used (the corpus is tokenized exactly once),
-    * weights broadcast as a literal map, margin folded per row — the
-    * shape a 100 TB corpus filter actually runs after training on a
-    * sample. Columns: doc_id, the training label, the sigmoid score, and
-    * the 0.5-threshold decision. Iterative float training has no SQL
-    * oracle (rows-only, one row per document); ClassifierSpec pins both
-    * the learning curve and these scores against the single-threaded
-    * recomputation.
+  /** The pipeline product: every document scored by the filter trained
+    * on the `train` bucket — a fully distributed SHUFFLE-FREE pass over
+    * the SAME checkpointed feature frame training used (the corpus is
+    * tokenized exactly once), weights broadcast as a literal map, margin
+    * folded per row — the shape a 100 TB corpus filter actually runs
+    * after training on a sample. Columns: doc_id, the training label,
+    * the sigmoid score, the 0.5-threshold decision, and the row's
+    * train/val/test split (test-bucket rows are genuine holdout — the
+    * model never saw them). Iterative float training has no SQL oracle
+    * (rows-only, one row per document); ClassifierSpec pins the learning
+    * curve (train AND holdout), and these scores, against the
+    * single-threaded recomputation.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (w, b, _, fx) = train(spark, dir)
@@ -156,6 +189,7 @@ object ClassifierOps {
         col("doc_id"),
         col("y").cast(IntegerType).as("label"),
         (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("score"),
-        (col("m") >= 0.0).as("pred_en"))
+        (col("m") >= 0.0).as("pred_en"),
+        col("split"))
   }
 }
