@@ -3462,29 +3462,42 @@ object SparkEntry {
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  json_extract_string(props, '$.k') AS k_value
         |FROM events""".stripMargin,
+    // the engine ENCODES a real PPM/BMP per document (dims bucket off the
+    // text byte length, format alternates on nb % 4) and DECODES it back;
+    // the oracle re-derives the encoded byte count from the two formats'
+    // exact layouts: PPM = 'P6\n' w ' ' h '\n255\n' + 3wh; BMP = 54-byte
+    // headers + height x 4-byte-padded BGR rows
     "multimodal_meta" ->
-      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
         |           FROM documents),
-        |x AS (SELECT doc_id, nb, 64 + nb % 512 AS width, 64 + (nb // 2) % 512 AS height,
-        |        CASE nb % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-        |      FROM m)
-        |SELECT format, count(*) AS n_media,
-        |  CAST(sum(nb) AS BIGINT) AS sum_bytes,
+        |x AS (SELECT doc_id, nb,
+        |        16 + (nb // 16) % 128 AS w, 16 + (nb // 32) % 128 AS h,
+        |        CASE WHEN nb % 4 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+        |      FROM m),
+        |y AS (SELECT doc_id, fmt, CAST(w AS INTEGER) AS width,
+        |        CAST(h AS INTEGER) AS height,
+        |        CASE WHEN fmt = 'ppm'
+        |             THEN 9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR))
+        |                  + 3 * w * h
+        |             ELSE 54 + h * ((3 * w + 3) // 4 * 4) END AS nbytes
+        |      FROM x)
+        |SELECT fmt AS format, count(*) AS n_media,
+        |  CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
         |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
-        |  CAST(sum(nb) AS DOUBLE) / count(*) AS avg_bytes
-        |FROM x GROUP BY 1""".stripMargin,
+        |  CAST(sum(nbytes) AS DOUBLE) / count(*) AS avg_bytes
+        |FROM y GROUP BY 1""".stripMargin,
     "media_resize" ->
-      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS nb
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
         |           FROM documents),
         |x AS (SELECT doc_id,
-        |        CAST(64 + nb % 512 AS INTEGER) AS width,
-        |        CAST(64 + (nb // 2) % 512 AS INTEGER) AS height FROM m)
+        |        CAST(16 + (nb // 16) % 128 AS INTEGER) AS width,
+        |        CAST(16 + (nb // 32) % 128 AS INTEGER) AS height FROM m)
         |SELECT doc_id, width, height,
-        |  CASE WHEN greatest(width, height) <= 256 THEN width
-        |       ELSE CAST(floor(width * 256.0 / greatest(width, height)) AS INTEGER)
+        |  CASE WHEN greatest(width, height) <= 64 THEN width
+        |       ELSE CAST(floor(width * 64.0 / greatest(width, height)) AS INTEGER)
         |  END AS out_width,
-        |  CASE WHEN greatest(width, height) <= 256 THEN height
-        |       ELSE CAST(floor(height * 256.0 / greatest(width, height)) AS INTEGER)
+        |  CASE WHEN greatest(width, height) <= 64 THEN height
+        |       ELSE CAST(floor(height * 64.0 / greatest(width, height)) AS INTEGER)
         |  END AS out_height
         |FROM x""".stripMargin,
     "feature_extract" ->

@@ -1,0 +1,228 @@
+package graft.ops
+
+/** Pure-JVM image codecs for the multimodal lane: binary PPM (P6) and
+  * uncompressed 24-bit BMP — the two formats a codec-free container can
+  * decode for real (no ImageIO plugins, no native libs). These are REAL
+  * parsers over real encoded bytes: the header is read, validated, and
+  * the pixel array extracted to a canonical row-major top-down RGB
+  * buffer; a malformed payload throws. [[MultimodalOps]] uses them both
+  * directions — fixtures are genuinely encoded, the decode slot
+  * genuinely parses — replacing the former deterministic stub for these
+  * formats (the stub remains only as the documented fallback for
+  * payloads in formats this container cannot decode).
+  *
+  * Format notes:
+  *  - PPM P6 (Netpbm): `P6` magic, whitespace-separated width, height,
+  *    maxval (only 255 supported), `#` comments to end-of-line anywhere
+  *    in the header, ONE whitespace byte after maxval, then 3·w·h raw
+  *    RGB bytes.
+  *  - BMP: 14-byte file header (`BM`, file size, pixel-data offset at
+  *    byte 10) + 40-byte BITMAPINFOHEADER (width int32 LE at 18, height
+  *    at 22 — positive = bottom-up, bpp 24 at 28, compression BI_RGB=0
+  *    at 30). Rows are BGR, padded to 4-byte multiples, stored
+  *    bottom-up; decode flips to top-down RGB.
+  */
+object ImageCodec {
+
+  /** Canonical decoded image: row-major, top-down, 3 bytes (R,G,B) per
+    * pixel, length exactly 3·width·height.
+    */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte]) {
+    require(rgb.length == 3 * width * height,
+      s"rgb length ${rgb.length} != 3*$width*$height")
+  }
+
+  // ---------------------------------------------------------------- PPM
+
+  def encodePpm(img: Image): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  def decodePpm(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // skip whitespace and '#' comments (to end of line)
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"PPM header: digit expected at byte $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"PPM maxval $maxval unsupported (only 255)")
+    // exactly ONE whitespace byte separates the header from pixel data
+    require(pos < bytes.length && isWs(bytes(pos)), "PPM: missing data separator")
+    pos += 1
+    val n = 3 * w * h
+    require(bytes.length - pos == n,
+      s"PPM: ${bytes.length - pos} data bytes for ${w}x$h (want $n)")
+    val rgb = new Array[Byte](n)
+    System.arraycopy(bytes, pos, rgb, 0, n)
+    Image(w, h, rgb)
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Padded bytes per stored row: 3·w rounded up to a 4-byte multiple. */
+  def bmpRowSize(width: Int): Int = (3 * width + 3) / 4 * 4
+
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v & 0xff).toByte
+    a(off + 1) = ((v >>> 8) & 0xff).toByte
+    a(off + 2) = ((v >>> 16) & 0xff).toByte
+    a(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def getIntLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+      ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+
+  def encodeBmp(img: Image): Array[Byte] = {
+    val rowSize = bmpRowSize(img.width)
+    val dataSize = rowSize * img.height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(out, 2, out.length) // file size
+    putIntLE(out, 10, 54)        // pixel-data offset
+    putIntLE(out, 14, 40)        // BITMAPINFOHEADER size
+    putIntLE(out, 18, img.width)
+    putIntLE(out, 22, img.height) // positive: bottom-up
+    out(26) = 1                   // planes
+    out(28) = 24                  // bpp
+    putIntLE(out, 30, 0)          // BI_RGB
+    putIntLE(out, 34, dataSize)
+    var y = 0
+    while (y < img.height) {
+      // stored bottom-up, BGR
+      val srcRow = img.height - 1 - y
+      var x = 0
+      while (x < img.width) {
+        val s = 3 * (srcRow * img.width + x)
+        val d = 54 + y * rowSize + 3 * x
+        out(d) = img.rgb(s + 2)     // B
+        out(d + 1) = img.rgb(s + 1) // G
+        out(d + 2) = img.rgb(s)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = getIntLE(bytes, 10)
+    val dibSize = getIntLE(bytes, 14)
+    require(dibSize >= 40, s"BMP: DIB header $dibSize unsupported")
+    val w = getIntLE(bytes, 18)
+    val hRaw = getIntLE(bytes, 22)
+    require(hRaw > 0, "BMP: top-down (negative height) unsupported")
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    require(bpp == 24, s"BMP: $bpp bpp unsupported (only 24)")
+    require(getIntLE(bytes, 30) == 0, "BMP: compressed payload unsupported")
+    val rowSize = bmpRowSize(w)
+    require(bytes.length >= dataOff + rowSize * hRaw, "BMP: truncated pixel data")
+    val rgb = new Array[Byte](3 * w * hRaw)
+    var y = 0
+    while (y < hRaw) {
+      val srcRow = hRaw - 1 - y // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * rowSize + 3 * x
+        val d = 3 * (y * w + x)
+        rgb(d) = bytes(s + 2)     // R
+        rgb(d + 1) = bytes(s + 1) // G
+        rgb(d + 2) = bytes(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, hRaw, rgb)
+  }
+
+  // ------------------------------------------------------------- common
+
+  /** Magic-byte sniff: Some("ppm") / Some("bmp") / None (unknown). */
+  def sniff(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
+
+  def decode(bytes: Array[Byte]): Image = sniff(bytes) match {
+    case Some("ppm") => decodePpm(bytes)
+    case Some("bmp") => decodeBmp(bytes)
+    case _ => throw new IllegalArgumentException("unknown image format")
+  }
+
+  /** Classic dHash over the decoded image: grayscale, box-average
+    * downsample to a 9×8 grid, one gradient bit per horizontally
+    * adjacent cell pair (bit set iff right cell is strictly brighter).
+    * Cell comparisons use exact integer cross-multiplication
+    * (s1·a0 > s0·a1), never float division, so the hash is
+    * bit-reproducible everywhere. Requires width ≥ 9 and height ≥ 8.
+    */
+  def dhash64(img: Image): Long = {
+    require(img.width >= 9 && img.height >= 8, "dhash needs >= 9x8 pixels")
+    val sums = new Array[Long](72)  // 9 cols x 8 rows, gray sums (3x gray)
+    val areas = new Array[Long](72) // pixel counts per cell
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * img.height / 8
+      val y1 = (cy + 1) * img.height / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * img.width / 9
+        val x1 = (cx + 1) * img.width / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = 3 * (y * img.width + x)
+            // 3·gray = r+g+b — the /3 cancels in the cross-compare
+            s += (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(cy * 9 + cx) = s
+        areas(cy * 9 + cx) = (x1 - x0).toLong * (y1 - y0)
+        cx += 1
+      }
+      cy += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      val cy = b / 8
+      val cx = b % 8
+      val i0 = cy * 9 + cx
+      val i1 = i0 + 1
+      // mean(i1) > mean(i0) via exact cross-multiplication
+      if (sums(i1) * areas(i0) > sums(i0) * areas(i1)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+}

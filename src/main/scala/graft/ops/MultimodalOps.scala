@@ -8,28 +8,98 @@ import graft.model.Tables
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decoded partition-wise (BASELINE.json north star).
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); everything around it — the binary column,
-  * the typed Dataset boundary, `mapPartitions` batching, the metadata
-  * schema, downstream relational ops — is the real production shape. A
-  * deployment swaps [[MultimodalOps.stubDecode]] for a JNI/codec call
-  * without touching the plan: decode stays embarrassingly parallel
-  * (per-partition, no shuffle), and only the small typed metadata rows
-  * flow into the aggregation shuffle.
+  * Since round 9 the image lane is REAL end to end for two codec-free
+  * formats: fixtures are genuinely ENCODED (binary PPM or uncompressed
+  * 24-bit BMP via [[ImageCodec]], pixel content derived deterministically
+  * from the document text so near-duplicate texts yield near-duplicate
+  * images), and the decode slot genuinely PARSES the payload — header
+  * validation, padding, bottom-up row order and all. Width/height/format
+  * in every downstream op come from the decoded header, not from a
+  * length heuristic. [[stubDecode]] remains only as the documented
+  * fallback for payload formats this container has no codec for
+  * (jpeg/png/webp would need native libs); the plan shape — binary
+  * column in, `mapPartitions` decode (one decoder init per partition, no
+  * shuffle), small typed metadata rows out — is identical either way, so
+  * a deployment swaps the decoder body without touching any query.
   */
 object MultimodalOps {
 
-  /** Opaque media payload (doc text bytes stand in for image bytes). */
+  /** Opaque media payload. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
   /** Typed metadata produced by the decoder. */
   final case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, format: String)
 
-  /** STUB decoder — deterministic fake of an image header parse.
-    * Real implementation would be e.g. `ImageIO.read`/ffmpeg over the
-    * payload bytes; the derived fields are a pure function of payload
-    * length so the pipeline is oracle-checkable end to end.
+  /** Deterministic image content for a document: dimensions bucket off
+    * the text byte length (16..143 px a side — small enough to encode
+    * per row, large enough that resize targets straddle); pixels are a
+    * 16×16 piecewise-constant block grid whose values sample the first
+    * 128 text bytes, so documents sharing a long prefix (the planted
+    * near-dup shape) produce near-identical IMAGES — which is what makes
+    * perceptual-hash dedup over these fixtures a real test. Dimensions
+    * quantize by /16 and /32 so near-dup texts (lengths differing by a
+    * few chars) usually share exact dimensions.
+    */
+  private[ops] def buildImage(textBytes: Array[Byte]): ImageCodec.Image = {
+    val nb = textBytes.length
+    val w = 16 + (nb / 16) % 128
+    val h = 16 + (nb / 32) % 128
+    val m = math.min(math.max(nb, 1), 128)
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val by = y * 16 / h
+      var x = 0
+      while (x < w) {
+        val v: Byte =
+          if (nb == 0) 0 else textBytes((by * 16 + x * 16 / w) % m)
+        val p = 3 * (y * w + x)
+        rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, rgb)
+  }
+
+  /** Deterministic REAL encoding of a document's image: BMP when the
+    * text byte length is divisible by 4, PPM otherwise — both decoders
+    * get exercised by every corpus.
+    */
+  private[graft] def buildPayload(textBytes: Array[Byte]): Array[Byte] = {
+    val img = buildImage(textBytes)
+    if (textBytes.length % 4 == 0) ImageCodec.encodeBmp(img)
+    else ImageCodec.encodePpm(img)
+  }
+
+  /** documents → genuinely encoded binary media payloads. Encoding runs
+    * partition-wise; only (id, bytes) rows exist, never a driver copy.
+    */
+  def mediaPayloads(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.doc_id, buildPayload(r.payload))))
+  }
+
+  /** REAL decoder for the formats [[ImageCodec]] covers: sniffs the
+    * magic bytes, parses the header, and reports the DECODED dimensions.
+    * Unknown formats fall back to [[stubDecode]] (documented stand-in).
+    */
+  def realDecode(r: MediaRow): MediaMeta = ImageCodec.sniff(r.payload) match {
+    case Some(fmt) =>
+      val img = ImageCodec.decode(r.payload)
+      MediaMeta(r.doc_id, r.payload.length, img.width, img.height, fmt)
+    case None => stubDecode(r)
+  }
+
+  /** STUB decoder — deterministic fake of an image header parse, kept
+    * ONLY as the fallback for formats with no pure-JVM codec in this
+    * container (a deployment would route these to ImageIO/ffmpeg). The
+    * derived fields are a pure function of payload length so pipelines
+    * over stub-decoded payloads stay oracle-checkable.
     */
   def stubDecode(r: MediaRow): MediaMeta = {
     val n = r.payload.length
@@ -45,13 +115,11 @@ object MultimodalOps {
       })
   }
 
-  /** documents → binary payload column → partition-wise decode. */
+  /** encoded payloads → partition-wise REAL decode. */
   def decoded(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-      .as[MediaRow]
-      .mapPartitions(_.map(stubDecode)) // batch boundary: one decoder init per partition
+    // batch boundary: one decoder init per partition
+    mediaPayloads(spark, dir).mapPartitions(_.map(realDecode))
   }
 
   /** Per-format media stats over the decoded metadata. */
@@ -66,20 +134,21 @@ object MultimodalOps {
         (sum(col("n_bytes").cast(LongType)).cast(DoubleType) / count(lit(1)))
           .as("avg_bytes"))
 
-  /** Resize planning: map decoded dimensions to a target box (max side
-    * 256, aspect-preserving integer arithmetic) — the metadata half of an
-    * image-resize stage; the pixel work would live in the decoder slot.
+  /** Resize planning: map DECODED dimensions to a target box (max side
+    * 64 — a thumbnail pass; the 16..143 px fixtures straddle it so both
+    * CASE branches execute), aspect-preserving integer arithmetic. The
+    * pixel work itself would live in the decoder slot.
     */
   def mediaResize(spark: SparkSession, dir: String): DataFrame =
     decoded(spark, dir).toDF()
-      .withColumn("scale_num", lit(256))
+      .withColumn("scale_num", lit(64))
       .withColumn("scale_den", greatest(col("width"), col("height")))
       .select(
         col("doc_id"), col("width"), col("height"),
-        when(col("scale_den") <= 256, col("width"))
+        when(col("scale_den") <= 64, col("width"))
           .otherwise((col("width") * col("scale_num") / col("scale_den"))
             .cast(IntegerType)).as("out_width"),
-        when(col("scale_den") <= 256, col("height"))
+        when(col("scale_den") <= 64, col("height"))
           .otherwise((col("height") * col("scale_num") / col("scale_den"))
             .cast(IntegerType)).as("out_height"))
 
@@ -107,13 +176,21 @@ object MultimodalOps {
       .select(col("doc_id"), col("feat_norm"), col("features")(0).as("feat0"))
   }
 
-  /** dHash-style 64-bit perceptual hash in the decoder slot: 65 coarse
-    * block sums over the payload, one gradient bit per adjacent pair —
-    * the deterministic stand-in for resize-to-9x8-grayscale-and-compare.
-    * Pure function of the bytes, so near-identical payloads (the planted
-    * near-dup documents) land within a few bits. A deployment swaps this
-    * body for the real image dHash after codec decode; everything
-    * downstream is payload-agnostic.
+  /** REAL perceptual hash in the decoder slot: parse the encoded payload
+    * ([[ImageCodec.decode]]) and dHash the actual pixels — grayscale,
+    * 9×8 box-average downsample, 64 gradient bits, integer-exact cell
+    * comparisons. Near-identical images (the planted near-dup documents
+    * encode to them) land within a few bits. Pure function of the bytes;
+    * unknown formats fall back to [[stubPhash64]].
+    */
+  def phash64(payload: Array[Byte]): Long =
+    if (ImageCodec.sniff(payload).isDefined)
+      ImageCodec.dhash64(ImageCodec.decode(payload))
+    else stubPhash64(payload)
+
+  /** Byte-histogram stand-in hash for undecodable formats: 65 coarse
+    * block sums over the raw payload, one gradient bit per adjacent
+    * pair. Kept as [[phash64]]'s fallback.
     */
   def stubPhash64(payload: Array[Byte]): Long = {
     val n = math.max(payload.length, 1).toLong
@@ -134,23 +211,22 @@ object MultimodalOps {
   }
 
   /** Perceptual-hash near-duplicate detection over the media column — the
-    * image-dedup primitive (same phash, near-identical image). Hash in the
-    * partition-wise decode (no shuffle), then the [[graft.ops.DedupOps]]
-    * banding discipline: 4×16-bit bands, candidates only from shared-band
-    * equi-join buckets (ids+bands shuffle, never payloads), exact
-    * `bit_count(xor)` verify. By pigeonhole, EVERY pair within Hamming ≤ 3
-    * shares at least one intact band, so the banded search is exact for
-    * the emitted radius — MediaPhashSpec pins that against a brute-force
-    * all-pairs scan. Rows-only in the registry (bit-level hash output has
-    * no SQL-oracle twin).
+    * image-dedup primitive (same phash, near-identical image). Decode +
+    * hash REAL pixels in the partition-wise decode slot (no shuffle), then
+    * the [[graft.ops.DedupOps]] banding discipline: 4×16-bit bands,
+    * candidates only from shared-band equi-join buckets (ids+bands
+    * shuffle, never payloads), exact `bit_count(xor)` verify. By
+    * pigeonhole, EVERY pair within Hamming ≤ 3 shares at least one intact
+    * band, so the banded search is exact for the emitted radius —
+    * MediaPhashSpec pins that against a brute-force all-pairs scan.
+    * Rows-only in the registry (bit-level hash output has no SQL-oracle
+    * twin).
     */
   def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = Tables.ckpt(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .as[MediaRow]
-        .mapPartitions(_.map(r => (r.doc_id, stubPhash64(r.payload))))
+      mediaPayloads(spark, dir)
+        .mapPartitions(_.map(r => (r.doc_id, phash64(r.payload))))
         .toDF("doc_id", "phash"))
     val banded = fp.select(col("doc_id"), expr(
       """explode(array(
@@ -175,13 +251,16 @@ object MultimodalOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Frame sampling for video-like payloads: every 10th frame index,
+  /** Frame sampling for video-like payloads (the raw byte stream stands
+    * in for a container the frame index walks): every 10th frame index,
     * exploded to one row per sampled frame with its byte offset. The
     * explode multiplies rows BEFORE any shuffle — downstream ops see
     * (doc, frame) rows that partition freely.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
-    decoded(spark, dir).toDF()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"))
       .withColumn("n_frames", greatest(floor(col("n_bytes") / 100), lit(1L)))
       .select(
         col("doc_id"),

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ImageCodec, MultimodalOps}
+import graft.ops.ImageCodec.Image
+
+/** Byte-level ground truth for the pure-JVM image codecs: hand-built
+  * encoded payloads decode to exactly the expected pixels (header parse,
+  * comments, BMP bottom-up rows and padding all exercised against bytes
+  * written out by hand, not by the encoder under test), encode→decode
+  * round-trips are identity, and the dHash bits are pinned on an image
+  * whose 9×8 downsample is the identity map.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+
+  test("decodePpm parses a hand-built P6 byte-for-byte") {
+    // 2x2: red, green / blue, white — header written out by hand
+    val bytes =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+        255.toByte, 0, 0,   0, 255.toByte, 0,
+        0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val img = ImageCodec.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte))
+  }
+
+  test("decodePpm handles comments and mixed whitespace in the header") {
+    val bytes =
+      "P6 # a comment\n# another\n 2\t1 # trailing\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4, 5, 6)
+    val img = ImageCodec.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 1)
+    assert(img.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+
+  test("decodePpm rejects malformed payloads") {
+    intercept[IllegalArgumentException](
+      ImageCodec.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // truncated pixel data
+      ImageCodec.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException]( // 16-bit maxval unsupported
+      ImageCodec.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](6)))
+  }
+
+  test("decodeBmp parses a hand-built 3x2 24-bit BMP (padding + bottom-up)") {
+    // rows are BGR, padded to 4 bytes (3*3=9 -> 12), stored BOTTOM-UP:
+    // stored row 0 = image row 1 (pixels D E F), stored row 1 = row 0 (A B C)
+    def le(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val header =
+      Array[Byte]('B', 'M') ++ le(54 + 24) ++ le(0) ++ le(54) ++ // file header
+        le(40) ++ le(3) ++ le(2) ++ Array[Byte](1, 0, 24, 0) ++  // DIB
+        le(0) ++ le(24) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    assert(header.length == 54)
+    val rowDEF = Array[Byte](16, 15, 14, 26, 25, 24, 36, 35, 34, 0, 0, 0) // B,G,R + pad
+    val rowABC = Array[Byte](13, 12, 11, 23, 22, 21, 33, 32, 31, 0, 0, 0)
+    val img = ImageCodec.decodeBmp(header ++ rowDEF ++ rowABC)
+    assert(img.width == 3 && img.height == 2)
+    // canonical top-down RGB: A(11,12,13) B(21,22,23) C(31,32,33) / D E F
+    assert(img.rgb.toSeq == Seq[Byte](
+      11, 12, 13, 21, 22, 23, 31, 32, 33,
+      14, 15, 16, 24, 25, 26, 34, 35, 36))
+  }
+
+  test("encode/decode round-trips are identity for both formats") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (9, 8), (17, 5), (143, 143))) {
+      val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 251).toByte)
+      val img = Image(w, h, rgb)
+      val p = ImageCodec.decodePpm(ImageCodec.encodePpm(img))
+      assert(p.width == w && p.height == h && p.rgb.toSeq == rgb.toSeq, s"ppm ${w}x$h")
+      val b = ImageCodec.decodeBmp(ImageCodec.encodeBmp(img))
+      assert(b.width == w && b.height == h && b.rgb.toSeq == rgb.toSeq, s"bmp ${w}x$h")
+    }
+  }
+
+  test("sniff routes by magic bytes") {
+    val img = Image(2, 2, new Array[Byte](12))
+    assert(ImageCodec.sniff(ImageCodec.encodePpm(img)).contains("ppm"))
+    assert(ImageCodec.sniff(ImageCodec.encodeBmp(img)).contains("bmp"))
+    assert(ImageCodec.sniff("hello".getBytes).isEmpty)
+  }
+
+  test("dhash64 bits are the adjacent-cell gradients (9x8 identity downsample)") {
+    // at exactly 9x8 every dHash cell is a single pixel, so the expected
+    // hash is a direct per-pixel comparison — independent of the box-
+    // average machinery under test
+    val w = 9; val h = 8
+    val gray = Array.tabulate(h, w)((y, x) => ((x * 53 + y * 31 + 7) % 256))
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb(3 * (y * w + x) + c) = gray(y)(x).toByte
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val (cy, cx) = (b / 8, b % 8)
+      if (gray(cy)(cx + 1) > gray(cy)(cx)) expected |= 1L << b
+    }
+    assert(ImageCodec.dhash64(Image(w, h, rgb)) == expected)
+  }
+
+  test("buildPayload encodes real images; near-identical texts collide in phash") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val pa = MultimodalOps.buildPayload(base.getBytes("UTF-8"))
+    // format alternates on byte length % 4
+    val fmt = ImageCodec.sniff(pa)
+    assert(fmt.contains(if (base.length % 4 == 0) "bmp" else "ppm"))
+    val img = ImageCodec.decode(pa)
+    assert(img.width == 16 + (base.length / 16) % 128)
+    assert(img.height == 16 + (base.length / 32) % 128)
+    // a tail edit beyond the 128-byte sampling prefix, same length bucket:
+    // pixel-identical image => phash Hamming 0
+    val edited = base.dropRight(3) + "cat"
+    assert(edited.length == base.length)
+    val pb = MultimodalOps.buildPayload(edited.getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(
+      MultimodalOps.phash64(pa) ^ MultimodalOps.phash64(pb)) == 0)
+    // rewriting the whole sampled prefix produces a different image —
+    // phash moves far (a 3-char edit would NOT move it: that robustness
+    // is the point of a perceptual hash)
+    val front = (0 until 99).map(i => ('!' + (i * 7) % 90).toChar).mkString +
+      base.drop(99)
+    assert(front.length == base.length)
+    val pc = MultimodalOps.buildPayload(front.getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(
+      MultimodalOps.phash64(pa) ^ MultimodalOps.phash64(pc)) > 3)
+  }
+}
