@@ -253,6 +253,7 @@ object SparkEntry {
     "freq_tokens"       -> (PipelineOps.freqTokens _),
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     "pack_sequences"    -> (PipelineOps.packSequences _),
+    "span_corruption"   -> (PipelineOps.spanCorruption _),
     "contamination_check" -> (PipelineOps.contaminationCheck _),
     "decontaminate_train" -> (PipelineOps.decontaminateTrain _),
     "incremental_dedup"  -> (DedupOps.incrementalDedup _),
@@ -774,6 +775,32 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100
         |      < least(100, n_chars // 20)""".stripMargin,
+    // span_corruption's mask rule is the pure-BIGINT multiplicative hash
+    // of (doc_id, pos) — both engines compute the identical arithmetic,
+    // so the islands/span merge is exactly replayable
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        CAST(unnest(generate_series(1, len(w))) AS BIGINT) AS pos
+        |      FROM t),
+        |m AS (SELECT doc_id, pos FROM p
+        |      WHERE (((((doc_id % 1000000007) * 1000003 + pos) % 1000000007)
+        |              * 2654435761) % 1000000007) % 100 < 15),
+        |s AS (SELECT doc_id, count(*) AS n_masked,
+        |        count(DISTINCT pos - rn) AS n_spans
+        |      FROM (SELECT doc_id, pos,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |            FROM m)
+        |      GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+        |SELECT n.doc_id, n.n_tokens,
+        |  CAST(coalesce(s.n_masked, 0) AS BIGINT) AS n_masked,
+        |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(s.n_masked, 0) AS DOUBLE) / n.n_tokens AS mask_frac,
+        |  CAST(n.n_tokens - coalesce(s.n_masked, 0) + coalesce(s.n_spans, 0)
+        |       AS BIGINT) AS packed_len
+        |FROM n LEFT JOIN s ON s.doc_id = n.doc_id""".stripMargin,
     "pack_sequences" ->
       """SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
         |  CAST(cum_before // 2048 AS INTEGER) AS pack_id,

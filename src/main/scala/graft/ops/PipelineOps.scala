@@ -764,6 +764,52 @@ object PipelineOps {
     * partitions are duplicate GROUPS (bounded by the dup cluster size),
     * never a source-wide sort.
     */
+  /** T5-style span-corruption PLAN (Raffel et al. 2020, §3.1.4): mark
+    * ~15% of token positions per document for masking and merge adjacent
+    * marks into corruption spans — the denoising-objective preprocessing
+    * every encoder-decoder pretraining pipeline runs. The mask decision
+    * is the deterministic [[permKey]] discipline over (doc_id, pos) — no
+    * RNG, reproducible across reruns/partitionings, and replayable by
+    * the oracle with identical BIGINT arithmetic (doc_id pre-reduced mod
+    * p so the combine provably fits int64 for ANY key; positions are
+    * assumed < 1000003 ≈ a 1M-token document, documented contract).
+    *
+    * Scale shape: positions explode map-side but only the MASKED ~15%
+    * survive the filter into the one doc_id exchange; span merging is
+    * the gaps-and-islands trick (pos − row_number) under a doc-bounded
+    * window — never a global sort, never a self-join. Output per doc:
+    * token/masked/span counts, the mask fraction (one IEEE division),
+    * and the packed sequence length after each span collapses to one
+    * sentinel (what the trainer actually allocates).
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"))
+    val masked = toks.filter(
+      pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(1000003L) + col("pos"),
+        lit(1000000007L)) * lit(2654435761L), lit(1000000007L)) % 100 < 15)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = masked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked"),
+        countDistinct(col("grp")).as("n_spans"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("n_masked"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .as("mask_frac"),
+        (col("n_tokens") - coalesce(col("n_masked"), lit(0L)) +
+          coalesce(col("n_spans"), lit(0L))).as("packed_len"))
+  }
+
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"), col("h"))
     Tables.documents(spark, dir)

@@ -27,16 +27,27 @@ import org.apache.spark.sql.functions._
   * the derived sf1; prints per-sf seconds and the empirical exponent
   * log10(t_sf1 / t_sf0.1) — 1.0 = linear, ~2.0 = quadratic.
   *
-  * Usage: `runMain graft.tools.ScaleProbe <scratchDir> [op ...]`
-  * (default ops: the round-7 super-linear band).
+  * A second decade exists for the highest-exponent graph ops: `--deep`
+  * derives a 100× lineitem (100 disjoint key-offset copies of sf0.1 —
+  * the part↔supplier and co-purchase graphs become 100 disjoint sf0.1
+  * communities) and probes sf0.1 → sf1x → sf10x, reporting the exponent
+  * across EACH decade — a super-linear term that hides in per-round
+  * fixed costs at 10× shows up at 100×.
+  *
+  * Usage: `runMain graft.tools.ScaleProbe <scratchDir> [--deep] [op ...]`
+  * (default ops: the round-7 super-linear band; --deep defaults to the
+  * two highest-exponent ops, pagerank and triangle_count).
   */
 object ScaleProbe {
   private val DefaultOps =
     Seq("pagerank", "kcore_nodes", "dedup_clusters_lsh", "semdedup", "triangle_count")
+  private val DeepOps = Seq("pagerank", "triangle_count")
 
   def main(args: Array[String]): Unit = {
     val scratch = args(0)
-    val ops = if (args.length > 1) args.drop(1).toSeq else DefaultOps
+    val deep = args.contains("--deep")
+    val rest = args.drop(1).filterNot(_ == "--deep").toSeq
+    val ops = if (rest.nonEmpty) rest else if (deep) DeepOps else DefaultOps
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,6 +57,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = s"$scratch/sf1x"
     buildSf1(spark, "/root/testdata/sf0.1", sf1)
+    val sf10 = s"$scratch/sf10x"
+    if (deep) buildLineitemCopies(spark, "/root/testdata/sf0.1", sf10, 100)
 
     def time(op: String, dir: String): Double = {
       def run(): Unit =
@@ -56,15 +69,46 @@ object ScaleProbe {
       run()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"${"op"}%-20s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1x"}%8s  exp(0.1->1)")
-    ops.foreach { op =>
-      val t001 = time(op, "/root/testdata/sf0.01")
-      val t01 = time(op, "/root/testdata/sf0.1")
-      val t1 = time(op, sf1)
-      val exp = math.log10(t1 / t01)
-      println(f"$op%-20s $t001%8.2f $t01%8.2f $t1%8.2f  $exp%.2f")
+    if (deep) {
+      println(f"${"op"}%-20s ${"sf0.1"}%8s ${"sf1x"}%8s ${"sf10x"}%9s  exp(0.1->1) exp(1->10)")
+      ops.foreach { op =>
+        val t01 = time(op, "/root/testdata/sf0.1")
+        val t1 = time(op, sf1)
+        val t10 = time(op, sf10)
+        println(f"$op%-20s $t01%8.2f $t1%8.2f $t10%9.2f  ${math.log10(t1 / t01)}%.2f        ${math.log10(t10 / t1)}%.2f")
+      }
+    } else {
+      println(f"${"op"}%-20s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1x"}%8s  exp(0.1->1)")
+      ops.foreach { op =>
+        val t001 = time(op, "/root/testdata/sf0.01")
+        val t01 = time(op, "/root/testdata/sf0.1")
+        val t1 = time(op, sf1)
+        val exp = math.log10(t1 / t01)
+        println(f"$op%-20s $t001%8.2f $t01%8.2f $t1%8.2f  $exp%.2f")
+      }
     }
     spark.stop()
+  }
+
+  /** Derive an N× lineitem by disjoint per-copy key offsets (idempotent).
+    * Only lineitem: the deep-probe ops (pagerank, triangle_count) read
+    * nothing else.
+    */
+  def buildLineitemCopies(
+      spark: SparkSession, from: String, out: String, n: Int): Unit = {
+    if (new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()) return
+    val copies = spark.range(0, n).select(col("id").cast("int").as("i"))
+    val l = spark.read.parquet(s"$from/lineitem.parquet")
+    val maxes = l.agg(
+      max("l_orderkey").as("mo"), max("l_partkey").as("mp"),
+      max("l_suppkey").as("ms")).head()
+    val (mo, mp, ms) = (maxes.getLong(0), maxes.getLong(1), maxes.getLong(2))
+    l.crossJoin(broadcast(copies))
+      .withColumn("l_orderkey", col("l_orderkey") + col("i") * (mo + 1))
+      .withColumn("l_partkey", col("l_partkey") + col("i") * (mp + 1))
+      .withColumn("l_suppkey", col("l_suppkey") + col("i") * (ms + 1))
+      .drop("i")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
   /** Derive the 10× corpus (idempotent: skips tables already written). */

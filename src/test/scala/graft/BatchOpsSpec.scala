@@ -387,4 +387,34 @@ class BatchOpsSpec extends SparkSuite {
       }.toMap
     assert(got == expected)
   }
+
+  test("span_corruption matches a driver-side mask + island-merge replay") {
+    // the deterministic mask rule and islands merge, replayed in plain Scala
+    def bucket(docId: Long, pos: Long): Long =
+      ((docId % 1000000007L) * 1000003L + pos) % 1000000007L * 2654435761L %
+        1000000007L % 100L
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val n = SparkSuite.sqlTrim(r.getString(1)).split(" ", -1).length.toLong
+        val masked = (1L to n).filter(p => bucket(id, p) < 15)
+        val spans = masked.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: tail, p) if p == e + 1 => (s, p) :: tail
+          case (acc, p) => (p, p) :: acc
+        }
+        id -> (n, masked.size.toLong, spans.size.toLong,
+          n - masked.size + spans.size)
+      }.toMap
+    val got = SparkEntry.queries("span_corruption")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))).toMap
+    assert(got == expected)
+    // corpus-wide mask rate hovers at the 15% target
+    val (m, t) = expected.values.foldLeft((0L, 0L)) {
+      case ((am, at), (n, nm, _, _)) => (am + nm, at + n)
+    }
+    val rate = m.toDouble / t
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate far from 0.15")
+  }
 }
