@@ -679,6 +679,97 @@ object SimilarityOps {
       .select(col("label"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** Distributed k-means over the embedding column (Lloyd's algorithm,
+    * k = 8, 3 fixed iterations) — the embedding-space clustering primitive
+    * a curation pipeline runs before SemDeDup-style within-cluster dedup
+    * or topic-balanced sampling. Deterministic BY CONSTRUCTION and fully
+    * oracle-checked despite the float math:
+    *
+    *  - seeds are the k smallest vec_ids' vectors (no RNG);
+    *  - assignment is a per-row argmin FOLD over the centroid matrix
+    *    traveling as a broadcast LITERAL (the [[ClassifierOps]] weights
+    *    discipline: centroids are O(model) = k·d doubles, so the model
+    *    moves to the data and assignment is SHUFFLE-FREE — the classic
+    *    per-iteration vec_id exchange never happens); squared-L2 folds
+    *    run in element order, the same IEEE sequence the oracle's
+    *    list_sum∘list_zip computes, so distances are bit-identical and
+    *    ties (impossible short of duplicate centroids) break toward the
+    *    smaller cid in both engines;
+    *  - the centroid update is the [[semanticOutliers]] exactness
+    *    discipline: per-(cluster, dim) `floor(x·10⁶)` BIGINT sums —
+    *    order-independent — divided once; ONE (cid, dim)-keyed exchange
+    *    and one O(k·d)-row collect per iteration;
+    *  - a cluster that loses all members drops out (its centroid row
+    *    vanishes in both engines alike — documented contract);
+    *  - inertia is exact: per-row `floor(d2·10⁶)` quantization before the
+    *    integer sum, one division at the boundary.
+    *
+    * The DuckDB oracle replays seeds + 3 update rounds as chained CTEs
+    * (assignment via cross join + row_number) and hash-matches. Output:
+    * one row per surviving cluster — members, exact quantized inertia,
+    * mean distance.
+    */
+  def kmeansEmbed(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = Tables.ckpt(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")))
+    // seeds: k smallest vec_ids, cid 0..k-1 in id order — an O(k) collect
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Double]]("v").toSeq
+      }.toSeq
+
+    // per-row argmin over the literal centroid matrix: (bd, bi) fold,
+    // strict < keeps the earlier (smaller-cid) centroid on a tie
+    def withBest(df: DataFrame): DataFrame = {
+      val m = cents.length
+      df
+        .withColumn("cmat", typedLit(cents.map(_._2)))
+        .withColumn("cids", typedLit(cents.map(_._1)))
+        .withColumn("best", expr(
+          s"""aggregate(sequence(0, ${m - 1}),
+             |  named_struct('bd', cast('Infinity' as double), 'bi', -1),
+             |  (acc, i) -> if(
+             |    aggregate(zip_with(v, element_at(cmat, i + 1),
+             |      (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x) < acc.bd,
+             |    named_struct(
+             |      'bd', aggregate(zip_with(v, element_at(cmat, i + 1),
+             |        (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x),
+             |      'bi', i),
+             |    acc))""".stripMargin))
+        .withColumn("cid", expr("element_at(cids, best.bi + 1)"))
+    }
+
+    for (_ <- 1 to iters) {
+      // ONE job: shuffle-free assignment, explode to (cid, dim, xq),
+      // one (cid, dim) exchange with map-side combine, O(k·d) collect
+      val rows = withBest(e)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1000000.0)).cast(LongType))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("xq")).cast(DoubleType) / count(lit(1)) / lit(1000000.0))
+          .as("cd"))
+        .collect()
+      cents = rows.groupBy(_.getAs[Int]("cid")).toSeq
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("cd")).toSeq
+        }
+        .sortBy(_._1)
+    }
+    // final assignment under the converged centroids; exact quantized inertia
+    withBest(e)
+      .withColumn("d2q", floor(col("best.bd") * lit(1000000.0)).cast(LongType))
+      .groupBy(col("cid").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("d2q")).as("inertia_q6"))
+      .select(col("cluster"), col("n_members"), col("inertia_q6"),
+        (col("inertia_q6").cast(DoubleType) / col("n_members") / lit(1000000.0))
+          .as("mean_d2"))
+  }
+
   /** Int8 absmax scalar quantization audit — the compression step an
     * embedding store runs before serving (4× smaller vectors, SIMD int8
     * dot products): per-dimension scale = max |x|, code = round(127·x/mx),

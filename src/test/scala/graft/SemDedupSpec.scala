@@ -50,4 +50,52 @@ class SemDedupSpec extends SparkSuite {
     assert(dupGroups > 0, "no multi-member semantic groups at sf0.001 — spec vacuous")
     info(s"$dupGroups duplicate groups, ${out.count(!_.getAs[Boolean]("is_kept"))} rows quarantined")
   }
+
+  test("kmeans_embed matches a straight-line Lloyd replay exactly") {
+    val vs = graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val k = 8
+    // seeds: k smallest vec_ids, cid = rank in id order
+    var cents: Seq[Array[Double]] = vs.take(k).map(_._2.clone).toSeq
+    var cids: Seq[Int] = (0 until k)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      // element-order fold, same IEEE sequence as the op's aggregate
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(v: Array[Double]): (Int, Double) = {
+      var bi = -1; var bd = Double.PositiveInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val d = d2(v, c); if (d < bd) { bd = d; bi = i }
+      }
+      (cids(bi), bd)
+    }
+    for (_ <- 1 to 3) {
+      val byC = vs.groupBy { case (_, v) => assign(v)._1 }
+      val alive = byC.keys.toSeq.sorted
+      cents = alive.map { c =>
+        val ms = byC(c).map(_._2)
+        Array.tabulate(ms.head.length) { d =>
+          // exact floor(x*1e6) integer mean, divided once — the op's rule
+          val sq = ms.map(v => math.floor(v(d) * 1e6).toLong).sum
+          sq.toDouble / ms.size / 1e6
+        }
+      }
+      cids = alive
+    }
+    val expected = vs.groupBy { case (_, v) => assign(v)._1 }
+      .map { case (c, ms) =>
+        val q = ms.map { case (_, v) => math.floor(assign(v)._2 * 1e6).toLong }.sum
+        c -> ((ms.size.toLong, q))
+      }
+    val got = SparkEntry.queries("kmeans_embed")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("inertia_q6")))).toMap
+    assert(got == expected, s"clusters diverge: got $got want $expected")
+    assert(got.size > 1, "k-means collapsed to one cluster — spec vacuous")
+  }
 }
