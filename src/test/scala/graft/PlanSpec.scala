@@ -694,6 +694,27 @@ class PlanSpec extends SparkSuite {
       "cumsum windows must be partitioned by slice:\n" + p)
   }
 
+  test("kmeans_embed's returned frame pays exactly one exchange (the cid aggregate)") {
+    // assignment is a shuffle-free fold over the literal centroid matrix;
+    // the ONLY exchange in the final pass is the per-cluster aggregate
+    val p = plan("kmeans_embed")
+    val ex = p.linesIterator.count(_.contains("Exchange "))
+    assert(ex == 1, s"expected 1 exchange, saw $ex:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("span_corruption's islands window is doc-partitioned") {
+    val p = plan("span_corruption")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "span merge must run under a doc_id-partitioned window:\n" + p)
+  }
+
+  test("containment_lsh never materializes an all-pairs product") {
+    val p = plan("containment_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LSH candidate generation must stay an equi-join:\n" + p)
+  }
+
   test("GLOBAL: no registry query funnels a non-summary frame through a single-partition exchange") {
     // The r4/r7 scale-killer class, pinned for EVERY query at once: any
     // `Exchange SinglePartition` in any executed plan must consume an
