@@ -380,4 +380,33 @@ object GraftProperties extends Properties("graft") {
       val g = gini(counts)
       g >= 0.0 && g < 1.0 && math.abs(g - gini(counts.map(_ * k))) < 1e-12
     }
+
+  private val genImage: Gen[graft.ops.ImageCodec.Image] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+    rgb <- Gen.containerOfN[Array, Byte](3 * w * h, Gen.choose(-128, 127).map(_.toByte))
+  } yield graft.ops.ImageCodec.Image(w, h, rgb)
+
+  property("ImageCodec PPM and BMP round-trips are identity") =
+    forAll(genImage) { img =>
+      val p = graft.ops.ImageCodec.decodePpm(graft.ops.ImageCodec.encodePpm(img))
+      val b = graft.ops.ImageCodec.decodeBmp(graft.ops.ImageCodec.encodeBmp(img))
+      p.width == img.width && p.height == img.height &&
+        java.util.Arrays.equals(p.rgb, img.rgb) &&
+        b.width == img.width && b.height == img.height &&
+        java.util.Arrays.equals(b.rgb, img.rgb)
+    }
+
+  property("dhash64 is encoding-invariant (same pixels, PPM vs BMP)") = {
+    val genBig: Gen[graft.ops.ImageCodec.Image] = for {
+      w <- Gen.choose(9, 40)
+      h <- Gen.choose(8, 40)
+      rgb <- Gen.containerOfN[Array, Byte](3 * w * h, Gen.choose(-128, 127).map(_.toByte))
+    } yield graft.ops.ImageCodec.Image(w, h, rgb)
+    forAll(genBig) { img =>
+      // the perceptual hash sees pixels, not the container format
+      MultimodalOps.phash64(graft.ops.ImageCodec.encodePpm(img)) ==
+        MultimodalOps.phash64(graft.ops.ImageCodec.encodeBmp(img))
+    }
+  }
 }
