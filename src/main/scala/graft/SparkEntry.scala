@@ -242,6 +242,7 @@ object SparkEntry {
     "quality_classifier" -> (ClassifierOps.qualityClassifier _),
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
     "kmeans_embed"      -> ((s, d) => SimilarityOps.kmeansEmbed(s, d)),
+    "cluster_balanced_sample" -> ((s, d) => SimilarityOps.clusterBalancedSample(s, d)),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "dataset_card"      -> (PipelineOps.datasetCard _),
     "ann_index_upsert"  -> (SimilarityOps.annIndexUpsert _),
@@ -393,6 +394,43 @@ object SparkEntry {
       |  min(event_id) AS min_event,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Shared CTE prefix for the kmeans family: seeds + 3 Lloyd rounds +
+    * the converged assignment `af(vec_id, v, cid, d2)` — kmeans_embed
+    * aggregates it, cluster_balanced_sample ranks inside it.
+    */
+  private val KmeansCteSql: String =
+    ("""WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+      |         AS cid, v AS cv
+      |       FROM e ORDER BY vec_id LIMIT 8),
+      |""" +
+      (1 to 3).map { i =>
+        s"""a$i AS (SELECT vec_id, v, cid FROM (
+           |        SELECT e.vec_id, e.v, c.cid,
+           |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |            list_sum(list_transform(list_zip(e.v, c.cv),
+           |              p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           |        FROM e, c${i - 1} c) WHERE rn = 1),
+           |c$i AS (SELECT cid, list(cd ORDER BY dim) AS cv FROM (
+           |        SELECT cid, dim, CAST(sum(xq) AS DOUBLE)/count(*)/1e6 AS cd
+           |        FROM (SELECT a.cid, generate_subscripts(a.v, 1) AS dim,
+           |                CAST(floor(unnest(a.v) * 1e6) AS BIGINT) AS xq
+           |              FROM a$i a)
+           |        GROUP BY cid, dim) GROUP BY cid),
+           |""".stripMargin
+      }.mkString +
+      """af AS (SELECT vec_id, cid, d2 FROM (
+      |        SELECT e.vec_id, c.cid,
+      |          list_sum(list_transform(list_zip(e.v, c.cv),
+      |            p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2,
+      |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |            list_sum(list_transform(list_zip(e.v, c.cv),
+      |              p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+      |        FROM e, c3 c) WHERE rn = 1)
+      |""").stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ts_pattern_search" -> TsPatternSql,
@@ -1700,41 +1738,22 @@ object SparkEntry {
     // row_number (d2 asc, cid asc — the engine's keep-first fold),
     // inertia from per-row floor(d2·1e6) BIGINT quantization
     "kmeans_embed" ->
-      ("""WITH e AS (SELECT vec_id,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-        |         AS cid, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |""" +
-        (1 to 3).map { i =>
-          s"""a$i AS (SELECT vec_id, v, cid FROM (
-             |        SELECT e.vec_id, e.v, c.cid,
-             |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |            list_sum(list_transform(list_zip(e.v, c.cv),
-             |              p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-             |        FROM e, c${i - 1} c) WHERE rn = 1),
-             |c$i AS (SELECT cid, list(cd ORDER BY dim) AS cv FROM (
-             |        SELECT cid, dim, CAST(sum(xq) AS DOUBLE)/count(*)/1e6 AS cd
-             |        FROM (SELECT a.cid, generate_subscripts(a.v, 1) AS dim,
-             |                CAST(floor(unnest(a.v) * 1e6) AS BIGINT) AS xq
-             |              FROM a$i a)
-             |        GROUP BY cid, dim) GROUP BY cid),
-             |""".stripMargin
-        }.mkString +
-        """af AS (SELECT vec_id, cid, d2 FROM (
-        |        SELECT e.vec_id, c.cid,
-        |          list_sum(list_transform(list_zip(e.v, c.cv),
-        |            p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2,
-        |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |            list_sum(list_transform(list_zip(e.v, c.cv),
-        |              p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-        |        FROM e, c3 c) WHERE rn = 1)
-        |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+      (KmeansCteSql +
+        """SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_q6,
         |  CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS DOUBLE)/count(*)/1e6
         |    AS mean_d2
-        |FROM af GROUP BY cid""").stripMargin,
+        |FROM af GROUP BY cid""".stripMargin),
+    // equal quota per kmeans cluster, ranked by the multiplicative-hash
+    // permutation of vec_id — same CTE prefix, same hash as corpus_shuffle
+    "cluster_balanced_sample" ->
+      (KmeansCteSql +
+        """SELECT vec_id, cluster, rk FROM (
+        |  SELECT vec_id, cid AS cluster,
+        |    CAST(row_number() OVER (PARTITION BY cid ORDER BY
+        |      (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id)
+        |      AS INTEGER) AS rk
+        |  FROM af) t WHERE rk <= 20""".stripMargin),
     // centroid per dim from exact floor(x·1e6) integer sums (label_centroids
     // discipline) divided once; cosine via the same list fold as knn_cosine
     "semantic_outliers" ->

@@ -709,7 +709,11 @@ object SimilarityOps {
     * one row per surviving cluster — members, exact quantized inertia,
     * mean distance.
     */
-  def kmeansEmbed(spark: SparkSession, dir: String,
+  /** The converged per-vector assignment frame (vec_id, cid, squared
+    * distance) after [[kmeansEmbed]]'s training loop — the frame both the
+    * cluster summary and [[clusterBalancedSample]] consume.
+    */
+  private[ops] def kmeansAssign(spark: SparkSession, dir: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
     val e = Tables.ckpt(Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -758,9 +762,14 @@ object SimilarityOps {
         }
         .sortBy(_._1)
     }
-    // final assignment under the converged centroids; exact quantized inertia
-    withBest(e)
-      .withColumn("d2q", floor(col("best.bd") * lit(1000000.0)).cast(LongType))
+    // final assignment under the converged centroids
+    withBest(e).select(col("vec_id"), col("cid"), col("best.bd").as("d2"))
+  }
+
+  def kmeansEmbed(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssign(spark, dir, k, iters)
+      .withColumn("d2q", floor(col("d2") * lit(1000000.0)).cast(LongType))
       .groupBy(col("cid").as("cluster"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -768,6 +777,28 @@ object SimilarityOps {
       .select(col("cluster"), col("n_members"), col("inertia_q6"),
         (col("inertia_q6").cast(DoubleType) / col("n_members") / lit(1000000.0))
           .as("mean_d2"))
+
+  /** Topic-balanced sampling over the [[kmeansEmbed]] clusters: an equal
+    * quota of vectors per cluster — the curation move that keeps a
+    * dominant embedding-space topic from swamping a training mix (the
+    * cluster-level complement of [[PipelineOps.mixRebalance]]'s
+    * source-level rebalance). Within each cluster, members rank by the
+    * deterministic multiplicative-hash permutation of vec_id (no RNG —
+    * rerun/partitioning-stable, oracle-replayable) and the first
+    * `quota` survive. ONE cid-keyed window after the shuffle-free
+    * assignment pass; output carries the in-cluster rank so a consumer
+    * can tighten the quota without recomputing.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      quota: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("cid")).orderBy(col("hkey"), col("vec_id"))
+    kmeansAssign(spark, dir)
+      .withColumn("hkey",
+        pmod(pmod(col("vec_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000007L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("vec_id"), col("cid").as("cluster"), col("rk"))
   }
 
   /** Int8 absmax scalar quantization audit — the compression step an
