@@ -725,23 +725,25 @@ object SimilarityOps {
         i -> r.getAs[scala.collection.Seq[Double]]("v").toSeq
       }.toSeq
 
-    // per-row argmin over the literal centroid matrix: (bd, bi) fold,
-    // strict < keeps the earlier (smaller-cid) centroid on a tie
+    // per-row argmin over the literal centroid matrix: the distance
+    // vector is computed ONCE (HOFs run interpreted — the k·d fold is
+    // the per-row cost, so never evaluate it twice), then a (bd, bi)
+    // fold where strict < keeps the earlier (smaller-cid) centroid on a
+    // tie
     def withBest(df: DataFrame): DataFrame = {
       val m = cents.length
       df
         .withColumn("cmat", typedLit(cents.map(_._2)))
         .withColumn("cids", typedLit(cents.map(_._1)))
+        .withColumn("d2s", expr(
+          s"""transform(sequence(0, ${m - 1}), i ->
+             |  aggregate(zip_with(v, element_at(cmat, i + 1),
+             |    (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x))""".stripMargin))
         .withColumn("best", expr(
           s"""aggregate(sequence(0, ${m - 1}),
              |  named_struct('bd', cast('Infinity' as double), 'bi', -1),
-             |  (acc, i) -> if(
-             |    aggregate(zip_with(v, element_at(cmat, i + 1),
-             |      (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x) < acc.bd,
-             |    named_struct(
-             |      'bd', aggregate(zip_with(v, element_at(cmat, i + 1),
-             |        (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x),
-             |      'bi', i),
+             |  (acc, i) -> if(element_at(d2s, i + 1) < acc.bd,
+             |    named_struct('bd', element_at(d2s, i + 1), 'bi', i),
              |    acc))""".stripMargin))
         .withColumn("cid", expr("element_at(cids, best.bi + 1)"))
     }
