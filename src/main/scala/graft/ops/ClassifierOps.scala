@@ -70,8 +70,12 @@ object ClassifierOps {
     * metrics on `test` — the production shape, where a quality filter is
     * fit on a labeled sample and validated on data it never saw.
     */
-  private def featureFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The tokenize→hash→weight feature projection over ANY frame with
+    * (doc_id, text, lang) — stateless per-row, so the SAME projection
+    * scores a batch corpus or a STREAMING source unchanged.
+    */
+  private[graft] def features(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
@@ -81,6 +85,9 @@ object ClassifierOps {
           .when(PipelineOps.hashBucket(col("doc_id")) < 90, "val")
           .otherwise("test").as("split"))
       .withColumn("xw", lit(1.0) / size(col("fs")))
+
+  private def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    features(Tables.documents(spark, dir))
 
   /** Per-row margin m = b + xw · Σ_{i∈fs} w[i]: a left-fold over the
     * feature array against the broadcast literal weight map — no shuffle,
@@ -182,6 +189,18 @@ object ClassifierOps {
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (w, b, _, fx) = train(spark, dir)
+    scoreFeatures(fx, w, b)
+  }
+
+  /** Score an already-projected feature frame with trained weights —
+    * stateless: the model rides as a broadcast literal map, the margin
+    * is a per-row array fold, no shuffle, no state. Works identically on
+    * a batch frame or a streaming one (see
+    * [[graft.streaming.QualityScoreStream]] — the train-offline /
+    * score-online half of the classifier lifecycle).
+    */
+  private[graft] def scoreFeatures(
+      fx: DataFrame, w: Array[Double], b: Double): DataFrame = {
     val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
     fx
       .withColumn("m", margin(wMap, b))
