@@ -87,11 +87,22 @@ object MultimodalOps {
   /** REAL decoder for the formats [[ImageCodec]] covers: sniffs the
     * magic bytes, parses the header, and reports the DECODED dimensions.
     * Unknown formats fall back to [[stubDecode]] (documented stand-in).
+    *
+    * TOTAL by contract: a payload whose magic matches but whose body is
+    * malformed (truncated pixel data, bad header) quarantines as
+    * `format = "corrupt"` with zero dimensions instead of throwing — one
+    * bad row must never kill a corpus-sized decode job (the try_funcs /
+    * dead-letter discipline applied to the decode slot).
     */
   def realDecode(r: MediaRow): MediaMeta = ImageCodec.sniff(r.payload) match {
     case Some(fmt) =>
-      val img = ImageCodec.decode(r.payload)
-      MediaMeta(r.doc_id, r.payload.length, img.width, img.height, fmt)
+      try {
+        val img = ImageCodec.decode(r.payload)
+        MediaMeta(r.doc_id, r.payload.length, img.width, img.height, fmt)
+      } catch {
+        case _: IllegalArgumentException =>
+          MediaMeta(r.doc_id, r.payload.length, 0, 0, "corrupt")
+      }
     case None => stubDecode(r)
   }
 

@@ -101,6 +101,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.dhash64(Image(w, h, rgb)) == expected)
   }
 
+  test("realDecode quarantines malformed payloads instead of throwing") {
+    // truncated PPM: valid magic + header, missing pixel bytes — the
+    // decode slot must be TOTAL (one bad row can't kill a corpus job)
+    val truncated = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val m = MultimodalOps.realDecode(MultimodalOps.MediaRow(7L, truncated))
+    assert(m.format == "corrupt" && m.width == 0 && m.height == 0)
+    assert(m.n_bytes == truncated.length && m.doc_id == 7L)
+    // a BMP header lying about its size quarantines the same way
+    val badBmp = ImageCodec.encodeBmp(Image(3, 2, new Array[Byte](18))).take(40)
+    val mb = MultimodalOps.realDecode(MultimodalOps.MediaRow(8L, badBmp))
+    assert(mb.format == "corrupt")
+    // unknown magic still routes to the documented stub fallback
+    val unknown = MultimodalOps.realDecode(
+      MultimodalOps.MediaRow(9L, "GIF89a....".getBytes("US-ASCII")))
+    assert(Set("png", "jpeg", "webp")(unknown.format))
+  }
+
   test("buildPayload encodes real images; near-identical texts collide in phash") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val pa = MultimodalOps.buildPayload(base.getBytes("UTF-8"))
