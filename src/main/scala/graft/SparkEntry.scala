@@ -276,6 +276,8 @@ object SparkEntry {
     "doc_chunks"        -> (PipelineOps.docChunks _),
     "chunk_dedup"       -> (PipelineOps.chunkDedup _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
+    "mixture_plan"      -> (PipelineOps.mixturePlan _),
+    "source_overlap"    -> (PipelineOps.sourceOverlap _),
     "oov_rate"          -> (PipelineOps.oovRate _),
     "passage_dedup"     -> (PipelineOps.passageDedup _),
     "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
@@ -2064,6 +2066,61 @@ object SparkEntry {
         |WHERE ((doc_id % 1000000007) * 2654435761 % 1000000007 % 100)
         |        * t.k * ps.n_s < 100 * t.n_total
         |GROUP BY d.source""".stripMargin,
+    // scaled-integer plan arithmetic (// is DuckDB floor-div = Spark `div`
+    // on the non-negative operands here); the per-doc copy decision replays
+    // the same multiplicative-hash bucket as mix_rebalance
+    "mixture_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+        |    COALESCE(CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '')
+        |      AS BIGINT), 0) + 1 AS w
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |         CAST(min(w) AS BIGINT) AS w
+        |       FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget,
+        |             CAST(sum(w) AS BIGINT) AS w_total FROM ps),
+        |p AS (SELECT source, n_docs, n_tokens, w,
+        |        CAST(budget * w // w_total AS BIGINT) AS desired_tokens,
+        |        CAST(least(400, 100 * (budget * w // w_total) // n_tokens)
+        |          AS BIGINT) AS epochs_q2
+        |      FROM ps CROSS JOIN t),
+        |e AS (SELECT d.source,
+        |        CAST(sum(p.epochs_q2 // 100 + CASE WHEN
+        |          (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |            < p.epochs_q2 % 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS docs_emitted,
+        |        CAST(sum((p.epochs_q2 // 100 + CASE WHEN
+        |          (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |            < p.epochs_q2 % 100 THEN 1 ELSE 0 END) * d.n_toks)
+        |          AS BIGINT) AS tokens_emitted
+        |      FROM d JOIN p USING (source) GROUP BY 1)
+        |SELECT p.source, p.n_docs, p.n_tokens, p.w AS target_w,
+        |  p.desired_tokens, p.epochs_q2, e.docs_emitted, e.tokens_emitted
+        |FROM p JOIN e ON p.source = e.source""".stripMargin,
+    // same aligned-window hash frame as passage_dedup, reduced to
+    // DISTINCT (source, h) before the pair join
+    "source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')) AS h
+        |  FROM d, unnest(generate_series(0,
+        |         CAST(len(toks) // 20 AS INTEGER) - 1)) AS t(i)
+        |  WHERE len(toks) >= 20),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        |j AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT j.source_a, j.source_b, j.n_shared,
+        |  pa.n AS n_a, pb.n AS n_b,
+        |  CAST(j.n_shared AS DOUBLE) / (pa.n + pb.n - j.n_shared) AS jaccard
+        |FROM j JOIN ps pa ON pa.source = j.source_a
+        |       JOIN ps pb ON pb.source = j.source_b""".stripMargin,
     // the oracle is deliberately ONE full-table aggregation: the compare
     // gate proves merged-partials == full recompute (algebraic rollup)
     "incremental_agg_merge" ->

@@ -826,4 +826,104 @@ object PipelineOps {
         sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_exact_dups"),
         (sum(col("toks")).cast(DoubleType) / count(lit(1))).as("tokens_per_doc"))
   }
+
+  /** Target-weighted training-mixture plan with an epoch-capped upsample —
+    * the data-mixing step (DoReMi / Llama-style source reweighting) that
+    * [[mixRebalance]]'s equal-share special case cannot express: each
+    * source s gets a TARGET token share w_s, the budget is the corpus
+    * token total, and the plan both down-samples over-represented sources
+    * and REPEATS under-represented ones, with repetition capped at 4
+    * epochs (the standard multi-epoch degradation bound) so a tiny
+    * high-weight source cannot be looped dozens of times.
+    *
+    * All plan arithmetic is scaled-INTEGER — desired = B·w/W, epochs in
+    * hundredths least(400, 100·desired/n_s) — never a floating-point rate,
+    * so the emitted set is engine-exact (the [[trainTestSplit]]
+    * discipline). A document's copy count is full_copies plus one more iff
+    * its [[hashBucket]] falls under the fractional-epoch percent: the
+    * per-doc decision is a pure function of (doc_id, source plan row), so
+    * re-running the plan on any engine, any partitioning, emits the SAME
+    * multiset. Target weights come from a config table in production; here
+    * they derive deterministically from the source name (suffix+1) so the
+    * fixture exercises BOTH directions. Scale shape: per-source counts and
+    * the 1-row total BROADCAST; both corpus passes are map-only
+    * project+filter with partial aggregation on `source` — nothing
+    * driver-side, no shuffle wider than |sources| rows.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_toks"),
+        (coalesce(nullif(regexp_extract(col("source"), "(\\d+)$", 1), lit(""))
+          .cast(LongType), lit(0L)) + 1L).as("w"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("w")).as("w"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("budget"), sum(col("w")).as("w_total"))
+    val plan = perSource.crossJoin(broadcast(totals))
+      .withColumn("desired_tokens", expr("budget * w div w_total"))
+      .withColumn("epochs_q2",
+        least(lit(400L), expr("100L * desired_tokens div n_tokens")))
+      .withColumn("full_copies", expr("epochs_q2 div 100"))
+      .withColumn("frac_pct", expr("epochs_q2 % 100"))
+    val emitted = docs
+      .join(broadcast(plan.select(col("source"), col("full_copies"), col("frac_pct"))),
+        "source")
+      .withColumn("copies",
+        col("full_copies") +
+          when(hashBucket(col("doc_id")) < col("frac_pct"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("docs_emitted"),
+        sum(col("copies") * col("n_toks")).as("tokens_emitted"))
+    plan
+      .join(emitted, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("w").as("target_w"), col("desired_tokens"), col("epochs_q2"),
+        col("docs_emitted"), col("tokens_emitted"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct aligned 20-token passage hashes (the [[passageDedup]]
+    * window) appear in BOTH — the leakage audit a corpus build runs
+    * between crawl snapshots / vendors before attributing mixture weights
+    * (passage grain catches shared boilerplate and syndicated text that
+    * whole-document hashing misses). Output: each overlapping pair with
+    * its shared-passage count, per-source distinct-passage totals, and
+    * the exact Jaccard (a ratio of integers — engine-exact).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, hash) — partial
+    * aggregation collapses within-partition repeats, so the shuffle
+    * carries one 16-byte hash per distinct (source, passage), never text.
+    * The pair join is hash-keyed; per-hash fan-out is bounded by the
+    * SOURCE count (each hash row meets at most |sources|−1 partners), so
+    * there is no quadratic blow-up in corpus size — only in the
+    * dashboard-bounded source count.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val P = 20
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= P)
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(0), (size(col("toks")) / P).cast(IntegerType) - 1)).as("i"))
+      .select(col("source"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") * P + 1, lit(P)))).as("h"))
+      .distinct()
+    val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n_passages"))
+    val a = sh.select(col("source").as("source_a"), col("h"))
+    val b = sh.select(col("source").as("source_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(col("source").as("source_a"),
+        col("n_passages").as("n_a"))), "source_a")
+      .join(broadcast(perSource.select(col("source").as("source_b"),
+        col("n_passages").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+  }
 }
