@@ -1622,14 +1622,15 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "ngram_containment" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, anchor,
         |    list_distinct(list_transform(range(1, len(w) - 1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM (SELECT doc_id, md5(substr(text, 1, 100)) AS anchor,
         |          string_split(trim(text), ' ') AS w FROM documents)
         |  WHERE len(w) >= 3),
-        |ac AS (SELECT anchor FROM d GROUP BY anchor HAVING count(*) <= 64),
+        |ac AS (SELECT anchor FROM d GROUP BY anchor
+        |       HAVING count(*) <= ${graft.ops.DedupOps.MaxBucket}),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1

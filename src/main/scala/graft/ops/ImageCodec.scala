@@ -32,6 +32,14 @@ object ImageCodec {
       s"rgb length ${rgb.length} != 3*$width*$height")
   }
 
+  /** Upper bound on any parsed header dimension / maxval — generous for
+    * real images (a 1M×1M frame would be 3 TB raw) while keeping every
+    * product 3·w·h, dataOff+rowSize·h comfortably inside Long, so a
+    * crafted header can never wrap the arithmetic its own require guards
+    * check against.
+    */
+  val MaxDim: Int = 1 << 20
+
   // ---------------------------------------------------------------- PPM
 
   def encodePpm(img: Image): Array[Byte] = {
@@ -60,25 +68,28 @@ object ImageCodec {
       skipWs()
       require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
         s"PPM header: digit expected at byte $pos")
-      var v = 0
+      var v = 0L
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0')
+        // bound BEFORE the next digit so long runs can't wrap even Long
+        require(v <= MaxDim, s"PPM header: value $v exceeds $MaxDim")
         pos += 1
       }
-      v
+      v.toInt
     }
     val w = readInt()
     val h = readInt()
+    require(w > 0 && h > 0, s"PPM: bad dimensions ${w}x$h")
     val maxval = readInt()
     require(maxval == 255, s"PPM maxval $maxval unsupported (only 255)")
     // exactly ONE whitespace byte separates the header from pixel data
     require(pos < bytes.length && isWs(bytes(pos)), "PPM: missing data separator")
     pos += 1
-    val n = 3 * w * h
+    val n = 3L * w * h // Long: MaxDim² pixels would wrap an Int product
     require(bytes.length - pos == n,
       s"PPM: ${bytes.length - pos} data bytes for ${w}x$h (want $n)")
-    val rgb = new Array[Byte](n)
-    System.arraycopy(bytes, pos, rgb, 0, n)
+    val rgb = new Array[Byte](n.toInt)
+    System.arraycopy(bytes, pos, rgb, 0, n.toInt)
     Image(w, h, rgb)
   }
 
@@ -133,16 +144,25 @@ object ImageCodec {
   def decodeBmp(bytes: Array[Byte]): Image = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val dataOff = getIntLE(bytes, 10)
+    // int32 header fields are UNTRUSTED: a negative/huge offset or width
+    // must fail THESE requires (IllegalArgumentException → quarantine),
+    // never escape as NegativeArraySize/IndexOutOfBounds downstream.
+    require(dataOff >= 54 && dataOff <= bytes.length,
+      s"BMP: pixel-data offset $dataOff out of range")
     val dibSize = getIntLE(bytes, 14)
     require(dibSize >= 40, s"BMP: DIB header $dibSize unsupported")
     val w = getIntLE(bytes, 18)
+    require(w > 0 && w <= MaxDim, s"BMP: bad width $w")
     val hRaw = getIntLE(bytes, 22)
     require(hRaw > 0, "BMP: top-down (negative height) unsupported")
+    require(hRaw <= MaxDim, s"BMP: bad height $hRaw")
     val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
     require(bpp == 24, s"BMP: $bpp bpp unsupported (only 24)")
     require(getIntLE(bytes, 30) == 0, "BMP: compressed payload unsupported")
     val rowSize = bmpRowSize(w)
-    require(bytes.length >= dataOff + rowSize * hRaw, "BMP: truncated pixel data")
+    // size check in Long — MaxDim bounds keep every product exact
+    require(bytes.length >= dataOff.toLong + rowSize.toLong * hRaw,
+      "BMP: truncated pixel data")
     val rgb = new Array[Byte](3 * w * hRaw)
     var y = 0
     while (y < hRaw) {

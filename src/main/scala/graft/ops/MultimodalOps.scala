@@ -193,10 +193,18 @@ object MultimodalOps {
     * comparisons. Near-identical images (the planted near-dup documents
     * encode to them) land within a few bits. Pure function of the bytes;
     * unknown formats fall back to [[stubPhash64]].
+    *
+    * TOTAL by contract, like [[realDecode]]: a payload whose magic sniffs
+    * but whose body is malformed (the case realDecode tags 'corrupt'), or
+    * a valid image too small for dHash's 9×8 grid, falls back to the
+    * byte-histogram hash instead of killing the job — the decode-slot
+    * quarantine discipline applied to the hash slot feeding the same
+    * pipeline.
     */
   def phash64(payload: Array[Byte]): Long =
     if (ImageCodec.sniff(payload).isDefined)
-      ImageCodec.dhash64(ImageCodec.decode(payload))
+      try ImageCodec.dhash64(ImageCodec.decode(payload))
+      catch { case _: IllegalArgumentException => stubPhash64(payload) }
     else stubPhash64(payload)
 
   /** Byte-histogram stand-in hash for undecodable formats: 65 coarse

@@ -118,6 +118,49 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Set("png", "jpeg", "webp")(unknown.format))
   }
 
+  test("crafted int32 header fields fail as IllegalArgumentException, not array errors") {
+    def le(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val good = ImageCodec.encodeBmp(Image(3, 2, new Array[Byte](18)))
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); le(v).copyToArray(b, off); b
+    }
+    // negative width: bmpRowSize(-1) = 0, so the old truncation require
+    // passed and new Array[Byte](3*w*h) threw NegativeArraySizeException —
+    // escaping the quarantine catch. Must be a require failure now.
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(patched(18, -1)))
+    // negative data offset: indexed out of bounds before the guard
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(patched(10, -100)))
+    // data offset past the end of the payload
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(patched(10, good.length + 1)))
+    // huge width whose Int products would wrap: must fail the MaxDim bound
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(patched(18, 0x40000000)))
+    // and every crafted variant quarantines through realDecode
+    for (bad <- Seq(patched(18, -1), patched(10, -100), patched(18, 0x40000000))) {
+      assert(MultimodalOps.realDecode(MultimodalOps.MediaRow(1L, bad)).format == "corrupt")
+    }
+    // PPM: a digit run that would wrap the int32 accumulator is rejected
+    intercept[IllegalArgumentException](ImageCodec.decodePpm(
+      "P6\n99999999999999999999 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](3)))
+    intercept[IllegalArgumentException]( // zero-dimension header
+      ImageCodec.decodePpm("P6\n0 4\n255\n".getBytes("US-ASCII")))
+  }
+
+  test("phash64 is total: malformed and undersized sniffing payloads fall back") {
+    // magic sniffs as PPM but the body is truncated — must hash via the
+    // stub fallback, not throw (the hash slot feeds the same corpus-scale
+    // pipeline as the decode slot)
+    val truncated = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(MultimodalOps.phash64(truncated) == MultimodalOps.stubPhash64(truncated))
+    // a VALID image below dHash's 9x8 grid falls back the same way
+    val tiny = ImageCodec.encodePpm(Image(2, 2, new Array[Byte](12)))
+    assert(MultimodalOps.phash64(tiny) == MultimodalOps.stubPhash64(tiny))
+    // while a decodable >= 9x8 image still hashes REAL pixels
+    val ok = ImageCodec.encodePpm(Image(9, 8, Array.tabulate(216)(i => (i % 251).toByte)))
+    assert(MultimodalOps.phash64(ok) == ImageCodec.dhash64(ImageCodec.decode(ok)))
+  }
+
   test("buildPayload encodes real images; near-identical texts collide in phash") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val pa = MultimodalOps.buildPayload(base.getBytes("UTF-8"))
