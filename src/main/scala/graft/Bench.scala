@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_DETAILS). The stdout line itself carries only
   * bounded summaries — total (sum of medians), total_min (sum of mins),
   * the 10 slowest medians, failure counts, and a `per_query_drift` map
-  * flagging every query whose max/min sample ratio exceeds 3x (tenant
-  * load hit it mid-sweep — read those at their min). It MUST stay under
+  * flagging every query whose samples spread wide — max/min > 2.5 or
+  * median/min > 1.8 (tenant load hit it mid-sweep — read those at their
+  * min). It MUST stay under
   * the driver's 2000-char stdout tail capture: r07 and r08 both graded
   * `parsed: null` because full per-query maps overflowed that window.
   *
@@ -84,12 +85,18 @@ object Bench {
     val failStr = fails.map { case (k, c) => s"\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
     val totalMin = mins.values.filter(_ >= 0).sum
-    // Per-query drift sentinel: a query whose max/min sample ratio exceeds
-    // 3x was hit by ambient tenant load mid-sweep (r08: obv 13.2 s driver
-    // vs 0.95 s clean-box on an unchanged plan). Flagged queries should be
-    // read at their MIN — the round-over-round signal is queries_min.
+    // Per-query drift sentinel: a query whose samples spread wide was hit
+    // by ambient tenant load mid-sweep (r08: obv 13.2 s driver vs 0.95 s
+    // clean-box on an unchanged plan). Flagged queries should be read at
+    // their MIN — the round-over-round signal is queries_min. Thresholds:
+    // max/min > 2.5 OR median/min > 1.8 — r9's kcore_nodes sat at a 2.7x
+    // spread (7.91/6.83/2.94 s, unchanged plan) under the old 3x flag and
+    // the artifact self-reported clean; the median/min arm catches the
+    // worse case where TWO of three passes are inflated and the median
+    // itself is the lie.
     val perQueryDrift = samples.collect {
-      case (k, v) if ok(v).nonEmpty && ok(v).min > 0 && ok(v).max / ok(v).min > 3.0 =>
+      case (k, v) if ok(v).nonEmpty && ok(v).min > 0 &&
+          (ok(v).max / ok(v).min > 2.5 || median(v) / ok(v).min > 1.8) =>
         k -> math.rint(ok(v).max / ok(v).min * 100) / 100
     }
     // the drift map is capped at the 20 worst ratios so a fully-noisy run

@@ -55,6 +55,8 @@ object SparkEntry {
     "bloom_prefilter_join" -> (RelationalOps.bloomPrefilterJoin _),
     "bpe_merges"        -> ((s, d) => BpeOps.bpeMerges(s, d)),
     "bpe_segment"       -> ((s, d) => BpeOps.bpeSegment(s, d)),
+    "unigram_train"     -> ((s, d) => UnigramOps.unigramTrain(s, d)),
+    "unigram_segment"   -> (UnigramOps.unigramSegment _),
     "join_left"         -> (RelationalOps.joinLeft _),
     "join_semi"         -> (RelationalOps.joinSemi _),
     "join_anti"         -> (RelationalOps.joinAnti _),
@@ -278,6 +280,8 @@ object SparkEntry {
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "mixture_plan"      -> (PipelineOps.mixturePlan _),
     "source_overlap"    -> (PipelineOps.sourceOverlap _),
+    "url_normalize"     -> (CrawlOps.urlNormalize _),
+    "domain_stats"      -> (CrawlOps.domainStats _),
     "oov_rate"          -> (PipelineOps.oovRate _),
     "passage_dedup"     -> (PipelineOps.passageDedup _),
     "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
@@ -298,6 +302,9 @@ object SparkEntry {
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
+    "audio_meta"        -> (AudioOps.audioMeta _),
+    "audio_resample"    -> (AudioOps.audioResample _),
+    "audio_fingerprint" -> (AudioOps.audioFingerprint _),
   )
 
   /** Shared candle-cents CTE for the technical-indicator oracles: the
@@ -1849,6 +1856,64 @@ object SparkEntry {
         |  CAST(sum(f.ntok) AS BIGINT) AS n_tokens
         |FROM inst i JOIN fin f ON f.w = i.w
         |GROUP BY i.source""").stripMargin,
+    // unigram_segment's oracle replays the per-word Viterbi DP as a
+    // recursive CTE: state carries the best score / min piece count at
+    // the last four prefix positions (piece lengths are <= 4), each step
+    // left-joins the literal piece inventory once per candidate length,
+    // and greatest/least (NULL-ignoring) take the max-score /
+    // min-piece-count transition. The inventory and its scores are
+    // interpolated from UnigramOps.Pieces — the SAME constants the
+    // engine's DP uses. Integer scores end to end; the single boundary
+    // division is chars/pieces. unigram_train stays rows-only (iterated
+    // float EM), ground-truthed by UnigramSpec's single-threaded replay.
+    "unigram_segment" ->
+      (s"""WITH RECURSIVE
+        |pieces(piece, plen, sc) AS (
+        |  SELECT * FROM (VALUES ${graft.ops.UnigramOps.piecesSql}) t(a, b, c)),
+        |wo AS (
+        |  SELECT source, w, count(*) AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY source, w),
+        |dw AS (SELECT DISTINCT w FROM wo),
+        |dp(w, i, s0, s1, s2, s3, n0, n1, n2, n3) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |         CAST(NULL AS INTEGER)
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT w, i, ns, s0, s1, s2,
+        |    least(CASE WHEN c1 = ns THEN n0 + 1 END,
+        |          CASE WHEN c2 = ns THEN n1 + 1 END,
+        |          CASE WHEN c3 = ns THEN n2 + 1 END,
+        |          CASE WHEN c4 = ns THEN n3 + 1 END),
+        |    n0, n1, n2
+        |  FROM (
+        |    SELECT d.w, d.i + 1 AS i,
+        |      d.s0 + coalesce(p1.sc, ${graft.ops.UnigramOps.UnkCharScore}) AS c1,
+        |      d.s1 + p2.sc AS c2,
+        |      d.s2 + p3.sc AS c3,
+        |      d.s3 + p4.sc AS c4,
+        |      greatest(d.s0 + coalesce(p1.sc, ${graft.ops.UnigramOps.UnkCharScore}),
+        |               d.s1 + p2.sc, d.s2 + p3.sc, d.s3 + p4.sc) AS ns,
+        |      d.s0, d.s1, d.s2, d.n0, d.n1, d.n2, d.n3
+        |    FROM dp d
+        |    LEFT JOIN pieces p1 ON p1.plen = 1 AND p1.piece = substr(d.w, d.i + 1, 1)
+        |    LEFT JOIN pieces p2 ON p2.plen = 2 AND p2.piece = substr(d.w, d.i, 2)
+        |    LEFT JOIN pieces p3 ON p3.plen = 3 AND p3.piece = substr(d.w, d.i - 1, 3)
+        |    LEFT JOIN pieces p4 ON p4.plen = 4 AND p4.piece = substr(d.w, d.i - 2, 4)
+        |    WHERE d.i < len(d.w)) s),
+        |res AS (SELECT w, s0 AS score, n0 AS np FROM dp WHERE i = len(w))
+        |SELECT wo.source,
+        |  CAST(sum(wo.cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(wo.cnt * len(wo.w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(wo.cnt * r.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(wo.cnt * r.score) AS BIGINT) AS score_total,
+        |  CAST(sum(wo.cnt * len(wo.w)) AS DOUBLE) / sum(wo.cnt * r.np)
+        |    AS chars_per_piece
+        |FROM wo JOIN res r ON r.w = wo.w
+        |GROUP BY wo.source""").stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |             (doc_id % 1000000007) * 2654435761 % 1000000007 AS hkey
@@ -2122,6 +2187,76 @@ object SparkEntry {
         |  CAST(j.n_shared AS DOUBLE) / (pa.n + pb.n - j.n_shared) AS jaccard
         |FROM j JOIN ps pa ON pa.source = j.source_a
         |       JOIN ps pb ON pb.source = j.source_b""".stripMargin,
+    // the synthesized messy URL (every normalization trigger fires by
+    // doc_id residue) and the canonicalization rules are restated
+    // verbatim: lowercase scheme/host, www strip, default-port drop,
+    // trailing-slash strip, tracking-param filter, fragment drop
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.' ||
+        |    list_extract(['com', 'org', 'net'],
+        |                 CAST(len(source) % 3 + 1 AS INTEGER)) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+        |          WHEN 2 THEN ':8080' ELSE '' END) ||
+        |    '/Docs/' || doc_id ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    '?id=' || doc_id || '&utm_source=feed' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '&lang=en' ELSE '' END) ||
+        |    '&utm_campaign=c' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '&gclid=g1' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(url, '^[A-Za-z]+://', '') AS rest
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, url, scheme,
+        |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, url, scheme, path,
+        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    list_filter(string_split(query, '&'),
+        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+        |                OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref=')))
+        |      AS kept,
+        |    len(string_split(query, '&')) AS n_all
+        |  FROM q)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |             AND NOT (scheme = 'https' AND port = '443')
+        |        THEN ':' || port ELSE '' END) ||
+        |  regexp_replace(path, '/$', '') ||
+        |  (CASE WHEN len(kept) > 0
+        |        THEN '?' || array_to_string(kept, '&') ELSE '' END) AS norm_url,
+        |  host AS domain,
+        |  CAST(len(kept) AS INTEGER) AS n_params_kept,
+        |  CAST(n_all - len(kept) AS INTEGER) AS n_params_dropped
+        |FROM r""".stripMargin,
+    "domain_stats" ->
+      """WITH d AS (
+        |  SELECT source || '.' ||
+        |      list_extract(['com', 'org', 'net'],
+        |                   CAST(len(source) % 3 + 1 AS INTEGER)) AS domain,
+        |    len(string_split(trim(text), ' ')) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY domain)
+        |SELECT domain, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE)
+        |    / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM g) AS token_share
+        |FROM g""".stripMargin,
     // the oracle is deliberately ONE full-table aggregation: the compare
     // gate proves merged-partials == full recompute (algebraic rollup)
     "incremental_agg_merge" ->
@@ -3666,5 +3801,38 @@ object SparkEntry {
         |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         |    CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
         |  FROM f) t""".stripMargin,
+    // the engine ENCODES a real RIFF/WAV clip per document (geometry
+    // buckets off QUANTIZED byte length — /64, /32, /16 — so near-dup
+    // texts share clip shape) and DECODES it back; the oracle re-derives
+    // the exact byte layout: 44-byte header + 2 bytes x frames x
+    // channels of PCM
+    "audio_meta" ->
+      """WITH a AS (
+        |  SELECT CAST(CASE (strlen(text) // 64) % 3 WHEN 0 THEN 8000
+        |              WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |         CAST(1 + (strlen(text) // 32) % 2 AS INTEGER) AS channels,
+        |         256 + ((strlen(text) // 16) * 31) % 2048 AS frames
+        |  FROM documents)
+        |SELECT sample_rate, channels,
+        |  CAST(count(*) AS BIGINT) AS n_clips,
+        |  CAST(sum(44 + 2 * frames * channels) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(frames) AS BIGINT) AS sum_frames,
+        |  CAST(sum(frames) AS DOUBLE) * 1000 / sample_rate / count(*)
+        |    AS avg_duration_ms
+        |FROM a GROUP BY sample_rate, channels""".stripMargin,
+    "audio_resample" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(CASE (strlen(text) // 64) % 3 WHEN 0 THEN 8000
+        |         WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |    CAST(1 + (strlen(text) // 32) % 2 AS INTEGER) AS channels,
+        |    256 + ((strlen(text) // 16) * 31) % 2048 AS frames
+        |  FROM documents)
+        |SELECT doc_id, sample_rate,
+        |  CAST(sample_rate // 2 AS INTEGER) AS out_rate,
+        |  CAST(frames AS INTEGER) AS in_frames,
+        |  CAST((frames + 1) // 2 AS INTEGER) AS out_frames,
+        |  CAST(44 + 2 * ((frames + 1) // 2) * channels AS INTEGER) AS out_bytes
+        |FROM a""".stripMargin,
   )
 }

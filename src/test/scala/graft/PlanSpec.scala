@@ -164,6 +164,55 @@ class PlanSpec extends SparkSuite {
     assert(!nd.contains("Join"), "diversity must be pure aggregation:\n" + nd)
   }
 
+  test("mixture_plan joins are broadcast over bounded summaries") {
+    // plan rows are |sources|-bounded and the totals frame is ONE row —
+    // every join must broadcast; a shuffle join here would mean the corpus
+    // re-partitions on source for a dashboard-sized dimension
+    val p = plan("mixture_plan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("source_overlap pair join rides the passage-hash equi-key (no all-pairs)") {
+    // distinct (source, hash) collapses before the join, and the pair join
+    // is hash-keyed: per-hash fan-out is bounded by |sources|, so there is
+    // no all-pairs expansion in corpus size
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "distinct must combine map-side:\n" + p)
+  }
+
+  test("unigram_segment broadcasts the scored distinct-word frame") {
+    // the DP runs once per DISTINCT word (Heaps-bounded frame); the join
+    // back to (source, word) counts must broadcast, never shuffle the
+    // corpus-side aggregate on the word key
+    val p = plan("unigram_segment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("url_normalize is a pure map; domain_stats broadcasts its 1-row total") {
+    val u = plan("url_normalize")
+    assert(!u.contains("Exchange"), s"url_normalize must not shuffle:\n$u")
+    val d = plan("domain_stats")
+    assert(!d.contains("SortMergeJoin") && !d.contains("CartesianProduct"), d)
+    assert(d.contains("BroadcastNestedLoopJoin") || d.contains("BroadcastExchange"), d)
+  }
+
+  test("audio lane is partition-wise decode + bounded-key aggregation") {
+    // decode/encode runs inside mapPartitions; audio_meta's only shuffle
+    // is the (rate, channels) partial+final agg; resample is a pure map
+    val m = plan("audio_meta")
+    assert("Exchange hashpartitioning".r.findAllIn(m).length == 1, m)
+    val r = plan("audio_resample")
+    assert(!r.contains("Exchange"), s"audio_resample must not shuffle:\n$r")
+  }
+
   test("dpp_join prunes fact partitions at RUNTIME from the filtered dim") {
     // The dim attribute (first-seen timestamp) is an aggregate — not
     // derivable from the join key, so no static PartitionFilter exists;
