@@ -38,7 +38,7 @@ object AudioOps {
     * WAVEFORMS, which is what makes the fingerprint dedup over these
     * fixtures a real test.
     */
-  private[ops] def buildClip(textBytes: Array[Byte]): AudioCodec.Audio = {
+  private[graft] def buildClip(textBytes: Array[Byte]): AudioCodec.Audio = {
     val nb = textBytes.length
     val rate = ((nb / 64) % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
     val channels = 1 + (nb / 32) % 2

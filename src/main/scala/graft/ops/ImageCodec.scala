@@ -181,17 +181,194 @@ object ImageCodec {
     Image(w, hRaw, rgb)
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** GIF87a/89a decoder — DECODE-ONLY (fixtures stay PPM/BMP; this
+    * widens the REAL domain of the decode slot to payloads a crawl
+    * actually serves). Parses the logical screen descriptor, global and
+    * local color tables, skips 89a extension blocks, and inflates the
+    * first image's variable-width LZW code stream (clear/EOI handling,
+    * dictionary growth to the 12-bit cap) into color indices mapped
+    * through the active palette to the canonical RGB buffer. Interlaced
+    * images and truncated/overfull code streams are rejected as
+    * IllegalArgumentException — the quarantine contract. Header fields
+    * are untrusted: dimensions are bounds-checked against [[MaxDim]]
+    * before any allocation.
+    */
+  def decodeGif(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 13, "GIF: truncated header")
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"GIF: bad magic '$magic'")
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    var pos = 6
+    val sw = u16(pos); val sh = u16(pos + 2)
+    val packed = bytes(pos + 4) & 0xff
+    pos += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) { // global color table
+      val n = 1 << ((packed & 7) + 1)
+      require(pos + 3 * n <= bytes.length, "GIF: truncated global color table")
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte + data sub-blocks
+          pos += 2
+          while ({
+            require(pos < bytes.length, "GIF: truncated extension")
+            val sz = bytes(pos) & 0xff; pos += 1 + sz; sz != 0
+          }) ()
+        case 0x2c => // image descriptor
+          require(pos + 10 <= bytes.length, "GIF: truncated image descriptor")
+          val w = u16(pos + 5); val h = u16(pos + 7)
+          require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
+            s"GIF: bad dimensions ${w}x$h (screen ${sw}x$sh)")
+          val ip = bytes(pos + 9) & 0xff
+          require((ip & 0x40) == 0, "GIF: interlaced images unsupported")
+          pos += 10
+          if ((ip & 0x80) != 0) { // local color table wins
+            val n = 1 << ((ip & 7) + 1)
+            require(pos + 3 * n <= bytes.length, "GIF: truncated local color table")
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          require(palette != null, "GIF: no color table")
+          require(pos < bytes.length, "GIF: missing LZW code size")
+          val minCode = bytes(pos) & 0xff
+          require(minCode >= 2 && minCode <= 8, s"GIF: LZW min code $minCode")
+          pos += 1
+          // collect the sub-blocked code stream
+          val data = new ArrayBufferByte()
+          while ({
+            require(pos < bytes.length, "GIF: truncated image data")
+            val sz = bytes(pos) & 0xff
+            require(pos + 1 + sz <= bytes.length, "GIF: truncated data sub-block")
+            data.append(bytes, pos + 1, sz)
+            pos += 1 + sz
+            sz != 0
+          }) ()
+          val indices = lzwDecode(data.result(), minCode, w * h)
+          val nColors = palette.length / 3
+          val rgb = new Array[Byte](3 * w * h)
+          var i = 0
+          while (i < w * h) {
+            val ci = indices(i) & 0xff
+            require(ci < nColors, s"GIF: color index $ci outside $nColors-entry table")
+            rgb(3 * i) = palette(3 * ci)
+            rgb(3 * i + 1) = palette(3 * ci + 1)
+            rgb(3 * i + 2) = palette(3 * ci + 2)
+            i += 1
+          }
+          return Image(w, h, rgb)
+        case 0x3b => throw new IllegalArgumentException("GIF: trailer before image")
+        case b => throw new IllegalArgumentException(f"GIF: unknown block 0x$b%02x")
+      }
+    }
+    throw new IllegalArgumentException("GIF: no image descriptor")
+  }
+
+  /** Minimal growable byte buffer (no dependency on collection builders
+    * in the per-row hot path).
+    */
+  private final class ArrayBufferByte {
+    private var buf = new Array[Byte](256)
+    private var len = 0
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      if (len + n > buf.length) {
+        val nb = new Array[Byte](math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, nb, 0, len); buf = nb
+      }
+      System.arraycopy(src, off, buf, len, n); len += n
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** GIF-variant LZW: codes read LSB-first at widths minCode+1..12,
+    * dictionary of (prefix, suffix) pairs reset on CLEAR, the classic
+    * "code == next" self-reference case handled, output capped at
+    * exactly `expect` pixels (a stream yielding too few pixels is
+    * rejected; extra codes past the cap are ignored per the spec's
+    * tolerance for padded streams).
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expect: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val maxCodes = 1 << 12
+    val prefix = new Array[Int](maxCodes)
+    val suffix = new Array[Byte](maxCodes)
+    val out = new Array[Byte](expect)
+    var outLen = 0
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var nbits = 0
+    var bytePos = 0
+    // decode one code's expansion into out (reversed walk via stack)
+    val stack = new Array[Byte](maxCodes)
+    def emit(code: Int): Unit = {
+      var top = 0
+      var c = code
+      while (c >= clear) { // dictionary entry: walk prefixes
+        require(top < stack.length, "GIF: LZW chain loop")
+        stack(top) = suffix(c); top += 1; c = prefix(c)
+      }
+      require(outLen + top + 1 <= expect, "GIF: LZW stream overruns pixel count")
+      out(outLen) = c.toByte; outLen += 1
+      while (top > 0) { top -= 1; out(outLen) = stack(top); outLen += 1 }
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done && outLen < expect) {
+      while (nbits < width && bytePos < data.length) {
+        acc |= (data(bytePos) & 0xffL) << nbits
+        nbits += 8; bytePos += 1
+      }
+      require(nbits >= width, "GIF: LZW stream exhausted before pixel count")
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nbits -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, "GIF: first code after clear not a literal")
+        emit(code); prev = code
+      } else {
+        require(code <= next, s"GIF: code $code beyond dictionary $next")
+        if (next < maxCodes) {
+          prefix(next) = prev
+          suffix(next) = firstChar(if (code == next) prev else code).toByte
+          next += 1
+        }
+        emit(code)
+        if (next == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    require(outLen == expect, s"GIF: LZW yielded $outLen of $expect pixels")
+    out
+  }
+
   // ------------------------------------------------------------- common
 
-  /** Magic-byte sniff: Some("ppm") / Some("bmp") / None (unknown). */
+  /** Magic-byte sniff: Some("ppm") / Some("bmp") / Some("gif") / None. */
   def sniff(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') Some("gif")
     else None
 
   def decode(bytes: Array[Byte]): Image = sniff(bytes) match {
     case Some("ppm") => decodePpm(bytes)
     case Some("bmp") => decodeBmp(bytes)
+    case Some("gif") => decodeGif(bytes)
     case _ => throw new IllegalArgumentException("unknown image format")
   }
 

@@ -8,14 +8,17 @@ import graft.model.Tables
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decoded partition-wise (BASELINE.json north star).
   *
-  * Since round 9 the image lane is REAL end to end for two codec-free
+  * Since round 9 the image lane is REAL end to end for codec-free
   * formats: fixtures are genuinely ENCODED (binary PPM or uncompressed
   * 24-bit BMP via [[ImageCodec]], pixel content derived deterministically
   * from the document text so near-duplicate texts yield near-duplicate
   * images), and the decode slot genuinely PARSES the payload — header
-  * validation, padding, bottom-up row order and all. Width/height/format
-  * in every downstream op come from the decoded header, not from a
-  * length heuristic. [[stubDecode]] remains only as the documented
+  * validation, padding, bottom-up row order and all. Round 10 adds
+  * DECODE-ONLY GIF (variable-width LZW inflation,
+  * [[ImageCodec.decodeGif]]) — crawl-served GIFs now decode for real
+  * even though fixtures stay PPM/BMP. Width/height/format in every
+  * downstream op come from the decoded header, not from a length
+  * heuristic. [[stubDecode]] remains only as the documented
   * fallback for payload formats this container has no codec for
   * (jpeg/png/webp would need native libs); the plan shape — binary
   * column in, `mapPartitions` decode (one decoder init per partition, no

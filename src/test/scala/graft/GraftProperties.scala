@@ -224,6 +224,32 @@ object GraftProperties extends Properties("graft") {
         m1.height >= 64 && m1.height < 576 && m1.n_bytes == n
     }
 
+  property("WAV encode/decode round-trips any clip exactly") =
+    forAll(
+      Gen.oneOf(8000, 16000, 44100),
+      Gen.choose(1, 4),
+      Gen.choose(1, 400),
+      Gen.long) { (rate, chans, frames, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(frames * chans)(rnd.nextInt(65536) - 32768)
+        .map(_.toShort)
+      val clip = graft.ops.AudioCodec.Audio(rate, chans, samples)
+      val back = graft.ops.AudioCodec.decodeWav(graft.ops.AudioCodec.encodeWav(clip))
+      back.sampleRate == rate && back.channels == chans &&
+        back.samples.sameElements(samples)
+    }
+
+  property("audio buildClip geometry is the documented pure function of byte length") =
+    forAll(Gen.choose(0, 5000), Gen.long) { (n, seed) =>
+      val bytes = { val r = new scala.util.Random(seed); Array.fill(n)(r.nextInt(256).toByte) }
+      val clip = graft.ops.AudioOps.buildClip(bytes)
+      clip.sampleRate == Seq(8000, 16000, 44100)((n / 64) % 3) &&
+        clip.channels == 1 + (n / 32) % 2 &&
+        clip.frames == 256 + ((n / 16) * 31) % 2048 &&
+        graft.ops.AudioCodec.decodeWav(graft.ops.AudioOps.buildPayload(bytes))
+          .samples.sameElements(clip.samples)
+    }
+
   // ---- round-7 op algebra ----
 
   /** macd_num = 26·Σ12 − 12·Σ26 over trailing windows (IndicatorOps.macd). */

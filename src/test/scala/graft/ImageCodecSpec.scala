@@ -112,10 +112,91 @@ class ImageCodecSpec extends AnyFunSuite {
     val badBmp = ImageCodec.encodeBmp(Image(3, 2, new Array[Byte](18))).take(40)
     val mb = MultimodalOps.realDecode(MultimodalOps.MediaRow(8L, badBmp))
     assert(mb.format == "corrupt")
+    // a GIF magic with a malformed body is REAL-but-corrupt since r10
+    val badGif = MultimodalOps.realDecode(
+      MultimodalOps.MediaRow(9L, "GIF89a....".getBytes("US-ASCII")))
+    assert(badGif.format == "corrupt")
     // unknown magic still routes to the documented stub fallback
     val unknown = MultimodalOps.realDecode(
-      MultimodalOps.MediaRow(9L, "GIF89a....".getBytes("US-ASCII")))
+      MultimodalOps.MediaRow(10L, "RIFF0000WEBP".getBytes("US-ASCII")))
     assert(Set("png", "jpeg", "webp")(unknown.format))
+  }
+
+  test("decodeGif inflates a hand-built LZW stream byte-for-byte") {
+    // 2x2, 2-bit color table {black, red, green, blue}, pixel indices
+    // 1,0,0,1 (red black / black red). LZW min code 2 => clear=4, eoi=5,
+    // width starts at 3 bits and bumps to 4 when the dictionary reaches
+    // 8 entries (after the second literal 0 adds entry 7). Code stream
+    // [clear,1,0,0 @3b, 1,eoi @4b] packed LSB-first by a transparent
+    // helper (no encoder under test involved).
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = { // (code, width)
+      var acc = 0L; var n = 0
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      for ((c, w) <- codes) {
+        acc |= c.toLong << n; n += w
+        while (n >= 8) { out += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+      }
+      if (n > 0) out += (acc & 0xff).toByte
+      out.toArray
+    }
+    val lzw = pack(Seq((4, 3), (1, 3), (0, 3), (0, 3), (1, 4), (5, 4)))
+    val gif =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](2, 0, 2, 0,              // screen 2x2
+          (0x80 | 0x01).toByte, 0, 0) ++     // GCT, 4 entries
+        Array[Byte](0, 0, 0, -1, 0, 0, 0, -128, 0, 0, 0, -1) ++ // palette
+        Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0) ++          // descriptor
+        Array[Byte](2) ++                      // LZW min code size
+        Array[Byte](lzw.length.toByte) ++ lzw ++ Array[Byte](0) ++ // sub-blocks
+        Array[Byte](0x3b)
+    val img = ImageCodec.decodeGif(gif)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      -1, 0, 0, 0, 0, 0, 0, 0, 0, -1, 0, 0)) // red black / black red
+    // routed through the common decode slot + realDecode
+    assert(ImageCodec.sniff(gif).contains("gif"))
+    val m = MultimodalOps.realDecode(MultimodalOps.MediaRow(1L, gif))
+    assert(m.format == "gif" && m.width == 2 && m.height == 2)
+  }
+
+  test("decodeGif rejects malformed payloads as IllegalArgumentException") {
+    // dictionary growth + clear handling on a longer run: 4x2 of a single
+    // color exercises multi-code chains; build via repeated literals
+    def gifOf(w: Int, h: Int, lzwBody: Array[Byte], interlace: Boolean = false) =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte]((w & 0xff).toByte, 0, (h & 0xff).toByte, 0,
+          (0x80 | 0x01).toByte, 0, 0) ++
+        Array[Byte](0, 0, 0, -1, 0, 0, 0, -128, 0, 0, 0, -1) ++
+        Array[Byte](0x2c, 0, 0, 0, 0, (w & 0xff).toByte, 0, (h & 0xff).toByte, 0,
+          (if (interlace) 0x40 else 0).toByte) ++
+        Array[Byte](2, lzwBody.length.toByte) ++ lzwBody ++ Array[Byte](0, 0x3b)
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = {
+      var acc = 0L; var n = 0
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      for ((c, w) <- codes) {
+        acc |= c.toLong << n; n += w
+        while (n >= 8) { out += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+      }
+      if (n > 0) out += (acc & 0xff).toByte
+      out.toArray
+    }
+    // too FEW pixels: stream ends after 2 of 8
+    intercept[IllegalArgumentException](ImageCodec.decodeGif(
+      gifOf(4, 2, pack(Seq((4, 3), (1, 3), (0, 3), (5, 3))))))
+    // interlace flag rejected
+    intercept[IllegalArgumentException](ImageCodec.decodeGif(
+      gifOf(2, 2, pack(Seq((4, 3), (1, 3), (0, 3), (0, 3), (1, 3), (5, 3))),
+        interlace = true)))
+    // color index outside the table (code 3 valid LZW literal, 4-entry
+    // table is fine — shrink the table claim instead: min code 2 demands
+    // >= 4 colors, so craft an index via a VALID stream on a table whose
+    // entries the stream exceeds is impossible here; instead: truncated
+    // color table
+    intercept[IllegalArgumentException](ImageCodec.decodeGif(
+      "GIF89a".getBytes("US-ASCII") ++ Array[Byte](2, 0, 2, 0, 0x80.toByte, 0)))
+    // code beyond the dictionary
+    intercept[IllegalArgumentException](ImageCodec.decodeGif(
+      gifOf(2, 2, pack(Seq((4, 3), (1, 3), (7, 3), (0, 3), (1, 3), (5, 3))))))
   }
 
   test("crafted int32 header fields fail as IllegalArgumentException, not array errors") {
