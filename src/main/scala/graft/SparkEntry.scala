@@ -57,6 +57,7 @@ object SparkEntry {
     "bpe_segment"       -> ((s, d) => BpeOps.bpeSegment(s, d)),
     "unigram_train"     -> ((s, d) => UnigramOps.unigramTrain(s, d)),
     "unigram_segment"   -> (UnigramOps.unigramSegment _),
+    "wordpiece_segment" -> (UnigramOps.wordpieceSegment _),
     "join_left"         -> (RelationalOps.joinLeft _),
     "join_semi"         -> (RelationalOps.joinSemi _),
     "join_anti"         -> (RelationalOps.joinAnti _),
@@ -1912,6 +1913,47 @@ object SparkEntry {
         |  CAST(sum(wo.cnt * r.score) AS BIGINT) AS score_total,
         |  CAST(sum(wo.cnt * len(wo.w)) AS DOUBLE) / sum(wo.cnt * r.np)
         |    AS chars_per_piece
+        |FROM wo JOIN res r ON r.w = wo.w
+        |GROUP BY wo.source""").stripMargin,
+    // wordpiece_segment replays the GREEDY longest-match walk: one state
+    // row per word per position, step = the longest inventory piece that
+    // prefixes the remainder (4 left joins, first non-null wins), else
+    // one counted unknown char — same interpolated inventory as unigram
+    "wordpiece_segment" ->
+      (s"""WITH RECURSIVE
+        |pieces(piece, plen, sc) AS (
+        |  SELECT * FROM (VALUES ${graft.ops.UnigramOps.piecesSql}) t(a, b, c)),
+        |wo AS (
+        |  SELECT source, w, count(*) AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY source, w),
+        |dw AS (SELECT DISTINCT w FROM wo),
+        |wp(w, i, np, nu) AS (
+        |  SELECT w, 0, 0, 0 FROM dw
+        |  UNION ALL
+        |  SELECT w, i + step, np + 1,
+        |    nu + CASE WHEN miss THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT d.w, d.i, d.np, d.nu,
+        |      CASE WHEN p4.piece IS NOT NULL THEN 4
+        |           WHEN p3.piece IS NOT NULL THEN 3
+        |           WHEN p2.piece IS NOT NULL THEN 2
+        |           ELSE 1 END AS step,
+        |      (p4.piece IS NULL AND p3.piece IS NULL AND p2.piece IS NULL
+        |       AND p1.piece IS NULL) AS miss
+        |    FROM wp d
+        |    LEFT JOIN pieces p4 ON p4.plen = 4 AND p4.piece = substr(d.w, d.i + 1, 4)
+        |    LEFT JOIN pieces p3 ON p3.plen = 3 AND p3.piece = substr(d.w, d.i + 1, 3)
+        |    LEFT JOIN pieces p2 ON p2.plen = 2 AND p2.piece = substr(d.w, d.i + 1, 2)
+        |    LEFT JOIN pieces p1 ON p1.plen = 1 AND p1.piece = substr(d.w, d.i + 1, 1)
+        |    WHERE d.i < len(d.w)) s),
+        |res AS (SELECT w, np, nu FROM wp WHERE i = len(w))
+        |SELECT wo.source,
+        |  CAST(sum(wo.cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(wo.cnt * r.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(wo.cnt * r.nu) AS BIGINT) AS n_unknown,
+        |  CAST(sum(wo.cnt * r.np) AS DOUBLE) / sum(wo.cnt) AS pieces_per_word
         |FROM wo JOIN res r ON r.w = wo.w
         |GROUP BY wo.source""").stripMargin,
     "corpus_shuffle" ->

@@ -151,6 +151,59 @@ object UnigramOps {
           sum(col("cnt") * col("n_pieces"))).as("chars_per_piece"))
   }
 
+  /** WordPiece-style GREEDY longest-match-first walk over one word
+    * (BERT's tokenizer family — the third option real pipelines weigh,
+    * against BPE and unigram-LM): at each position consume the longest
+    * inventory piece that prefixes the remainder, else ONE unknown
+    * character. Documented divergence from original WordPiece: an
+    * unmatched character consumes as a counted unknown instead of
+    * UNK-ing the whole word (the whole-word form would zero out every
+    * word with one rare char — useless as a corpus statistic).
+    * Returns (pieces, unknowns). Deterministic — longest match is
+    * unique, no tie-breaks at all.
+    */
+  private[graft] def wordpieceWalk(w: String, pieces: Map[String, Int]): (Int, Int) = {
+    var pos = 0
+    var np = 0
+    var nu = 0
+    while (pos < w.length) {
+      var j = math.min(MaxPieceLen, w.length - pos)
+      while (j > 1 && !pieces.contains(w.substring(pos, pos + j))) j -= 1
+      if (j == 1 && !pieces.contains(w.substring(pos, pos + 1))) nu += 1
+      pos += j
+      np += 1
+    }
+    (np, nu)
+  }
+
+  /** Greedy WordPiece segmentation of the corpus under the same fixed
+    * literal inventory as [[unigramSegment]], reported per source — the
+    * greedy-vs-optimal contrast is visible in the output (wordpiece
+    * piece counts are ≥ the unigram DP's by construction). Same scale
+    * shape: walk once per DISTINCT word, broadcast-join back. Fully
+    * oracle-checked: the DuckDB twin replays the greedy walk as a
+    * recursive CTE taking the longest matching piece per step.
+    */
+  def wordpieceSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = sourceWords(spark, dir)
+    val pieceMap = Pieces.map(p => p -> pieceScore(p)).toMap
+    val scored = words.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val m = pieceMap
+        it.map { w => val (np, nu) = wordpieceWalk(w, m); (w, np, nu) }
+      }
+      .toDF("w", "n_pieces", "n_unknown")
+    words.join(broadcast(scored), "w")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"),
+        sum(col("cnt") * col("n_unknown")).as("n_unknown"),
+        (sum(col("cnt") * col("n_pieces")).cast(DoubleType) /
+          sum(col("cnt"))).as("pieces_per_word"))
+  }
+
   // ------------------------------------------------------------ trainer
 
   /** Viterbi path under float log-probs, returning the piece sequence.

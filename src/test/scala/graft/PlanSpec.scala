@@ -186,14 +186,16 @@ class PlanSpec extends SparkSuite {
       "distinct must combine map-side:\n" + p)
   }
 
-  test("unigram_segment broadcasts the scored distinct-word frame") {
-    // the DP runs once per DISTINCT word (Heaps-bounded frame); the join
-    // back to (source, word) counts must broadcast, never shuffle the
-    // corpus-side aggregate on the word key
-    val p = plan("unigram_segment")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("unigram/wordpiece segmenters broadcast the scored distinct-word frame") {
+    // the DP/walk runs once per DISTINCT word (Heaps-bounded frame); the
+    // join back to (source, word) counts must broadcast, never shuffle
+    // the corpus-side aggregate on the word key
+    Seq("unigram_segment", "wordpiece_segment").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
   }
 
   test("url_normalize is a pure map; domain_stats broadcasts its 1-row total") {

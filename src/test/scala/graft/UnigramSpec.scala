@@ -82,6 +82,38 @@ class UnigramSpec extends SparkSuite {
       "no multi-char piece exercised")
   }
 
+  test("wordpieceWalk hand-checked cases (greedy, not optimal)") {
+    // greedy from the left: 'ba'+'t'+'c'+'h' (4 pieces, 3 unknown) even
+    // though the DP finds b+atch in 2 — the documented greedy contrast
+    assert(UnigramOps.wordpieceWalk("batch", pieceMap) == (4, 3))
+    assert(UnigramOps.wordpieceWalk("the", pieceMap) == (1, 0))
+    assert(UnigramOps.wordpieceWalk("zzz", pieceMap) == (3, 3))
+    // longest match wins at each step: 'tion' consumed whole
+    assert(UnigramOps.wordpieceWalk("tion", pieceMap) == (1, 0))
+  }
+
+  test("wordpiece_segment matches a driver-side greedy replay at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = docs.flatMap { case (src, text) =>
+      text.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(w => (src, w))
+    }
+    val expected = words.groupBy(_._1).map { case (src, ws) =>
+      val walks = ws.map { case (_, w) => UnigramOps.wordpieceWalk(w, pieceMap) }
+      src -> (ws.length.toLong, walks.map(_._1.toLong).sum, walks.map(_._2.toLong).sum)
+    }
+    val got = SparkEntry.queries("wordpiece_segment")(spark, sf).collect().map { r =>
+      r.getAs[String]("source") -> (
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"), r.getAs[Long]("n_unknown"))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((s, e) <- expected) assert(got(s) == e, s"source $s")
+    // greedy is never better than the DP — pin the contrast corpus-wide
+    val dpPieces = words.map { case (_, w) => UnigramOps.segmentDp(w, pieceMap)._2.toLong }.sum
+    assert(got.values.map(_._2).sum >= dpPieces)
+  }
+
   /** Independent single-threaded EM replay: same seed rule, same Viterbi
     * tie-breaks, straight-line Scala over the collected word-frequency
     * table.
