@@ -181,6 +181,7 @@ object SparkEntry {
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
     "pagerank"          -> (StatsOps.pagerank _),
     "kcore_nodes"       -> (StatsOps.kcoreNodes _),
+    "community_labels"  -> ((s, d) => StatsOps.communityLabels(s, d)),
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "skew_report"       -> (QualityOps.skewReport _),
@@ -3663,6 +3664,35 @@ object SparkEntry {
         |FROM pairs e1
         |JOIN pairs e2 ON e2.a = e1.b
         |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    // three SYNCHRONOUS label-propagation rounds replayed as chained
+    // CTEs, each with the identical (count desc, label) row_number
+    // argmax the engine's window applies — fixed round count is what
+    // makes iterative LPA SQL-replayable at all
+    "community_labels" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |bd AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |l0 AS (SELECT DISTINCT u, u AS lab FROM bd),
+        |l1 AS (SELECT u, nl AS lab FROM (
+        |  SELECT bd.u, p.lab AS nl, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY bd.u
+        |                       ORDER BY count(*) DESC, p.lab) AS rn
+        |  FROM bd JOIN l0 p ON p.u = bd.v GROUP BY bd.u, p.lab) t WHERE rn = 1),
+        |l2 AS (SELECT u, nl AS lab FROM (
+        |  SELECT bd.u, p.lab AS nl, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY bd.u
+        |                       ORDER BY count(*) DESC, p.lab) AS rn
+        |  FROM bd JOIN l1 p ON p.u = bd.v GROUP BY bd.u, p.lab) t WHERE rn = 1),
+        |l3 AS (SELECT u, nl AS lab FROM (
+        |  SELECT bd.u, p.lab AS nl, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY bd.u
+        |                       ORDER BY count(*) DESC, p.lab) AS rn
+        |  FROM bd JOIN l2 p ON p.u = bd.v GROUP BY bd.u, p.lab) t WHERE rn = 1)
+        |SELECT u AS node, lab AS community,
+        |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+        |FROM l3""".stripMargin,
     "skew_report" ->
       """WITH k AS (SELECT user_id, count(*) AS cnt
         |           FROM events GROUP BY user_id)

@@ -802,6 +802,52 @@ object StatsOps {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) over the co-purchase graph — the step after the k-core
+    * cohesion filter in a real graph pipeline, and a different
+    * equivalence than [[graft.ops.DedupOps]]'s connected components
+    * (LPA splits a connected blob into dense regions; CC cannot).
+    * Exactly `rounds` synchronous rounds: every node simultaneously
+    * adopts its neighbors' most frequent PREVIOUS-round label, ties
+    * broken by smallest label — fully deterministic, so unlike the
+    * asynchronous textbook variant (whose result depends on visit
+    * order) this is engine/partitioning-exact and fully ORACLE-checked:
+    * the DuckDB twin replays the rounds as chained CTEs with the
+    * identical (count desc, label) row_number argmax.
+    *
+    * Scale: each round is ONE equi-join of the bidirected edge list
+    * against the node-cardinality label frame + one partial-aggregated
+    * (node, label) count + a node-partitioned window — shuffles carry
+    * ids only; lineage checkpoint-truncated per round like the other
+    * fixpoints. Fixed round count (not convergence-tested): LPA on
+    * near-clique communities stabilizes in 2-3 rounds, and a fixed
+    * count is what makes the op replayable by a SQL oracle.
+    */
+  def communityLabels(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val edges = Tables.ckpt(copurchaseEdges(spark, dir))
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = Tables.ckpt(
+      bidir.select(col("u")).distinct().select(col("u"), col("u").as("lab")))
+    for (_ <- 1 to rounds) {
+      // argmax (count desc, label asc) as min_by over a (-cnt, label)
+      // struct — two hash aggregations, NO sort: in round 1 the
+      // (node, label) frame is near edge cardinality (labels start
+      // distinct), and a row_number window would sort all of it
+      labels = Tables.ckpt(
+        bidir
+          .join(labels.select(col("u").as("v"), col("lab").as("nl")), "v")
+          .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(min_by(col("nl"),
+            struct((-col("cnt")).as("nc"), col("nl"))).as("lab")))
+    }
+    val byCommunity =
+      org.apache.spark.sql.expressions.Window.partitionBy(col("community"))
+    labels.select(col("u").as("node"), col("lab").as("community"))
+      .withColumn("community_size", count(lit(1)).over(byCommunity))
+  }
+
   /** Robust outlier census by median absolute deviation — the
     * [[winsorize]] discipline with medians instead of tail percentiles:
     * per-group median, then the median of absolute deviations, each an

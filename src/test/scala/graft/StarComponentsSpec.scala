@@ -81,4 +81,53 @@ class StarComponentsSpec extends SparkSuite {
       assert(labelsOf(prop) === want, s"trial $trial propagation diverged")
     }
   }
+
+  test("community_labels equals a single-threaded synchronous-LPA replay at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    // brute edges: distinct same-order part pairs
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { rows =>
+      val pks = rows.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.size) yield (pks(i), pks(j))
+    }.toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var lab: Map[Long, Long] = nbrs.keys.map(u => u -> u).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (u, vs) =>
+        val counts = vs.map(lab).groupBy(identity).map { case (l, o) => (l, o.size) }
+        // argmax count desc, label asc — the engine's window tiebreak
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, o) => (l, o.size.toLong) }
+    val got = SparkEntry.queries("community_labels")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(got.keySet == lab.keySet)
+    for ((u, l) <- lab) assert(got(u) == ((l, sizes(l))), s"node $u")
+  }
+
+  test("community_labels separates planted cliques (two orders, disjoint parts)") {
+    import spark.implicits._
+    // two 4-cliques: every part in an order co-purchases every other.
+    // Hand-derived LPA: round 1 each node adopts the min of its three
+    // NEIGHBOR labels (own label is not a candidate), round 2 the true
+    // min floods, round 3 stable -> community = min part id per clique.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpa").toString
+    val rows = (for (p <- 1L to 4L) yield (100L, p)) ++
+      (for (p <- 11L to 14L) yield (200L, p))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.StatsOps.communityLabels(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    val expected =
+      (1L to 4L).map(p => p -> ((1L, 4L))).toMap ++
+        (11L to 14L).map(p => p -> ((11L, 4L))).toMap
+    assert(got == expected, s"got $got")
+  }
 }
