@@ -243,6 +243,7 @@ object SparkEntry {
     "ann_ivf"           -> (SimilarityOps.annIvf _),
     "embed_neardup"     -> (SimilarityOps.embedNeardup _),
     "int8_quantize"     -> (SimilarityOps.int8Quantize _),
+    "mrl_truncate"      -> (SimilarityOps.mrlTruncate _),
     "quality_classifier" -> (ClassifierOps.qualityClassifier _),
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
     "kmeans_embed"      -> ((s, d) => SimilarityOps.kmeansEmbed(s, d)),
@@ -1744,6 +1745,35 @@ object SparkEntry {
         |  CAST(sum(code) AS BIGINT) AS sum_code,
         |  CAST(count(*) FILTER (WHERE abs(code) = 127) AS BIGINT) AS n_sat
         |FROM c GROUP BY dim""".stripMargin,
+    // per-pair cosines are engine-identical (knn_cosine's index-order
+    // summation parity); cross-pair aggregation runs on floor(1e9·err)
+    // integers so summation order can't matter, with ONE mirrored
+    // division chain at the boundary
+    "mrl_truncate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.v AS va, b.v AS vb,
+        |        list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+        |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_full
+        |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        |c AS (SELECT k.k, cos_full,
+        |        list_sum(list_transform(list_zip(va[1:k.k], vb[1:k.k]),
+        |                                z -> z[1] * z[2]))
+        |          / (sqrt(list_sum(list_transform(va[1:k.k], x -> x * x)))
+        |             * sqrt(list_sum(list_transform(vb[1:k.k], x -> x * x))))
+        |          AS cos_k
+        |      FROM p CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS k) k),
+        |q AS (SELECT k, cos_full, cos_k,
+        |        CAST(floor(1e9 * abs(cos_k - cos_full)) AS BIGINT) AS err_q
+        |      FROM c)
+        |SELECT CAST(k AS INTEGER) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(err_q) AS DOUBLE) / 1e9 / count(*) AS mean_abs_err,
+        |  CAST(max(err_q) AS DOUBLE) / 1e9 AS max_abs_err,
+        |  CAST(count(*) FILTER (WHERE (cos_k > 0) <> (cos_full > 0)) AS BIGINT)
+        |    AS n_sign_flips
+        |FROM q GROUP BY k""".stripMargin,
     // kmeans replays seeds + 3 Lloyd rounds as chained CTEs: centroids
     // from exact floor(x·1e6) integer sums divided once (the
     // semantic_outliers discipline), assignments via cross join +

@@ -837,4 +837,55 @@ object SimilarityOps {
         sum(col("code")).as("sum_code"),
         count(when(abs(col("code")) === 127, 1)).as("n_sat"))
   }
+
+  /** Matryoshka (MRL) truncation audit — the dimension-reduction twin of
+    * [[int8Quantize]]'s precision audit: how well does cosine similarity
+    * over only the FIRST k embedding dims track the full-dim cosine, for
+    * k ∈ {8, 16, 32, 64}? This is the measurement a pipeline runs before
+    * storing truncated vectors (MRL-style embeddings are trained so
+    * prefixes remain usable; the audit quantifies whether THESE vectors
+    * are).
+    *
+    * Determinism/parity discipline: the pair set is the deterministic
+    * adjacent-id generator (the ngram_jaccard shape). Per-pair cosines
+    * are doubles computed with the SAME index-order summation as the
+    * oracle ([[knnCosine]]'s established parity), but per-pair errors are
+    * QUANTIZED to integer 1e-9 units before any cross-pair aggregation —
+    * integer sums are summation-order independent where double sums are
+    * not — and the mean/max re-derive from those integers with one
+    * mirrored division at the boundary. Sign flips compare exact
+    * booleans. Scale shape: pure map over adjacent pairs (one equi-join),
+    * ×4 rows per pair for the k explode, one partial-aggregated groupBy
+    * on the 4-row k key.
+    */
+  def mrlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    val pairs = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+      .withColumn("cos_full", expr(
+        """dot_product(va, vb) / (sqrt(dot_product(va, va))
+          |                       * sqrt(dot_product(vb, vb)))""".stripMargin))
+    pairs
+      .select(col("va"), col("vb"), col("cos_full"),
+        explode(expr("array(8, 16, 32, 64)")).as("k"))
+      .withColumn("cos_k", expr(
+        """dot_product(slice(va, 1, k), slice(vb, 1, k))
+          |  / (sqrt(dot_product(slice(va, 1, k), slice(va, 1, k)))
+          |     * sqrt(dot_product(slice(vb, 1, k), slice(vb, 1, k))))""".stripMargin))
+      .withColumn("err_q", expr(
+        "cast(floor(1e9 * abs(cos_k - cos_full)) as bigint)"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (sum(col("err_q")).cast(DoubleType) / lit(1e9) / count(lit(1)))
+          .as("mean_abs_err"),
+        (max(col("err_q")).cast(DoubleType) / lit(1e9)).as("max_abs_err"),
+        count(when((col("cos_k") > 0) =!= (col("cos_full") > 0), 1))
+          .as("n_sign_flips"))
+  }
 }

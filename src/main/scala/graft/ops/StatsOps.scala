@@ -827,20 +827,24 @@ object StatsOps {
     val edges = Tables.ckpt(copurchaseEdges(spark, dir))
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+    // argmax (count desc, label asc) as min_by over a (-cnt, label)
+    // struct — two hash aggregations, NO sort: in round 1 the
+    // (node, label) frame is near edge cardinality (labels start
+    // distinct), and a row_number window would sort all of it
+    def argmaxRound(nodeLabel: DataFrame): DataFrame =
+      nodeLabel
+        .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(min_by(col("nl"),
+          struct((-col("cnt")).as("nc"), col("nl"))).as("lab"))
+    // round 1 against the identity labeling needs no join at all: a
+    // neighbor's previous-round label IS its id
     var labels = Tables.ckpt(
-      bidir.select(col("u")).distinct().select(col("u"), col("u").as("lab")))
-    for (_ <- 1 to rounds) {
-      // argmax (count desc, label asc) as min_by over a (-cnt, label)
-      // struct — two hash aggregations, NO sort: in round 1 the
-      // (node, label) frame is near edge cardinality (labels start
-      // distinct), and a row_number window would sort all of it
-      labels = Tables.ckpt(
-        bidir
-          .join(labels.select(col("u").as("v"), col("lab").as("nl")), "v")
-          .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("u"))
-          .agg(min_by(col("nl"),
-            struct((-col("cnt")).as("nc"), col("nl"))).as("lab")))
+      argmaxRound(bidir.select(col("u"), col("v").as("nl"))))
+    for (_ <- 2 to rounds) {
+      labels = Tables.ckpt(argmaxRound(
+        bidir.join(labels.select(col("u").as("v"), col("lab").as("nl")), "v")
+          .select(col("u"), col("nl"))))
     }
     val byCommunity =
       org.apache.spark.sql.expressions.Window.partitionBy(col("community"))

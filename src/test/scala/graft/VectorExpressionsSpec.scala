@@ -184,4 +184,42 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"), plan)
     assert(df.count() == 100)
   }
+
+  test("mrl_truncate matches a driver-side replay; error shrinks as k grows") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double], k: Int): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < k) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    val pairs = vecs.collect {
+      case (id, va) if byId.contains(id + 1) => (va, byId(id + 1))
+    }
+    val expected = Seq(8, 16, 32, 64).map { k =>
+      val errs = pairs.map { case (va, vb) =>
+        math.floor(1e9 * math.abs(cos(va, vb, k) - cos(va, vb, 64))).toLong
+      }
+      val flips = pairs.count { case (va, vb) =>
+        (cos(va, vb, k) > 0) != (cos(va, vb, 64) > 0)
+      }
+      k -> (pairs.length.toLong, errs.sum.toDouble / 1e9 / pairs.length,
+        errs.max.toDouble / 1e9, flips.toLong)
+    }.toMap
+    val got = SparkEntry.queries("mrl_truncate")(spark, sf).collect()
+      .map(r => r.getAs[Int]("k") -> (
+        r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_abs_err"),
+        r.getAs[Double]("max_abs_err"), r.getAs[Long]("n_sign_flips"))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, e) <- expected) assert(got(k) == e, s"k=$k")
+    // the audit is only meaningful if truncation error actually decreases
+    // in k and vanishes at the full dimension
+    assert(got(64)._2 == 0.0 && got(64)._3 == 0.0 && got(64)._4 == 0L)
+    assert(got(8)._2 > got(16)._2 && got(16)._2 > got(32)._2)
+    assert(got(8)._2 > 0.0, "zero truncation error at k=8 — vacuous fixture")
+  }
 }
