@@ -285,6 +285,8 @@ object SparkEntry {
     "source_overlap"    -> (PipelineOps.sourceOverlap _),
     "url_normalize"     -> (CrawlOps.urlNormalize _),
     "domain_stats"      -> (CrawlOps.domainStats _),
+    "html_extract"      -> (CrawlOps.htmlExtract _),
+    "link_graph"        -> (CrawlOps.linkGraph _),
     "oov_rate"          -> (PipelineOps.oovRate _),
     "passage_dedup"     -> (PipelineOps.passageDedup _),
     "incremental_agg_merge" -> (PipelineOps.incrementalAggMerge _),
@@ -2316,6 +2318,70 @@ object SparkEntry {
         |  CAST(len(kept) AS INTEGER) AS n_params_kept,
         |  CAST(n_all - len(kept) AS INTEGER) AS n_params_dropped
         |FROM r""".stripMargin,
+    // the synthesized page (nav/ad/footer boilerplate + 20-word <p>
+    // chunks + rotating <a href> targets) is rebuilt string-identically,
+    // then EXTRACTED with the same escape-free regexes; DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark applies by default
+    "html_extract" ->
+      """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title></head><body>' ||
+        |  '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<div class="ad">buy now limited offer</div>' ELSE '' END ||
+        |  '<div class="content">' ||
+        |  array_to_string(list_transform(range(CAST((len(w) + 19) // 20 AS INTEGER)),
+        |    i -> '<p>' || array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ')
+        |         || '</p>'), '') ||
+        |  '</div><ul>' ||
+        |  array_to_string(list_transform(range(CAST(doc_id % 3 + 1 AS INTEGER)),
+        |    i -> '<li><a href="https://src' || (doc_id * 7 + i) % 20 || '.' ||
+        |         CASE WHEN (doc_id * 7 + i) % 20 < 10 THEN 'org' ELSE 'net' END ||
+        |         '/Docs/' || doc_id * 31 + i || '">ref</a></li>'), '') ||
+        |  '</ul><footer>copyright 2024 example</footer></body></html>' AS html
+        |  FROM d),
+        |x AS (SELECT doc_id,
+        |        regexp_extract_all(html, '<p>([^<]*)</p>', 1) AS paras,
+        |        trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |                            ' +', ' ', 'g')) AS rendered
+        |      FROM h)
+        |SELECT doc_id,
+        |  CAST(len(paras) AS INTEGER) AS n_paragraphs,
+        |  CAST(len(array_to_string(paras, ' ')) AS INTEGER) AS content_chars,
+        |  CAST(len(rendered) AS INTEGER) AS total_chars,
+        |  CAST(len(array_to_string(paras, ' ')) AS DOUBLE) / len(rendered)
+        |    AS content_ratio
+        |FROM x""".stripMargin,
+    "link_graph" ->
+      """WITH d AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  '<html><head><title>Doc ' || doc_id || '</title></head><body>' ||
+        |  '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<div class="ad">buy now limited offer</div>' ELSE '' END ||
+        |  '<div class="content">' ||
+        |  array_to_string(list_transform(range(CAST((len(w) + 19) // 20 AS INTEGER)),
+        |    i -> '<p>' || array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ')
+        |         || '</p>'), '') ||
+        |  '</div><ul>' ||
+        |  array_to_string(list_transform(range(CAST(doc_id % 3 + 1 AS INTEGER)),
+        |    i -> '<li><a href="https://src' || (doc_id * 7 + i) % 20 || '.' ||
+        |         CASE WHEN (doc_id * 7 + i) % 20 < 10 THEN 'org' ELSE 'net' END ||
+        |         '/Docs/' || doc_id * 31 + i || '">ref</a></li>'), '') ||
+        |  '</ul><footer>copyright 2024 example</footer></body></html>' AS html
+        |  FROM d),
+        |l AS (SELECT source,
+        |        unnest(regexp_extract_all(html, 'href="https://([^/"]*)/', 1))
+        |          AS dst_domain
+        |      FROM h)
+        |SELECT source || '.' ||
+        |    list_extract(['com', 'org', 'net'],
+        |                 CAST(len(source) % 3 + 1 AS INTEGER)) AS src_domain,
+        |  dst_domain,
+        |  CAST(count(*) AS BIGINT) AS n_links
+        |FROM l GROUP BY 1, 2""".stripMargin,
     "domain_stats" ->
       """WITH d AS (
         |  SELECT source || '.' ||

@@ -97,6 +97,87 @@ object CrawlOps {
       (size(params) - size(kept)).as("n_params_dropped"))
   }
 
+  /** Deterministic HTML page for a document — the fixture corpus carries
+    * no markup, so the crawl lane synthesizes a page per doc the way the
+    * URL lane synthesizes URLs: title head, nav boilerplate, the text
+    * split into 20-word `<p>` paragraphs, an ad block every 3rd doc, a
+    * link list whose targets rotate deterministically across the other
+    * domains, and a footer. Every downstream op EXTRACTS from this
+    * string with regexes (never re-derives the synthesis), so the
+    * extraction logic is real even though the page is synthetic.
+    */
+  private[ops] def htmlDoc: Column = {
+    val id = col("doc_id")
+    val paras = concat_ws("", expr(
+      "transform(sequence(0, int((size(split(trim(text), ' ')) + 19) div 20) - 1)," +
+        " i -> concat('<p>', concat_ws(' ', slice(split(trim(text), ' '), i * 20 + 1, 20)), '</p>'))"))
+    // link targets rotate across the other domains under the SAME
+    // source→tld rule the rest of the crawl lane uses (srcK.org for
+    // K<10, srcK.net above — len(srcK) % 3 of the domain synthesis)
+    val links = concat_ws("", expr(
+      """transform(sequence(0, int(doc_id % 3)),
+        |  i -> concat('<li><a href="https://src', (doc_id * 7 + i) % 20, '.',
+        |              if((doc_id * 7 + i) % 20 < 10, 'org', 'net'),
+        |              '/Docs/', doc_id * 31 + i, '">ref</a></li>'))"""
+        .stripMargin))
+    concat(
+      lit("<html><head><title>Doc "), id.cast(StringType),
+      lit("</title></head><body>"),
+      lit("""<nav><a href="/home">home</a> <a href="/about">about</a></nav>"""),
+      when(id % 3 === 0,
+        lit("""<div class="ad">buy now limited offer</div>""")).otherwise(lit("")),
+      lit("""<div class="content">"""), paras, lit("</div>"),
+      lit("<ul>"), links, lit("</ul>"),
+      lit("<footer>copyright 2024 example</footer></body></html>"))
+  }
+
+  /** Main-content extraction from HTML (the trafilatura/jusText step of
+    * a crawl pipeline, reduced to its deterministic core): `<p>`
+    * paragraph contents are the content; everything else that renders as
+    * text (nav, ads, link anchors, footer) is boilerplate. Tag stripping
+    * and paragraph extraction are REAL regex passes over the page string
+    * — patterns contain no escapes, so Spark/RE2 parity is structural.
+    * Output: paragraph count, content vs total rendered chars, and the
+    * content ratio (the quality signal crawl filters threshold on).
+    * Pure map, zero exchanges.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), htmlDoc.as("html"))
+    val paras = regexp_extract_all(col("html"), lit("<p>([^<]*)</p>"), lit(1))
+    val rendered = trim(regexp_replace(
+      regexp_replace(col("html"), lit("<[^>]*>"), lit(" ")), lit(" +"), lit(" ")))
+    base.select(
+      col("doc_id"),
+      size(paras).as("n_paragraphs"),
+      length(concat_ws(" ", paras)).as("content_chars"),
+      length(rendered).as("total_chars"),
+      (length(concat_ws(" ", paras)).cast(DoubleType) / length(rendered))
+        .as("content_ratio"))
+  }
+
+  /** Domain-level link graph from the pages' actual `<a href>` markup —
+    * the web-graph edge primitive (host-level, the granularity crawl
+    * schedulers and spam graphs use): hrefs are EXTRACTED from the HTML
+    * by regex, reduced to their host, and aggregated to
+    * (src_domain, dst_domain, n_links). Explode fan-out is the per-page
+    * link count (bounded ≤ 3 here, page-bounded in production); the one
+    * shuffle is the partial-aggregated domain-pair groupBy.
+    */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), htmlDoc.as("html"))
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net")), (length(col("source")) % 3) + 1)
+    base
+      .select(
+        concat(col("source"), lit("."), tld).as("src_domain"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"https://([^/\"]*)/"), lit(1))).as("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   /** Per-registered-domain corpus accounting — the crawl dashboard's
     * first table: document and token counts plus each domain's share of
     * the token budget (the source_mix shape keyed by the normalized

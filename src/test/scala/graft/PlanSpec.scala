@@ -206,6 +206,14 @@ class PlanSpec extends SparkSuite {
     assert(d.contains("BroadcastNestedLoopJoin") || d.contains("BroadcastExchange"), d)
   }
 
+  test("html_extract is a pure map; link_graph is one domain-pair aggregation") {
+    val h = plan("html_extract")
+    assert(!h.contains("Exchange"), s"html_extract must not shuffle:\n$h")
+    val l = plan("link_graph")
+    assert("Exchange hashpartitioning".r.findAllIn(l).length == 1, l)
+    assert(!l.contains("Join"), s"link_graph must not join:\n$l")
+  }
+
   test("audio lane is partition-wise decode + bounded-key aggregation") {
     // decode/encode runs inside mapPartitions; audio_meta's only shuffle
     // is the (rate, channels) partial+final agg; resample is a pure map
