@@ -307,6 +307,7 @@ object SparkEntry {
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
+    "media_thumbnail"   -> (MultimodalOps.mediaThumbnail _),
     "audio_meta"        -> (AudioOps.audioMeta _),
     "audio_resample"    -> (AudioOps.audioResample _),
     "audio_fingerprint" -> (AudioOps.audioFingerprint _),
@@ -3969,6 +3970,34 @@ object SparkEntry {
         |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         |    CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
         |  FROM f) t""".stripMargin,
+    // decode + box-downsample + re-encode all execute per row; the
+    // oracle re-derives the re-encoded byte count from the two formats'
+    // exact layouts at the DERIVED thumbnail dimensions
+    "media_thumbnail" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id,
+        |        CAST(16 + (nb // 16) % 128 AS INTEGER) AS width,
+        |        CAST(16 + (nb // 32) % 128 AS INTEGER) AS height,
+        |        CASE WHEN nb % 4 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+        |      FROM m),
+        |y AS (SELECT doc_id, width, height, format,
+        |        CASE WHEN greatest(width, height) <= 64 THEN width
+        |             ELSE CAST(width * 64 // greatest(width, height) AS INTEGER)
+        |        END AS out_width,
+        |        CASE WHEN greatest(width, height) <= 64 THEN height
+        |             ELSE CAST(height * 64 // greatest(width, height) AS INTEGER)
+        |        END AS out_height
+        |      FROM x)
+        |SELECT doc_id, width, height, out_width, out_height,
+        |  CAST(CASE WHEN format = 'ppm'
+        |       THEN 9 + len(CAST(out_width AS VARCHAR))
+        |            + len(CAST(out_height AS VARCHAR))
+        |            + 3 * out_width * out_height
+        |       ELSE 54 + out_height * ((3 * out_width + 3) // 4 * 4)
+        |  END AS INTEGER) AS out_bytes,
+        |  format
+        |FROM y""".stripMargin,
     // the engine ENCODES a real RIFF/WAV clip per document (geometry
     // buckets off QUANTIZED byte length — /64, /32, /16 — so near-dup
     // texts share clip shape) and DECODES it back; the oracle re-derives

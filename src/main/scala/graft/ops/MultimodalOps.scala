@@ -166,6 +166,82 @@ object MultimodalOps {
           .otherwise((col("height") * col("scale_num") / col("scale_den"))
             .cast(IntegerType)).as("out_height"))
 
+  /** Integer-exact box-average downsample to (ow, oh): output cell
+    * (x, y) covers the input box [x·w/ow, (x+1)·w/ow) × [y·h/oh,
+    * (y+1)·h/oh) (the [[ImageCodec.dhash64]] grid rule) and each channel
+    * averages by integer division — deterministic everywhere, no float
+    * resampling kernels.
+    */
+  private[graft] def boxDownsample(
+      img: ImageCodec.Image, ow: Int, oh: Int): ImageCodec.Image = {
+    val out = new Array[Byte](3 * ow * oh)
+    var y = 0
+    while (y < oh) {
+      val y0 = y * img.height / oh
+      val y1 = (y + 1) * img.height / oh
+      var x = 0
+      while (x < ow) {
+        val x0 = x * img.width / ow
+        val x1 = (x + 1) * img.width / ow
+        var r = 0L; var g = 0L; var b = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val p = 3 * (yy * img.width + xx)
+            r += img.rgb(p) & 0xff
+            g += img.rgb(p + 1) & 0xff
+            b += img.rgb(p + 2) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        val area = (x1 - x0).toLong * (y1 - y0)
+        val q = 3 * (y * ow + x)
+        out(q) = (r / area).toByte
+        out(q + 1) = (g / area).toByte
+        out(q + 2) = (b / area).toByte
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(ow, oh, out)
+  }
+
+  /** REAL thumbnailing in the decode slot — the pixel work
+    * [[mediaResize]] only PLANS: decode the payload, box-average
+    * downsample to the same aspect-preserving 64-box target, re-encode
+    * in the INPUT's own format, and report the re-encoded payload's
+    * ACTUAL byte length (both codec directions execute per row, the
+    * [[AudioOps.audioResample]] discipline). Oracle re-derives every
+    * field from the exact PPM/BMP byte layouts; corrupt payloads
+    * quarantine as all-zero rows with format='corrupt'.
+    */
+  def mediaThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .mapPartitions(_.map { r =>
+        try {
+          val fmt = ImageCodec.sniff(r.payload).get
+          val img = ImageCodec.decode(r.payload)
+          val mx = math.max(img.width, img.height)
+          val (ow, oh) =
+            if (mx <= 64) (img.width, img.height)
+            else (img.width * 64 / mx, img.height * 64 / mx)
+          val thumb = boxDownsample(img, ow, oh)
+          val encoded =
+            if (fmt == "bmp") ImageCodec.encodeBmp(thumb)
+            else ImageCodec.encodePpm(thumb)
+          (r.doc_id, img.width, img.height, ow, oh, encoded.length, fmt)
+        } catch {
+          case _: IllegalArgumentException | _: NoSuchElementException =>
+            (r.doc_id, 0, 0, 0, 0, 0, "corrupt")
+        }
+      })
+      .toDF("doc_id", "width", "height", "out_width", "out_height",
+        "out_bytes", "format")
+  }
+
   /** STUB feature extraction: payload → fixed-width feature vector
     * (8 deterministic hash-derived doubles standing in for a CNN/CLIP
     * embedding). The Spark-side contract — binary in, array<double> out,

@@ -242,6 +242,39 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(MultimodalOps.phash64(ok) == ImageCodec.dhash64(ImageCodec.decode(ok)))
   }
 
+  test("boxDownsample averages exact integer cell boxes; thumbnails re-decode") {
+    // 4x4 -> 2x2: each output cell is the mean of a 2x2 box, integer div
+    val gray = Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120,
+      130, 140, 151, 160)
+    val rgb = new Array[Byte](48)
+    for (i <- 0 until 16; c <- 0 until 3) rgb(3 * i + c) = gray(i).toByte
+    val thumb = MultimodalOps.boxDownsample(Image(4, 4, rgb), 2, 2)
+    // box means: (10+20+50+60)/4=35, (30+40+70+80)/4=55,
+    //            (90+100+130+140)/4=115, (110+120+151+160)/4=135 (floor)
+    assert(thumb.rgb.grouped(3).map(_(0) & 0xff).toSeq == Seq(35, 55, 115, 135))
+    // uneven 5x3 -> 2x2 still covers every pixel exactly once
+    val rgb2 = Array.tabulate(45)(i => ((i * 17 + 3) % 251).toByte)
+    val t2 = MultimodalOps.boxDownsample(Image(5, 3, rgb2), 2, 2)
+    assert(t2.width == 2 && t2.height == 2)
+    // and the full thumbnail pipeline re-encodes a decodable image of the
+    // planned dimensions in the input's own format
+    val text = ("lorem ipsum dolor sit amet " * 40).trim.getBytes("UTF-8")
+    val payload = MultimodalOps.buildPayload(text)
+    val img = ImageCodec.decode(payload)
+    val mx = math.max(img.width, img.height)
+    assert(mx > 64, "fixture must need downsampling or the test is vacuous")
+    val (ow, oh) = (img.width * 64 / mx, img.height * 64 / mx)
+    val reEncoded =
+      if (ImageCodec.sniff(payload).contains("bmp"))
+        ImageCodec.encodeBmp(MultimodalOps.boxDownsample(img, ow, oh))
+      else ImageCodec.encodePpm(MultimodalOps.boxDownsample(img, ow, oh))
+    val back = ImageCodec.decode(reEncoded)
+    assert(back.width == ow && back.height == oh)
+  }
+
   test("buildPayload encodes real images; near-identical texts collide in phash") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val pa = MultimodalOps.buildPayload(base.getBytes("UTF-8"))
