@@ -308,6 +308,7 @@ object SparkEntry {
     "feature_extract"   -> (MultimodalOps.featureExtract _),
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
     "media_thumbnail"   -> (MultimodalOps.mediaThumbnail _),
+    "image_features"    -> (MultimodalOps.imageFeatures _),
     "audio_meta"        -> (AudioOps.audioMeta _),
     "audio_resample"    -> (AudioOps.audioResample _),
     "audio_fingerprint" -> (AudioOps.audioFingerprint _),
@@ -3970,6 +3971,39 @@ object SparkEntry {
         |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         |    CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
         |  FROM f) t""".stripMargin,
+    // the oracle derives pixel statistics ANALYTICALLY from the 16x16
+    // block structure (ceil-difference pixel counts per block x a text
+    // byte value) — a hash match proves the engine's encode->decode->
+    // pixel-walk path reproduces the content exactly
+    "image_features" ->
+      """WITH m AS (SELECT doc_id, text,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id, text, nb,
+        |        16 + (nb // 16) % 128 AS w, 16 + (nb // 32) % 128 AS h,
+        |        CASE WHEN nb = 0 THEN 1
+        |             ELSE least(nb, 128) END AS mm
+        |      FROM m),
+        |b AS (SELECT doc_id, w, h,
+        |        ((yb + 1) * h + 15) // 16 - (yb * h + 15) // 16 AS cy,
+        |        ((xb + 1) * w + 15) // 16 - (xb * w + 15) // 16 AS cx,
+        |        CASE WHEN nb = 0 THEN 0
+        |             ELSE ord(substr(text,
+        |                    CAST((yb * 16 + xb) % mm AS INTEGER) + 1, 1)) END AS v
+        |      FROM x
+        |      CROSS JOIN (SELECT unnest(range(16)) AS yb) t1
+        |      CROSS JOIN (SELECT unnest(range(16)) AS xb) t2)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(cx * cy) AS BIGINT) AS n_pixels,
+        |  CAST(sum(cx * cy * v) AS BIGINT) AS sum_gray,
+        |  CAST(sum(CASE WHEN v // 64 = 0 THEN cx * cy ELSE 0 END) AS BIGINT) AS bin0,
+        |  CAST(sum(CASE WHEN v // 64 = 1 THEN cx * cy ELSE 0 END) AS BIGINT) AS bin1,
+        |  CAST(sum(CASE WHEN v // 64 = 2 THEN cx * cy ELSE 0 END) AS BIGINT) AS bin2,
+        |  CAST(sum(CASE WHEN v // 64 = 3 THEN cx * cy ELSE 0 END) AS BIGINT) AS bin3,
+        |  CAST(sum(cx * cy * v) AS DOUBLE) / sum(cx * cy) AS mean_gray
+        |FROM b GROUP BY doc_id""".stripMargin,
     // decode + box-downsample + re-encode all execute per row; the
     // oracle re-derives the re-encoded byte count from the two formats'
     // exact layouts at the DERIVED thumbnail dimensions

@@ -242,6 +242,45 @@ object MultimodalOps {
         "out_bytes", "format")
   }
 
+  /** REAL image feature extraction — pixel statistics computed from the
+    * DECODED image in the decode slot: mean gray level and a 4-bin
+    * intensity histogram over the red channel (the fixtures are
+    * grayscale by construction, so R is gray). The oracle never touches
+    * pixels: it derives the SAME numbers analytically from the fixture's
+    * 16×16 block structure (each block's pixel count is an exact
+    * ceil-difference formula, its value a text byte), so a hash match
+    * PROVES the whole encode→decode→pixel-walk path reproduces the
+    * analytic content exactly — a stronger gate than re-deriving byte
+    * lengths. Corrupt payloads quarantine as all-zero rows.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .mapPartitions(_.map { r =>
+        try {
+          val img = ImageCodec.decode(r.payload)
+          var sum = 0L
+          val bins = new Array[Long](4)
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            val v = img.rgb(3 * i) & 0xff
+            sum += v
+            bins(v >> 6) += 1
+            i += 1
+          }
+          (r.doc_id, img.width, img.height, n.toLong, sum,
+            bins(0), bins(1), bins(2), bins(3),
+            sum.toDouble / n)
+        } catch {
+          case _: IllegalArgumentException =>
+            (r.doc_id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0.0)
+        }
+      })
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
+        "bin0", "bin1", "bin2", "bin3", "mean_gray")
+  }
+
   /** STUB feature extraction: payload → fixed-width feature vector
     * (8 deterministic hash-derived doubles standing in for a CNN/CLIP
     * embedding). The Spark-side contract — binary in, array<double> out,
