@@ -113,22 +113,28 @@ object AudioOps {
     import spark.implicits._
     audioPayloads(spark, dir)
       .mapPartitions(_.map { r =>
-        val a = AudioCodec.decodeWav(r.payload)
-        val outFrames = (a.frames + 1) / 2
-        val out = new Array[Short](outFrames * a.channels)
-        var f = 0
-        while (f < outFrames) {
-          var c = 0
-          while (c < a.channels) {
-            out(f * a.channels + c) = a.samples(2 * f * a.channels + c)
-            c += 1
+        try {
+          val a = AudioCodec.decodeWav(r.payload)
+          val outFrames = (a.frames + 1) / 2
+          val out = new Array[Short](outFrames * a.channels)
+          var f = 0
+          while (f < outFrames) {
+            var c = 0
+            while (c < a.channels) {
+              out(f * a.channels + c) = a.samples(2 * f * a.channels + c)
+              c += 1
+            }
+            f += 1
           }
-          f += 1
+          val encoded = AudioCodec.encodeWav(
+            AudioCodec.Audio(math.max(a.sampleRate / 2, 1), a.channels, out))
+          (r.doc_id, a.sampleRate, math.max(a.sampleRate / 2, 1),
+            a.frames, outFrames, encoded.length)
+        } catch {
+          // the realDecode totality contract: one malformed payload
+          // quarantines as an all-zero row, never kills the job
+          case _: IllegalArgumentException => (r.doc_id, 0, 0, 0, 0, 0)
         }
-        val encoded = AudioCodec.encodeWav(
-          AudioCodec.Audio(math.max(a.sampleRate / 2, 1), a.channels, out))
-        (r.doc_id, a.sampleRate, math.max(a.sampleRate / 2, 1),
-          a.frames, outFrames, encoded.length)
       })
       .toDF("doc_id", "sample_rate", "out_rate", "in_frames", "out_frames",
         "out_bytes")

@@ -45,14 +45,15 @@ object NearDupStream {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  class Processor(threshold: Double, maxBucket: Int)
+  class Processor(threshold: Double, maxBucket: Int,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(Int, Long), BandRow, MatchRow] {
 
     @transient private var seen: ListState[DocSig] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getListState[DocSig](
-        "seen", Encoders.product[DocSig], TTLConfig.NONE)
+        "seen", Encoders.product[DocSig], ttl)
 
     override def handleInputRows(
         key: (Int, Long),
@@ -109,14 +110,19 @@ object NearDupStream {
     */
   def matches(docs: DataFrame,
               threshold: Double = 0.5,
-              maxBucket: Int = graft.ops.DedupOps.MaxBucket): Dataset[MatchRow] = {
+              maxBucket: Int = graft.ops.DedupOps.MaxBucket,
+              ttl: TTLConfig = TTLConfig.NONE): Dataset[MatchRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ttl requires ProcessingTime time mode; NONE keeps TimeMode.None
+    // (data-driven batches, the testable default)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     banded(docs)
       .groupByKey(r => (r.band_id, r.band_hash))
       .transformWithState(
-        new Processor(threshold, maxBucket),
-        TimeMode.None(),
+        new Processor(threshold, maxBucket, ttl),
+        timeMode,
         OutputMode.Append())
   }
 }

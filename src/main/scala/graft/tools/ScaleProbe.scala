@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   private val DefaultOps =
-    Seq("pagerank", "kcore_nodes", "dedup_clusters_lsh", "semdedup", "triangle_count")
-  private val DeepOps = Seq("pagerank", "triangle_count")
+    Seq("pagerank", "kcore_nodes", "dedup_clusters_lsh", "semdedup",
+      "triangle_count", "community_labels")
+  private val DeepOps = Seq("pagerank", "triangle_count", "kcore_nodes")
 
   def main(args: Array[String]): Unit = {
     val scratch = args(0)
