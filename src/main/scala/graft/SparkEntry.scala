@@ -177,6 +177,7 @@ object SparkEntry {
     "attribution_last_touch" -> (StatsOps.attributionLastTouch _),
     "pareto_front"      -> (StatsOps.paretoFront _),
     "interval_merge"    -> (StatsOps.intervalMerge _),
+    "interval_overlap_join" -> (StatsOps.intervalOverlapJoin _),
     "cdc_apply"         -> (PipelineOps.cdcApply _),
     "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
     "pagerank"          -> (StatsOps.pagerank _),
@@ -3641,6 +3642,34 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
         |       CAST(sum(i_end - i_start) // 1000000 AS BIGINT) AS covered_sec
         |FROM g GROUP BY user_id""".stripMargin,
+    // the quadratic non-equi overlap join is the ORACLE formulation; the
+    // engine finds the identical pairs through the 1-hour grid equi-join
+    "interval_overlap_join" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e,
+        |    max(epoch_us(ts) + 300000000)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_end IS NOT NULL AND prev_end >= s
+        |             THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |  FROM i GROUP BY user_id, island)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum((least(a.i_end, b.i_end) - greatest(a.i_start, b.i_start))
+        |           // 1000000) AS BIGINT) AS overlap_sec
+        |FROM g a JOIN g b
+        |  ON a.user_id < b.user_id
+        |  AND a.i_start < b.i_end AND b.i_start < a.i_end
+        |GROUP BY 1, 2""".stripMargin,
     "cdc_apply" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value, ts, event_id,

@@ -1302,6 +1302,67 @@ object StatsOps {
         expr("sum(i_end - i_start) div 1000000").as("covered_sec"))
   }
 
+  /** Interval-OVERLAP join — the interval×interval relational shape
+    * [[graft.ops.RelationalOps]]'s range join (point-in-interval) cannot
+    * express: which pairs of USERS have concurrently-active merged
+    * sessions, how many interval pairs overlap, and for how long. The
+    * naive form is a non-equi self-join (cartesian candidates); the
+    * scalable form here buckets every interval onto a fixed 1-hour grid
+    * and equi-joins on the bucket — two overlapping intervals share the
+    * bucket of any common instant, so the grid join finds EVERY
+    * overlapping pair (no recall loss), duplicates from multi-bucket
+    * overlaps collapse by the unique (user, start) interval keys, and
+    * the exact strict-overlap predicate verifies candidates only.
+    * Fan-out per interval = duration/width + 1; per-bucket join width =
+    * concurrently-active intervals, which is output-bounded (those pairs
+    * genuinely overlap and are emitted). Grid width is the tuning knob
+    * against interval-length skew at scale. The quadratic non-equi join
+    * is the ORACLE formulation only; PlanSpec pins no cartesian/BNLJ in
+    * the engine plan. Durations in exact integer µs, one `div` at the
+    * boundary per pair (mirrored in the oracle before its sum).
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = Tables.ckpt(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + 300L * 1000000L)
+        .withColumn("prev_end", max(col("e")).over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_end").isNotNull && col("prev_end") >= col("s"), 0L)
+            .otherwise(1L))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end")))
+    val W = 3600L * 1000000L // 1-hour grid
+    val bucketed = iv.select(col("user_id"), col("i_start"), col("i_end"),
+      explode(expr(s"sequence(i_start div $W, i_end div $W)")).as("bucket"))
+    val x = bucketed.alias("x")
+    val y = bucketed.alias("y")
+    x.join(y,
+        col("x.bucket") === col("y.bucket") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.bucket").as("bucket"),
+        col("x.user_id").as("user_a"), col("x.i_start").as("sa"),
+        col("x.i_end").as("ea"),
+        col("y.user_id").as("user_b"), col("y.i_start").as("sb"),
+        col("y.i_end").as("eb"))
+      // report-once: an overlapping pair co-occupies EVERY bucket of its
+      // intersection; count it only in the bucket of the LATER start
+      // (covered by both iff they overlap) — no dropDuplicates exchange,
+      // and long intervals (these span days) don't multiply candidates
+      // by their bucket count
+      .filter(col("bucket") === expr(s"greatest(sa div $W, sb div $W)"))
+      .filter(col("sa") < col("eb") && col("sb") < col("ea"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        expr("sum((least(ea, eb) - greatest(sa, sb)) div 1000000)")
+          .as("overlap_sec"))
+  }
+
   /** Week-over-week revenue growth: weekly order revenue (exact
     * DECIMAL(18,2) sums — double summation is order-dependent) with the
     * lag-ratio growth rate. The window ORDER BY week runs over the

@@ -206,6 +206,16 @@ class PlanSpec extends SparkSuite {
     assert(d.contains("BroadcastNestedLoopJoin") || d.contains("BroadcastExchange"), d)
   }
 
+  test("interval_overlap_join rides the grid equi-join, never a non-equi product") {
+    // the POINT of the op: the interval x interval overlap condition has
+    // no equi-key, so a naive plan is a cartesian/BNLJ candidate product;
+    // the grid bucketing must turn it into a hash-join
+    val p = plan("interval_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("html_extract is a pure map; link_graph is one domain-pair aggregation") {
     val h = plan("html_extract")
     assert(!h.contains("Exchange"), s"html_extract must not shuffle:\n$h")

@@ -321,4 +321,37 @@ class RobustOpsSpec extends SparkSuite {
     assert(rows(1L) == ((6L, 1L, 25L)), rows.toString)
     assert(rows(2L) == ((6L, 1L, 25L)), rows.toString)
   }
+
+  test("interval_overlap_join equals brute quadratic overlap at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    // driver-side replay: merge per-user 5-min event intervals, then the
+    // quadratic strict-overlap scan the grid join must reproduce exactly
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val intervals = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((_, _, s) <- sorted) {
+        val e = s + 300000000L
+        out.lastOption match {
+          case Some((uu, is, ie)) if ie >= s => out(out.length - 1) = (uu, is, math.max(ie, e))
+          case _ => out += ((u, s, e))
+        }
+      }
+      out
+    }
+    val expected = (for {
+      (ua, sa, ea) <- intervals
+      (ub, sb, eb) <- intervals
+      if ua < ub && sa < eb && sb < ea
+    } yield ((ua, ub), (math.min(ea, eb) - math.max(sa, sb)) / 1000000L))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    val got = SparkEntry.queries("interval_overlap_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("overlap_sec"))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "no overlapping user sessions — vacuous fixture")
+  }
 }
