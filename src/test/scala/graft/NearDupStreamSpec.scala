@@ -67,4 +67,33 @@ class NearDupStreamSpec extends SparkSuite {
     assert(!hasCrossPair || crossBatch, "cross-batch pair lost at the checkpoint boundary")
     assert(afterBatch1 < out.size || !hasCrossPair)
   }
+
+  test("bucket cap bounds residents: 70 identical docs, cap 64") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts share EVERY band bucket; only the first 64 may
+    // become residents, later arrivals still match all 64
+    val text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val docs = (0L until 70L).map(i => NearDupStream.DocRow(i, text))
+    val input = MemoryStream[NearDupStream.DocRow]
+    val matches = NearDupStream.matches(input.toDF())
+    val ck = java.nio.file.Files.createTempDirectory("neardup_cap").toString
+    val out = mutable.Buffer[Row]()
+    input.addData(docs)
+    val q = matches.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) => out ++= df.collect(); () }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    // doc i matches exactly the min(i, 64) earlier residents:
+    // sum_{i=1}^{69} min(i, 64) = (1+..+63) + 64*6 = 2016 + 384
+    assert(pairs.size == 2400, s"got ${pairs.size} pairs")
+    assert(pairs.forall { case (b, a) => a < b && a < 64 },
+      "a doc past the cap became a resident")
+    assert(out.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
 }
