@@ -269,6 +269,7 @@ object SparkEntry {
     "repetition_score"  -> (PipelineOps.repetitionScore _),
     "token_budget_select" -> (PipelineOps.tokenBudgetSelect _),
     "corpus_clean"      -> (PipelineOps.corpusClean _),
+    "corpus_pipeline"   -> (PipelineOps.corpusPipeline _),
     "anchor_dedup"      -> (PipelineOps.anchorDedup _),
     "source_mix"        -> (PipelineOps.sourceMix _),
     "sample_per_group"  -> (PipelineOps.samplePerGroup _),
@@ -1005,6 +1006,33 @@ object SparkEntry {
         |          len(string_split(trim(text), ' ')) AS n_tokens FROM documents)
         |  WHERE lang IN ('en', 'de', 'fr', 'es') AND n_tokens BETWEEN 5 AND 2000)
         |WHERE rn = 1""".stripMargin,
+    // the end-to-end prep composition replays each stage's EXACT
+    // standalone semantics as chained CTEs: clean filters + dedup
+    // window, the multiplicative-hash train bucket, the lang-partition
+    // packing cumsum
+    "corpus_pipeline" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM (SELECT doc_id, lang, text,
+        |            len(string_split(trim(text), ' ')) AS n_tokens
+        |          FROM documents)
+        |    WHERE lang IN ('en', 'de', 'fr', 'es')
+        |      AND n_tokens BETWEEN 5 AND 2000) z
+        |  WHERE rn = 1),
+        |t AS (SELECT * FROM c
+        |      WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80),
+        |p AS (SELECT lang, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before
+        |      FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(cum_before // 2048) + 1 AS BIGINT) AS n_packs,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS tokens_per_doc
+        |FROM p GROUP BY lang""".stripMargin,
     "anchor_dedup" ->
       """SELECT md5(substr(text, 1, 100)) AS anchor,
         |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id

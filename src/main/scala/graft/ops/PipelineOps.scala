@@ -335,6 +335,46 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** The prep pipeline END-TO-END as one composed query — the capstone a
+    * user of this library actually runs: [[corpusClean]]'s filter chain
+    * (lang whitelist, token bounds, exact-text dedup keeping min doc_id)
+    * → [[trainTestSplit]]'s deterministic 80% train bucket →
+    * [[packSequences]]'s 2048-token context packing → the per-lang shard
+    * report (docs, tokens, packs, tokens/doc). Every stage reuses the
+    * EXACT semantics of its standalone op (same hash, same window
+    * arithmetic), so the composition is oracle-checkable as chained CTEs
+    * and spec-checkable against the standalone ops' own outputs.
+    * Exchanges: text-partition dedup window, lang-partition packing
+    * window, and the final lang groupBy rides the packing partitioning —
+    * no joins anywhere.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val cleaned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(trim(col("text")), " ")).as("n_tokens"))
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .filter(col("n_tokens").between(5, 2000))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val train = cleaned.filter(hashBucket(col("doc_id")) < 80)
+    val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    train
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+      .withColumn("pack_id", expr("cum_before div 2048"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1)))
+          .as("tokens_per_doc"))
+  }
+
   /** Prefix-anchor duplicate grouping: documents that share their first
     * 100 characters are one group (crawl-dedup heuristic for templated
     * pages whose tails differ — catches what exact-hash dedup misses

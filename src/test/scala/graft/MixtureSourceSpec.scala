@@ -154,6 +154,33 @@ class MixtureSourceSpec extends SparkSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("corpus_pipeline equals a recomposition of the standalone ops' outputs") {
+    // clean via corpus_clean's OWN output, split via train_test_split's
+    // OWN labels, packing recomputed in Scala — the composed op must be
+    // exactly the composition of its parts, not a lookalike
+    val cleaned = SparkEntry.queries("corpus_clean")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Int]("n_tokens")))
+    val split = SparkEntry.queries("train_test_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val train = cleaned.filter { case (id, _, _) => split(id) == "train" }
+    val expected = train.groupBy(_._2).map { case (lang, docs) =>
+      val sorted = docs.sortBy(_._1)
+      var cum = 0L
+      var maxPack = 0L
+      for ((_, _, n) <- sorted) { maxPack = math.max(maxPack, cum / 2048); cum += n }
+      lang -> (docs.length.toLong, docs.map(_._3.toLong).sum, maxPack + 1,
+        docs.map(_._3.toLong).sum.toDouble / docs.length)
+    }
+    val got = SparkEntry.queries("corpus_pipeline")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_packs"), r.getAs[Double]("tokens_per_doc"))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty && got.values.exists(_._3 > 1),
+      "no multi-pack lang — packing stage vacuous")
+  }
+
   test("source_overlap matches the brute replay at sf0.001") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("source", "text").collect()
