@@ -25,7 +25,62 @@ import org.apache.spark.sql.SparkSession
   * round-over-round reader should prefer `queries_min` over the medians
   * before chasing an apparent regression (BENCH_r05 recorded 5-10x
   * tenant-load inflation on several queries that were unchanged).
+  *
+  * Cross-run regression sentinel: intra-run spread can't see a query whose
+  * samples are ALL inflated by a sustained load window (r10: derived_mul
+  * measured 15.45/16.99/14.91 s on the driver box vs 0.32 s on the same
+  * commit minutes later — every spread-based flag self-reported clean). So
+  * Bench also reads the committed prior-round per-query medians
+  * (`bench_prior.json`, refreshed each round from the last clean run;
+  * override: SPARK_GRAFT_BENCH_PRIOR) and emits `regressed_vs_prev`
+  * (queries whose median exceeds 1.8x their prior median) plus
+  * `total_excl_flagged` — the total with every drift- or
+  * regression-flagged query counted at its MIN sample instead of its
+  * median (excluding-at-min keeps the denominator constant so totals stay
+  * comparable across rounds). A genuinely regressed plan still shows up:
+  * its min regresses too, and the flag names it for a plan diff.
+  * Test hook: SPARK_GRAFT_BENCH_SLEEP="name:millis" injects a sleep into
+  * one query's timed passes so the sentinel itself can be exercised
+  * end-to-end (BenchLogicSpec covers the pure logic).
   */
+/** Pure flag arithmetic for Bench, factored out so BenchLogicSpec can pin
+  * the cross-run regression sentinel without a Spark session.
+  */
+object BenchLogic {
+  /** Extract name -> median from a bench_details-format JSON string. The
+    * format is our own (flat, regular, written by this file), so a regex
+    * is sufficient and avoids a JSON-library dependency in the hot main.
+    */
+  def parsePriorMedians(json: String): Map[String, Double] = {
+    val Re = """"([^"\\]+)":\{"median":(-?[0-9][0-9.eE+\-]*)""".r
+    Re.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Queries whose current median exceeds `ratio` x their prior median.
+    * Queries absent from the prior file (new this round) or with
+    * non-positive medians on either side are never flagged.
+    */
+  def regressedVsPrev(cur: Map[String, Double], prior: Map[String, Double],
+                      ratio: Double = 1.8): Map[String, Double] =
+    cur.collect {
+      case (k, m) if m > 0 && prior.getOrElse(k, -1.0) > 0 &&
+          m / prior(k) > ratio =>
+        k -> math.rint(m / prior(k) * 100) / 100
+    }
+
+  /** Sum of medians, but every flagged query contributes its MIN sample
+    * instead — the denominator stays the full registry, so the headline is
+    * comparable round-over-round even when a sustained load window
+    * inflates a handful of queries.
+    */
+  def totalExclFlagged(med: Map[String, Double], mins: Map[String, Double],
+                       flagged: Set[String]): Double =
+    med.collect {
+      case (k, m) if m >= 0 =>
+        if (flagged(k)) math.max(mins.getOrElse(k, m), 0.0) else m
+    }.sum
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,13 +109,25 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // Test-only hook for the cross-run regression sentinel: "name:millis"
+    // injects a sleep into that query's timed passes, simulating the
+    // sustained-load phantom the sentinel exists to catch.
+    val sleepSpec: Option[(String, Long)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SLEEP").flatMap { s =>
+        s.split(':') match {
+          case Array(q, ms) => ms.toLongOption.map(q -> _)
+          case _            => None
+        }
+      }
     // n timed passes per query (query-major so each query's samples are
     // back-to-back — comparable load conditions within a sample set)
     val samples: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { run(fn); true }
-                 catch { case _: Throwable => false }
+        val ok = try {
+          sleepSpec.foreach { case (q, ms) => if (q == name) Thread.sleep(ms) }
+          run(fn); true
+        } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
     }
@@ -99,10 +166,24 @@ object Bench {
           (ok(v).max / ok(v).min > 2.5 || median(v) / ok(v).min > 1.8) =>
         k -> math.rint(ok(v).max / ok(v).min * 100) / 100
     }
-    // the drift map is capped at the 20 worst ratios so a fully-noisy run
+    // the drift map is capped at the 10 worst ratios so a fully-noisy run
     // can't push the summary line past the driver's capture window
-    val pqDriftStr = perQueryDrift.toSeq.sortBy(-_._2).take(20)
+    val pqDriftStr = perQueryDrift.toSeq.sortBy(-_._2).take(10)
       .map { case (k, r) => s"\"" + k + "\":" + r }.mkString("{", ",", "}")
+    // Cross-run regression sentinel (see scaladoc): compare this run's
+    // medians against the committed prior-round medians. The flagged set
+    // (spread-flagged OR regressed-vs-prior) drives total_excl_flagged.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      "bench_prior.json")
+    val prior: Map[String, Double] =
+      try BenchLogic.parsePriorMedians(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(priorPath)))
+      catch { case _: Throwable => Map.empty }
+    val regressed = BenchLogic.regressedVsPrev(med, prior)
+    val regressedStr = regressed.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, r) => s"\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val flaggedSet = perQueryDrift.keySet ++ regressed.keySet
+    val totalExcl = BenchLogic.totalExclFlagged(med, mins, flaggedSet)
     val top10Str = med.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // Post-run drift probe: re-time one fixed mid-weight query and compare
@@ -153,7 +234,9 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","n":$n,"sink":"noop",""" +
       s""""n_queries":${samples.size},"queries_file":"$detailsPath",""" +
       s""""queries_top10":$top10Str,""" +
-      s""""per_query_drift":$pqDriftStr,"total_min":${r3(totalMin)},""" +
+      s""""per_query_drift":$pqDriftStr,"regressed_vs_prev":$regressedStr,""" +
+      s""""total_excl_flagged":${r3(totalExcl)},"n_flagged":${flaggedSet.size},""" +
+      s""""total_min":${r3(totalMin)},""" +
       s""""failed_passes":$failStr,$driftStr"sf":"$sfDir","value":$total}"""
     // Stop the session BEFORE printing so the JSON line is the final stdout
     // line of the run (Spark logs go to stderr; sbt's own trailing

@@ -33,6 +33,14 @@ object DedupOps {
     */
   val MaxBucket = 64
 
+  /** Telemetry register: degenerate-bucket drop count from the most recent
+    * [[lshCandidatePairs]] materialization on this JVM (-1 = never ran).
+    * Populated from the checkpoint-ride observe() metric — the queryable
+    * surface for monitors and specs (ObservedMetricsSpec), replacing the
+    * r10 standalone count() job.
+    */
+  val lastLshDrops = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** doc_id + distinct word-3-gram shingles as STRINGS — the oracle-
@@ -108,11 +116,28 @@ object DedupOps {
       .groupBy(col("band_id"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .transform(Tables.ckpt) // tiny (bucketed ids); reused by drop-count + pairs
-    val dropped = buckets.filter(size(col("ds")) > MaxBucket).count()
-    if (dropped > 0)
-      log.warn(s"lshCandidatePairs: dropped $dropped degenerate band buckets (> $MaxBucket docs)")
-    buckets
+      // Drop-count telemetry rides the checkpoint's OWN materialization
+      // via observe() — no second job. (r10 shipped a standalone
+      // `.filter(...).count()` here: the exact two-actions-for-telemetry
+      // shape this repo criticizes in the reference's sink guard,
+      // processor.py:117-121.) The observe node sits ABOVE the aggregate
+      // and BELOW the eager ckpt deliberately: a mid-plan observe past an
+      // AQE runtime replan reports empty (the executed stage holds a
+      // cloned node whose accumulator the qe tree-walk never sees —
+      // measured on this exact pipeline), whereas the ckpt materializes
+      // this very QueryExecution, so its observedMetrics are complete the
+      // moment ckpt returns. ObservedMetricsSpec pins the count.
+      .observe("lsh_bucket_caps",
+        coalesce(sum(when(size(col("ds")) > MaxBucket, 1L).otherwise(0L)),
+          lit(0L)).as("lsh_dropped_buckets"))
+    val ckd = Tables.ckpt(buckets) // eager: runs the observed plan
+    val drops = buckets.queryExecution.observedMetrics
+      .get("lsh_bucket_caps")
+      .map(_.getAs[Long]("lsh_dropped_buckets")).getOrElse(0L)
+    lastLshDrops.set(drops)
+    if (drops > 0)
+      log.warn(s"lshCandidatePairs: dropped $drops degenerate band buckets (> $MaxBucket docs)")
+    ckd
       .filter(size(col("ds")) <= MaxBucket)
       .withColumn("ds", array_sort(col("ds")))
       .select(explode(expr(

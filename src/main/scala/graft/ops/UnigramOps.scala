@@ -70,6 +70,12 @@ object UnigramOps {
 
   val MaxPieceLen = 4
 
+  /** Hard cap on the single-character seed vocabulary collected to the
+    * driver by [[unigramTrain]] — bounds the collect by contract even on
+    * a unicode-soup corpus whose raw alphabet is unbounded.
+    */
+  val SeedAlphabet = 256
+
   require(Pieces.distinct.size == Pieces.size, "duplicate piece")
   require(Pieces.forall(p => p.nonEmpty && p.length <= MaxPieceLen))
 
@@ -281,7 +287,15 @@ object UnigramOps {
          |    transform(sequence(1, length(w) - l + 1), i -> substring(w, i, l))
          |  ELSE array() END))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+    // The single-character seed collect is bounded BY CONTRACT, not by
+    // fixture luck: a pathological unicode-soup corpus would otherwise
+    // make this driver collect alphabet-sized (r10 verdict finding #3).
+    // Same deterministic ordering as the multis; 256 covers any practical
+    // working alphabet (characters beyond the cap fall out of the vocab,
+    // exactly like sub-threshold multis).
     val singles = subCounts.filter(length(col("piece")) === 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(SeedAlphabet)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val multis = subCounts.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece"))

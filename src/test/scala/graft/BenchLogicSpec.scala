@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the cross-run regression sentinel (BenchLogic): the driver-box
+  * phantom class where ALL samples of a query are inflated by a sustained
+  * load window — invisible to intra-run spread flags (r10: derived_mul at
+  * 15.45/16.99/14.91 s vs a committed prior median of 0.32 s). No Spark
+  * session needed; the end-to-end path (sleep-injected query showing up in
+  * `regressed_vs_prev` on the real stdout line) is exercised via
+  * SPARK_GRAFT_BENCH_SLEEP in the round log / BASELINE.md.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  test("parsePriorMedians extracts name->median from bench_details format") {
+    val json =
+      """{"a_q":{"median":0.32,"min":0.29,"max":0.35,"samples":[0.35,0.32,0.29]},""" +
+        """"b.q-2":{"median":1.5E-1,"min":0.12,"max":0.2,"samples":[0.15,0.12,0.2]},""" +
+        """"dead":{"median":-1.0,"min":-1.0,"max":-1.0,"samples":[-1.0]}}"""
+    val m = BenchLogic.parsePriorMedians(json)
+    assert(m("a_q") == 0.32)
+    assert(m("b.q-2") == 0.15)
+    assert(m("dead") == -1.0)
+  }
+
+  test("parsePriorMedians survives the committed bench_prior.json") {
+    val path = java.nio.file.Paths.get("bench_prior.json")
+    assume(java.nio.file.Files.exists(path), "bench_prior.json present in repo root")
+    val m = BenchLogic.parsePriorMedians(java.nio.file.Files.readString(path))
+    assert(m.size > 200, s"expected the full registry, got ${m.size}")
+    assert(m.values.forall(v => v > 0 && v < 60), "medians are plausible seconds")
+  }
+
+  test("regressedVsPrev flags the sustained-load phantom, skips new/clean/failed") {
+    val prior = Map("phantom" -> 0.32, "clean" -> 1.0, "failed_prior" -> -1.0)
+    val cur = Map(
+      "phantom" -> 15.45, // r10's derived_mul shape: flagged at 48.28x
+      "clean" -> 1.7, // 1.7x < 1.8 threshold: not flagged
+      "new_this_round" -> 9.9, // no prior: never flagged
+      "failed_prior" -> 2.0, // prior failed (-1): never flagged
+      "failed_now" -> -1.0) // current failed: never flagged
+    val r = BenchLogic.regressedVsPrev(cur, prior)
+    assert(r == Map("phantom" -> 48.28))
+  }
+
+  test("totalExclFlagged counts flagged queries at their min, keeps denominator") {
+    val med = Map("a" -> 10.0, "b" -> 2.0, "c" -> -1.0)
+    val mins = Map("a" -> 0.5, "b" -> 1.9, "c" -> -1.0)
+    // "a" flagged -> contributes its min 0.5; "b" unflagged -> median 2.0;
+    // "c" failed every pass -> excluded from both totals.
+    assert(BenchLogic.totalExclFlagged(med, mins, Set("a")) == 2.5)
+    // A flagged query whose min is ALSO the sentinel -1 contributes 0, not -1.
+    assert(BenchLogic.totalExclFlagged(Map("d" -> 3.0), Map("d" -> -1.0), Set("d")) == 0.0)
+    // No flags: plain sum of successful medians.
+    assert(BenchLogic.totalExclFlagged(med, mins, Set.empty) == 12.0)
+  }
+}

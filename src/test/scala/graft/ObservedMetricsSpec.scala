@@ -60,6 +60,27 @@ class ObservedMetricsSpec extends SparkSuite {
     assert(seen.contains((1L, 0L, 0L)), s"batch-2 metrics missing: $seen")
   }
 
+  test("lshCandidatePairs surfaces the bucket-cap drop count via observe, no second job") {
+    // 70 identical docs: every one of the 16 band buckets holds 70 > 64
+    // (DedupOps.MaxBucket), so all 16 drop and the pair set is empty. The
+    // drop count must ride the SAME action through observedMetrics — r10
+    // shipped it as a standalone .count() job (the two-actions-for-
+    // telemetry shape the repo criticizes in the reference's sink guard).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_obs").toString
+    val text = (0 until 12).map(i => s"token$i").mkString(" ")
+    (0L until 70L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    graft.ops.DedupOps.lastLshDrops.set(-1L)
+    val pairs = graft.ops.DedupOps.minhashNeardup(spark, dir)
+    // The observe rides the eager bucket checkpoint, so the register is
+    // populated the moment the frame is CONSTRUCTED — before any caller
+    // action. (A mid-plan observe read off pairs.queryExecution after an
+    // AQE runtime replan reports empty — measured; hence the ride.)
+    assert(graft.ops.DedupOps.lastLshDrops.get === 16L)
+    assert(pairs.collect().isEmpty) // every bucket capped away
+  }
+
   test("the streaming graph backfills over a batch DataFrame with identical results") {
     // the unified batch/stream claim (OhlcvStream Scaladoc): the SAME
     // parse -> watermark -> OHLCV composition, fed a plain batch DataFrame,
