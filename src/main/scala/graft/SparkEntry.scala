@@ -3970,23 +3970,30 @@ object SparkEntry {
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  json_extract_string(props, '$.k') AS k_value
         |FROM events""".stripMargin,
-    // the engine ENCODES a real PPM/BMP per document (dims bucket off the
-    // text byte length, format alternates on nb % 4) and DECODES it back;
-    // the oracle re-derives the encoded byte count from the two formats'
+    // the engine ENCODES a real PPM/BMP/PNG per document (dims bucket off
+    // the text byte length, format rotates on nb % 4) and DECODES it back;
+    // the oracle re-derives the encoded byte count from the three formats'
     // exact layouts: PPM = 'P6\n' w ' ' h '\n255\n' + 3wh; BMP = 54-byte
-    // headers + height x 4-byte-padded BGR rows
+    // headers + height x 4-byte-padded BGR rows; PNG = sig + IHDR + one
+    // IDAT of STORED-deflate zlib + IEND = 63 + 5*ceil(raw/65535) + raw
+    // with raw = h*(1+3w) (ImageCodec.encodePng writes stored blocks
+    // precisely so this count is analytic)
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
         |           FROM documents),
         |x AS (SELECT doc_id, nb,
         |        16 + (nb // 16) % 128 AS w, 16 + (nb // 32) % 128 AS h,
-        |        CASE WHEN nb % 4 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+        |        CASE WHEN nb % 4 = 0 THEN 'bmp'
+        |             WHEN nb % 4 = 1 THEN 'png' ELSE 'ppm' END AS fmt
         |      FROM m),
         |y AS (SELECT doc_id, fmt, CAST(w AS INTEGER) AS width,
         |        CAST(h AS INTEGER) AS height,
         |        CASE WHEN fmt = 'ppm'
         |             THEN 9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR))
         |                  + 3 * w * h
+        |             WHEN fmt = 'png'
+        |             THEN 63 + 5 * ((h * (1 + 3 * w) + 65534) // 65535)
+        |                  + h * (1 + 3 * w)
         |             ELSE 54 + h * ((3 * w + 3) // 4 * 4) END AS nbytes
         |      FROM x)
         |SELECT fmt AS format, count(*) AS n_media,
@@ -4031,7 +4038,15 @@ object SparkEntry {
     // the oracle derives pixel statistics ANALYTICALLY from the 16x16
     // block structure (ceil-difference pixel counts per block x a text
     // byte value) — a hash match proves the engine's encode->decode->
-    // pixel-walk path reproduces the content exactly
+    // pixel-walk path reproduces the content exactly.
+    // ASCII FIXTURE ASSUMPTION: `ord(substr(text, i, 1))` below indexes
+    // CHARACTERS and returns Unicode codepoints, while the engine's
+    // buildImage indexes raw UTF-8 BYTES (mm is derived from octet_length
+    // on both sides). The two agree iff the corpus is ASCII — true for
+    // the synthesized documents fixture. If a future fixture ships
+    // non-ASCII text and this query alone mismatches, the divergence is
+    // HERE (oracle character-vs-byte indexing, and v > 255 breaking the
+    // v // 64 bins), not in the engine.
     "image_features" ->
       """WITH m AS (SELECT doc_id, text,
         |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
@@ -4070,7 +4085,8 @@ object SparkEntry {
         |x AS (SELECT doc_id,
         |        CAST(16 + (nb // 16) % 128 AS INTEGER) AS width,
         |        CAST(16 + (nb // 32) % 128 AS INTEGER) AS height,
-        |        CASE WHEN nb % 4 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+        |        CASE WHEN nb % 4 = 0 THEN 'bmp'
+        |             WHEN nb % 4 = 1 THEN 'png' ELSE 'ppm' END AS format
         |      FROM m),
         |y AS (SELECT doc_id, width, height, format,
         |        CASE WHEN greatest(width, height) <= 64 THEN width
@@ -4085,6 +4101,9 @@ object SparkEntry {
         |       THEN 9 + len(CAST(out_width AS VARCHAR))
         |            + len(CAST(out_height AS VARCHAR))
         |            + 3 * out_width * out_height
+        |       WHEN format = 'png'
+        |       THEN 63 + 5 * ((out_height * (1 + 3 * out_width) + 65534) // 65535)
+        |            + out_height * (1 + 3 * out_width)
         |       ELSE 54 + out_height * ((3 * out_width + 3) // 4 * 4)
         |  END AS INTEGER) AS out_bytes,
         |  format

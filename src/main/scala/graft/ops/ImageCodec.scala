@@ -1,8 +1,11 @@
 package graft.ops
 
-/** Pure-JVM image codecs for the multimodal lane: binary PPM (P6) and
-  * uncompressed 24-bit BMP — the two formats a codec-free container can
-  * decode for real (no ImageIO plugins, no native libs). These are REAL
+/** Pure-JVM image codecs for the multimodal lane: binary PPM (P6),
+  * uncompressed 24-bit BMP, PNG (both directions — decode via the stdlib
+  * Inflater, encode as stored-deflate zlib so the byte count stays
+  * oracle-analytic) and decode-only GIF — the formats a codec-free
+  * container can handle for real (no ImageIO plugins, no native libs).
+  * These are REAL
   * parsers over real encoded bytes: the header is read, validated, and
   * the pixel array extracted to a canonical row-major top-down RGB
   * buffer; a malformed payload throws. [[MultimodalOps]] uses them both
@@ -21,6 +24,11 @@ package graft.ops
   *    at 22 — positive = bottom-up, bpp 24 at 28, compression BI_RGB=0
   *    at 30). Rows are BGR, padded to 4-byte multiples, stored
   *    bottom-up; decode flips to top-down RGB.
+  *  - PNG: 8-byte signature + length/type/data/CRC32 chunks. Decode
+  *    supports 8-bit color types 0/2/6, filters 0-4, non-interlaced,
+  *    multi-IDAT; encode writes color type 2 with filter 0 and STORED
+  *    deflate blocks (see [[encodePng]] for why).
+  *  - GIF87a/89a: decode-only, first image, variable-width LZW.
   */
 object ImageCodec {
 
@@ -39,6 +47,20 @@ object ImageCodec {
     * check against.
     */
   val MaxDim: Int = 1 << 20
+
+  /** Cap on total pixel COUNT (w*h), checked in Long before any
+    * pixel-buffer allocation. Per-dimension bounds alone don't protect the
+    * area: GIF dimensions are u16 so `MaxDim` can never fire there, yet
+    * 65535x65535 wraps `w*h` negative as Int (NegativeArraySizeException —
+    * outside the IllegalArgumentException-only quarantine) and a near-max
+    * VALID header would force a ~12 GiB allocation before any code-stream
+    * validation. PPM/BMP are implicitly area-bounded by their
+    * truncated-input checks (raw pixels must be present in the payload),
+    * but LZW/deflate payloads COMPRESS, so compressed formats need the
+    * explicit cap. 2^26 pixels = 8192x8192 RGB = 192 MiB, far above any
+    * sane crawl payload and far below the Int ceiling.
+    */
+  val MaxPixels: Long = 1L << 26
 
   // ---------------------------------------------------------------- PPM
 
@@ -192,8 +214,8 @@ object ImageCodec {
     * through the active palette to the canonical RGB buffer. Interlaced
     * images and truncated/overfull code streams are rejected as
     * IllegalArgumentException — the quarantine contract. Header fields
-    * are untrusted: dimensions are bounds-checked against [[MaxDim]]
-    * before any allocation.
+    * are untrusted: dimensions are bounds-checked against [[MaxDim]] and
+    * the w*h area against [[MaxPixels]] (in Long) before any allocation.
     */
   def decodeGif(bytes: Array[Byte]): Image = {
     require(bytes.length >= 13, "GIF: truncated header")
@@ -224,6 +246,10 @@ object ImageCodec {
           val w = u16(pos + 5); val h = u16(pos + 7)
           require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
             s"GIF: bad dimensions ${w}x$h (screen ${sw}x$sh)")
+          // Area bound in Long BEFORE any w*h Int product: u16 dims always
+          // pass the MaxDim check, but 65535x65535 wraps w*h negative.
+          require(w.toLong * h <= MaxPixels,
+            s"GIF: pixel count ${w.toLong * h} exceeds $MaxPixels")
           val ip = bytes(pos + 9) & 0xff
           require((ip & 0x40) == 0, "GIF: interlaced images unsupported")
           pos += 10
@@ -358,17 +384,246 @@ object ImageCodec {
   // ------------------------------------------------------------- common
 
   /** Magic-byte sniff: Some("ppm") / Some("bmp") / Some("gif") / None. */
+  // ---------------------------------------------------------------- PNG
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def getIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putIntBE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** PNG encoder — critical chunks only (IHDR / one IDAT / IEND), 8-bit
+    * truecolor (color type 2), filter 0 on every scanline, and a
+    * hand-written zlib stream of STORED (uncompressed) deflate blocks
+    * with a real Adler32 and real per-chunk CRC32s. Stored blocks are
+    * deliberate: the encoded size becomes an EXACT analytic function of
+    * the dimensions — `63 + 5*ceil(raw/65535) + raw` with
+    * `raw = h*(1+3w)` — which keeps every media op that re-encodes
+    * (multimodal_meta byte counts, media_thumbnail out_bytes) fully
+    * DuckDB-oracle-checkable, something a compressed stream could never
+    * be. Any standard PNG reader (and [[decodePng]]) inflates it.
+    */
+  def encodePng(img: Image): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) { // filter byte 0 + the row's RGB
+      System.arraycopy(img.rgb, 3 * y * w, raw, y * stride + 1, 3 * w)
+      y += 1
+    }
+    val nBlocks = (raw.length + 65534) / 65535
+    val zLen = 2 + 5 * nBlocks + raw.length + 4
+    val out = new Array[Byte](8 + 25 + 12 + zLen + 12)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    // IHDR
+    putIntBE(out, 8, 13)
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    putIntBE(out, 16, w); putIntBE(out, 20, h)
+    out(24) = 8; out(25) = 2 // bit depth 8, truecolor; compression/filter/interlace 0
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 4 + 13)
+    putIntBE(out, 29, crc.getValue.toInt)
+    // IDAT: zlib header + stored deflate blocks + adler32
+    putIntBE(out, 33, zLen)
+    out(37) = 'I'; out(38) = 'D'; out(39) = 'A'; out(40) = 'T'
+    var p = 41
+    out(p) = 0x78; out(p + 1) = 0x01; p += 2 // zlib: deflate, 32K window, no dict
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      out(p) = if (off + n == raw.length) 1 else 0 // BFINAL, BTYPE=00 (stored)
+      out(p + 1) = (n & 0xff).toByte; out(p + 2) = (n >>> 8).toByte
+      out(p + 3) = (~n & 0xff).toByte; out(p + 4) = ((~n >>> 8) & 0xff).toByte
+      System.arraycopy(raw, off, out, p + 5, n)
+      p += 5 + n; off += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw, 0, raw.length)
+    putIntBE(out, p, adler.getValue.toInt); p += 4
+    crc.reset(); crc.update(out, 37, 4 + zLen)
+    putIntBE(out, p, crc.getValue.toInt); p += 4
+    // IEND
+    putIntBE(out, p, 0)
+    out(p + 4) = 'I'; out(p + 5) = 'E'; out(p + 6) = 'N'; out(p + 7) = 'D'
+    crc.reset(); crc.update(out, p + 4, 4)
+    putIntBE(out, p + 8, crc.getValue.toInt)
+    out
+  }
+
+  /** PNG decoder — critical-chunk (IHDR/IDAT/IEND), 8-bit depth, color
+    * types 0 (grayscale, expanded), 2 (truecolor) and 6 (truecolor+alpha,
+    * alpha dropped), scanline filters 0–4 (None/Sub/Up/Average/Paeth),
+    * non-interlaced. The inflate step is stdlib `java.util.zip.Inflater`,
+    * so REAL compressed streams decode, not just [[encodePng]]'s stored
+    * blocks. Interlaced images, other bit depths/color types, and
+    * malformed payloads reject as IllegalArgumentException — the
+    * quarantine contract. Untrusted-header hardening: per-dimension
+    * [[MaxDim]] and Long-arithmetic [[MaxPixels]] area bounds BEFORE any
+    * allocation, chunk lengths bounds-checked in Long against the input,
+    * per-chunk CRC32 validation, and a decompression bomb cannot
+    * overshoot (output array is exact-sized; a stream yielding too few
+    * or too many bytes is rejected).
+    */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 8 + 25 + 12, "PNG: truncated")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == PngSig(i), "PNG: bad signature"); i += 1
+    }
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new ArrayBufferByte()
+    val crc = new java.util.zip.CRC32()
+    while (!seenIend) {
+      require(pos + 8 <= bytes.length, "PNG: truncated chunk header")
+      val len = getIntBE(bytes, pos)
+      require(len >= 0, s"PNG: negative chunk length $len")
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(pos + 8L + len + 4L <= bytes.length, s"PNG: truncated $ctype chunk")
+      crc.reset(); crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == getIntBE(bytes, pos + 8 + len),
+        s"PNG: CRC mismatch on $ctype")
+      ctype match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "PNG: bad IHDR")
+          w = getIntBE(bytes, pos + 8); h = getIntBE(bytes, pos + 12)
+          require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
+            s"PNG: bad dimensions ${w}x$h")
+          require(w.toLong * h <= MaxPixels,
+            s"PNG: pixel count ${w.toLong * h} exceeds $MaxPixels")
+          require((bytes(pos + 16) & 0xff) == 8, "PNG: only 8-bit depth supported")
+          colorType = bytes(pos + 17) & 0xff
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"PNG: color type $colorType unsupported")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            "PNG: unknown compression/filter method")
+          require(bytes(pos + 20) == 0, "PNG: interlaced images unsupported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "PNG: IDAT before IHDR")
+          idat.append(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped (CRC still validated)
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr, "PNG: missing IHDR")
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    // raw size fits Int: MaxPixels*4 + MaxDim rows = 2^28 + 2^20
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.result())
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n =
+          try inf.inflate(raw, off, raw.length - off)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"PNG: corrupt deflate stream: ${e.getMessage}")
+          }
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("PNG: truncated deflate stream")
+        off += n
+      }
+      require(off == raw.length, "PNG: decompressed data short")
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        val extra =
+          try inf.inflate(probe, 0, 1)
+          catch { case _: java.util.zip.DataFormatException => 0 }
+        require(extra == 0, "PNG: decompressed data overlong")
+      }
+    } finally inf.end()
+    // unfilter in place: each row's reconstructed bytes live at
+    // raw(y*stride+1 ..), so `up` reads the PREVIOUS row already unfiltered
+    val rowBytes = w * bpp
+    var y = 0
+    while (y < h) {
+      val f = raw(y * stride) & 0xff
+      val base = y * stride + 1
+      val prevBase = base - stride
+      var x = 0
+      f match {
+        case 0 => ()
+        case 1 => // Sub
+          x = bpp
+          while (x < rowBytes) {
+            raw(base + x) = (raw(base + x) + raw(base + x - bpp)).toByte; x += 1
+          }
+        case 2 => // Up
+          if (y > 0) while (x < rowBytes) {
+            raw(base + x) = (raw(base + x) + raw(prevBase + x)).toByte; x += 1
+          }
+        case 3 => // Average
+          while (x < rowBytes) {
+            val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+            val b = if (y > 0) raw(prevBase + x) & 0xff else 0
+            raw(base + x) = (raw(base + x) + ((a + b) >> 1)).toByte; x += 1
+          }
+        case 4 => // Paeth
+          while (x < rowBytes) {
+            val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+            val b = if (y > 0) raw(prevBase + x) & 0xff else 0
+            val c = if (y > 0 && x >= bpp) raw(prevBase + x - bpp) & 0xff else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(base + x) = (raw(base + x) + pred).toByte; x += 1
+          }
+        case bad => throw new IllegalArgumentException(s"PNG: filter type $bad")
+      }
+      y += 1
+    }
+    // to canonical RGB
+    val rgb = new Array[Byte](3 * w * h)
+    y = 0
+    while (y < h) {
+      val base = y * stride + 1
+      var xp = 0
+      while (xp < w) {
+        val d = 3 * (y * w + xp)
+        colorType match {
+          case 0 =>
+            val g = raw(base + xp)
+            rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+          case 2 =>
+            val s = base + 3 * xp
+            rgb(d) = raw(s); rgb(d + 1) = raw(s + 1); rgb(d + 2) = raw(s + 2)
+          case _ =>
+            val s = base + 4 * xp // RGBA: alpha dropped
+            rgb(d) = raw(s); rgb(d + 1) = raw(s + 1); rgb(d + 2) = raw(s + 2)
+        }
+        xp += 1
+      }
+      y += 1
+    }
+    Image(w, h, rgb)
+  }
+
   def sniff(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
     else None
 
   def decode(bytes: Array[Byte]): Image = sniff(bytes) match {
     case Some("ppm") => decodePpm(bytes)
     case Some("bmp") => decodeBmp(bytes)
     case Some("gif") => decodeGif(bytes)
+    case Some("png") => decodePng(bytes)
     case _ => throw new IllegalArgumentException("unknown image format")
   }
 

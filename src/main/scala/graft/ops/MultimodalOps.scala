@@ -13,14 +13,16 @@ import graft.model.Tables
   * 24-bit BMP via [[ImageCodec]], pixel content derived deterministically
   * from the document text so near-duplicate texts yield near-duplicate
   * images), and the decode slot genuinely PARSES the payload — header
-  * validation, padding, bottom-up row order and all. Round 10 adds
+  * validation, padding, bottom-up row order and all. Round 10 added
   * DECODE-ONLY GIF (variable-width LZW inflation,
-  * [[ImageCodec.decodeGif]]) — crawl-served GIFs now decode for real
-  * even though fixtures stay PPM/BMP. Width/height/format in every
-  * downstream op come from the decoded header, not from a length
-  * heuristic. [[stubDecode]] remains only as the documented
+  * [[ImageCodec.decodeGif]]); round 11 makes PNG real BOTH directions
+  * (stdlib-Inflater decode of filters 0–4 / color types 0/2/6, and a
+  * stored-deflate encoder whose byte count stays oracle-analytic) and
+  * rotates fixtures PPM/BMP/PNG on the `nb % 4` slot. Width/height/
+  * format in every downstream op come from the decoded header, not from
+  * a length heuristic. [[stubDecode]] remains only as the documented
   * fallback for payload formats this container has no codec for
-  * (jpeg/png/webp would need native libs); the plan shape — binary
+  * (jpeg/webp would need native libs); the plan shape — binary
   * column in, `mapPartitions` decode (one decoder init per partition, no
   * shuffle), small typed metadata rows out — is identical either way, so
   * a deployment swaps the decoder body without touching any query.
@@ -66,14 +68,19 @@ object MultimodalOps {
     ImageCodec.Image(w, h, rgb)
   }
 
-  /** Deterministic REAL encoding of a document's image: BMP when the
-    * text byte length is divisible by 4, PPM otherwise — both decoders
-    * get exercised by every corpus.
+  /** Deterministic REAL encoding of a document's image, rotating on
+    * `nb % 4`: BMP at 0, PNG at 1 (stored-deflate zlib — byte count an
+    * exact analytic function of the dimensions, see
+    * [[ImageCodec.encodePng]]), PPM otherwise — all three decoders get
+    * exercised by every corpus.
     */
   private[graft] def buildPayload(textBytes: Array[Byte]): Array[Byte] = {
     val img = buildImage(textBytes)
-    if (textBytes.length % 4 == 0) ImageCodec.encodeBmp(img)
-    else ImageCodec.encodePpm(img)
+    textBytes.length % 4 match {
+      case 0 => ImageCodec.encodeBmp(img)
+      case 1 => ImageCodec.encodePng(img)
+      case _ => ImageCodec.encodePpm(img)
+    }
   }
 
   /** documents → genuinely encoded binary media payloads. Encoding runs
@@ -95,7 +102,12 @@ object MultimodalOps {
     * malformed (truncated pixel data, bad header) quarantines as
     * `format = "corrupt"` with zero dimensions instead of throwing — one
     * bad row must never kill a corpus-sized decode job (the try_funcs /
-    * dead-letter discipline applied to the decode slot).
+    * dead-letter discipline applied to the decode slot). Every decode-slot
+    * quarantine in this file catches the SAME set —
+    * IllegalArgumentException | NoSuchElementException — so the totality
+    * contract is uniform across realDecode / mediaThumbnail /
+    * imageFeatures / phash64 (r10 advice: the narrower IAE-only catches
+    * made the claim weaker than the code at some sites).
     */
   def realDecode(r: MediaRow): MediaMeta = ImageCodec.sniff(r.payload) match {
     case Some(fmt) =>
@@ -103,7 +115,7 @@ object MultimodalOps {
         val img = ImageCodec.decode(r.payload)
         MediaMeta(r.doc_id, r.payload.length, img.width, img.height, fmt)
       } catch {
-        case _: IllegalArgumentException =>
+        case _: IllegalArgumentException | _: NoSuchElementException =>
           MediaMeta(r.doc_id, r.payload.length, 0, 0, "corrupt")
       }
     case None => stubDecode(r)
@@ -229,9 +241,11 @@ object MultimodalOps {
             if (mx <= 64) (img.width, img.height)
             else (img.width * 64 / mx, img.height * 64 / mx)
           val thumb = boxDownsample(img, ow, oh)
-          val encoded =
-            if (fmt == "bmp") ImageCodec.encodeBmp(thumb)
-            else ImageCodec.encodePpm(thumb)
+          val encoded = fmt match {
+            case "bmp" => ImageCodec.encodeBmp(thumb)
+            case "png" => ImageCodec.encodePng(thumb)
+            case _     => ImageCodec.encodePpm(thumb)
+          }
           (r.doc_id, img.width, img.height, ow, oh, encoded.length, fmt)
         } catch {
           case _: IllegalArgumentException | _: NoSuchElementException =>
@@ -273,7 +287,7 @@ object MultimodalOps {
             bins(0), bins(1), bins(2), bins(3),
             sum.toDouble / n)
         } catch {
-          case _: IllegalArgumentException =>
+          case _: IllegalArgumentException | _: NoSuchElementException =>
             (r.doc_id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0.0)
         }
       })
@@ -322,7 +336,10 @@ object MultimodalOps {
   def phash64(payload: Array[Byte]): Long =
     if (ImageCodec.sniff(payload).isDefined)
       try ImageCodec.dhash64(ImageCodec.decode(payload))
-      catch { case _: IllegalArgumentException => stubPhash64(payload) }
+      catch {
+        case _: IllegalArgumentException | _: NoSuchElementException =>
+          stubPhash64(payload)
+      }
     else stubPhash64(payload)
 
   /** Byte-histogram stand-in hash for undecodable formats: 65 coarse

@@ -199,6 +199,35 @@ class ImageCodecSpec extends AnyFunSuite {
       gifOf(2, 2, pack(Seq((4, 3), (1, 3), (7, 3), (0, 3), (1, 3), (5, 3))))))
   }
 
+  test("crafted u16 GIF dimensions fail the MaxPixels area bound as IAE") {
+    // Full-u16 builder (gifOf above writes the low byte only): header
+    // dims are attacker-controlled, and per-dimension MaxDim can never
+    // fire on u16 fields (65535 < 2^20) — the Long area bound must.
+    def gifDims(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte]((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          (0x80 | 0x01).toByte, 0, 0) ++
+        Array[Byte](0, 0, 0, -1, 0, 0, 0, -128, 0, 0, 0, -1) ++
+        Array[Byte](0x2c, 0, 0, 0, 0,
+          (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0) ++
+        Array[Byte](2, 0, 0x3b)
+    // 65535x65535 wraps w*h negative as Int: pre-fix this surfaced as
+    // NegativeArraySizeException, escaping the IAE-only quarantine.
+    val e = intercept[IllegalArgumentException](
+      ImageCodec.decodeGif(gifDims(65535, 65535)))
+    assert(e.getMessage.contains("pixel count"))
+    // A VALID near-max header (2^27 pixels, no Int wrap) must also reject
+    // before the ~384 MiB rgb allocation, not OOM into it.
+    intercept[IllegalArgumentException](
+      ImageCodec.decodeGif(gifDims(16384, 8192)))
+    // and the decode slot quarantines rather than dying
+    val m = MultimodalOps.realDecode(
+      MultimodalOps.MediaRow(7L, gifDims(65535, 65535)))
+    assert(m.format == "corrupt")
+  }
+
   test("crafted int32 header fields fail as IllegalArgumentException, not array errors") {
     def le(v: Int) = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -275,12 +304,151 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(back.width == ow && back.height == oh)
   }
 
+  // -------------------------------------------------------------- PNG
+
+  /** Hand-built PNG: sig + IHDR + IDAT(s) (REAL deflate via stdlib
+    * Deflater — exercises compressed streams, complementing encodePng's
+    * stored blocks) + IEND, with genuine CRC32s.
+    */
+  private def be(v: Int) = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be(data.length) ++ t ++ data ++ be(crc.getValue.toInt)
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def pngOf(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+                    interlace: Int = 0, bitDepth: Int = 8,
+                    idatSplit: Int = 0): Array[Byte] = {
+    val ihdr = pngChunk("IHDR", be(w) ++ be(h) ++
+      Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    val z = deflate(raw)
+    val idats =
+      if (idatSplit > 0 && idatSplit < z.length)
+        pngChunk("IDAT", z.take(idatSplit)) ++ pngChunk("IDAT", z.drop(idatSplit))
+      else pngChunk("IDAT", z)
+    pngSig ++ ihdr ++ idats ++ pngChunk("IEND", Array.empty[Byte])
+  }
+
+  test("decodePng unfilters hand-built Sub/Up rows byte-for-byte") {
+    // 2x2 truecolor. Row 0 Sub: (10,20,30) then +5 each -> (15,25,35).
+    // Row 1 Up: row0 + (1,2,3 | 4,5,6) -> (11,22,33),(19,30,41).
+    val raw = Array[Byte](
+      1, 10, 20, 30, 5, 5, 5,
+      2, 1, 2, 3, 4, 5, 6)
+    val img = ImageCodec.decodePng(pngOf(2, 2, 2, raw))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      10, 20, 30, 15, 25, 35,
+      11, 22, 33, 19, 30, 41))
+  }
+
+  test("decodePng unfilters hand-built Average/Paeth rows byte-for-byte") {
+    // 2x2 truecolor. Row 0 Average (up=0): px0 = 100 (pred 0), px1 =
+    // 10 + (100+0)/2 = 60. Row 1 Paeth: px0 pred = up = 100 -> 101;
+    // px1: a=101 b=60 c=100, p=61 -> pb smallest -> pred 60 -> 62.
+    val raw = Array[Byte](
+      3, 100.toByte, 100.toByte, 100.toByte, 10, 10, 10,
+      4, 1, 1, 1, 2, 2, 2)
+    val img = ImageCodec.decodePng(pngOf(2, 2, 2, raw))
+    assert(img.rgb.toSeq == Seq[Byte](
+      100.toByte, 100.toByte, 100.toByte, 60, 60, 60,
+      101.toByte, 101.toByte, 101.toByte, 62, 62, 62))
+  }
+
+  test("decodePng expands grayscale, drops alpha, concatenates split IDAT") {
+    // grayscale 3x1, Sub filter: 7, 8, 9
+    val gray = ImageCodec.decodePng(pngOf(3, 1, 0, Array[Byte](1, 7, 1, 1)))
+    assert(gray.rgb.toSeq == Seq[Byte](7, 7, 7, 8, 8, 8, 9, 9, 9))
+    // RGBA 2x1, None filter: alpha bytes dropped
+    val rgba = ImageCodec.decodePng(pngOf(2, 1, 6,
+      Array[Byte](0, 1, 2, 3, 99, 4, 5, 6, 98)))
+    assert(rgba.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // the same grayscale payload with its zlib stream split across two
+    // IDAT chunks decodes identically (spec: IDAT data concatenates)
+    val split = ImageCodec.decodePng(
+      pngOf(3, 1, 0, Array[Byte](1, 7, 1, 1), idatSplit = 3))
+    assert(split.rgb.toSeq == gray.rgb.toSeq)
+  }
+
+  test("decodePng rejects malformed and crafted payloads as IAE") {
+    val ok = pngOf(2, 1, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6))
+    ImageCodec.decodePng(ok) // sanity: the base payload is valid
+    // interlaced
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 1, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6), interlace = 1)))
+    // 16-bit depth / palette color type
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 1, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6), bitDepth = 16)))
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 1, 3, Array[Byte](0, 1, 2, 3, 4, 5, 6))))
+    // flipped CRC byte
+    val badCrc = ok.clone(); badCrc(badCrc.length - 1) = (badCrc.last ^ 1).toByte
+    intercept[IllegalArgumentException](ImageCodec.decodePng(badCrc))
+    // crafted dimensions: area bound fires in Long BEFORE allocation
+    val e = intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(20000, 20000, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6))))
+    assert(e.getMessage.contains("pixel count"))
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(0, 1, 2, Array[Byte](0, 1, 2))))
+    // deflate stream short / overlong vs the IHDR-implied size
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 2, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6)))) // one row for h=2
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 1, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6, 0, 9, 9, 9, 9, 9, 9))))
+    // unknown filter type
+    intercept[IllegalArgumentException](ImageCodec.decodePng(
+      pngOf(2, 1, 2, Array[Byte](9, 1, 2, 3, 4, 5, 6))))
+    // and the decode slot quarantines every one of them
+    for (bad <- Seq(badCrc, pngOf(2, 1, 2, Array[Byte](9, 1, 2, 3, 4, 5, 6)))) {
+      val m = MultimodalOps.realDecode(MultimodalOps.MediaRow(3L, bad))
+      assert(m.format == "corrupt")
+    }
+  }
+
+  test("encodePng round-trips and its byte count matches the analytic formula") {
+    def check(w: Int, h: Int): Unit = {
+      val rgb = Array.tabulate(3 * w * h)(i => ((i * 31 + 7) % 251).toByte)
+      val img = Image(w, h, rgb)
+      val bytes = ImageCodec.encodePng(img)
+      assert(ImageCodec.sniff(bytes).contains("png"))
+      val raw = h * (1 + 3 * w)
+      val expected = 63 + 5 * ((raw + 65534) / 65535) + raw
+      assert(bytes.length == expected,
+        s"${w}x$h: got ${bytes.length}, analytic $expected")
+      val back = ImageCodec.decodePng(bytes)
+      assert(back.width == w && back.height == h)
+      assert(java.util.Arrays.equals(back.rgb, rgb))
+    }
+    check(2, 2) // single stored block
+    check(143, 143) // raw = 61,490: still one block
+    check(170, 170) // raw = 86,870: TWO stored blocks
+  }
+
   test("buildPayload encodes real images; near-identical texts collide in phash") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val pa = MultimodalOps.buildPayload(base.getBytes("UTF-8"))
-    // format alternates on byte length % 4
+    // format rotates on byte length % 4: bmp / png / ppm / ppm
     val fmt = ImageCodec.sniff(pa)
-    assert(fmt.contains(if (base.length % 4 == 0) "bmp" else "ppm"))
+    val expectFmt = base.length % 4 match {
+      case 0 => "bmp"; case 1 => "png"; case _ => "ppm"
+    }
+    assert(fmt.contains(expectFmt))
     val img = ImageCodec.decode(pa)
     assert(img.width == 16 + (base.length / 16) % 128)
     assert(img.height == 16 + (base.length / 32) % 128)
