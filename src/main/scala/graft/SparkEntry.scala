@@ -185,6 +185,7 @@ object SparkEntry {
     "community_labels"  -> ((s, d) => StatsOps.communityLabels(s, d)),
     "ab_ttest"          -> (StatsOps.abTtest _),
     "triangle_count"    -> (StatsOps.triangleCount _),
+    "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
     "skew_report"       -> (QualityOps.skewReport _),
     "fuzzy_join"        -> (TextOps.fuzzyJoin _),
     "decile_drift"      -> (QualityOps.decileDrift _),
@@ -3811,6 +3812,17 @@ object SparkEntry {
         |FROM (SELECT a AS v FROM se2 UNION ALL SELECT b FROM se2)
         |GROUP BY 1""".stripMargin,
     "triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM pairs e1
+        |JOIN pairs e2 ON e2.a = e1.b
+        |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    // the broadcast-free SMJ mode must produce the identical count —
+    // same oracle as triangle_count
+    "triangle_count_copart" ->
       """WITH pairs AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         |  FROM lineitem x JOIN lineitem y

@@ -755,7 +755,26 @@ object StatsOps {
     live.select(col("v").as("node"), col("d").as("core_deg"))
   }
 
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    trianglesOverAdjacency(spark, dir, copartitioned = false)
+
+  /** The broadcast-FREE twin of [[triangleCount]]: identical counting
+    * logic, but the adjacency⋈edges joins are forced to SortMergeJoin
+    * (`hint("merge")`), co-partitioning both sides on the probe key —
+    * the mode a genuinely web-scale graph needs, where sorted neighbor
+    * arrays total edge cardinality and broadcasting them is THE classic
+    * breaker. Cost shape: two shuffles whose payload sums to O(m) array
+    * cells, still never the m·√m wedge stream. Registered as its own
+    * query (`triangle_count_copart`, same oracle) so the at-scale path
+    * is oracle-checked and scale-probed, not just documented; PlanSpec
+    * pins SMJ-and-no-BNLJ here and broadcast-on-this-fixture for the
+    * auto mode.
+    */
+  def triangleCountCopart(spark: SparkSession, dir: String): DataFrame =
+    trianglesOverAdjacency(spark, dir, copartitioned = true)
+
+  private def trianglesOverAdjacency(
+      spark: SparkSession, dir: String, copartitioned: Boolean): DataFrame = {
     // checkpoint the edge list: it feeds the degree count AND both sides
     // of the orientation join — materializing once makes the basket
     // self-join single-execution by construction instead of relying on
@@ -783,17 +802,34 @@ object StatsOps {
     // u→v, triangles at that edge = |N⁺(u) ∩ N⁺(v)| — each triangle is
     // found exactly once, at its ≺-smallest edge. The m·√m wedge stream
     // is never MATERIALIZED as rows: it lives inside the per-edge
-    // array_intersect, one codegen stage over m edge rows. The adjacency
-    // table is node-cardinality-sized (here: broadcast); at web-graph
-    // scale the same plan co-partitions adjacency and edges on the join
-    // keys instead — two shuffles of m rows, still never m·√m.
+    // array_intersect, one codegen stage over m edge rows.
+    //
+    // Join strategy is the size-based switch (r10 verdict #3):
+    //  - auto (triangle_count): NO forced broadcast — AQE's runtime
+    //    sort-merge→broadcast conversion IS the switch. The adjacency
+    //    frame's true size is only known at runtime (it sits behind a
+    //    groupBy over a checkpointed RDD with no usable static stats);
+    //    when the materialized exchange lands under
+    //    spark.sql.adaptive.autoBroadcastJoinThreshold, AQE rewrites the
+    //    planned SMJ to a broadcast hash join (this fixture's case,
+    //    PlanSpec-pinned on the FINAL adaptive plan); past it, the SMJ
+    //    stands and the sides co-partition. Delegating to AQE beats a
+    //    hand-rolled count()-then-branch: no extra action, and the
+    //    decision uses exact post-shuffle sizes, not estimates.
+    //  - copartitioned (triangle_count_copart): hint("merge") pins the
+    //    web-scale mode unconditionally, for any size.
     graft.functions.GraftFunctions.register(spark)
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
-    oriented
+    val adjU = adj.select(col("src").as("u"), col("nbrs").as("nu"))
+    val adjV = adj.select(col("src").as("v"), col("nbrs").as("nv"))
+    val edgesUV = oriented
       .select(col("src").as("u"), col("dk").bitwiseAND(P - 1).as("v"))
-      .join(broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))), Seq("v"))
+    val joined =
+      if (copartitioned)
+        edgesUV.join(adjU.hint("merge"), Seq("u")).join(adjV.hint("merge"), Seq("v"))
+      else edgesUV.join(adjU, Seq("u")).join(adjV, Seq("v"))
+    joined
       // native merge-walk count (inputs sorted+distinct by construction):
       // array_intersect here allocates a hash set + array per edge row
       .select(expr("sorted_intersect_count(nu, nv)").as("c"))

@@ -589,11 +589,32 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
-  test("triangle_count closes wedges in the native merge-walk over broadcast adjacency") {
-    val p = plan("triangle_count")
+  test("triangle_count: AQE's runtime size switch picks broadcast on this fixture") {
+    // The auto mode carries NO broadcast hint — the plan is SMJ until
+    // AQE measures the adjacency exchange and converts. count() would
+    // finalize a DIFFERENT query (isFinalPlan stays false on this df),
+    // so read the plan off the same df after collect().
+    val df = SparkEntry.queries("triangle_count")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
     assert(p.contains("sorted_intersect_count"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("triangle_count_copart pins the web-scale SMJ mode: co-partitioned, no broadcast adjacency") {
+    val df = SparkEntry.queries("triangle_count_copart")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length >= 2, p)
+    // the merge hint must survive AQE: no runtime broadcast conversion
+    // of the two adjacency joins
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("fuzzy_join pairs come from the blocking equi-join, never a name cross product") {
