@@ -199,6 +199,28 @@ object ClassifierOps {
     * [[graft.streaming.QualityScoreStream]] — the train-offline /
     * score-online half of the classifier lifecycle).
     */
+  /** Append (score, pred_en) to document rows RETAINING the input
+    * columns — the mid-pipeline composition form of [[scoreFeatures]]
+    * (which projects the scoring report shape and drops text).
+    * Identical margin arithmetic — same hashed features, same
+    * deterministic array-order fold over the same broadcast-literal
+    * weight map — so scores are bit-equal to scoreFeatures on the same
+    * rows (and batch-vs-stream bit-equal, the QualityScoreStream
+    * contract). Stateless per-row; no shuffle.
+    */
+  private[graft] def withScore(
+      docs: DataFrame, w: Array[Double], b: Double): DataFrame = {
+    val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
+    docs
+      .withColumn("fs", array_distinct(expr(
+        s"transform(split(trim(text), ' '), t -> crc32(t) % $D)")))
+      .withColumn("xw", lit(1.0) / size(col("fs")))
+      .withColumn("m", margin(wMap, b))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .withColumn("pred_en", col("m") >= 0.0)
+      .drop("fs", "xw", "m")
+  }
+
   private[graft] def scoreFeatures(
       fx: DataFrame, w: Array[Double], b: Double): DataFrame = {
     val wMap = typedLit(w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)

@@ -38,8 +38,16 @@ object DeadLetter {
     * a `rules` array of fired rule names (empty = clean).
     */
   def flagged(trades: DataFrame): DataFrame =
-    trades.withColumn("rules",
-      filter(array(tradeRules.map { case (n, p) => when(p, lit(n)) }: _*),
+    flaggedWith(trades, tradeRules)
+
+  /** Rule-split projection over ANY frame and rule catalog — the reusable
+    * core of the dead-letter stage ([[CorpusPrepStream]] composes it over
+    * documents with its own catalog). Pure stateless map: one array of
+    * fired rule names per row, empty = clean.
+    */
+  def flaggedWith(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.withColumn("rules",
+      filter(array(rules.map { case (n, p) => when(p, lit(n)) }: _*),
         x => x.isNotNull))
 
   /** Start the routing query: `onClean` receives rule-free rows (without

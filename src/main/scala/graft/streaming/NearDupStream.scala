@@ -45,6 +45,19 @@ object NearDupStream {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** MinHash Jaccard estimate: agreeing signature positions / NumHashes —
+    * shared by [[Processor]] and [[CorpusPrepStream]]'s verdict stage.
+    */
+  def estimate(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == b(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / NumHashes
+  }
+
   class Processor(threshold: Double, maxBucket: Int,
       ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(Int, Long), BandRow, MatchRow] {
@@ -64,13 +77,7 @@ object NearDupStream {
       var n = residents.size
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
         residents.foreach { s =>
-          var eq = 0
-          var i = 0
-          while (i < r.sig.length) {
-            if (r.sig(i) == s.sig(i)) eq += 1
-            i += 1
-          }
-          val est = eq.toDouble / NumHashes
+          val est = estimate(r.sig, s.sig)
           if (est >= threshold) out += MatchRow(r.doc_id, s.doc_id, est, r.band_id)
         }
         if (n < maxBucket) {
