@@ -57,6 +57,7 @@ object SparkEntry {
     "bpe_segment"       -> ((s, d) => BpeOps.bpeSegment(s, d)),
     "unigram_train"     -> ((s, d) => UnigramOps.unigramTrain(s, d)),
     "unigram_segment"   -> (UnigramOps.unigramSegment _),
+    "unigram_doc_ppl"   -> (UnigramOps.unigramDocPpl _),
     "wordpiece_segment" -> (UnigramOps.wordpieceSegment _),
     "join_left"         -> (RelationalOps.joinLeft _),
     "join_semi"         -> (RelationalOps.joinSemi _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "token_count"       -> (TextOps.tokenCount _),
     "lang_id"           -> (TextOps.langId _),
     "quality_score"     -> (TextOps.qualityScore _),
+    "gopher_rules"      -> (QualityOps.gopherRules _),
     "doc_fingerprint"   -> (TextOps.docFingerprint _),
     "dedup_doc_exact"   -> (TextOps.dedupDocExact _),
     "text_normalize"    -> (TextOps.textNormalize _),
@@ -1627,6 +1629,48 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS avg_token_len
         |FROM documents""".stripMargin,
+    // Gopher-style repetition rules: the oracle unnests 2-grams and
+    // re-groups for the max multiplicity (clarity over speed — the
+    // engine's sorted run-length fold is the scale form); every
+    // threshold interpolates QualityOps.GopherThresholds so retuning
+    // can never diverge engine and oracle. All ratios are exact
+    // int/int single divisions mirrored operation-for-operation.
+    "gopher_rules" -> {
+      import graft.ops.QualityOps.GopherThresholds._
+      val stopList = StopWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, w, len(w) AS n,
+         |        list_transform(range(1, len(w)),
+         |          i -> concat(w[i], ' ', w[i+1])) AS g2,
+         |        list_transform(range(1, len(w) - 1),
+         |          i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS g3
+         |      FROM d),
+         |m2 AS (SELECT doc_id, max(c) AS mx FROM (
+         |        SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(g2) AS g FROM s) GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |r AS (SELECT s.doc_id,
+         |        CAST(n AS INTEGER) AS n_words,
+         |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / n
+         |          AS mean_word_len,
+         |        CASE WHEN len(g2) > 0
+         |             THEN coalesce(mx, 0) * 2.0 / n ELSE 0.0 END AS top2_frac,
+         |        CASE WHEN len(g3) > 0
+         |             THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         |             ELSE 0.0 END AS dup3_frac,
+         |        CAST(len(list_distinct(w)) AS DOUBLE) / n AS uniq_frac,
+         |        CAST(len(list_intersect(list_distinct(w), $stopList))
+         |          AS INTEGER) AS stop_hits
+         |      FROM s LEFT JOIN m2 ON s.doc_id = m2.doc_id)
+         |SELECT doc_id, n_words, mean_word_len, top2_frac, dup3_frac,
+         |  uniq_frac, stop_hits,
+         |  CAST(CASE WHEN n_words >= $MinWords AND n_words <= $MaxWords
+         |    AND mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen
+         |    AND top2_frac <= $MaxTop2Frac AND dup3_frac <= $MaxDup3Frac
+         |    AND uniq_frac >= $MinUniqFrac AND stop_hits >= $MinStopHits
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM r""".stripMargin
+    },
     "doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
     "dedup_doc_exact" ->
@@ -1980,6 +2024,60 @@ object SparkEntry {
         |    AS chars_per_piece
         |FROM wo JOIN res r ON r.w = wo.w
         |GROUP BY wo.source""").stripMargin,
+    // unigram_doc_ppl replays the SAME per-distinct-word Viterbi DP as
+    // unigram_segment (identical recursive CTE, identical interpolated
+    // inventory + UnkCharScore), then aggregates per DOCUMENT and gates
+    // on the interpolated MinAvgPieceScore — the LM-filter twin
+    "unigram_doc_ppl" ->
+      (s"""WITH RECURSIVE
+        |pieces(piece, plen, sc) AS (
+        |  SELECT * FROM (VALUES ${graft.ops.UnigramOps.piecesSql}) t(a, b, c)),
+        |wo AS (
+        |  SELECT doc_id, w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY doc_id, w),
+        |dw AS (SELECT DISTINCT w FROM wo),
+        |dp(w, i, s0, s1, s2, s3, n0, n1, n2, n3) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |         CAST(NULL AS INTEGER)
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT w, i, ns, s0, s1, s2,
+        |    least(CASE WHEN c1 = ns THEN n0 + 1 END,
+        |          CASE WHEN c2 = ns THEN n1 + 1 END,
+        |          CASE WHEN c3 = ns THEN n2 + 1 END,
+        |          CASE WHEN c4 = ns THEN n3 + 1 END),
+        |    n0, n1, n2
+        |  FROM (
+        |    SELECT d.w, d.i + 1 AS i,
+        |      d.s0 + coalesce(p1.sc, ${graft.ops.UnigramOps.UnkCharScore}) AS c1,
+        |      d.s1 + p2.sc AS c2,
+        |      d.s2 + p3.sc AS c3,
+        |      d.s3 + p4.sc AS c4,
+        |      greatest(d.s0 + coalesce(p1.sc, ${graft.ops.UnigramOps.UnkCharScore}),
+        |               d.s1 + p2.sc, d.s2 + p3.sc, d.s3 + p4.sc) AS ns,
+        |      d.s0, d.s1, d.s2, d.n0, d.n1, d.n2, d.n3
+        |    FROM dp d
+        |    LEFT JOIN pieces p1 ON p1.plen = 1 AND p1.piece = substr(d.w, d.i + 1, 1)
+        |    LEFT JOIN pieces p2 ON p2.plen = 2 AND p2.piece = substr(d.w, d.i, 2)
+        |    LEFT JOIN pieces p3 ON p3.plen = 3 AND p3.piece = substr(d.w, d.i - 1, 3)
+        |    LEFT JOIN pieces p4 ON p4.plen = 4 AND p4.piece = substr(d.w, d.i - 2, 4)
+        |    WHERE d.i < len(d.w)) s),
+        |res AS (SELECT w, s0 AS score, n0 AS np FROM dp WHERE i = len(w))
+        |SELECT wo.doc_id,
+        |  CAST(sum(wo.cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(wo.cnt * r.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(wo.cnt * r.score) AS BIGINT) AS score_total,
+        |  CAST(sum(wo.cnt * r.score) AS DOUBLE) / sum(wo.cnt * r.np)
+        |    AS avg_piece_score,
+        |  CAST(CASE WHEN CAST(sum(wo.cnt * r.score) AS DOUBLE) / sum(wo.cnt * r.np)
+        |    >= ${graft.ops.UnigramOps.MinAvgPieceScore} THEN 1 ELSE 0 END
+        |    AS INTEGER) AS keep
+        |FROM wo JOIN res r ON r.w = wo.w
+        |GROUP BY wo.doc_id""").stripMargin,
     // wordpiece_segment replays the GREEDY longest-match walk: one state
     // row per word per position, step = the longest inventory piece that
     // prefixes the remainder (4 left joins, first non-null wins), else

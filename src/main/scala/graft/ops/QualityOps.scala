@@ -338,4 +338,94 @@ object QualityOps {
       .unionAll(edge("orders.o_custkey->customer", Tables.orders(spark, dir),
         "o_custkey", Tables.customer(spark, dir), "c_custkey"))
   }
+
+  /** Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1, the
+    * rule family RefinedWeb/Dolma reuse), adapted to word granularity:
+    * per document — word count, mean word length, the word-coverage
+    * fraction of the single most frequent 2-gram, the fraction of
+    * REPEATED 3-gram instances (occurrences beyond each gram's first),
+    * the distinct-word fraction, and how many distinct stopwords appear;
+    * each signal gated by a published-shape threshold and an overall
+    * `keep`. Ratios are exact integer/integer single divisions (oracle-
+    * safe); thresholds live in [[GopherThresholds]] and are interpolated
+    * into the oracle SQL, never duplicated.
+    *
+    * Scale: the whole op is ONE map-side pass — per-doc arrays, a sorted
+    * run-length fold for the max 2-gram multiplicity (`aggregate` over
+    * `sort_array`, pure codegen), `array_distinct` for the repetition
+    * and vocabulary fractions. No explode, no shuffle, no join: profiling
+    * 100 TB costs exactly one scan. The DuckDB oracle unnests and
+    * re-groups instead (clarity over speed) — same numbers.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import GopherThresholds._
+    val stopArr = array(StopWords.map(lit): _*)
+    // max multiplicity of any element in a SORTED array: run-length fold
+    // (the IF is repeated for `mx` because a lambda struct field cannot
+    // reference a sibling computed in the same step)
+    def maxMult(sorted: Column): Column = {
+      val agg = aggregate(sorted,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+        (acc, g) => struct(
+          g.as("prev"),
+          when(g === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1)).as("run"),
+          greatest(acc.getField("mx"),
+            when(g === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1))).as("mx")))
+      agg.getField("mx")
+    }
+    Tables.documents(spark, dir)
+      .withColumn("w", split(trim(col("text")), " "))
+      .withColumn("n", size(col("w")))
+      // n-guards: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+      // being empty, so a 1-2 word doc would index past the array (ANSI
+      // INVALID_ARRAY_INDEX) without the explicit CASE
+      .withColumn("g2", expr(
+        "IF(n >= 2, transform(sequence(1, n - 1), i -> concat(w[i-1], ' ', w[i])), array())"))
+      .withColumn("g3", expr(
+        "IF(n >= 3, transform(sequence(1, n - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])), array())"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_words"),
+        (aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .cast(DoubleType) / col("n")).as("mean_word_len"),
+        when(size(col("g2")) > 0,
+          maxMult(sort_array(col("g2"))) * 2.0 / col("n"))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        when(size(col("g3")) > 0,
+          (size(col("g3")) - size(array_distinct(col("g3"))))
+            .cast(DoubleType) / size(col("g3")))
+          .otherwise(lit(0.0)).as("dup3_frac"),
+        (size(array_distinct(col("w"))).cast(DoubleType) / col("n"))
+          .as("uniq_frac"),
+        size(array_intersect(array_distinct(col("w")), stopArr))
+          .as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words") >= MinWords && col("n_words") <= MaxWords &&
+          col("mean_word_len") >= MinMeanLen && col("mean_word_len") <= MaxMeanLen &&
+          col("top2_frac") <= MaxTop2Frac &&
+          col("dup3_frac") <= MaxDup3Frac &&
+          col("uniq_frac") >= MinUniqFrac &&
+          col("stop_hits") >= MinStopHits).cast(IntegerType))
+  }
+
+  /** Shared engine/oracle constants for [[gopherRules]] — public so the
+    * oracle SQL interpolates THESE values (the MaxBucket discipline:
+    * retuning can never silently diverge engine and oracle). Word-count,
+    * mean-length and stop-hit gates keep Gopher's published shape; the
+    * repetition gates sit at this corpus's observed medians so both
+    * branches of every flag are exercised by the fixture.
+    */
+  object GopherThresholds {
+    val MinWords = 40
+    val MaxWords = 100000
+    val MinMeanLen = 3.0
+    val MaxMeanLen = 10.0
+    val MaxTop2Frac = 0.08
+    val MaxDup3Frac = 0.02
+    val MinUniqFrac = 0.45
+    val MinStopHits = 2
+    val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "with")
+  }
 }

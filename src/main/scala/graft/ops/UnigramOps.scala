@@ -130,6 +130,22 @@ object UnigramOps {
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** (w, score, n_pieces) for every DISTINCT word in `words` under the
+    * fixed inventory — one DP per distinct word, one piece-map build per
+    * partition; shared by [[unigramSegment]] and [[unigramDocPpl]].
+    */
+  private def scoredWords(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val pieceMap = Pieces.map(p => p -> pieceScore(p)).toMap
+    words.select(col("w")).distinct().as[String]
+      .mapPartitions { it => // one map build per partition
+        val m = pieceMap
+        it.map { w => val (s, k) = segmentDp(w, m); (w, s, k) }
+      }
+      .toDF("w", "score", "n_pieces")
+  }
+
   /** Viterbi segmentation of the corpus under the fixed literal
     * inventory, reported per source: word/char/piece totals, the exact
     * integer score total, and chars-per-piece (the compression
@@ -137,15 +153,8 @@ object UnigramOps {
     * once per DISTINCT word and broadcast-joins back.
     */
   def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val words = sourceWords(spark, dir)
-    val pieceMap = Pieces.map(p => p -> pieceScore(p)).toMap
-    val scored = words.select(col("w")).distinct().as[String]
-      .mapPartitions { it => // one map build per partition
-        val m = pieceMap
-        it.map { w => val (s, k) = segmentDp(w, m); (w, s, k) }
-      }
-      .toDF("w", "score", "n_pieces")
+    val scored = scoredWords(words)
     words.join(broadcast(scored), "w")
       .groupBy(col("source"))
       .agg(
@@ -156,6 +165,48 @@ object UnigramOps {
         (sum(col("cnt") * length(col("w"))).cast(DoubleType) /
           sum(col("cnt") * col("n_pieces"))).as("chars_per_piece"))
   }
+
+  /** Per-document unigram-LM score — the CCNet-shape LM quality filter
+    * (Wenzek et al. 2020 filter documents by LM perplexity; here the
+    * "LM" is the fixed integer-scored piece inventory, which is what
+    * makes the op fully oracle-checkable): each document's words are
+    * Viterbi-segmented under [[Pieces]], and the document's
+    * `avg_piece_score` — total integer score over total piece count, one
+    * IEEE division at the boundary — is the quality signal; documents at
+    * or above [[MinAvgPieceScore]] are kept. In a deployment the
+    * inventory and scores come from a trained LM ([[unigramTrain]]); the
+    * filter shape — integer evidence, one division, constant threshold —
+    * is exactly this.
+    *
+    * Scale: the corpus-sized pass is ONE per-(doc, word) partial-agg
+    * count; the DP runs once per DISTINCT word (Heaps-bounded) and
+    * broadcast-joins back. Same shape as [[unigramSegment]], keyed by
+    * doc instead of source.
+    */
+  def unigramDocPpl(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = scoredWords(words)
+    words.join(broadcast(scored), "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"),
+        sum(col("cnt") * col("score")).as("score_total"),
+        (sum(col("cnt") * col("score")).cast(DoubleType) /
+          sum(col("cnt") * col("n_pieces"))).as("avg_piece_score"))
+      .withColumn("keep",
+        (col("avg_piece_score") >= MinAvgPieceScore).cast(IntegerType))
+  }
+
+  /** LM-filter acceptance threshold for [[unigramDocPpl]] — public so the
+    * oracle SQL interpolates THIS constant. Sits near the corpus median
+    * avg piece score so the fixture exercises both branches.
+    */
+  val MinAvgPieceScore: Double = 280.0
 
   /** WordPiece-style GREEDY longest-match-first walk over one word
     * (BERT's tokenizer family — the third option real pipelines weigh,

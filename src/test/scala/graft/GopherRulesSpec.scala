@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityOps
+
+/** Hand-computed ground truth for the Gopher-style repetition rules:
+  * crafted documents with known n-gram structure, written to a temp
+  * documents.parquet so the op runs its real path.
+  */
+class GopherRulesSpec extends SparkSuite {
+
+  test("signals match hand-computed values on crafted documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    // doc 1: "x y x y x y" — n=6, 2-grams: [x y, y x, x y, y x, x y]
+    //   top2 mult = 3 ("x y") -> top2_frac = 3*2/6 = 1.0
+    //   3-grams: [x y x, y x y, x y x, y x y] -> 4 total, 2 distinct ->
+    //   dup3_frac = 0.5; uniq_frac = 2/6; mean_word_len = 6/6 = 1.0
+    // doc 2: "the quick brown fox jumps over a lazy dog" — n=9, all
+    //   grams unique: top2_frac = 1*2/9, dup3_frac = 0, uniq 1.0,
+    //   stop_hits = 2 (the, a), mean = 33/9
+    // doc 3: "one two" — too short for 3-grams: dup3_frac 0 by guard
+    Seq(
+      (1L, "x y x y x y", "en", "s", 11L),
+      (2L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
+      (3L, "one two", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = QualityOps.gopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Int]("n_words") == 6)
+    assert(d1.getAs[Double]("mean_word_len") == 1.0)
+    assert(d1.getAs[Double]("top2_frac") == 1.0)
+    assert(d1.getAs[Double]("dup3_frac") == 0.5)
+    assert(d1.getAs[Double]("uniq_frac") == 2.0 / 6)
+    assert(d1.getAs[Int]("stop_hits") == 0)
+    assert(d1.getAs[Int]("keep") == 0)
+
+    val d2 = got(2L)
+    assert(d2.getAs[Int]("n_words") == 9)
+    assert(d2.getAs[Double]("mean_word_len") == 33.0 / 9)
+    assert(d2.getAs[Double]("top2_frac") == 2.0 / 9)
+    assert(d2.getAs[Double]("dup3_frac") == 0.0)
+    assert(d2.getAs[Double]("uniq_frac") == 1.0)
+    assert(d2.getAs[Int]("stop_hits") == 2)
+    assert(d2.getAs[Int]("keep") == 0) // n_words 9 < MinWords 40
+
+    val d3 = got(3L)
+    assert(d3.getAs[Double]("top2_frac") == 2.0 / 2) // one 2-gram, mult 1
+    assert(d3.getAs[Double]("dup3_frac") == 0.0) // no 3-grams: guard path
+  }
+
+  test("every flag fires in both directions on the real corpus") {
+    // the thresholds sit at the fixture's observed medians by design —
+    // a one-sided flag would make its gate untested
+    val df = QualityOps.gopherRules(spark, "/root/testdata/sf0.001")
+    val agg = df.agg(
+      sum(when(col("keep") === 1, 1).otherwise(0)),
+      sum(when(col("keep") === 0, 1).otherwise(0)),
+      sum(when(col("n_words") >= QualityOps.GopherThresholds.MinWords, 1).otherwise(0)),
+      sum(when(col("top2_frac") <= QualityOps.GopherThresholds.MaxTop2Frac, 1).otherwise(0)),
+      sum(when(col("uniq_frac") >= QualityOps.GopherThresholds.MinUniqFrac, 1).otherwise(0)),
+      count(lit(1))).collect()(0)
+    val (kept, dropped, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(5))
+    assert(kept > 0 && dropped > 0, s"keep is one-sided: $kept/$dropped")
+    assert(agg.getLong(2) > 0 && agg.getLong(2) < n, "n_words gate one-sided")
+    assert(agg.getLong(3) > 0 && agg.getLong(3) < n, "top2 gate one-sided")
+    assert(agg.getLong(4) > 0 && agg.getLong(4) < n, "uniq gate one-sided")
+  }
+}

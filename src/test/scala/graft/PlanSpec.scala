@@ -190,7 +190,7 @@ class PlanSpec extends SparkSuite {
     // the DP/walk runs once per DISTINCT word (Heaps-bounded frame); the
     // join back to (source, word) counts must broadcast, never shuffle
     // the corpus-side aggregate on the word key
-    Seq("unigram_segment", "wordpiece_segment").foreach { q =>
+    Seq("unigram_segment", "wordpiece_segment", "unigram_doc_ppl").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
@@ -587,6 +587,14 @@ class PlanSpec extends SparkSuite {
     val p = plan("skew_report")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("gopher_rules is ONE map-side pass: no exchange, no explode, no join") {
+    val p = plan("gopher_rules")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p) // n-gram stats fold in-array, never explode
+    assert(!p.contains("Join"), p)
   }
 
   test("triangle_count: AQE's runtime size switch picks broadcast on this fixture") {

@@ -82,6 +82,33 @@ class UnigramSpec extends SparkSuite {
       "no multi-char piece exercised")
   }
 
+  test("unigram_doc_ppl matches a driver-side per-doc replay; the gate splits") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val ws = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val dps = ws.map(w => UnigramOps.segmentDp(w, pieceMap))
+      val score = dps.map(_._1).sum
+      val np = dps.map(_._2.toLong).sum
+      val avg = score.toDouble / np
+      id -> (ws.length.toLong, np, score, avg,
+        if (avg >= UnigramOps.MinAvgPieceScore) 1 else 0)
+    }.toMap
+    val got = SparkEntry.queries("unigram_doc_ppl")(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("score_total"), r.getAs[Double]("avg_piece_score"),
+        r.getAs[Int]("keep"))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, e) <- expected) assert(got(id) == e, s"doc $id")
+    // the LM gate must fire in both directions on the real corpus
+    val keeps = got.values.map(_._5).toSeq
+    assert(keeps.contains(1) && keeps.contains(0),
+      s"keep is one-sided: ${keeps.count(_ == 1)}/${keeps.size}")
+  }
+
   test("wordpieceWalk hand-checked cases (greedy, not optimal)") {
     // greedy from the left: 'ba'+'t'+'c'+'h' (4 pieces, 3 unknown) even
     // though the DP finds b+atch in 2 — the documented greedy contrast
