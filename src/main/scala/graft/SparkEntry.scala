@@ -242,6 +242,7 @@ object SparkEntry {
     "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
+    "hybrid_rrf"        -> (SimilarityOps.hybridRrf _),
     "filtered_knn"      -> (SimilarityOps.filteredKnn _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
@@ -1809,6 +1810,49 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         |  FROM s) t WHERE rk <= 10""".stripMargin,
+    // RRF fusion: the vector leg reuses knn_cosine's parity-established
+    // cosine fragment; the lexical leg ranks integer distinct-3-gram
+    // overlaps (zero-overlap candidates never rank); the fused score is
+    // a FIXED two-term expression over integer ranks (1e0 not 1.0 —
+    // DuckDB parses 1.0 as DECIMAL and the division would leave DOUBLE)
+    "hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id),
+        |vleg AS (SELECT q_id, vec_id AS id, rk AS rk_v FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM s) t WHERE rk <= 10),
+        |d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM d WHERE len(w) >= 3),
+        |o AS (SELECT qs.doc_id AS q_id, c.doc_id AS id,
+        |        len(list_intersect(c.g, qs.g)) AS overlap
+        |      FROM sh c JOIN sh qs ON qs.doc_id < 10 AND c.doc_id <> qs.doc_id),
+        |lleg AS (SELECT q_id, id, rk AS rk_l FROM (
+        |    SELECT q_id, id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, id) AS rk
+        |    FROM o WHERE overlap > 0) t WHERE rk <= 10),
+        |f AS (SELECT coalesce(v.q_id, l.q_id) AS q_id,
+        |        coalesce(v.id, l.id) AS id,
+        |        CAST(coalesce(v.rk_v, 0) AS INTEGER) AS rk_v,
+        |        CAST(coalesce(l.rk_l, 0) AS INTEGER) AS rk_l,
+        |        (CASE WHEN v.rk_v IS NOT NULL THEN 1e0 / (60 + v.rk_v) ELSE 0e0 END
+        |         + CASE WHEN l.rk_l IS NOT NULL THEN 1e0 / (60 + l.rk_l) ELSE 0e0 END)
+        |          AS fused
+        |      FROM vleg v FULL OUTER JOIN lleg l
+        |        ON v.q_id = l.q_id AND v.id = l.id)
+        |SELECT q_id, id, rk_v, rk_l, fused, CAST(fr AS INTEGER) AS fused_rk FROM (
+        |  SELECT q_id, id, rk_v, rk_l, fused,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY fused DESC, id) AS fr
+        |  FROM f) t WHERE fr <= 10""".stripMargin,
     // the integer codes themselves are engine-identical (exact float→double
     // cast, same two IEEE ops, same half-away-from-zero round), so the
     // per-dim audit hashes exactly — see SimilarityOps.int8Quantize

@@ -80,6 +80,61 @@ object SimilarityOps {
         col("rk").cast(IntegerType).as("rk"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009 —
+    * the score-free fusion every hybrid lexical+vector search stack
+    * runs): for each query id < 10, fuse (a) the exact cosine top-10
+    * over the embeddings ([[knnCosine]]'s ranks, unchanged plan) with
+    * (b) a lexical top-10 by DISTINCT shared word-3-grams between the
+    * query document and each candidate document (integer overlap,
+    * (overlap desc, id) tiebreak; zero-overlap candidates never rank).
+    * Fused score = Σ_legs 1/(60+rank) with rank-absent legs contributing
+    * 0 — a fixed two-term expression over integer ranks, so the doubles
+    * are engine-identical and the op is fully oracle-checkable despite
+    * the float-free-sum discipline (no aggregation over floats happens
+    * at all). Output: both leg ranks (0 = absent), the fused score, and
+    * the fused top-10.
+    *
+    * Scale: the lexical leg's candidates come from an equi-join of the
+    * corpus shingle explosion against the BROADCAST query-side shingles
+    * — per-query fan-out is bounded by shingle fan-in, never an
+    * all-pairs product; the vector leg broadcasts the 10 queries as in
+    * knnCosine; fusion joins two ≤10·|Q|-row frames.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val vleg = knnCosine(spark, dir)
+      .select(col("q_id"), col("vec_id").as("id"), col("rk").as("rk_v"))
+    val sh = DedupOps.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val qsh = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("g"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("id"))
+    val lleg = sh.join(broadcast(qsh), "g")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap")) // shingles are distinct per doc
+      .select(col("q_id"), col("doc_id").as("id"), col("overlap"))
+      .withColumn("rk_l", row_number().over(w))
+      .filter(col("rk_l") <= k)
+      .select(col("q_id"), col("id"), col("rk_l"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("fused").desc, col("id"))
+    vleg.join(lleg, Seq("q_id", "id"), "full_outer")
+      .select(
+        col("q_id"), col("id"),
+        coalesce(col("rk_v"), lit(0)).cast(IntegerType).as("rk_v"),
+        coalesce(col("rk_l"), lit(0)).cast(IntegerType).as("rk_l"),
+        (when(col("rk_v").isNotNull, lit(1.0) / (lit(60) + col("rk_v")))
+          .otherwise(lit(0.0)) +
+          when(col("rk_l").isNotNull, lit(1.0) / (lit(60) + col("rk_l")))
+            .otherwise(lit(0.0))).as("fused"))
+      .withColumn("fused_rk", row_number().over(wf))
+      .filter(col("fused_rk") <= k)
+      .select(col("q_id"), col("id"), col("rk_v"), col("rk_l"),
+        col("fused"), col("fused_rk").cast(IntegerType).as("fused_rk"))
+  }
+
   /** Hybrid (filtered) vector search: metadata predicate first, exact
     * cosine top-k over the SURVIVORS — the filter-then-rank shape every
     * production vector store exposes (pre-filtering, not post-filtering:

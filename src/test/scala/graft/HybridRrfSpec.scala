@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.SimilarityOps
+
+/** Ground truth for the RRF hybrid-retrieval fusion: the lexical leg and
+  * the fusion arithmetic are recomputed single-threaded in plain Scala
+  * (3-gram sets, overlap ranks, 1/(60+rank) sums), the vector leg's ranks
+  * are taken from knn_cosine's own output (itself oracle- and
+  * spec-pinned), and the composed expectation must match the op row for
+  * row.
+  */
+class HybridRrfSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fused ranking matches a driver-side RRF replay at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }
+    val queries = docs.keys.filter(_ < 10).toSeq.sorted
+
+    // lexical leg: distinct-3-gram overlap, (overlap desc, id) top-10,
+    // zero overlaps never rank
+    val lleg: Map[(Long, Long), Int] = queries.flatMap { q =>
+      val qg = gs(q)
+      gs.toSeq
+        .filter { case (id, g) => id != q && g.intersect(qg).nonEmpty }
+        .map { case (id, g) => (id, g.intersect(qg).size) }
+        .sortBy { case (id, ov) => (-ov, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1) }
+    }.toMap
+    assert(lleg.nonEmpty, "no lexical overlaps at sf0.001 — lexical leg vacuous")
+
+    // vector leg: knn_cosine's own (pinned) ranks
+    val vleg: Map[(Long, Long), Int] =
+      SparkEntry.queries("knn_cosine")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+          r.getAs[Int]("rk")).toMap
+
+    val expected = queries.flatMap { q =>
+      val ids = (lleg.keySet ++ vleg.keySet).collect { case (`q`, id) => id }
+      ids.map { id =>
+        val rv = vleg.get((q, id))
+        val rl = lleg.get((q, id))
+        val fused = rv.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rl.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, id, rv.getOrElse(0), rl.getOrElse(0), fused)
+      }.toSeq.sortBy { case (_, id, _, _, f) => (-f, id) }
+        .take(10).zipWithIndex
+        .map { case ((qq, id, rv, rl, f), i) => (qq, id) -> (rv, rl, f, i + 1) }
+    }.toMap
+
+    val got = SimilarityOps.hybridRrf(spark, sf).collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("id")) -> (
+        r.getAs[Int]("rk_v"), r.getAs[Int]("rk_l"),
+        r.getAs[Double]("fused"), r.getAs[Int]("fused_rk"))
+    }.toMap
+
+    assert(got.keySet == expected.keySet,
+      s"only-got=${got.keySet -- expected.keySet} only-exp=${expected.keySet -- got.keySet}")
+    for ((k, e) <- expected) assert(got(k) == e, s"pair $k")
+    // fusion is genuinely hybrid on this fixture: some fused top-10 row
+    // must come from each leg alone, and some from both
+    val rows = got.values.toSeq
+    assert(rows.exists(r => r._1 > 0 && r._2 == 0), "no vector-only row")
+    assert(rows.exists(r => r._1 == 0 && r._2 > 0), "no lexical-only row")
+  }
+}

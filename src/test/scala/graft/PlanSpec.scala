@@ -589,6 +589,15 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("hybrid_rrf: lexical candidates equi-join broadcast shingles; no cartesian") {
+    val p = plan("hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the shingle-candidate join must be a broadcast equi-join — the
+    // per-query fan-out path that scales; the BroadcastNestedLoopJoin
+    // present is knnCosine's INTENDED bounded query-side cross (10 rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("gopher_rules is ONE map-side pass: no exchange, no explode, no join") {
     val p = plan("gopher_rules")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
