@@ -92,6 +92,7 @@ object SparkEntry {
     "scalar_subquery"   -> (RelationalOps.scalarSubquery _),
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
+    "mannwhitney_u"     -> (StatsOps.mannWhitneyU _),
     "linreg_agg"        -> (StatsOps.linregAgg _),
     "percentiles"       -> (StatsOps.percentiles _),
     "approx_percentiles" -> (StatsOps.approxPercentiles _),
@@ -3850,6 +3851,45 @@ object SparkEntry {
         |SELECT user_id, event_type AS last_op, value AS last_value,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Mann–Whitney: everything to the z boundary is exact integers —
+    // 2x-scaled tie-averaged group ranks (2·cum + t + 1), HUGEINT
+    // rank-sum/tie-cube totals mirroring Spark's DECIMAL(38,0); the z and
+    // rank-biserial IEEE steps are written symbol-for-symbol identically
+    "mannwhitney_u" ->
+      """WITH e AS (SELECT CAST(value AS DECIMAL(18,2)) AS v, user_id % 2 AS arm
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v,
+        |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+        |      FROM e GROUP BY v),
+        |c AS (SELECT ca, cb, ca + cb AS t,
+        |        coalesce(sum(ca + cb) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g),
+        |s AS (SELECT
+        |        CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b,
+        |        sum(CAST(ca AS HUGEINT) * (2 * cum + t + 1)) AS r2a,
+        |        sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |      FROM c)
+        |SELECT n_a, n_b,
+        |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0e0 AS u_a,
+        |  CASE WHEN sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0 *
+        |         ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0e0)
+        |          - CAST(ties AS DOUBLE) /
+        |            ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0e0)))) > 0
+        |    THEN (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0e0
+        |          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0e0)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0 *
+        |         ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0e0)
+        |          - CAST(ties AS DOUBLE) /
+        |            ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0e0))))
+        |  END AS z,
+        |  1.0e0 - 2.0e0 * (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+        |    / 2.0e0) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS rank_biserial
+        |FROM s""".stripMargin,
     "ab_ttest" ->
       """WITH a AS (
         |  SELECT

@@ -674,6 +674,60 @@ object StatsOps {
           .as("df"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the SAME user-parity
+    * purchase cohorts as [[abTtest]] — the distribution-free test an
+    * experimentation stack runs beside Welch's t when normality is in
+    * doubt. Everything up to the final z is EXACT integer arithmetic:
+    * cents-quantized values collapse to a value-GROUP frame (bounded by
+    * the price range in cents, not by row count), tie-averaged ranks ride
+    * as 2×-scaled integers (2·rank_before + t + 1 — halves never appear
+    * until the boundary), and the rank-sum / tie-cube totals accumulate
+    * in DECIMAL(38,0) (HUGEINT in the oracle) so ca·rank products and t³
+    * cannot wrap at any corpus size. The normal-approximation z with tie
+    * correction and the rank-biserial effect size are a handful of IEEE
+    * steps written symbol-for-symbol identically in the oracle SQL.
+    *
+    * Scale: one conditional-count pass over the fact table → the value
+    * groups; the single unpartitioned window runs over that RANGE-bounded
+    * summary frame only (the winsorize/percentiles discipline).
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(dec2(col("value")).as("v"), (col("user_id") % 2).as("arm"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = g
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      // 2x-scaled tie-averaged group rank: 2·(cum+1) + (t−1) = 2·cum + t + 1
+      .withColumn("r2", lit(2) * col("cum") + col("t") + lit(1))
+      .agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        sum(col("ca").cast(d38) * col("r2").cast(d38)).as("r2a"),
+        sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38)
+          - col("t").cast(d38)).as("ties"))
+    val naD = col("n_a").cast(DoubleType)
+    val nbD = col("n_b").cast(DoubleType)
+    val nD = naD + nbD
+    val uA = (col("r2a") - col("n_a").cast(d38) * (col("n_a") + 1).cast(d38))
+      .cast(DoubleType) / lit(2.0)
+    val sigma = sqrt(naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("ties").cast(DoubleType) / (nD * (nD - lit(1.0)))))
+    s.select(
+      col("n_a"), col("n_b"),
+      uA.as("u_a"),
+      when(sigma > 0, (uA - naD * nbD / lit(2.0)) / sigma)
+        .otherwise(lit(null)).as("z"),
+      (lit(1.0) - lit(2.0) * uA / (naD * nbD)).as("rank_biserial"))
+  }
+
   /** Triangle counting over the co-purchase item graph — the clustering
     * primitive behind community/cohesion metrics. Edges are distinct
     * same-order part pairs; the count uses the DEGREE-ORDERED orientation:

@@ -589,6 +589,15 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("mannwhitney_u: one scan into value groups; windows touch the summary only") {
+    val p = plan("mannwhitney_u")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    // exactly one corpus-keyed exchange (the value groupBy); the
+    // SinglePartition window runs on the range-bounded summary after it
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("hybrid_rrf: lexical candidates equi-join broadcast shingles; no cartesian") {
     val p = plan("hybrid_rrf")
     assert(!p.contains("CartesianProduct"), p)
