@@ -186,6 +186,11 @@ object SparkEntry {
     "kcore_nodes"       -> (StatsOps.kcoreNodes _),
     "community_labels"  -> ((s, d) => StatsOps.communityLabels(s, d)),
     "ab_ttest"          -> (StatsOps.abTtest _),
+    "ks_test"           -> (StatsOps.ksTest _),
+    "roc_auc"           -> (StatsOps.rocAuc _),
+    "mutual_info"       -> (StatsOps.mutualInfo _),
+    "link_prediction"   -> (StatsOps.linkPrediction _),
+    "k_anonymity"       -> (QualityOps.kAnonymity _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
     "skew_report"       -> (QualityOps.skewReport _),
@@ -316,6 +321,7 @@ object SparkEntry {
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
     "media_thumbnail"   -> (MultimodalOps.mediaThumbnail _),
     "image_features"    -> (MultimodalOps.imageFeatures _),
+    "jpeg_features"     -> (MultimodalOps.jpegFeatures _),
     "audio_meta"        -> (AudioOps.audioMeta _),
     "audio_resample"    -> (AudioOps.audioResample _),
     "audio_fingerprint" -> (AudioOps.audioFingerprint _),
@@ -3890,6 +3896,148 @@ object SparkEntry {
         |  1.0e0 - 2.0e0 * (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
         |    / 2.0e0) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS rank_biserial
         |FROM s""".stripMargin,
+    // KS: D's numerator is an exact HUGEINT max over the value-group ECDF
+    // cross-products (mirroring Spark's DECIMAL(38,0)); the only IEEE
+    // steps are one division, one multiply and one sqrt — all correctly
+    // rounded, so no transcendental enters the compare surface
+    "ks_test" ->
+      """WITH e AS (SELECT CAST(value AS DECIMAL(18,2)) AS v, user_id % 2 AS arm
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v,
+        |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+        |      FROM e GROUP BY v),
+        |c AS (SELECT
+        |        sum(ca) OVER w AS cuma,
+        |        sum(cb) OVER w AS cumb
+        |      FROM g
+        |      WINDOW w AS (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+        |m AS (SELECT
+        |        max(abs(CAST(cuma AS HUGEINT) * n_b
+        |              - CAST(cumb AS HUGEINT) * n_a)) AS numer,
+        |        max(n_a) AS n_a, max(n_b) AS n_b
+        |      FROM c, t)
+        |SELECT n_a, n_b,
+        |  CAST(numer AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    AS d_stat,
+        |  CAST(numer AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) AS z
+        |FROM m""".stripMargin,
+    // AUC via the tie-adjusted rank-sum identity — the mannwhitney
+    // machinery re-read as P(s+ > s-) + P(s+ = s-)/2; exact integers to
+    // the final two (correctly rounded) divisions
+    "roc_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS cn
+        |  FROM events WHERE value IS NOT NULL GROUP BY v),
+        |c AS (SELECT cp, cn, cp + cn AS t,
+        |        coalesce(sum(cp + cn) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g),
+        |s AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |             CAST(sum(cn) AS BIGINT) AS n_neg,
+        |             sum(CAST(cp AS HUGEINT) * (2 * cum + t + 1)) AS r2p
+        |      FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) / 2.0e0
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+        |  2.0e0 * (CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |    / 2.0e0 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |    - 1.0e0 AS gini
+        |FROM s""".stripMargin,
+    // PMI per category cell: counts exact both sides; ln() is the one
+    // library-rounded step and the 1e-9 floor quantization absorbs any
+    // last-ulp disagreement (the unigram lane's logp_q6 discipline)
+    "mutual_info" ->
+      """WITH joint AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |         count(*) AS n_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT flag, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM joint GROUP BY 1),
+        |my AS (SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM joint GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint)
+        |SELECT j.flag, j.status, j.n_xy, mx.n_x, my.n_y,
+        |  CAST(floor(ln(CAST(j.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |      / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))) * 1.0e9)
+        |    AS BIGINT) AS pmi_q9
+        |FROM joint j, mx, my, t
+        |WHERE j.flag = mx.flag AND j.status = my.status""".stripMargin,
+    // link prediction: wedge self-join on the shared (center, brand) —
+    // brand equality blocks the candidate set the way the engine does;
+    // existing edges removed via NOT EXISTS; all integer until the single
+    // Jaccard division; (cn DESC, a, b) is a total order so LIMIT is
+    // deterministic
+    "link_prediction" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM items x JOIN items y
+        |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |adjb AS (SELECT adj.src, adj.dst, p.p_brand AS brand,
+        |                1000000000000 // d.deg AS ra_w
+        |         FROM adj JOIN part p ON adj.dst = p.p_partkey
+        |                  JOIN deg d ON adj.src = d.src),
+        |cand AS (
+        |  SELECT x.dst AS a, y.dst AS b, x.brand AS brand, count(*) AS cn,
+        |         CAST(sum(x.ra_w) AS BIGINT) AS ra_q12
+        |  FROM adjb x JOIN adjb y
+        |    ON x.src = y.src AND x.brand = y.brand AND x.dst < y.dst
+        |  GROUP BY 1, 2, 3),
+        |nc AS (SELECT c.a, c.b, c.brand, c.cn, c.ra_q12 FROM cand c
+        |       WHERE NOT EXISTS
+        |         (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b))
+        |SELECT nc.a, nc.b, nc.brand, nc.cn, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(nc.cn AS DOUBLE)
+        |    / CAST(da.deg + db.deg - nc.cn AS DOUBLE) AS jaccard,
+        |  nc.ra_q12
+        |FROM nc
+        |JOIN deg da ON da.src = nc.a
+        |JOIN deg db ON db.src = nc.b
+        |ORDER BY nc.cn DESC, nc.a, nc.b LIMIT 100""".stripMargin,
+    // k-anonymity ladder: pure integer group censuses at three
+    // generalization levels; threshold interpolated from the engine
+    // constant (the MaxBucket discipline)
+    "k_anonymity" ->
+      s"""WITH base AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, n.n_regionkey
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |l1 AS (SELECT count(*) AS grp FROM base
+        |       GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT count(*) AS grp FROM base
+        |       GROUP BY n_regionkey, c_mktsegment),
+        |l3 AS (SELECT count(*) AS grp FROM base GROUP BY c_mktsegment)
+        |SELECT 'nation_segment' AS level, count(*) AS n_groups,
+        |  min(grp) AS min_k,
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk
+        |FROM l1
+        |UNION ALL
+        |SELECT 'region_segment', count(*), min(grp),
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM l2
+        |UNION ALL
+        |SELECT 'segment', count(*), min(grp),
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM l3""".stripMargin,
     "ab_ttest" ->
       """WITH a AS (
         |  SELECT
@@ -4270,6 +4418,51 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v // 64 = 3 THEN cx * cy ELSE 0 END) AS BIGINT) AS bin3,
         |  CAST(sum(cx * cy * v) AS DOUBLE) / sum(cx * cy) AS mean_gray
         |FROM b GROUP BY doc_id""".stripMargin,
+    // the analytic oracle replays the 8-aligned tile grid AND the lossy
+    // DC quantization chain: every tile is one constant JPEG block, so
+    // decoded pixel = clamp(round(round(8(v-128)/qd)*qd/8)+128) with qd
+    // interpolated from JpegCodec.QuantDc (the MaxBucket discipline).
+    // Both rounds stay IEEE-exact because qd is a power of two; a hash
+    // match therefore PROVES the full encode->Huffman->decode->IDCT
+    // path. ASCII fixture assumption as in image_features (char-indexed
+    // substr vs the engine's byte walk).
+    "jpeg_features" ->
+      s"""WITH m AS (SELECT doc_id, text,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id, text, nb,
+        |        2 + (nb // 16) % 16 AS tx, 2 + (nb // 32) % 16 AS ty,
+        |        CASE WHEN nb = 0 THEN 1
+        |             ELSE least(nb, 128) END AS mm
+        |      FROM m),
+        |t AS (SELECT doc_id, tx, ty,
+        |        CASE WHEN nb = 0 THEN 0
+        |             ELSE ord(substr(text,
+        |                    CAST((j * tx + i) % mm AS INTEGER) + 1, 1)) END AS v
+        |      FROM x
+        |      CROSS JOIN (SELECT unnest(range(17)) AS j) t1
+        |      CROSS JOIN (SELECT unnest(range(17)) AS i) t2
+        |      WHERE i < tx AND j < ty),
+        |p AS (SELECT doc_id, tx, ty,
+        |        least(255, greatest(0,
+        |          CAST(floor(
+        |            floor((v - 128e0) * 8e0 / ${graft.ops.JpegCodec.QuantDc}e0
+        |                  + 0.5e0)
+        |            * ${graft.ops.JpegCodec.QuantDc}e0 / 8e0 + 0.5e0) AS BIGINT)
+        |          + 128)) AS pv
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(max(tx) * 8 AS INTEGER) AS width,
+        |  CAST(max(ty) * 8 AS INTEGER) AS height,
+        |  CAST(64 * count(*) AS BIGINT) AS n_pixels,
+        |  CAST(64 * sum(pv) AS BIGINT) AS sum_gray,
+        |  CAST(64 * sum(CASE WHEN pv // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+        |  CAST(64 * sum(CASE WHEN pv // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+        |  CAST(64 * sum(CASE WHEN pv // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+        |  CAST(64 * sum(CASE WHEN pv // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3,
+        |  CAST(CAST(64 * sum(pv) AS BIGINT) AS DOUBLE)
+        |    / CAST(64 * count(*) AS BIGINT) AS mean_gray
+        |FROM p GROUP BY doc_id""".stripMargin,
     // decode + box-downsample + re-encode all execute per row; the
     // oracle re-derives the re-encoded byte count from the two formats'
     // exact layouts at the DERIVED thumbnail dimensions

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[verify] registry=${SparkEntry.queries.size} " +
+      s"oracle-checked=${SparkEntry.oracleSql.size} " +
+      s"rows-only=${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

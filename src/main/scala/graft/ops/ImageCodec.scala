@@ -3,8 +3,10 @@ package graft.ops
 /** Pure-JVM image codecs for the multimodal lane: binary PPM (P6),
   * uncompressed 24-bit BMP, PNG (both directions — decode via the stdlib
   * Inflater, encode as stored-deflate zlib so the byte count stays
-  * oracle-analytic) and decode-only GIF — the formats a codec-free
-  * container can handle for real (no ImageIO plugins, no native libs).
+  * oracle-analytic), decode-only GIF, and baseline JPEG both directions
+  * (FDCT/IDCT + Annex-K Huffman, in [[JpegCodec]]) — the formats a
+  * codec-free container can handle for real (no ImageIO plugins, no
+  * native libs).
   * These are REAL
   * parsers over real encoded bytes: the header is read, validated, and
   * the pixel array extracted to a canonical row-major top-down RGB
@@ -617,6 +619,8 @@ object ImageCodec {
       bytes(2) == 'F' && bytes(3) == '8') Some("gif")
     else if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
     else None
 
   def decode(bytes: Array[Byte]): Image = sniff(bytes) match {
@@ -624,6 +628,7 @@ object ImageCodec {
     case Some("bmp") => decodeBmp(bytes)
     case Some("gif") => decodeGif(bytes)
     case Some("png") => decodePng(bytes)
+    case Some("jpeg") => JpegCodec.decodeJpeg(bytes)
     case _ => throw new IllegalArgumentException("unknown image format")
   }
 

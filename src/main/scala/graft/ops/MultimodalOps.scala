@@ -20,9 +20,13 @@ import graft.model.Tables
   * stored-deflate encoder whose byte count stays oracle-analytic) and
   * rotates fixtures PPM/BMP/PNG on the `nb % 4` slot. Width/height/
   * format in every downstream op come from the decoded header, not from
-  * a length heuristic. [[stubDecode]] remains only as the documented
-  * fallback for payload formats this container has no codec for
-  * (jpeg/webp would need native libs); the plan shape — binary
+  * a length heuristic. Round 11 also makes baseline JPEG real BOTH
+  * directions ([[JpegCodec]] — FDCT/Huffman encode, full marker/entropy
+  * decode; [[jpegFeatures]] proves the lossy chain against an analytic
+  * oracle). [[stubDecode]] remains only as the documented fallback for
+  * payload formats this container has no codec for (webp, and
+  * progressive JPEG, would need native libs or out-of-scope decoders);
+  * the plan shape — binary
   * column in, `mapPartitions` decode (one decoder init per partition, no
   * shuffle), small typed metadata rows out — is identical either way, so
   * a deployment swaps the decoder body without touching any query.
@@ -291,6 +295,93 @@ object MultimodalOps {
             (r.doc_id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0.0)
         }
       })
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
+        "bin0", "bin1", "bin2", "bin3", "mean_gray")
+  }
+
+  /** Deterministic 8-ALIGNED image for the JPEG lane: constant 8×8
+    * tiles (2..17 a side, so 16..136 px dims straddle the 64-box
+    * thumbnail target like [[buildImage]]), tile values sampling the
+    * first 128 text bytes. Tile alignment is what makes the JPEG round
+    * trip ANALYTIC: every 8×8 block is constant, so the encoder's flat
+    * shortcut emits exactly DC = 8·(v−128) and the decoder's DC-only
+    * IDCT returns clamp(2·round((v−128)/2) + 128) at luma quant step
+    * [[JpegCodec.QuantDc]] — integer arithmetic end to end, replayable
+    * in SQL (the analytic-oracle discipline of [[imageFeatures]], with
+    * the LOSSY quantization chain inside the proof).
+    */
+  private[graft] def buildJpegImage(textBytes: Array[Byte]): ImageCodec.Image = {
+    val nb = textBytes.length
+    val tx = 2 + (nb / 16) % 16
+    val ty = 2 + (nb / 32) % 16
+    val w = 8 * tx; val h = 8 * ty
+    val m = math.min(math.max(nb, 1), 128)
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val j = y / 8
+      var x = 0
+      while (x < w) {
+        val i = x / 8
+        val v: Byte = if (nb == 0) 0 else textBytes((j * tx + i) % m)
+        val p = 3 * (y * w + x)
+        rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, rgb)
+  }
+
+  /** REAL JPEG feature extraction — the [[imageFeatures]] gate pushed
+    * through the LOSSY codec: every document renders to the 8-aligned
+    * constant-tile gray image, encodes as a real baseline JPEG
+    * ([[JpegCodec.encodeJpeg]] — flat-shortcut DCT, Annex-K Huffman,
+    * byte stuffing), decodes back through the full marker/DHT/entropy
+    * path, and reports the SAME pixel statistics. The oracle never
+    * touches bytes: it replays the tile grid AND the DC quantization
+    * chain clamp(2·floor((v−127)/2)+128) analytically, so a hash match
+    * PROVES the whole encode→Huffman→decode→IDCT path lands on the
+    * mathematically-required output for every row. (ASCII fixture
+    * assumption as in [[imageFeatures]]: the oracle indexes text by
+    * CHARACTER; true for these corpora.) Corrupt payloads would
+    * quarantine as all-zero rows, same contract as the other decode
+    * slots.
+    *
+    * Scale: pure map — one partition-wise pass, both codec directions
+    * per row, no shuffle at all (PlanSpec-pinned); per-row work is
+    * linear in pixels like every codec op.
+    */
+  def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        try {
+          val jpeg = JpegCodec.encodeJpeg(buildJpegImage(r.payload))
+          val img = ImageCodec.decode(jpeg)
+          var sum = 0L
+          val bins = new Array[Long](4)
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            val v = img.rgb(3 * i) & 0xff
+            sum += v
+            bins(v >> 6) += 1
+            i += 1
+          }
+          (r.doc_id, img.width, img.height, n.toLong, sum,
+            bins(0), bins(1), bins(2), bins(3),
+            sum.toDouble / n)
+        } catch {
+          case _: IllegalArgumentException | _: NoSuchElementException =>
+            (r.doc_id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0.0)
+        }
+      })
+      // entropy-coded byte LENGTH is deliberately not surfaced (not
+      // SQL-derivable); the oracle-compared surface is the decoded-pixel
+      // statistics, which the quantization chain fully determines
       .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
         "bin0", "bin1", "bin2", "bin3", "mean_gray")
   }

@@ -428,4 +428,43 @@ object QualityOps {
     val MinStopHits = 2
     val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "with")
   }
+
+  /** Group-size threshold below which a quasi-identifier group counts as
+    * re-identification risk in [[kAnonymity]] — public so the oracle SQL
+    * interpolates THIS value (the MaxBucket discipline).
+    */
+  val KAnonThreshold = 5
+
+  /** k-anonymity audit over the customer table — the governance check a
+    * release gate runs beside [[TextOps.piiRedact]] before a dataset
+    * ships: for each level of a quasi-identifier generalization ladder
+    * (nation+segment → region+segment → segment), the group census, the
+    * realized k (smallest group), and how many rows/groups sit below the
+    * risk threshold. Generalizing UP the ladder (nation→region→drop) is
+    * exactly the suppression a curator applies when min_k is too small,
+    * so the three rows ARE the remediation menu. All-integer output.
+    *
+    * Scale: the region key rides a BROADCAST nation join; each ladder
+    * level is a two-stage aggregation whose first stage combines map-side
+    * and whose second consumes only the QI-cardinality group frame —
+    * three bounded passes, no row-level shuffle beyond the group keys.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = lit(KAnonThreshold)
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    def level(name: String, keys: Column*): DataFrame =
+      base.groupBy(keys: _*).agg(count(lit(1)).as("grp"))
+        .agg(
+          lit(name).as("level"),
+          count(lit(1)).as("n_groups"),
+          min(col("grp")).as("min_k"),
+          sum(when(col("grp") < k, col("grp")).otherwise(0L)).as("rows_at_risk"),
+          sum(when(col("grp") < k, 1L).otherwise(0L)).as("groups_at_risk"))
+    level("nation_segment", col("c_nationkey"), col("c_mktsegment"))
+      .unionByName(level("region_segment", col("n_regionkey"), col("c_mktsegment")))
+      .unionByName(level("segment", col("c_mktsegment")))
+  }
 }

@@ -172,8 +172,19 @@ object ScaleProbe {
         .drop("i")
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    if (!done("customer")) {
+      // disjoint custkeys, SAME nation/segment: each quasi-identifier
+      // group grows 10× — the honest scale-up for governance censuses
+      // (offsetting nationkey would multiply groups, not rows-per-group)
+      val c = spark.read.parquet(s"$from/customer.parquet")
+      val maxC = c.agg(max("c_custkey")).head().getLong(0)
+      c.crossJoin(broadcast(copies))
+        .withColumn("c_custkey", col("c_custkey") + col("i") * (maxC + 1))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
     // small dims some probed plans touch (read-through copies)
-    Seq("part", "supplier", "orders").foreach { t =>
+    Seq("part", "supplier", "orders", "nation", "region").foreach { t =>
       if (new java.io.File(s"$from/$t.parquet").exists() && !done(t))
         spark.read.parquet(s"$from/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

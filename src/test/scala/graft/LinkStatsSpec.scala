@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.model.Tables
+import graft.ops.{QualityOps, StatsOps}
+
+/** Ground truth for the round-11 stats/graph/governance additions:
+  * straight-line textbook replays over the collected fixture, compared
+  * EXACTLY — each engine op is integer arithmetic to a final boundary of
+  * correctly-rounded IEEE steps (or a floor-quantized ln for PMI), so the
+  * replay's doubles must match bit-for-bit.
+  */
+class LinkStatsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  // ties in the cents-quantized values need the denser fixture (the
+  // MannWhitneySpec precedent) — used by the KS/AUC tie paths
+  private val sfTies = "/root/testdata/sf0.01"
+
+  test("ks_test: D and z match a textbook two-ECDF max computation") {
+    val rows = Tables.events(spark, sfTies)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(value AS DECIMAL(18,2)) AS v", "user_id % 2 AS arm")
+      .collect()
+      .map(r => (r.getDecimal(0), r.getLong(1)))
+    val na = rows.count(_._2 == 0L)
+    val nb = rows.count(_._2 == 1L)
+    // walk the distinct values in order, tracking both inclusive ECDFs
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var cuma = 0L; var cumb = 0L; var numer = BigInt(0)
+    for ((_, grp) <- byV) {
+      cuma += grp.count(_._2 == 0L)
+      cumb += grp.count(_._2 == 1L)
+      val d = (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+      if (d > numer) numer = d
+    }
+    val naD = na.toDouble; val nbD = nb.toDouble
+    val dStat = numer.toDouble / (naD * nbD)
+    val z = dStat * math.sqrt(naD * nbD / (naD + nbD))
+
+    val got = StatsOps.ksTest(spark, sfTies).collect()(0)
+    assert(got.getAs[Long]("n_a") == na && got.getAs[Long]("n_b") == nb)
+    assert(got.getAs[Double]("d_stat") == dStat)
+    assert(got.getAs[Double]("z") == z)
+    assert(dStat > 0.0, "degenerate fixture: identical cohorts")
+  }
+
+  test("roc_auc: matches O(n^2) pair counting — wins + half-ties over all pairs") {
+    val rows = Tables.events(spark, sfTies)
+      .filter(col("value").isNotNull)
+      .selectExpr("CAST(value AS DECIMAL(18,2)) AS v",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos")
+      .collect()
+      .map(r => (r.getDecimal(0), r.getInt(1)))
+    val posV = rows.filter(_._2 == 1).map(_._1)
+    val negV = rows.filter(_._2 == 0).map(_._1)
+    var wins = 0L; var ties = 0L
+    for (p <- posV; n <- negV) {
+      val c = p.compareTo(n)
+      if (c > 0) wins += 1 else if (c == 0) ties += 1
+    }
+    // U = wins + ties/2; the engine converts the exact integer 2U to
+    // double, halves, then divides — mirror those exact steps
+    val u2 = BigInt(2) * wins + ties
+    val npD = posV.length.toDouble; val nnD = negV.length.toDouble
+    val auc = u2.toDouble / 2.0 / (npD * nnD)
+
+    val got = StatsOps.rocAuc(spark, sfTies).collect()(0)
+    assert(got.getAs[Long]("n_pos") == posV.length.toLong)
+    assert(got.getAs[Long]("n_neg") == negV.length.toLong)
+    assert(got.getAs[Double]("auc") == auc)
+    assert(got.getAs[Double]("gini") == 2.0 * auc - 1.0)
+    assert(ties > 0, "no tied scores across classes — tie path vacuous")
+  }
+
+  test("mutual_info: pmi_q9 matches a driver recompute with identical IEEE steps") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val joint = li.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val mx = li.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val my = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = li.length.toLong
+    val got = StatsOps.mutualInfo(spark, sf).collect()
+    assert(got.length == joint.size)
+    for (row <- got) {
+      val key = (row.getAs[String]("flag"), row.getAs[String]("status"))
+      val nxy = joint(key)
+      assert(row.getAs[Long]("n_xy") == nxy)
+      assert(row.getAs[Long]("n_x") == mx(key._1))
+      assert(row.getAs[Long]("n_y") == my(key._2))
+      val pmi = math.log(nxy.toDouble * n.toDouble /
+        (mx(key._1).toDouble * my(key._2).toDouble))
+      assert(row.getAs[Long]("pmi_q9") == math.floor(pmi * 1e9).toLong)
+    }
+    // dependence must actually exist or the op is a constant-zero check
+    assert(got.exists(_.getAs[Long]("pmi_q9") != 0L))
+  }
+
+  test("link_prediction: top-100 matches brute-force blocked common-neighbor search") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brand = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    // candidates blocked on brand; centers of ANY brand contribute, so
+    // cn is the exact common-neighbor count for every eligible pair.
+    // RA rides each wedge as the integer weight 10^12 div deg(center).
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val ra = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((z, nbrs) <- adj; s = nbrs.toSeq.sorted;
+         i <- s.indices; j <- (i + 1) until s.length) {
+      val k = (s(i), s(j))
+      if (brand(k._1) == brand(k._2) && !edges.contains(k)) {
+        cn(k) = cn.getOrElse(k, 0L) + 1L
+        ra(k) = ra.getOrElse(k, 0L) + 1000000000000L / adj(z).size
+      }
+    }
+    val expect = cn.toSeq
+      .map { case ((a, b), c) =>
+        val da = adj(a).size.toLong; val db = adj(b).size.toLong
+        (a, b, brand(a), c, da, db, c.toDouble / (da + db - c).toDouble,
+          ra((a, b)))
+      }
+      .sortBy { case (a, b, _, c, _, _, _, _) => (-c, a, b) }
+      .take(100)
+
+    val got = StatsOps.linkPrediction(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[String]("brand"), r.getAs[Long]("cn"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"), r.getAs[Double]("jaccard"),
+        r.getAs[Long]("ra_q12")))
+    assert(got.toSeq == expect)
+    assert(expect.nonEmpty && expect.head._4 >= 2,
+      "fixture too sparse: best candidate shares < 2 neighbors")
+    // RA must disagree with cn's ordering somewhere or the index is
+    // redundant on this fixture (hub down-weighting must have bite)
+    assert(expect.map(_._8).distinct.length > 1, "ra_q12 degenerate")
+  }
+
+  test("k_anonymity: ladder censuses match brute-force grouping") {
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val k = QualityOps.KAnonThreshold
+    def census(keys: Seq[Any]): (Long, Long, Long, Long) = {
+      val grps = keys.groupBy(identity).values.map(_.length.toLong).toSeq
+      (grps.length.toLong, grps.min,
+        grps.filter(_ < k).sum, grps.count(_ < k).toLong)
+    }
+    val expect = Map(
+      "nation_segment" -> census(cust.map { case (nk, s) => (nk, s) }),
+      "region_segment" -> census(cust.map { case (nk, s) => (nat(nk), s) }),
+      "segment"        -> census(cust.map(_._2)))
+    val got = QualityOps.kAnonymity(spark, sf).collect()
+    assert(got.length == 3)
+    for (row <- got) {
+      val e = expect(row.getAs[String]("level"))
+      assert(row.getAs[Long]("n_groups") == e._1, row.toString)
+      assert(row.getAs[Long]("min_k") == e._2, row.toString)
+      assert(row.getAs[Long]("rows_at_risk") == e._3, row.toString)
+      assert(row.getAs[Long]("groups_at_risk") == e._4, row.toString)
+    }
+    // the risk branch must fire somewhere on the fixture
+    assert(expect.values.exists(_._4 > 0L), "no group under threshold — risk path vacuous")
+  }
+}

@@ -598,6 +598,44 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("ks_test/roc_auc: value groups in one corpus exchange; windows touch the summary only") {
+    // roc_auc mirrors mannwhitney exactly: one scan, one hash exchange,
+    // no join. ks_test adds the 1-row totals frame back by BROADCAST
+    // cross (never a shuffle); its two aggregate branches may re-scan but
+    // nothing row-cardinality crosses a single partition (global sweep).
+    val r = plan("roc_auc")
+    assert("Scan parquet".r.findAllIn(r).length == 1, r)
+    assert(!r.contains("Join"), r)
+    assert("Exchange hashpartitioning".r.findAllIn(r).length == 1, r)
+    val k = plan("ks_test")
+    assert(!k.contains("SortMergeJoin") && !k.contains("CartesianProduct"), k)
+    assert(k.contains("BroadcastExchange"), k)
+  }
+
+  test("mutual_info: ONE fact scan; marginals ride broadcasts over the checkpointed cells") {
+    val p = plan("mutual_info")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // without the checkpoint cut Catalyst plans FOUR independent scans
+    // (one per aggregate branch) — the cells must be materialized once
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("link_prediction: wedge equi-join, anti vs edges, top-100 without a global sort") {
+    val p = plan("link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("k_anonymity: region key rides a broadcast dim join; levels are 1-row aggregates") {
+    val p = plan("k_anonymity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("hybrid_rrf: lexical candidates equi-join broadcast shingles; no cartesian") {
     val p = plan("hybrid_rrf")
     assert(!p.contains("CartesianProduct"), p)
@@ -612,6 +650,13 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Generate"), p) // n-gram stats fold in-array, never explode
+    assert(!p.contains("Join"), p)
+  }
+
+  test("jpeg_features: pure codec map — one scan, zero exchanges, no join") {
+    val p = plan("jpeg_features")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
 
