@@ -20,17 +20,24 @@ import graft.ops.ImageCodec.{Image, MaxDim, MaxPixels}
   * end to end (the analytic-oracle discipline; see
   * [[MultimodalOps.jpegFeatures]]).
   *
-  * Decoder: baseline sequential only (SOF0; progressive/extended/
-  * arithmetic SOFs reject as IllegalArgumentException — the quarantine
-  * contract), 8-bit precision, 1 or 3 components, sampling factors 1–2
-  * (4:4:4 / 4:2:2 / 4:2:0), multi-table DQT/DHT segments, DRI/RSTn
-  * restart intervals, 0xFF00 byte unstuffing. DC-only blocks take the
-  * mirror-image exact IDCT shortcut (pixel = round(dc/8)+128); general
-  * blocks run the separable double-precision IDCT. Untrusted-header
-  * hardening throughout: dimensions bounded by [[ImageCodec.MaxDim]],
-  * the area by [[ImageCodec.MaxPixels]] in Long BEFORE any allocation,
-  * every segment length and Huffman code bounds-checked; malformed or
-  * truncated payloads throw IllegalArgumentException only.
+  * Decoder: baseline sequential (SOF0) AND progressive (SOF2 — the
+  * other format real crawls serve in volume: multi-scan spectral
+  * selection + successive approximation per T.81 G.1.2, DC/AC first and
+  * refinement scans, cross-block EOB runs, per-scan restart intervals,
+  * coefficients accumulated per component until EOI then IDCT'd once);
+  * extended/lossless/arithmetic SOFs reject as IllegalArgumentException
+  * — the quarantine contract. 8-bit precision, 1 or 3 components,
+  * sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), multi-table DQT/DHT
+  * segments, DRI/RSTn restart intervals, 0xFF00 byte unstuffing.
+  * DC-only blocks take the mirror-image exact IDCT shortcut
+  * (pixel = round(dc/8)+128); general blocks run the separable
+  * double-precision IDCT. Untrusted-header hardening throughout:
+  * dimensions bounded by [[ImageCodec.MaxDim]], the area by
+  * [[ImageCodec.MaxPixels]] in Long BEFORE any allocation (progressive
+  * additionally by [[MaxProgressivePixels]], since coefficient planes
+  * persist across scans), every segment length and Huffman code
+  * bounds-checked; malformed or truncated payloads throw
+  * IllegalArgumentException only.
   */
 object JpegCodec {
 
@@ -592,7 +599,17 @@ object JpegCodec {
     var ta: Int = 0
   }
 
-  /** Baseline JPEG decode to the canonical RGB buffer. */
+  /** Area cap for PROGRESSIVE streams, tighter than [[MaxPixels]]: a
+    * progressive decode must hold every component's full coefficient
+    * plane (4 bytes/sample) across scans, so the worst case is ~4× the
+    * pixel buffer. 2^24 px = 4096×4096 keeps that under 200 MiB while
+    * still far above any sane crawl payload.
+    */
+  val MaxProgressivePixels: Long = 1L << 24
+
+  /** JPEG decode (baseline SOF0 and progressive SOF2) to the canonical
+    * RGB buffer.
+    */
   def decodeJpeg(bytes: Array[Byte]): Image = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
@@ -602,6 +619,10 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var dri = 0
+    var progressive = false
+    // progressive state: per-component zigzag coefficient grids plus the
+    // EOB run that T.81 G.1.2.2 carries ACROSS blocks within a scan
+    var coefStore: Array[Array[Int]] = null
     var pos = 2
     def u16(off: Int): Int = {
       require(off + 1 < bytes.length, "JPEG: truncated")
@@ -613,7 +634,10 @@ object JpegCodec {
       pos += 2
       while (m == 0xff) { require(pos < bytes.length, "JPEG: truncated"); m = bytes(pos) & 0xff; pos += 1 }
       m match {
-        case 0xd9 => throw new IllegalArgumentException("JPEG: EOI before SOS")
+        case 0xd9 =>
+          if (progressive && coefStore != null)
+            return finishProgressive(w, h, comps, quant, coefStore)
+          throw new IllegalArgumentException("JPEG: EOI before SOS")
         case 0x01 => () // TEM, standalone
         case rst if rst >= 0xd0 && rst <= 0xd7 => () // stray RST, standalone
         case _ =>
@@ -657,14 +681,17 @@ object JpegCodec {
                 if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
                 p += 17 + total
               }
-            case 0xc0 => // SOF0 baseline
+            case sof0 if sof0 == 0xc0 || sof0 == 0xc2 => // baseline / progressive
               require(comps == null, "JPEG: multiple SOF")
+              progressive = sof0 == 0xc2
               require((bytes(pos + 2) & 0xff) == 8, "JPEG: only 8-bit precision")
               h = u16(pos + 3); w = u16(pos + 5)
               require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
                 s"JPEG: bad dimensions ${w}x$h")
               require(w.toLong * h <= MaxPixels,
                 s"JPEG: pixel count ${w.toLong * h} exceeds $MaxPixels")
+              require(!progressive || w.toLong * h <= MaxProgressivePixels,
+                s"JPEG: progressive pixel count ${w.toLong * h} exceeds $MaxProgressivePixels")
               val nc = bytes(pos + 7) & 0xff
               require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
               comps = Array.tabulate(nc) { ci =>
@@ -678,15 +705,24 @@ object JpegCodec {
                 require(tq < 4, s"JPEG: quant id $tq")
                 Comp(id, if (nc == 1) 1 else hs, if (nc == 1) 1 else vs, tq)
               }
+              if (progressive) {
+                val hmax = comps.map(_.hs).max
+                val vmax = comps.map(_.vs).max
+                val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+                val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+                coefStore = comps.map(c =>
+                  new Array[Int](mcusX * c.hs * mcusY * c.vs * 64))
+              }
             case sof if (sof >= 0xc1 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
               throw new IllegalArgumentException(
-                f"JPEG: SOF$sof%x (progressive/extended/lossless) unsupported — baseline only")
+                f"JPEG: SOF$sof%x (extended/lossless/arithmetic) unsupported")
             case 0xdd =>
               dri = u16(pos + 2)
             case 0xda => // SOS → entropy-coded data follows
               require(comps != null, "JPEG: SOS before SOF")
               val ns = bytes(pos + 2) & 0xff
-              require(ns == comps.length, "JPEG: partial scans unsupported")
+              require(ns >= 1 && ns <= comps.length, s"JPEG: $ns scan components")
+              val scanComps = new Array[Comp](ns)
               var k = 0
               while (k < ns) {
                 val cid = bytes(pos + 3 + 2 * k) & 0xff
@@ -694,16 +730,26 @@ object JpegCodec {
                 val comp = comps.find(_.id == cid).getOrElse(
                   throw new IllegalArgumentException(s"JPEG: SOS names unknown component $cid"))
                 comp.td = tdta >> 4; comp.ta = tdta & 0x0f
+                scanComps(k) = comp
                 k += 1
               }
-              return decodeScan(bytes, segEnd, w, h, comps, quant, dcTabs, acTabs, dri)
+              val ss = bytes(pos + 3 + 2 * ns) & 0xff
+              val se = bytes(pos + 4 + 2 * ns) & 0xff
+              val ahAl = bytes(pos + 5 + 2 * ns) & 0xff
+              if (!progressive) {
+                require(ns == comps.length, "JPEG: partial sequential scans unsupported")
+                return decodeScan(bytes, segEnd, w, h, comps, quant, dcTabs, acTabs, dri)
+              }
+              pos = decodeProgressiveScan(bytes, segEnd, w, h, comps, scanComps,
+                coefStore, dcTabs, acTabs, dri, ss, se, ahAl >> 4, ahAl & 0x0f)
             case 0xd8 => throw new IllegalArgumentException("JPEG: nested SOI")
             case _ => () // APPn / COM / other: skip
           }
-          pos = segEnd
+          if (m != 0xda) pos = segEnd
       }
     }
-    throw new IllegalArgumentException("JPEG: no SOS marker")
+    throw new IllegalArgumentException(
+      if (progressive) "JPEG: progressive stream missing EOI" else "JPEG: no SOS marker")
   }
 
   private def decodeScan(
@@ -793,7 +839,18 @@ object JpegCodec {
       }
       my += 1
     }
-    // assemble RGB with nearest-neighbor chroma upsampling
+    assembleRgb(w, h, comps, planes, compW)
+  }
+
+  /** Canonical RGB assembly with nearest-neighbor chroma upsampling —
+    * shared by the sequential and progressive paths.
+    */
+  private def assembleRgb(
+      w: Int, h: Int, comps: Array[Comp], planes: Array[Array[Int]],
+      compW: Array[Int]): Image = {
+    val nc = comps.length
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
     val rgb = new Array[Byte](3 * w * h)
     if (nc == 1) {
       val p = planes(0); val cw = compW(0)
@@ -827,5 +884,248 @@ object JpegCodec {
       }
     }
     Image(w, h, rgb)
+  }
+
+  /** One progressive scan (T.81 G.1.2): spectral band [ss, se] at
+    * successive-approximation stage (ah → al) for `scanComps`, decoded
+    * into the per-component zigzag coefficient grids. Returns the input
+    * position of the next marker after the scan's entropy data.
+    *
+    * DC scans (ss = 0) may interleave all scan components in MCU order;
+    * AC scans are single-component in the component's own (non-padded)
+    * block raster, with the EOB run carried across blocks. Refinement
+    * scans (ah > 0) read one correction bit per nonzero-history
+    * coefficient they pass — the libjpeg-shape algorithm, which is the
+    * published reference realization of G.1.2.3.
+    */
+  private def decodeProgressiveScan(
+      bytes: Array[Byte], start: Int, w: Int, h: Int, comps: Array[Comp],
+      scanComps: Array[Comp], coefStore: Array[Array[Int]],
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable], dri: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"JPEG: spectral band $ss..$se")
+    require(al <= 13 && (ah == 0 || ah == al + 1),
+      s"JPEG: successive approximation $ah -> $al")
+    if (ss == 0) require(se == 0, "JPEG: progressive scan mixes DC and AC")
+    else require(scanComps.length == 1, "JPEG: interleaved AC scan")
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val r = new BitReader(bytes, start)
+    val preds = new Array[Int](scanComps.length)
+    var eobrun = 0
+    var rstExpect = 0
+    var unit = 0 // restart-interval counter: MCUs (interleaved) or blocks
+
+    def restartIfDue(): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        val m = r.alignToMarker()
+        require(m == 0xd0 + (rstExpect & 7),
+          f"JPEG: expected RST${rstExpect & 7} got 0x$m%02x")
+        rstExpect += 1
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+
+    def coefIdx(ci: Int, brow: Int, bcol: Int): Int = {
+      val bwPad = mcusX * comps(ci).hs
+      (brow * bwPad + bcol) * 64
+    }
+
+    def decodeDcBlock(si: Int, ci: Int, base: Int): Unit = {
+      val coefs = coefStore(ci)
+      if (ah == 0) {
+        val c = scanComps(si)
+        require(dcTabs(c.td) != null, s"JPEG: DC table ${c.td} undefined")
+        val t = r.decodeHuff(dcTabs(c.td))
+        require(t <= 11, s"JPEG: DC category $t")
+        preds(si) += extend(r.bits(t), t)
+        coefs(base) = preds(si) << al
+      } else {
+        if (r.bit() == 1) coefs(base) |= 1 << al
+      }
+    }
+
+    def decodeAcFirstBlock(c: Comp, ci: Int, base: Int): Unit = {
+      val coefs = coefStore(ci)
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = r.decodeHuff(acTabs(c.ta))
+        val run = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (run < 15) { eobrun = (1 << run) - 1 + r.bits(run); k = 64 }
+          else k += 16 // ZRL
+        } else {
+          k += run
+          require(k <= se, "JPEG: AC index overrun")
+          coefs(base + k) = extend(r.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def decodeAcRefineBlock(c: Comp, ci: Int, base: Int): Unit = {
+      val coefs = coefStore(ci)
+      val p1 = 1 << al
+      def correct(idx: Int): Unit =
+        if (r.bit() == 1 && (coefs(idx) & p1) == 0)
+          coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = r.decodeHuff(acTabs(c.ta))
+          var run = rs >> 4; val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (run < 15) {
+              // unlike the first-scan form, NO -1 here: the current
+              // block's remaining band is consumed by the EOB correction
+              // section below, which decrements for it
+              eobrun = (1 << run) + r.bits(run); inBand = false
+            }
+            // run == 15: ZRL — skip 16 zero-history coefficients below
+          } else {
+            require(s == 1, s"JPEG: AC refinement magnitude $s")
+            newval = if (r.bit() == 1) p1 else -p1
+          }
+          if (inBand) {
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = base + k
+              if (coefs(idx) != 0) correct(idx)
+              else if (run == 0) {
+                if (s != 0) coefs(idx) = newval
+                placed = true
+              } else run -= 1
+              k += 1
+            }
+            require(placed || k > se, "JPEG: refinement run overran band")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { // EOB region still carries correction bits
+          val idx = base + k
+          if (coefs(idx) != 0) correct(idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan in MCU order
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartIfDue()
+          var si = 0
+          while (si < scanComps.length) {
+            val c = scanComps(si)
+            val ci = comps.indexOf(c)
+            var v = 0
+            while (v < c.vs) {
+              var hb = 0
+              while (hb < c.hs) {
+                decodeDcBlock(si, ci, coefIdx(ci, my * c.vs + v, mx * c.hs + hb))
+                hb += 1
+              }
+              v += 1
+            }
+            si += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan in the component's own block raster
+      val c = scanComps(0)
+      val ci = comps.indexOf(c)
+      val cw = (w * c.hs + 8 * hmax - 1) / (8 * hmax) // blocks wide (ceil)
+      val ch = (h * c.vs + 8 * vmax - 1) / (8 * vmax)
+      if (ss > 0) require(acTabs(c.ta) != null, s"JPEG: AC table ${c.ta} undefined")
+      var brow = 0
+      while (brow < ch) {
+        var bcol = 0
+        while (bcol < cw) {
+          restartIfDue()
+          val base = coefIdx(ci, brow, bcol)
+          if (ss == 0) decodeDcBlock(0, ci, base)
+          else if (ah == 0) decodeAcFirstBlock(c, ci, base)
+          else decodeAcRefineBlock(c, ci, base)
+          unit += 1
+          bcol += 1
+        }
+        brow += 1
+      }
+    }
+    // hand the cursor back at the next true marker (skip pad + stray RST)
+    var p = r.pos
+    var found = -1
+    while (found < 0) {
+      require(p + 1 < bytes.length, "JPEG: truncated after scan")
+      if ((bytes(p) & 0xff) == 0xff) {
+        val m = bytes(p + 1) & 0xff
+        if (m == 0x00) p += 2
+        else if (m >= 0xd0 && m <= 0xd7) p += 2
+        else if (m == 0xff) p += 1
+        else found = p
+      } else p += 1
+    }
+    found
+  }
+
+  /** Final pass of a progressive decode: dequantize + IDCT every stored
+    * coefficient block into component planes, then assemble RGB.
+    */
+  private def finishProgressive(
+      w: Int, h: Int, comps: Array[Comp], quant: Array[Array[Int]],
+      coefStore: Array[Array[Int]]): Image = {
+    val nc = comps.length
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val compW = comps.map(c => mcusX * 8 * c.hs)
+    val compH = comps.map(c => mcusY * 8 * c.vs)
+    val planes = Array.tabulate(nc)(ci => new Array[Int](compW(ci) * compH(ci)))
+    val zz = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val c = comps(ci)
+      require(quant(c.tq) != null, s"JPEG: quant table ${c.tq} undefined")
+      val q = quant(c.tq)
+      val bw = mcusX * c.hs
+      val bh = mcusY * c.vs
+      var brow = 0
+      while (brow < bh) {
+        var bcol = 0
+        while (bcol < bw) {
+          System.arraycopy(coefStore(ci), (brow * bw + bcol) * 64, zz, 0, 64)
+          idctBlock(zz, q, px)
+          val ox = bcol * 8; val oy = brow * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((oy + yy) * compW(ci) + ox + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bcol += 1
+        }
+        brow += 1
+      }
+      ci += 1
+    }
+    assembleRgb(w, h, comps, planes, compW)
   }
 }

@@ -20,12 +20,12 @@ import graft.model.Tables
   * stored-deflate encoder whose byte count stays oracle-analytic) and
   * rotates fixtures PPM/BMP/PNG on the `nb % 4` slot. Width/height/
   * format in every downstream op come from the decoded header, not from
-  * a length heuristic. Round 11 also makes baseline JPEG real BOTH
-  * directions ([[JpegCodec]] — FDCT/Huffman encode, full marker/entropy
-  * decode; [[jpegFeatures]] proves the lossy chain against an analytic
-  * oracle). [[stubDecode]] remains only as the documented fallback for
-  * payload formats this container has no codec for (webp, and
-  * progressive JPEG, would need native libs or out-of-scope decoders);
+  * a length heuristic. Round 11 also makes JPEG real — baseline BOTH
+  * directions and progressive (SOF2) decode ([[JpegCodec]] —
+  * FDCT/Huffman encode, full marker/entropy/multi-scan decode;
+  * [[jpegFeatures]] proves the lossy chain against an analytic oracle).
+  * [[stubDecode]] remains only as the documented fallback for payload
+  * formats this container has no codec for (webp needs native libs);
   * the plan shape — binary
   * column in, `mapPartitions` decode (one decoder init per partition, no
   * shuffle), small typed metadata rows out — is identical either way, so

@@ -1776,7 +1776,9 @@ object StatsOps {
     * TakeOrderedAndProject, never a global sort.
     */
   def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(spark, dir)
+    // e feeds THREE consumers (both adj legs + the anti-join); without
+    // the checkpoint each one re-runs the lineitem self-join + distinct
+    val e = Tables.ckpt(copurchaseEdges(spark, dir))
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))

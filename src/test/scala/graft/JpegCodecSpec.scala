@@ -4,11 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{ImageCodec, JpegCodec, MultimodalOps}
 import graft.ops.ImageCodec.Image
 
-/** Ground truth for the baseline JPEG codec: exact round trips on
-  * constant-tile images (the analytic DC-only chain the jpeg_features
-  * oracle replays), bounded-error round trips through the general
-  * FDCT/IDCT path, color + subsampling + restart-marker decode, and the
-  * crafted-payload rejections the quarantine contract depends on.
+/** Ground truth for the JPEG codec: exact round trips on constant-tile
+  * images (the analytic DC-only chain the jpeg_features oracle
+  * replays), bounded-error round trips through the general FDCT/IDCT
+  * path, color + subsampling + restart-marker decode, PROGRESSIVE
+  * (SOF2) decode against hand-assembled multi-scan bitstreams —
+  * spectral selection, successive approximation, cross-block EOB runs —
+  * and the crafted-payload rejections the quarantine contract depends
+  * on.
   */
 class JpegCodecSpec extends AnyFunSuite {
 
@@ -167,7 +170,9 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JpegCodec.decodeJpeg(java.util.Arrays.copyOf(good, good.length - 6))
     }
-    // progressive SOF2
+    // SOF marker flipped to SOF2 without progressive-legal scans: the
+    // baseline full-band SOS is malformed under SOF2 (a progressive
+    // scan may not mix DC and AC) and must reject, not mis-decode
     intercept[IllegalArgumentException] {
       JpegCodec.decodeJpeg(mutated { b =>
         var p = 2
@@ -243,5 +248,149 @@ class JpegCodecSpec extends AnyFunSuite {
       val v = textBytes(((y / 8) * tx + (x / 8)) % m) & 0xff
       assert((dec.rgb(3 * (y * img.width + x)) & 0xff) == dcRoundTrip(v))
     }
+  }
+
+  // ---- progressive (SOF2) ----------------------------------------------
+
+  /** Lift a whole marker segment (FFxx + length + payload) from a real
+    * encoder stream.
+    */
+  private def liftSegment(src: Array[Byte], marker: Int): Array[Byte] = {
+    var p = 2
+    while (!((src(p) & 0xff) == 0xff && (src(p + 1) & 0xff) == marker)) p += 1
+    val len = ((src(p + 2) & 0xff) << 8) | (src(p + 3) & 0xff)
+    java.util.Arrays.copyOfRange(src, p, p + 2 + len)
+  }
+
+  private def bytesOf(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  /** DHT segment from explicit (bits, vals). */
+  private def dht(tcTh: Int, bits: Seq[Int], vals: Seq[Int]): Array[Byte] = {
+    val len = 2 + 1 + 16 + vals.length
+    bytesOf(Seq(0xff, 0xc4, len >> 8, len & 0xff, tcTh) ++ bits ++ vals: _*)
+  }
+
+  /** SOS header for one component (id 1, tables 0). */
+  private def sos1(ss: Int, se: Int, ahAl: Int): Array[Byte] =
+    bytesOf(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, ss, se, ahAl)
+
+  private def sof2gray(w: Int, h: Int): Array[Byte] =
+    bytesOf(0xff, 0xc2, 0x00, 0x0b, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      0x01, 0x01, 0x11, 0x00)
+
+  test("progressive: hand-assembled DC + AC-EOB scans decode a constant image") {
+    // 16x16 gray-100: 4 DC-only blocks. Scan 1 delivers DC (diff -14 =
+    // cat4 then three zero diffs), scan 2 covers the whole AC band of
+    // all 4 blocks with one EOB2 run (eobrun = 4-1+0). Custom minimal
+    // Huffman tables: DC {0:'0', 4:'10'}, AC {0x20:'0'}.
+    val good = JpegCodec.encodeJpeg(grayImage(16, 16, (_, _) => 100))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(bytesOf(0xff, 0xd8))
+    bos.write(liftSegment(good, 0xdb))
+    bos.write(sof2gray(16, 16))
+    bos.write(dht(0x00, Seq(1, 1) ++ Seq.fill(14)(0), Seq(0x00, 0x04)))
+    bos.write(dht(0x10, Seq(1) ++ Seq.fill(15)(0), Seq(0x20)))
+    bos.write(sos1(0, 0, 0x00))
+    bos.write(bytesOf(0x84, 0x7f)) // '10'+'0001' then '0','0','0', pad 1s
+    bos.write(sos1(1, 63, 0x00))
+    bos.write(bytesOf(0x1f))       // EOB2 '0' + 2 extra bits '00', pad 1s
+    bos.write(bytesOf(0xff, 0xd9))
+    val dec = JpegCodec.decodeJpeg(bos.toByteArray)
+    assert(dec.width == 16 && dec.height == 16)
+    assert(dec.rgb.forall(b => (b & 0xff) == dcRoundTrip(100)))
+  }
+
+  test("progressive: successive approximation refines DC to the exact value") {
+    // gray-105 -> dcq = -11 (odd): Al=1 scan carries -6 (arith shift),
+    // the Ah=1->Al=0 refinement adds the low bit of every block (all 1s
+    // -> an 0xFF data byte, so the stuffing path runs too).
+    val good = JpegCodec.encodeJpeg(grayImage(16, 16, (_, _) => 105))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(bytesOf(0xff, 0xd8))
+    bos.write(liftSegment(good, 0xdb))
+    bos.write(sof2gray(16, 16))
+    bos.write(dht(0x00, Seq(1, 1) ++ Seq.fill(14)(0), Seq(0x00, 0x03)))
+    bos.write(dht(0x10, Seq(1) ++ Seq.fill(15)(0), Seq(0x20)))
+    bos.write(sos1(0, 0, 0x01))    // DC first, Al=1
+    bos.write(bytesOf(0x88))       // '10'+'001' then '0','0','0' = 8 bits
+    bos.write(sos1(0, 0, 0x10))    // DC refinement, Ah=1 Al=0
+    bos.write(bytesOf(0xff, 0x00)) // 4 one-bits + 1-pad = 0xFF, stuffed
+    bos.write(sos1(1, 63, 0x00))
+    bos.write(bytesOf(0x1f))
+    bos.write(bytesOf(0xff, 0xd9))
+    val dec = JpegCodec.decodeJpeg(bos.toByteArray)
+    assert(dec.rgb.forall(b => (b & 0xff) == dcRoundTrip(105)),
+      s"got ${dec.rgb(0) & 0xff} want ${dcRoundTrip(105)}")
+  }
+
+  test("progressive: AC successive approximation equals the same-coefficient baseline") {
+    // one 8x8 block, dc=0, AC(zz 1)=+2. Baseline delivers it whole;
+    // progressive splits it into an Al=1 scan (value 1) and an Ah=1->0
+    // correction scan (low bit 0) — both decodes must agree bit-for-bit.
+    val good = JpegCodec.encodeJpeg(grayImage(8, 8, (_, _) => 100))
+    val base = new java.io.ByteArrayOutputStream()
+    base.write(bytesOf(0xff, 0xd8))
+    base.write(liftSegment(good, 0xdb))
+    base.write(bytesOf(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x08, 0x00, 0x08,
+      0x01, 0x01, 0x11, 0x00))
+    base.write(liftSegment(good, 0xc4)) // Annex-K DC (first DHT)
+    // lift the AC DHT: second C4 segment
+    locally {
+      var p = 2
+      var seen = 0
+      while (seen < 1) {
+        if ((good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) == 0xc4) seen += 1
+        p += 1
+      }
+      var q = p + 1
+      while (!((good(q) & 0xff) == 0xff && (good(q + 1) & 0xff) == 0xc4)) q += 1
+      val len = ((good(q + 2) & 0xff) << 8) | (good(q + 3) & 0xff)
+      base.write(good, q, 2 + len)
+    }
+    base.write(sos1(0, 63, 0x00))
+    // DC cat0 '00'; AC sym 0x02 '01' + mag '10'; EOB '1010'; pad
+    base.write(bytesOf(0x1a, 0xbf))
+    base.write(bytesOf(0xff, 0xd9))
+    val baseline = JpegCodec.decodeJpeg(base.toByteArray)
+
+    val prog = new java.io.ByteArrayOutputStream()
+    prog.write(bytesOf(0xff, 0xd8))
+    prog.write(liftSegment(good, 0xdb))
+    prog.write(sof2gray(8, 8))
+    prog.write(dht(0x00, Seq(1) ++ Seq.fill(15)(0), Seq(0x00)))
+    prog.write(dht(0x10, Seq(1, 1) ++ Seq.fill(14)(0), Seq(0x01, 0x00)))
+    prog.write(sos1(0, 0, 0x00))
+    prog.write(bytesOf(0x7f))       // DC diff 0, pad
+    prog.write(sos1(1, 63, 0x01))   // AC first, Al=1: sym 0x01 '0' + mag '1', EOB0 '10'
+    prog.write(bytesOf(0x6f))
+    prog.write(sos1(1, 63, 0x10))   // AC refine: EOB0 '10' + correction bit '0'
+    prog.write(bytesOf(0x9f))
+    prog.write(bytesOf(0xff, 0xd9))
+    val progressive = JpegCodec.decodeJpeg(prog.toByteArray)
+
+    assert(progressive.rgb.sameElements(baseline.rgb))
+    // the AC coefficient must actually shape the block (not flat)
+    assert(baseline.rgb.map(_ & 0xff).distinct.length > 1)
+  }
+
+  test("progressive: truncated mid-scan and missing-EOI streams reject as IAE") {
+    val good = JpegCodec.encodeJpeg(grayImage(16, 16, (_, _) => 100))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(bytesOf(0xff, 0xd8))
+    bos.write(liftSegment(good, 0xdb))
+    bos.write(sof2gray(16, 16))
+    bos.write(dht(0x00, Seq(1, 1) ++ Seq.fill(14)(0), Seq(0x00, 0x04)))
+    bos.write(dht(0x10, Seq(1) ++ Seq.fill(15)(0), Seq(0x20)))
+    bos.write(sos1(0, 0, 0x00))
+    bos.write(bytesOf(0x84, 0x7f))
+    val noEoi = bos.toByteArray // DC scan complete, then nothing
+    intercept[IllegalArgumentException] { JpegCodec.decodeJpeg(noEoi) }
+    // progressive area bomb: dims within MaxPixels but over the
+    // progressive cap must reject at SOF, before coefficient allocation
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(bytesOf(0xff, 0xd8))
+    bomb.write(liftSegment(good, 0xdb))
+    bomb.write(sof2gray(8160, 8160)) // 66.6M > 2^24, < 2^26
+    intercept[IllegalArgumentException] { JpegCodec.decodeJpeg(bomb.toByteArray) }
   }
 }
