@@ -188,6 +188,8 @@ object SparkEntry {
     "ab_ttest"          -> (StatsOps.abTtest _),
     "ks_test"           -> (StatsOps.ksTest _),
     "roc_auc"           -> (StatsOps.rocAuc _),
+    "calibration_bins"  -> (StatsOps.calibrationBins _),
+    "survival_curve"    -> (StatsOps.survivalCurve _),
     "mutual_info"       -> (StatsOps.mutualInfo _),
     "link_prediction"   -> (StatsOps.linkPrediction _),
     "k_anonymity"       -> (QualityOps.kAnonymity _),
@@ -257,6 +259,7 @@ object SparkEntry {
     "mrl_truncate"      -> (SimilarityOps.mrlTruncate _),
     "quality_classifier" -> (ClassifierOps.qualityClassifier _),
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
+    "centroid_confusion" -> (SimilarityOps.centroidConfusion _),
     "kmeans_embed"      -> ((s, d) => SimilarityOps.kmeansEmbed(s, d)),
     "cluster_balanced_sample" -> ((s, d) => SimilarityOps.clusterBalancedSample(s, d)),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
@@ -1947,6 +1950,49 @@ object SparkEntry {
         |  SELECT label, vec_id, cosine,
         |    row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rk
         |  FROM s) t WHERE rk <= 3""".stripMargin,
+    // nearest-centroid confusion: centroids and cosines replay the
+    // semantic_outliers parity shapes; argmax via row_number
+    // (cosine DESC, pred) = the engine's min_by((-cosine, pred)) since
+    // negation is IEEE-exact; F1 = 2tp/(n_true+n_pred) is the harmonic
+    // mean as ONE exact-integer division
+    "centroid_confusion" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |      FROM embeddings),
+        |c0 AS (SELECT label, dim,
+        |         CAST(sum(xq) AS DOUBLE) / count(*) / 1e6 AS cd
+        |       FROM q GROUP BY 1, 2),
+        |c AS (SELECT label AS pred, list(cd ORDER BY dim) AS cv
+        |      FROM c0 GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label, c.pred,
+        |        list_sum(list_transform(list_zip(v, cv), p -> p[1] * p[2]))
+        |          / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |             * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cosine
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, label, pred FROM (
+        |        SELECT vec_id, label, pred,
+        |          row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY cosine DESC, pred) AS rk
+        |        FROM s) t WHERE rk = 1),
+        |t AS (SELECT label, CAST(count(*) AS BIGINT) AS n_true
+        |      FROM a GROUP BY 1),
+        |p AS (SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT label, CAST(count(*) AS BIGINT) AS tp
+        |      FROM a WHERE label = pred GROUP BY 1)
+        |SELECT t.label, t.n_true,
+        |  coalesce(p.n_pred, 0) AS n_pred,
+        |  coalesce(g.tp, 0) AS tp,
+        |  CASE WHEN coalesce(p.n_pred, 0) > 0
+        |    THEN CAST(coalesce(g.tp, 0) AS DOUBLE) / CAST(p.n_pred AS DOUBLE)
+        |  END AS prec,
+        |  CAST(coalesce(g.tp, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall,
+        |  2e0 * CAST(coalesce(g.tp, 0) AS DOUBLE)
+        |    / CAST(t.n_true + coalesce(p.n_pred, 0) AS DOUBLE) AS f1
+        |FROM t LEFT JOIN p USING (label) LEFT JOIN g USING (label)""".stripMargin,
     "dataset_card" ->
       """WITH d AS (SELECT source, lang, n_chars,
         |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks,
@@ -3951,6 +3997,52 @@ object SparkEntry {
         |    / 2.0e0 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
         |    - 1.0e0 AS gini
         |FROM s""".stripMargin,
+    // calibration: cross-multiplied integer bin assignment (no float
+    // cut), exact sums, two boundary divisions; ECE left to callers
+    "calibration_bins" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT max(vc) AS mxc FROM e)
+        |SELECT least(9, vc * 10 // mxc) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS event_rate,
+        |  CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) * 100 AS DOUBLE) AS mean_score
+        |FROM e, m GROUP BY 1""".stripMargin,
+    // KM life table over order fulfillment: whole-day ship lead times,
+    // administrative censoring at the order-date horizon, suffix-sum
+    // at-risk counts over the duration summary; hazard is the single
+    // division — S(t)'s float product is left to callers by design
+    "survival_curve" ->
+      """WITH h AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |l AS (SELECT
+        |        CAST(CASE WHEN l_shipdate <= mx
+        |          THEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                         CAST(l_shipdate AS DATE))
+        |          ELSE date_diff('day', CAST(o_orderdate AS DATE),
+        |                         CAST(mx AS DATE)) END AS BIGINT) AS d,
+        |        (l_shipdate <= mx) AS event
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey, h
+        |      WHERE l_shipdate >= o_orderdate),
+        |g AS (SELECT d,
+        |        CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_events,
+        |        CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_censored
+        |      FROM l GROUP BY 1)
+        |SELECT d,
+        |  CAST(sum(n_events + n_censored) OVER (ORDER BY d DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk,
+        |  n_events, n_censored,
+        |  CAST(n_events AS DOUBLE)
+        |    / CAST(sum(n_events + n_censored) OVER (ORDER BY d DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hazard
+        |FROM g""".stripMargin,
     // PMI per category cell: counts exact both sides; ln() is the one
     // library-rounded step and the 1e-9 floor quantization absorbs any
     // last-ulp disagreement (the unigram lane's logp_q6 discipline)

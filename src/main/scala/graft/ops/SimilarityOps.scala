@@ -734,6 +734,69 @@ object SimilarityOps {
       .select(col("label"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** Per-class evaluation of the nearest-centroid classifier — the
+    * confusion census run after [[labelCentroids]] builds prototypes and
+    * before [[semanticOutliers]] hunts label noise: every vector is
+    * assigned argmax-cosine over ALL class centroids (exact
+    * floor(x·10⁶)-quantized means, the [[semanticOutliers]] discipline,
+    * so the cosine doubles are bit-identical cross-engine), and the op
+    * reports per class n_true, n_pred, tp, precision, recall and F1.
+    * F1 is computed as 2·tp/(n_true + n_pred) — ALGEBRAICALLY the
+    * harmonic mean 2PR/(P+R), but a single correctly-rounded division
+    * over exact integers instead of a float chain. Argmax ties break
+    * (cosine desc, label asc) via min_by on a (−cosine, label) struct —
+    * the oracle's row_number twin orders identically because negation
+    * is IEEE-exact.
+    *
+    * Scale: centroids are an L·d summary BROADCAST onto the corpus; the
+    * L-way fan-out carries (vec_id, label, cosine) rows only (vectors
+    * never leave their partition), one vec_id-keyed argmax exchange, and
+    * the metrics combine three label-cardinality frames. The assignment
+    * frame is checkpoint-truncated so the three censuses read it
+    * materialized instead of re-running the fan-out (the mutual_info
+    * discipline).
+    */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label").as("pred"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x") * lit(1000000.0)).cast(LongType))
+      .groupBy(col("pred"), col("dim"))
+      .agg((sum(col("xq")).cast(DoubleType) / count(lit(1)) / lit(1000000.0)).as("cd"))
+      .groupBy(col("pred"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)").as("cv"))
+      .withColumn("cnrm", expr(
+        "sqrt(aggregate(transform(cv, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val assigned = Tables.ckpt(e.crossJoin(broadcast(cent))
+      .withColumn("cosine", expr("dot_product(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("pred"),
+        struct((lit(0.0) - col("cosine")).as("nc"), col("pred").as("p"))).as("pred")))
+    val nTrue = assigned.groupBy(col("label")).agg(count(lit(1)).as("n_true"))
+    val nPred = assigned.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = assigned.filter(col("label") === col("pred"))
+      .groupBy(col("label")).agg(count(lit(1)).as("tp"))
+    nTrue
+      .join(broadcast(nPred), Seq("label"), "left")
+      .join(broadcast(tp), Seq("label"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .select(
+        col("label"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType))
+          .as("prec"),
+        (col("tp").cast(DoubleType) / col("n_true").cast(DoubleType))
+          .as("recall"),
+        (lit(2.0) * col("tp").cast(DoubleType)
+          / (col("n_true") + col("n_pred")).cast(DoubleType)).as("f1"))
+  }
+
   /** Distributed k-means over the embedding column (Lloyd's algorithm,
     * k = 8, 3 fixed iterations) — the embedding-space clustering primitive
     * a curation pipeline runs before SemDeDup-style within-cluster dedup

@@ -1708,6 +1708,96 @@ object StatsOps {
       (lit(2.0) * auc - lit(1.0)).as("gini"))
   }
 
+  /** Reliability diagram (calibration bins) for `value` as a purchase
+    * score — the companion diagnostic to [[rocAuc]]: AUC says the score
+    * RANKS well, the calibration table says whether the score's level
+    * matches the realized event rate (what a quality-classifier
+    * threshold is actually set against). Ten equal-width bins over
+    * [0, max]: bin = min(9, vc·10 div mxc) with vc the score in integer
+    * cents and mxc the corpus max — cross-multiplied INTEGER bin
+    * assignment, so no float cut can ever shift a row across bins (the
+    * decile_drift discipline). Per bin: n, positives, and event_rate /
+    * mean_score as single boundary divisions over exact sums. A summed
+    * ECE scalar is deliberately left to callers — a 10-term float dot
+    * product would reintroduce summation-order dependence.
+    *
+    * Scale: one pass for the 1-row max (broadcast back), one map-side
+    * combined pass into a 10-row frame. Nothing row-cardinality crosses
+    * a single partition.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select((dec2(col("value")) * 100).cast(LongType).as("vc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val mx = e.agg(max(col("vc")).as("mxc"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("bin", least(lit(9L), expr("vc * 10 div mxc")))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("vc")).as("sum_vc"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("event_rate"),
+        (col("sum_vc").cast(DoubleType) / (col("n") * 100).cast(DoubleType))
+          .as("mean_score"))
+  }
+
+  /** Kaplan–Meier life table over order FULFILLMENT — time-to-ship with
+    * administrative censoring at the data cutoff, the survival analysis
+    * an ops team runs on open orders (and the same table a retention
+    * team builds for churn): duration = whole days from o_orderdate to
+    * l_shipdate; items whose ship date falls AFTER the order-date
+    * horizon (max o_orderdate — the observation end) are CENSORED at
+    * (horizon − orderdate), still "alive" when the data closed. Items
+    * shipped before their order date (a synthetic-fixture artifact) are
+    * filtered as data-quality violations, the orphan_fk_check
+    * discipline. Per duration d: n_at_risk (duration ≥ d, a suffix
+    * sum), events and censorings at d, and the discrete hazard =
+    * events/at_risk — ONE correctly-rounded division per row. The
+    * survival curve S(t) = Π (1 − h) is deliberately left to callers: a
+    * running float PRODUCT is exactly the order-dependent surface the
+    * engine refuses to hash (the mutual_info/ECE discipline applied to
+    * products).
+    *
+    * Scale: one orderkey equi-join, a 1-row horizon broadcast, then a
+    * duration-cardinality summary frame (bounded by the calendar span,
+    * not rows) — the lone unpartitioned window runs over that summary
+    * only.
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    val horizon = o.agg(max(col("o_orderdate")).as("mx"))
+    val base = li.join(o, "o_orderkey")
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("l_shipdate") <= col("mx"),
+          datediff(col("l_shipdate"), col("o_orderdate")))
+          .otherwise(datediff(col("mx"), col("o_orderdate")))
+          .cast(LongType).as("d"),
+        (col("l_shipdate") <= col("mx")).as("event"))
+    val grid = base.groupBy(col("d"))
+      .agg(
+        sum(when(col("event"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(w))
+      .select(
+        col("d"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        (col("n_events").cast(DoubleType) / col("n_at_risk").cast(DoubleType))
+          .as("hazard"))
+  }
+
   /** Pointwise mutual information between return flag and line status —
     * the dependence census a feature-selection pass runs over categorical
     * column pairs. One cell per (x, y) pair with its joint and marginal

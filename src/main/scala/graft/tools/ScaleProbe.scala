@@ -172,6 +172,20 @@ object ScaleProbe {
         .drop("i")
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    if (!done("orders")) {
+      // offsets MUST match the lineitem/customer replication bases so FK
+      // joins stay consistent across copies (fixture invariant: orders
+      // and lineitem share the same max orderkey)
+      val o = spark.read.parquet(s"$from/orders.parquet")
+      val maxO = o.agg(max("o_orderkey")).head().getLong(0)
+      val maxC = spark.read.parquet(s"$from/customer.parquet")
+        .agg(max("c_custkey")).head().getLong(0)
+      o.crossJoin(broadcast(copies))
+        .withColumn("o_orderkey", col("o_orderkey") + col("i") * (maxO + 1))
+        .withColumn("o_custkey", col("o_custkey") + col("i") * (maxC + 1))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
     if (!done("customer")) {
       // disjoint custkeys, SAME nation/segment: each quasi-identifier
       // group grows 10× — the honest scale-up for governance censuses
@@ -184,7 +198,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
     // small dims some probed plans touch (read-through copies)
-    Seq("part", "supplier", "orders", "nation", "region").foreach { t =>
+    Seq("part", "supplier", "nation", "region").foreach { t =>
       if (new java.io.File(s"$from/$t.parquet").exists() && !done(t))
         spark.read.parquet(s"$from/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.col
 import graft.model.Tables
-import graft.ops.{QualityOps, StatsOps}
+import graft.ops.{QualityOps, SimilarityOps, StatsOps}
 
 /** Ground truth for the round-11 stats/graph/governance additions:
   * straight-line textbook replays over the collected fixture, compared
@@ -176,5 +176,115 @@ class LinkStatsSpec extends SparkSuite {
     }
     // the risk branch must fire somewhere on the fixture
     assert(expect.values.exists(_._4 > 0L), "no group under threshold — risk path vacuous")
+  }
+
+  test("calibration_bins: exact integer binning matches a driver replay") {
+    val rows = Tables.events(spark, sfTies)
+      .filter(col("value").isNotNull)
+      .selectExpr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc",
+        "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxc = rows.map(_._1).max
+    val byBin = rows.groupBy { case (vc, _) => math.min(9L, vc * 10 / mxc) }
+    val got = StatsOps.calibrationBins(spark, sfTies).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got.keySet == byBin.keySet)
+    for ((bin, grp) <- byBin) {
+      val n = grp.length.toLong
+      val nPos = grp.map(_._2).sum
+      val sumVc = grp.map(_._1).sum
+      val row = got(bin)
+      assert(row.getAs[Long]("n") == n, s"bin $bin")
+      assert(row.getAs[Long]("n_pos") == nPos, s"bin $bin")
+      assert(row.getAs[Double]("event_rate") == nPos.toDouble / n.toDouble)
+      assert(row.getAs[Double]("mean_score") == sumVc.toDouble / (n * 100).toDouble)
+    }
+    // both the cap branch (bin 9 holds max) and interior bins must fire
+    assert(byBin.contains(9L) && byBin.size >= 5, s"degenerate binning ${byBin.keySet}")
+  }
+
+  test("survival_curve: fulfillment life table matches an epoch-day driver replay") {
+    val o = Tables.orders(spark, sfTies)
+      .selectExpr("o_orderkey", "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ou")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfTies)
+      .selectExpr("l_orderkey", "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS su")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxU = o.values.max
+    def day(us: Long): Long =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val lives = li.flatMap { case (ok, su) =>
+      val ou = o(ok)
+      if (su < ou) None // dq guard: shipped before ordered
+      else if (su <= mxU) Some((day(su) - day(ou), true))
+      else Some((day(mxU) - day(ou), false))
+    }
+    val byD = lives.groupBy(_._1)
+    val atRisk = byD.map { case (d, _) => d -> lives.count(_._1 >= d).toLong }
+    val got = StatsOps.survivalCurve(spark, sfTies).collect()
+      .map(r => r.getAs[Long]("d") -> r).toMap
+    assert(got.keySet == byD.keySet)
+    for ((d, grp) <- byD) {
+      val events = grp.count(_._2).toLong
+      val censored = grp.count(!_._2).toLong
+      val row = got(d)
+      assert(row.getAs[Long]("n_events") == events, s"d=$d")
+      assert(row.getAs[Long]("n_censored") == censored, s"d=$d")
+      assert(row.getAs[Long]("n_at_risk") == atRisk(d), s"d=$d")
+      assert(row.getAs[Double]("hazard") ==
+        events.toDouble / atRisk(d).toDouble, s"d=$d")
+    }
+    // administrative censoring must be non-vacuous alongside real events
+    assert(lives.exists(_._2) && lives.exists(!_._2),
+      "fixture: need both shipped and censored items")
+  }
+
+  test("centroid_confusion: metrics match a straight-line nearest-centroid replay") {
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("v").toArray))
+    val dims = rows.head._3.length
+    // exact floor-quantized per-(label, dim) centroid means
+    val cents = rows.groupBy(_._2).map { case (lbl, grp) =>
+      lbl -> Array.tabulate(dims) { d =>
+        val qs = grp.map(r => math.floor(r._3(d) * 1e6).toLong)
+        qs.sum.toDouble / qs.length / 1e6
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val preds = rows.map { case (_, lbl, v) =>
+      val best = cents.toSeq.map { case (c, cv) =>
+        (dot(v, cv) / (nrm(v) * nrm(cv)), c)
+      }.minBy { case (cos, c) => (-cos, c) }._2
+      (lbl, best)
+    }
+    val labels = preds.map(_._1).distinct
+    val got = SimilarityOps.centroidConfusion(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got.keySet == labels.toSet)
+    for (lbl <- labels) {
+      val nTrue = preds.count(_._1 == lbl).toLong
+      val nPred = preds.count(_._2 == lbl).toLong
+      val tp = preds.count(p => p._1 == lbl && p._2 == lbl).toLong
+      val row = got(lbl)
+      assert(row.getAs[Long]("n_true") == nTrue, s"label $lbl")
+      assert(row.getAs[Long]("n_pred") == nPred, s"label $lbl")
+      assert(row.getAs[Long]("tp") == tp, s"label $lbl")
+      if (nPred > 0)
+        assert(row.getAs[Double]("prec") == tp.toDouble / nPred.toDouble)
+      assert(row.getAs[Double]("recall") == tp.toDouble / nTrue.toDouble)
+      assert(row.getAs[Double]("f1") == 2.0 * tp.toDouble / (nTrue + nPred).toDouble)
+    }
+    // the classifier must be non-trivial: some confusion, some hits
+    assert(preds.exists(p => p._1 == p._2) && preds.exists(p => p._1 != p._2),
+      "fixture: classifier is degenerate (all right or all wrong)")
   }
 }

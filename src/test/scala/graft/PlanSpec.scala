@@ -653,6 +653,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("calibration_bins/survival_curve: 1-row broadcasts; windows on the day summary only") {
+    val c = plan("calibration_bins")
+    assert(!c.contains("SortMergeJoin") && !c.contains("CartesianProduct"), c)
+    assert(c.contains("BroadcastExchange"), c)
+    val s = plan("survival_curve")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+    assert(s.contains("Window"), s)
+  }
+
+  test("centroid_confusion: centroids broadcast; vectors never shuffle") {
+    val p = plan("centroid_confusion")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the metric censuses read the checkpointed assignment, not a
+    // re-run of the L-way fan-out
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("jpeg_features: pure codec map — one scan, zero exchanges, no join") {
     val p = plan("jpeg_features")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
