@@ -93,6 +93,7 @@ object SparkEntry {
     // ---- statistical / analytical surface (SURVEY §2.5) ----
     "stats_agg"         -> (StatsOps.statsAgg _),
     "mannwhitney_u"     -> (StatsOps.mannWhitneyU _),
+    "aqp_estimate"      -> (StatsOps.aqpEstimate _),
     "linreg_agg"        -> (StatsOps.linregAgg _),
     "percentiles"       -> (StatsOps.percentiles _),
     "approx_percentiles" -> (StatsOps.approxPercentiles _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "mutual_info"       -> (StatsOps.mutualInfo _),
     "link_prediction"   -> (StatsOps.linkPrediction _),
     "k_anonymity"       -> (QualityOps.kAnonymity _),
+    "l_diversity"       -> (QualityOps.lDiversity _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
     "skew_report"       -> (QualityOps.skewReport _),
@@ -251,6 +253,8 @@ object SparkEntry {
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "hybrid_rrf"        -> (SimilarityOps.hybridRrf _),
+    "ndcg_eval"         -> (SimilarityOps.ndcgEval _),
+    "hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "filtered_knn"      -> (SimilarityOps.filteredKnn _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
@@ -1863,6 +1867,75 @@ object SparkEntry {
         |  SELECT q_id, id, rk_v, rk_l, fused,
         |    row_number() OVER (PARTITION BY q_id ORDER BY fused DESC, id) AS fr
         |  FROM f) t WHERE fr <= 10""".stripMargin,
+    // nDCG@10 of the lexical leg vs exact-cosine relevance: both legs
+    // replay their parity-established fragments; DCG is pure BIGINT
+    // (gain × interpolated integer discount literals — no libm log in
+    // hashed output), ONE boundary division by the interpolated ideal
+    "ndcg_eval" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id),
+        |vleg AS (SELECT q_id, vec_id AS id, CAST(11 - rk AS BIGINT) AS gain FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM s) t WHERE rk <= 10),
+        |d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM d WHERE len(w) >= 3),
+        |o AS (SELECT qs.doc_id AS q_id, c.doc_id AS id,
+        |        len(list_intersect(c.g, qs.g)) AS overlap
+        |      FROM sh c JOIN sh qs ON qs.doc_id < 10 AND c.doc_id <> qs.doc_id),
+        |lleg AS (SELECT q_id, id, rk_l FROM (
+        |    SELECT q_id, id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, id) AS rk_l
+        |    FROM o WHERE overlap > 0) t WHERE rk_l <= 10),
+        |j AS (SELECT l.q_id, l.rk_l,
+        |        coalesce(v.gain, 0)
+        |          * list_extract([${graft.ops.SimilarityOps.NdcgDiscounts.mkString(", ")}], l.rk_l) AS dg,
+        |        CASE WHEN v.gain IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |        CASE WHEN v.gain IS NOT NULL THEN l.rk_l END AS hit_rk
+        |      FROM lleg l LEFT JOIN vleg v ON v.q_id = l.q_id AND v.id = l.id),
+        |g AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+        |        min(hit_rk) AS best_hit,
+        |        CAST(sum(dg) AS BIGINT) AS dcg_scaled
+        |      FROM j GROUP BY q_id),
+        |qs AS (SELECT doc_id AS q_id FROM documents WHERE doc_id < 10)
+        |SELECT qs.q_id, coalesce(n_hits, 0) AS n_hits,
+        |  CAST(coalesce(best_hit, 0) AS INTEGER) AS best_hit_rank,
+        |  coalesce(dcg_scaled, 0) AS dcg_scaled,
+        |  CAST(coalesce(dcg_scaled, 0) AS DOUBLE)
+        |    / ${graft.ops.SimilarityOps.NdcgIdealScaled}e0 AS ndcg
+        |FROM qs LEFT JOIN g ON g.q_id = qs.q_id""".stripMargin,
+    // hard negatives: per-pair cosines are the parity-established
+    // fragment; max over doubles is order-independent; margin is one
+    // subtraction of engine-identical doubles
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+        |      FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, q_label, vec_id, label,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id),
+        |pos AS (SELECT q_id, max(cosine) AS pos_cos FROM s
+        |        WHERE label = q_label GROUP BY q_id),
+        |neg AS (SELECT q_id, q_label, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM s WHERE label <> q_label)
+        |SELECT n.q_id, n.q_label, n.vec_id, n.label, n.cosine,
+        |  CAST(n.rk AS INTEGER) AS rk, p.pos_cos,
+        |  p.pos_cos - n.cosine AS margin
+        |FROM neg n JOIN pos p ON p.q_id = n.q_id WHERE n.rk <= 5""".stripMargin,
     // the integer codes themselves are engine-identical (exact float→double
     // cast, same two IEEE ops, same half-away-from-zero round), so the
     // per-dim audit hashes exactly — see SimilarityOps.int8Quantize
@@ -3903,6 +3976,33 @@ object SparkEntry {
         |SELECT user_id, event_type AS last_op, value AS last_value,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // AQP estimator: the deterministic multiplicative-hash ORDER sample
+    // (split/pps family), integer HT scale-up and cluster variance —
+    // rate and factors interpolated from the engine constants; no float
+    // ever aggregates
+    "aqp_estimate" ->
+      s"""WITH s AS (
+        |  SELECT l_returnflag AS flag, l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE (l_orderkey % 1000000007) * 2654435761 % 1000000007 % 100
+        |        < ${graft.ops.StatsOps.AqpRatePct}),
+        |o AS (SELECT flag, l_orderkey, count(*) AS nl,
+        |        CAST(sum(cents) AS BIGINT) AS y
+        |      FROM s GROUP BY flag, l_orderkey)
+        |SELECT flag,
+        |  CAST(sum(nl) AS BIGINT) AS n_sample_rows,
+        |  count(*) AS n_sample_orders,
+        |  CAST(sum(nl) * ${100 / graft.ops.StatsOps.AqpRatePct} AS BIGINT)
+        |    AS est_rows,
+        |  CAST(sum(y) * ${100 / graft.ops.StatsOps.AqpRatePct}
+        |    AS BIGINT) AS est_revenue_cents,
+        |  CAST(sum(CAST(CAST(y AS HUGEINT) * y AS DECIMAL(28,0))) AS BIGINT)
+        |    AS y2_sum_cents2,
+        |  CAST(${(100L - graft.ops.StatsOps.AqpRatePct) * 100L /
+             (graft.ops.StatsOps.AqpRatePct.toLong * graft.ops.StatsOps.AqpRatePct)}
+        |    AS BIGINT) AS ht_var_factor
+        |FROM o GROUP BY flag""".stripMargin,
     // Mann–Whitney: everything to the z boundary is exact integers —
     // 2x-scaled tie-averaged group ranks (2·cum + t + 1), HUGEINT
     // rank-sum/tie-cube totals mirroring Spark's DECIMAL(38,0); the z and
@@ -4129,6 +4229,41 @@ object SparkEntry {
         |    THEN grp ELSE 0 END) AS BIGINT),
         |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
         |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM l3""".stripMargin,
+    // l-diversity ladder: same integer census shape with the sensitive
+    // attribute = floor(acctbal/1000) band — floor of one IEEE division
+    // is exact both engines; threshold interpolated from the constant
+    "l_diversity" ->
+      s"""WITH base AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, n.n_regionkey,
+        |    floor(c.c_acctbal / 1000e0) AS band
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |l1 AS (SELECT count(DISTINCT band) AS l, count(*) AS grp FROM base
+        |       GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT count(DISTINCT band) AS l, count(*) AS grp FROM base
+        |       GROUP BY n_regionkey, c_mktsegment),
+        |l3 AS (SELECT count(DISTINCT band) AS l, count(*) AS grp FROM base
+        |       GROUP BY c_mktsegment)
+        |SELECT 'nation_segment' AS level, count(*) AS n_groups,
+        |  min(l) AS min_l,
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM l1
+        |UNION ALL
+        |SELECT 'region_segment', count(*), min(l),
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT)
+        |FROM l2
+        |UNION ALL
+        |SELECT 'segment', count(*), min(l),
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
+        |    THEN grp ELSE 0 END) AS BIGINT)
         |FROM l3""".stripMargin,
     "ab_ttest" ->
       """WITH a AS (

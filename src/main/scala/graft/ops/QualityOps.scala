@@ -467,4 +467,49 @@ object QualityOps {
       .unionByName(level("region_segment", col("n_regionkey"), col("c_mktsegment")))
       .unionByName(level("segment", col("c_mktsegment")))
   }
+
+  /** Distinct-sensitive-value floor below which a quasi-identifier group
+    * counts as attribute-disclosure risk in [[lDiversity]] — public so
+    * the oracle SQL interpolates THIS value (the MaxBucket discipline).
+    */
+  val LDivThreshold = 3
+
+  /** l-diversity audit — the attribute-disclosure companion to
+    * [[kAnonymity]] (Machanavajjhala et al. 2007): a group can satisfy
+    * k-anonymity and still leak if every member shares the SAME
+    * sensitive value, so the release gate also requires each
+    * quasi-identifier group to contain at least l distinct sensitive
+    * values. Sensitive attribute: the account-balance band
+    * `floor(c_acctbal / 1000)` (floor of one IEEE division — exact and
+    * engine-identical, never a rounding-mode hazard). For each level of
+    * the same generalization ladder as kAnonymity (nation+segment →
+    * region+segment → segment): group count, realized l (smallest
+    * distinct-band count), and the groups/rows below [[LDivThreshold]].
+    * All-integer output.
+    *
+    * Scale: the region key rides the same BROADCAST nation join; each
+    * level is a two-stage aggregation — the distinct-count stage
+    * partial-aggregates (QI, band) map-side, the census consumes only
+    * the QI-cardinality group frame.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = lit(LDivThreshold)
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("band", floor(col("c_acctbal") / lit(1000.0)))
+    def level(name: String, keys: Column*): DataFrame =
+      base.groupBy(keys: _*)
+        .agg(countDistinct(col("band")).as("l"), count(lit(1)).as("grp"))
+        .agg(
+          lit(name).as("level"),
+          count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < l, 1L).otherwise(0L)).as("groups_below"),
+          sum(when(col("l") < l, col("grp")).otherwise(0L)).as("rows_at_risk"))
+    level("nation_segment", col("c_nationkey"), col("c_mktsegment"))
+      .unionByName(level("region_segment", col("n_regionkey"), col("c_mktsegment")))
+      .unionByName(level("segment", col("c_mktsegment")))
+  }
 }

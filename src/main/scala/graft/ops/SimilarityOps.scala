@@ -104,19 +104,7 @@ object SimilarityOps {
     val k = 10
     val vleg = knnCosine(spark, dir)
       .select(col("q_id"), col("vec_id").as("id"), col("rk").as("rk_v"))
-    val sh = DedupOps.shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-    val qsh = sh.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("q_id"), col("g"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("overlap").desc, col("id"))
-    val lleg = sh.join(broadcast(qsh), "g")
-      .filter(col("doc_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(count(lit(1)).as("overlap")) // shingles are distinct per doc
-      .select(col("q_id"), col("doc_id").as("id"), col("overlap"))
-      .withColumn("rk_l", row_number().over(w))
-      .filter(col("rk_l") <= k)
+    val lleg = lexicalTopK(spark, dir)
       .select(col("q_id"), col("id"), col("rk_l"))
     val wf = Window.partitionBy(col("q_id"))
       .orderBy(col("fused").desc, col("id"))
@@ -133,6 +121,142 @@ object SimilarityOps {
       .filter(col("fused_rk") <= k)
       .select(col("q_id"), col("id"), col("rk_v"), col("rk_l"),
         col("fused"), col("fused_rk").cast(IntegerType).as("fused_rk"))
+  }
+
+  /** The lexical retrieval leg shared by [[hybridRrf]] and [[ndcgEval]]:
+    * per query doc (doc_id < 10), the top-10 candidate docs by DISTINCT
+    * shared word-3-grams (integer overlap, (overlap desc, id) tiebreak;
+    * zero-overlap candidates never rank). Candidates come from an
+    * equi-join of the corpus shingle explosion against the BROADCAST
+    * query-side shingles — per-query fan-out is bounded by shingle
+    * fan-in, never an all-pairs product.
+    */
+  private def lexicalTopK(spark: SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    val sh = DedupOps.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val qsh = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("g"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("id"))
+    sh.join(broadcast(qsh), "g")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap")) // shingles are distinct per doc
+      .select(col("q_id"), col("doc_id").as("id"), col("overlap"))
+      .withColumn("rk_l", row_number().over(w))
+      .filter(col("rk_l") <= k)
+      .select(col("q_id"), col("id"), col("rk_l"))
+  }
+
+  /** Integer-scaled nDCG@10 position discounts: `round(1e9 / log2(i+1))`
+    * for ranks i = 1..10, precomputed so NO libm `log` ever executes in
+    * hashed output and the DCG sum is pure BIGINT arithmetic — public so
+    * the oracle SQL interpolates THESE literals (the MaxBucket
+    * discipline).
+    */
+  val NdcgDiscounts: Seq[Long] = Seq(
+    1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464877L, 301029996L, 289064826L)
+
+  /** The constant ideal DCG under [[NdcgDiscounts]]: every query's
+    * relevant set is the exact-cosine top-10 with graded gains 10..1, so
+    * the ideal ordering is the same for all queries and
+    * IDCG = Σ_{i=1..10} (11−i)·disc_i.
+    */
+  val NdcgIdealScaled: Long = NdcgDiscounts.zipWithIndex
+    .map { case (d, i) => (10L - i) * d }.sum
+
+  /** Ranking-quality evaluation of the lexical retriever against
+    * exact-vector relevance — the offline eval loop every retrieval
+    * stack runs before shipping an index: relevance for query q is the
+    * exact cosine top-10 ([[knnCosine]], itself oracle-pinned) with
+    * graded gain 11−rank (10 for the nearest neighbor down to 1), the
+    * system under test is [[lexicalTopK]]'s 3-gram ranking, and the
+    * metric is nDCG@10 with the integer-scaled literal discount table
+    * [[NdcgDiscounts]] — DCG accumulates as exact BIGINT products
+    * (gain·disc), so cross-engine float-sum ordering can never diverge,
+    * and the single boundary division by [[NdcgIdealScaled]] yields the
+    * standard [0,1] score. Per query: hits (lexical∩relevant), the best
+    * (smallest) lexical rank that is relevant (0 = none), the scaled
+    * DCG, and nDCG. Queries whose lexical leg retrieved nothing still
+    * report a zero row (a silent drop would overstate the retriever).
+    *
+    * Scale: both legs are the established bounded plans (broadcast
+    * query side; per-group top-k under a 10-key window); the eval join
+    * touches two ≤10·|Q|-row frames, so the whole metric costs two
+    * already-proven retrieval passes plus O(|Q|) arithmetic.
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val vleg = knnCosine(spark, dir)
+      .select(col("q_id"), col("vec_id").as("id"),
+        (lit(11) - col("rk")).cast(LongType).as("gain"))
+    val lleg = lexicalTopK(spark, dir)
+    val discAt = element_at(array(NdcgDiscounts.map(lit): _*), col("rk_l"))
+    val scored = lleg.join(vleg, Seq("q_id", "id"), "left")
+      .select(col("q_id"), col("rk_l"),
+        (coalesce(col("gain"), lit(0L)) * discAt).as("dg"),
+        when(col("gain").isNotNull, 1L).otherwise(0L).as("hit"),
+        when(col("gain").isNotNull, col("rk_l")).as("hit_rk"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("hit")).as("n_hits"),
+        min(col("hit_rk")).as("best_hit"),
+        sum(col("dg")).as("dcg_scaled"))
+    val qs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10).select(col("doc_id").as("q_id"))
+    qs.join(scored, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("best_hit"), lit(0)).cast(IntegerType)
+          .as("best_hit_rank"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        (coalesce(col("dcg_scaled"), lit(0L)).cast(DoubleType)
+          / lit(NdcgIdealScaled.toDouble)).as("ndcg"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training (the DPR /
+    * sentence-transformers data-prep step): for each anchor (vec_id <
+    * 10), the top-5 OTHER-label vectors by cosine — the negatives that
+    * sit closest to the anchor and therefore teach the most — plus the
+    * anchor's positive ceiling (its best same-label cosine) and the
+    * margin `pos_cos − cosine` each negative violates. Per-pair cosines
+    * ride the codegen'd dot_product with the established index-order
+    * parity; `max` over doubles is order-independent and the margin is
+    * one subtraction of two engine-identical doubles, so the op is fully
+    * oracle-checkable with no float-sum hazard.
+    *
+    * Scale: the 10 anchors BROADCAST against one corpus stream (the
+    * knnCosine shape) — the stream is consumed twice (negative ranking;
+    * positive max), both map-side against the same broadcast, with the
+    * only shuffles the 10-key top-k window and a 10-row partial-agg max
+    * that broadcasts back onto the ≤50-row negative frame.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.balanced(Tables.embeddings(spark, dir))
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+    val corpus = prep(base)
+    val q = prep(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("q_nrm"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("q_id")).agg(max(col("cosine")).as("pos_cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .join(broadcast(pos), Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cosine"), col("rk").cast(IntegerType).as("rk"),
+        col("pos_cos"), (col("pos_cos") - col("cosine")).as("margin"))
   }
 
   /** Hybrid (filtered) vector search: metadata predicate first, exact

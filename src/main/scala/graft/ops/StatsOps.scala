@@ -1898,4 +1898,64 @@ object StatsOps {
       .orderBy(col("cn").desc, col("a"), col("b"))
       .limit(100)
   }
+
+  /** Sampling rate in PERCENT for [[aqpEstimate]] — must divide 100 so
+    * the Horvitz-Thompson scale-up stays integer; public so the oracle
+    * SQL interpolates THIS value (the MaxBucket discipline).
+    */
+  val AqpRatePct = 1
+
+  /** Approximate-query-processing estimator — the "answer from a 1%
+    * sample" primitive a 100 TB deployment runs when an exact scan is
+    * too expensive: per returnflag, estimated row count and revenue
+    * total from a DETERMINISTIC multiplicative-hash sample of ORDERS
+    * (the pps/split family's hash — no RNG, rerun/partitioning-stable,
+    * and whole orders co-sample so line items never split), scaled up
+    * by the exact integer 100/[[AqpRatePct]], plus the Horvitz-Thompson
+    * variance estimator for Bernoulli-sampled CLUSTERS:
+    * V̂ = Σ_{o∈s} y_o² · (100−p)·100/p² over per-(flag, order) revenue
+    * totals y_o — the per-order grouping is what keeps the variance
+    * honest when lines of one order co-occur (a per-line formula would
+    * understate it). Everything is integer cents — no float ever
+    * aggregates, so the op is fully oracle-checkable; the output
+    * carries Σy² (exact BIGINT) and the constant HT factor separately —
+    * their product exceeds int64 and a DECIMAL(38,0) output would
+    * degrade through the gate's pandas boundary, so the one multiply
+    * (like se = sqrt(var) and the CI) derives client-side (the
+    * decile_drift no-libm discipline). The Σy² accumulator itself runs
+    * in DECIMAL(38,0); the BIGINT output boundary holds through the
+    * probed range (~5e17 at 10×) — a true 100 TB deployment would
+    * surface the decimal column unchanged.
+    *
+    * Scale: the sample predicate evaluates map-side on the scan (at
+    * 100 TB one would materialize the sample once and amortize it);
+    * the per-order partial aggregation shuffles only the p% sample,
+    * and the final census consumes the sampled-order-cardinality
+    * frame. No joins.
+    */
+  def aqpEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val p = AqpRatePct
+    require(100 % p == 0, "rate must divide 100")
+    val up = lit(100L / p)
+    val varFactor = lit((100L - p) * 100L / (p.toLong * p))
+    val cents = (dec2(col("l_extendedprice")) * 100).cast(LongType)
+    val perOrder = Tables.lineitem(spark, dir)
+      .filter(PipelineOps.hashBucket(col("l_orderkey")) < lit(p))
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"), cents.as("cents"))
+      .groupBy(col("flag"), col("l_orderkey"))
+      .agg(count(lit(1)).as("nl"), sum(col("cents")).as("y"))
+    perOrder.groupBy(col("flag"))
+      .agg(
+        sum(col("nl")).as("n_sample_rows"),
+        count(lit(1)).as("n_sample_orders"),
+        sum(col("y")).as("sum_y"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y"))
+          .cast(LongType).as("sum_y2"))
+      .select(col("flag"),
+        col("n_sample_rows"), col("n_sample_orders"),
+        (col("n_sample_rows") * up).as("est_rows"),
+        (col("sum_y") * up).as("est_revenue_cents"),
+        col("sum_y2").as("y2_sum_cents2"),
+        varFactor.as("ht_var_factor"))
+  }
 }

@@ -72,4 +72,100 @@ class HybridRrfSpec extends SparkSuite {
     assert(rows.exists(r => r._1 > 0 && r._2 == 0), "no vector-only row")
     assert(rows.exists(r => r._1 == 0 && r._2 > 0), "no lexical-only row")
   }
+
+  test("ndcg_eval matches a driver-side integer-DCG replay at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }
+    val queries = docs.keys.filter(_ < 10).toSeq.sorted
+    // lexical ranking (the system under test), replayed as in the RRF spec
+    val lleg: Map[Long, Seq[(Long, Int)]] = queries.map { q =>
+      val qg = gs(q)
+      q -> gs.toSeq
+        .filter { case (id, g) => id != q && g.intersect(qg).nonEmpty }
+        .map { case (id, g) => (id, g.intersect(qg).size) }
+        .sortBy { case (id, ov) => (-ov, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1) }
+    }.toMap
+    // relevance: knn_cosine's own (pinned) ranks, graded gain 11-rk
+    val gains: Map[(Long, Long), Long] =
+      SparkEntry.queries("knn_cosine")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+          (11L - r.getAs[Int]("rk"))).toMap
+    val disc = SimilarityOps.NdcgDiscounts
+    val got = SimilarityOps.ndcgEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    assert(got.keySet == queries.toSet, "every query must report a row")
+    for (q <- queries) {
+      val ranked = lleg(q)
+      val hits = ranked.filter { case (id, _) => gains.contains((q, id)) }
+      val dcg = ranked.map { case (id, rk) =>
+        gains.getOrElse((q, id), 0L) * disc(rk - 1)
+      }.sum
+      val row = got(q)
+      assert(row.getAs[Long]("n_hits") == hits.length.toLong, s"q=$q")
+      assert(row.getAs[Int]("best_hit_rank") ==
+        hits.headOption.map(_._2).getOrElse(0), s"q=$q")
+      assert(row.getAs[Long]("dcg_scaled") == dcg, s"q=$q")
+      assert(row.getAs[Double]("ndcg") ==
+        dcg.toDouble / SimilarityOps.NdcgIdealScaled.toDouble, s"q=$q")
+    }
+    // the metric must be non-degenerate on the fixture: some query finds
+    // relevant docs lexically, some lexical rows are non-relevant
+    assert(got.values.exists(_.getAs[Long]("n_hits") > 0L), "no hits — eval vacuous")
+    assert(got.values.exists(r =>
+      r.getAs[Long]("n_hits") < lleg(r.getAs[Long]("q_id")).length),
+      "every lexical row relevant — miss path vacuous")
+  }
+
+  test("hard_negatives matches a driver-side cosine replay at sf0.001") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet").collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    def nrm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val anchors = rows.filter(_._1 < 10)
+    val expected = anchors.flatMap { case (qId, qLabel, qv) =>
+      val qn = nrm(qv)
+      val scored = rows.filter(_._1 != qId).map { case (id, lb, v) =>
+        (id, lb, dot(v, qv) / (nrm(v) * qn))
+      }
+      val posCos = scored.filter(_._2 == qLabel).map(_._3).max
+      scored.filter(_._2 != qLabel)
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(5).zipWithIndex.map { case ((id, lb, c), i) =>
+          (qId, id) -> (qLabel, lb, c, i + 1, posCos, posCos - c)
+        }
+    }.toMap
+    val got = SimilarityOps.hardNegatives(spark, sf).collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> (
+        r.getAs[Int]("q_label"), r.getAs[Int]("label"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rk"),
+        r.getAs[Double]("pos_cos"), r.getAs[Double]("margin"))
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"only-got=${got.keySet -- expected.keySet} only-exp=${expected.keySet -- got.keySet}")
+    for ((k, e) <- expected) assert(got(k) == e, s"pair $k")
+    assert(got.size == anchors.length * 5, "every anchor must mine 5 negatives")
+    // the mining must surface genuinely hard negatives somewhere: a
+    // negative that beats the anchor's best positive (margin < 0)
+    assert(got.values.exists(_._6 < 0.0),
+      "no margin-violating negative on the fixture — hardness vacuous")
+  }
 }

@@ -178,6 +178,83 @@ class LinkStatsSpec extends SparkSuite {
     assert(expect.values.exists(_._4 > 0L), "no group under threshold — risk path vacuous")
   }
 
+  test("l_diversity: distinct-band censuses match brute-force grouping") {
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), math.floor(r.getDouble(2) / 1000.0).toLong))
+    val lThr = QualityOps.LDivThreshold
+    def census(grouped: Seq[(Any, Long)]): (Long, Long, Long, Long) = {
+      val grps = grouped.groupBy(_._1).values
+        .map(g => (g.map(_._2).distinct.length.toLong, g.length.toLong)).toSeq
+      (grps.length.toLong, grps.map(_._1).min,
+        grps.count(_._1 < lThr).toLong,
+        grps.filter(_._1 < lThr).map(_._2).sum)
+    }
+    val expect = Map(
+      "nation_segment" -> census(cust.map { case (nk, s, b) => ((nk, s): Any, b) }),
+      "region_segment" -> census(cust.map { case (nk, s, b) => ((nat(nk), s): Any, b) }),
+      "segment"        -> census(cust.map { case (_, s, b) => (s: Any, b) }))
+    val got = QualityOps.lDiversity(spark, sf).collect()
+    assert(got.length == 3)
+    for (row <- got) {
+      val e = expect(row.getAs[String]("level"))
+      assert(row.getAs[Long]("n_groups") == e._1, row.toString)
+      assert(row.getAs[Long]("min_l") == e._2, row.toString)
+      assert(row.getAs[Long]("groups_below") == e._3, row.toString)
+      assert(row.getAs[Long]("rows_at_risk") == e._4, row.toString)
+    }
+    // the low-diversity branch must fire somewhere on the fixture, and
+    // the ladder must not be flat (generalizing up raises realized l)
+    assert(expect.values.exists(_._3 > 0L), "no group under l — risk path vacuous")
+    assert(expect("segment")._2 >= expect("nation_segment")._2,
+      "coarser QI must not lower realized l")
+  }
+
+  test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {
+    val rows = Tables.lineitem(spark, sfTies)
+      .selectExpr("l_returnflag", "l_orderkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val p = StatsOps.AqpRatePct
+    def bucket(ok: Long): Long = ok % 1000000007L * 2654435761L % 1000000007L % 100L
+    val sample = rows.filter { case (_, ok, _) => bucket(ok) < p }
+    val perOrder = sample.groupBy { case (f, ok, _) => (f, ok) }
+      .map { case ((f, _), g) => (f, g.length.toLong, g.map(_._3).sum) }.toSeq
+    val expect = perOrder.groupBy(_._1).map { case (f, g) =>
+      f -> (g.map(_._2).sum, g.length.toLong, g.map(_._3).sum,
+        g.map(o => BigInt(o._3) * o._3).sum)
+    }
+    val got = StatsOps.aqpEstimate(spark, sfTies).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    assert(got.keySet == expect.keySet)
+    val up = 100L / p
+    val vf = (100L - p) * 100L / (p.toLong * p)
+    for ((f, (nRows, nOrd, sumY, sumY2)) <- expect) {
+      val row = got(f)
+      assert(row.getAs[Long]("n_sample_rows") == nRows, f)
+      assert(row.getAs[Long]("n_sample_orders") == nOrd, f)
+      assert(row.getAs[Long]("est_rows") == nRows * up, f)
+      assert(row.getAs[Long]("est_revenue_cents") == sumY * up, f)
+      assert(BigInt(row.getAs[Long]("y2_sum_cents2")) == sumY2, f)
+      assert(row.getAs[Long]("ht_var_factor") == vf, f)
+      // estimator quality: the exact total must sit inside ±3·se of the
+      // estimate (a fixed fixture, so this is a deterministic check that
+      // the variance formula is on the right scale, not a flaky one)
+      val exact = rows.filter(_._1 == f).map(r => BigInt(r._3)).sum
+      val se = math.sqrt((sumY2 * vf).toDouble)
+      val err = (BigInt(sumY * up) - exact).abs.toDouble
+      assert(err <= 3.0 * se, s"$f: err $err > 3se ${3 * se}")
+      info(f"$f: est=${sumY * up} exact=$exact relErr=${err / exact.toDouble}%.4f se=$se%.0f")
+    }
+    // the sample must be non-degenerate: >1 order per flag
+    assert(expect.values.forall(_._2 > 1L), "degenerate sample")
+  }
+
   test("calibration_bins: exact integer binning matches a driver replay") {
     val rows = Tables.events(spark, sfTies)
       .filter(col("value").isNotNull)

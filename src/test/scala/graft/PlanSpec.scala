@@ -636,6 +636,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("l_diversity: broadcast dim join; distinct census partial-aggregates") {
+    val p = plan("l_diversity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), "census must combine map-side")
+  }
+
+  test("aqp_estimate: one scan, sample filter map-side, no joins") {
+    val p = plan("aqp_estimate")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), "sample census must combine map-side")
+  }
+
+  test("ndcg_eval: legs stay broadcast/equi-join — no cartesian, no range shuffle") {
+    val p = plan("ndcg_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("hard_negatives: anchors broadcast (corpus never shuffles); pos max broadcasts back") {
+    val p = plan("hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is knnCosine's INTENDED bounded anchor cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("hybrid_rrf: lexical candidates equi-join broadcast shingles; no cartesian") {
     val p = plan("hybrid_rrf")
     assert(!p.contains("CartesianProduct"), p)
