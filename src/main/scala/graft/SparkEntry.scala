@@ -186,6 +186,7 @@ object SparkEntry {
     "pagerank"          -> (StatsOps.pagerank _),
     "kcore_nodes"       -> (StatsOps.kcoreNodes _),
     "community_labels"  -> ((s, d) => StatsOps.communityLabels(s, d)),
+    "shortest_paths"    -> (StatsOps.shortestPaths _),
     "ab_ttest"          -> (StatsOps.abTtest _),
     "ks_test"           -> (StatsOps.ksTest _),
     "roc_auc"           -> (StatsOps.rocAuc _),
@@ -4417,6 +4418,30 @@ object SparkEntry {
         |SELECT u AS node, lab AS community,
         |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
         |FROM l3""".stripMargin,
+    // four synchronous BFS relaxation rounds as chained CTEs; ties at
+    // equal distance resolve via the identical (d, seed) ordering; seed
+    // modulus interpolated from the engine constant
+    "shortest_paths" -> {
+      val rounds = (1 to graft.ops.StatsOps.BfsMaxHops).map { i =>
+        s"""d$i AS (SELECT u, d, seed FROM (
+           |  SELECT u, d, seed,
+           |    row_number() OVER (PARTITION BY u ORDER BY d, seed) AS rn
+           |  FROM (SELECT bd.u, p.d + 1 AS d, p.seed
+           |        FROM bd JOIN d${i - 1} p ON p.u = bd.v
+           |        UNION ALL SELECT u, d, seed FROM d${i - 1}) c$i) t$i
+           |WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |bd AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |d0 AS (SELECT DISTINCT u, 0 AS d, u AS seed FROM bd
+        |       WHERE u % ${graft.ops.StatsOps.BfsSeedMod} = 0),
+        |$rounds
+        |SELECT u AS node, CAST(d AS INTEGER) AS dist, seed AS nearest_seed
+        |FROM d${graft.ops.StatsOps.BfsMaxHops}""".stripMargin
+    },
     "skew_report" ->
       """WITH k AS (SELECT user_id, count(*) AS cnt
         |           FROM events GROUP BY user_id)

@@ -942,6 +942,60 @@ object StatsOps {
       .withColumn("community_size", count(lit(1)).over(byCommunity))
   }
 
+  /** Seed selector modulus for [[shortestPaths]] — public so the oracle
+    * SQL interpolates THIS value. A divisibility rule (not a key range)
+    * so the seed set scales WITH the graph: ScaleProbe's derived corpus
+    * offsets part keys per copy, and a range rule would strand every
+    * seed in copy 0.
+    */
+  val BfsSeedMod = 97
+
+  /** Bounded hop count for [[shortestPaths]] — fixed rounds are what
+    * make an iterative graph traversal SQL-replayable (the
+    * community_labels discipline).
+    */
+  val BfsMaxHops = 4
+
+  /** Multi-source shortest paths (hop distance ≤ [[BfsMaxHops]]) over the
+    * co-purchase graph — the Pregel-style BFS every graph engine ships,
+    * here as four synchronous relaxation rounds: seeds are the part keys
+    * divisible by [[BfsSeedMod]] at distance 0, each round relaxes
+    * dist(u) = min over neighbors (dist(v)+1) merged with the previous
+    * frontier, and ties at equal distance resolve to the SMALLEST seed
+    * id — the (d, seed) struct min is associative, so the result is
+    * exactly deterministic on any partitioning. Output: every reached
+    * node with its hop distance and nearest seed. All-integer; fully
+    * oracle-checked as four chained CTEs with the identical
+    * (d, seed)-ordered row_number argmin.
+    *
+    * Scale: each round is ONE equi-join edges⋈frontier plus a
+    * partial-aggregated struct-min — shuffles carry (node, d, seed)
+    * ids only, never adjacency; lineage is checkpoint-truncated per
+    * round like the other graph fixpoints.
+    */
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.ckpt(copurchaseEdges(spark, dir))
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    var dist = Tables.ckpt(
+      bidir.select(col("u")).distinct()
+        .filter(pmod(col("u"), lit(BfsSeedMod)) === 0)
+        .select(col("u"), lit(0).as("d"), col("u").as("seed")))
+    for (_ <- 1 to BfsMaxHops) {
+      val relaxed = bidir
+        .join(dist.select(col("u").as("v"), col("d"), col("seed")), "v")
+        .select(col("u"), (col("d") + 1).as("d"), col("seed"))
+        .unionByName(dist.select(col("u"), col("d"), col("seed")))
+      dist = Tables.ckpt(
+        relaxed.groupBy(col("u"))
+          .agg(min(struct(col("d"), col("seed"))).as("m"))
+          .select(col("u"), col("m.d").as("d"), col("m.seed").as("seed")))
+    }
+    dist.select(col("u").as("node"),
+      col("d").cast(IntegerType).as("dist"),
+      col("seed").as("nearest_seed"))
+  }
+
   /** Robust outlier census by median absolute deviation — the
     * [[winsorize]] discipline with medians instead of tail percentiles:
     * per-group median, then the median of absolute deviations, each an

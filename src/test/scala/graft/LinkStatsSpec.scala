@@ -255,6 +255,39 @@ class LinkStatsSpec extends SparkSuite {
     assert(expect.values.forall(_._2 > 1L), "degenerate sample")
   }
 
+  test("shortest_paths: 4-hop multi-source BFS matches a driver replay") {
+    val edges = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey AS ok", "l_partkey AS pk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap { g =>
+        val pks = g.map(_._2).distinct.sorted
+        for (i <- pks.indices; j <- i + 1 until pks.length)
+          yield (pks(i), pks(j))
+      }.toSet
+    val adj = (edges.toSeq.map(e => e._1 -> e._2) ++
+      edges.toSeq.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSeq }
+    val seeds = adj.keys.filter(_ % StatsOps.BfsSeedMod == 0).toSeq.sorted
+    assert(seeds.size > 1, "need >1 seed for the tie/nearest paths")
+    // synchronous relaxation, min (d, seed) lexicographic
+    var dist: Map[Long, (Int, Long)] = seeds.map(s => s -> (0, s)).toMap
+    for (_ <- 1 to StatsOps.BfsMaxHops) {
+      val cand = dist.toSeq.flatMap { case (v, (d, s)) =>
+        adj.getOrElse(v, Seq.empty).map(u => u -> ((d + 1, s)))
+      } ++ dist.toSeq
+      dist = cand.groupBy(_._1).map { case (u, cs) => u -> cs.map(_._2).min }
+    }
+    val got = StatsOps.shortestPaths(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Int]("dist"), r.getAs[Long]("nearest_seed")))).toMap
+    assert(got == dist,
+      s"only-got=${(got.keySet -- dist.keySet).take(5)} only-exp=${(dist.keySet -- got.keySet).take(5)}")
+    // non-vacuity: multiple hop levels and multiple nearest seeds fire
+    assert(got.values.map(_._1).toSet.size >= 2, "single hop level — BFS vacuous")
+    assert(got.values.map(_._2).toSet.size >= 2, "single nearest seed — tie-break vacuous")
+  }
+
   test("calibration_bins: exact integer binning matches a driver replay") {
     val rows = Tables.events(spark, sfTies)
       .filter(col("value").isNotNull)
