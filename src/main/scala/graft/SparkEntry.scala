@@ -196,6 +196,7 @@ object SparkEntry {
     "link_prediction"   -> (StatsOps.linkPrediction _),
     "k_anonymity"       -> (QualityOps.kAnonymity _),
     "l_diversity"       -> (QualityOps.lDiversity _),
+    "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
     "skew_report"       -> (QualityOps.skewReport _),
@@ -4231,6 +4232,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN grp < ${graft.ops.QualityOps.KAnonThreshold}
         |    THEN 1 ELSE 0 END) AS BIGINT)
         |FROM l3""".stripMargin,
+    // lexicon gate: whole-token matching over the shared whitespace
+    // tokenization; terms interpolated from the engine constant.
+    // Spark's array_intersect dedups; DuckDB's list_intersect needs an
+    // explicit list_distinct
+    "content_filter" -> {
+      val terms = graft.ops.QualityOps.BlockedTerms
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split(trim(text), ' '),
+        |    x -> list_contains([$terms], x))) AS INTEGER) AS n_hits,
+        |  CAST(len(list_distinct(list_intersect(string_split(trim(text), ' '),
+        |    [$terms]))) AS INTEGER) AS n_terms_hit,
+        |  len(list_filter(string_split(trim(text), ' '),
+        |    x -> list_contains([$terms], x))) = 0 AS keep
+        |FROM documents""".stripMargin
+    },
     // l-diversity ladder: same integer census shape with the sensitive
     // attribute = floor(acctbal/1000) band — floor of one IEEE division
     // is exact both engines; threshold interpolated from the constant

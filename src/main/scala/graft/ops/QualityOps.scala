@@ -468,6 +468,41 @@ object QualityOps {
       .unionByName(level("segment", col("c_mktsegment")))
   }
 
+  /** PLACEHOLDER blocklist for [[contentFilter]] — stands in for a
+    * production lexicon (the C4 badwords list, a PII-pattern lexicon, a
+    * compliance term list); the fixture corpus has no real profanity, so
+    * the list names one term that occurs (~5% of docs at every SF — both
+    * gate directions non-vacuous) and two that never do (the no-hit path
+    * stays exercised). Public so the oracle SQL interpolates THESE terms.
+    */
+  val BlockedTerms: Seq[String] = Seq("dup", "forbidden", "redacted")
+
+  /** Lexicon-based content filter — the C4-shape badwords gate (Raffel
+    * et al. 2020 §2.2: drop any document containing a blocklisted word)
+    * every production corpus pipeline runs in some form: per document,
+    * the blocked-token hit count, the DISTINCT blocked terms hit, and
+    * the keep verdict (zero hits). Exact whole-token matching over the
+    * same whitespace tokenization as the rest of the corpus-prep layer
+    * — never substring matching, which blocks "classic" for "ass"
+    * (the Scunthorpe failure).
+    *
+    * Scale: ONE map-side pass — per-doc array fold against the literal
+    * term array, no explode, no join, no shuffle; at 100 TB a real
+    * (thousands-entry) lexicon would broadcast or compile into a
+    * native Expression, the plan shape is unchanged.
+    */
+  def contentFilter(spark: SparkSession, dir: String): DataFrame = {
+    val termsSql = BlockedTerms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("w", expr("split(trim(text), ' ')"))
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(size(filter(w, x -> array_contains(array($termsSql), x))) as int)")
+          .as("n_hits"),
+        expr(s"cast(size(array_intersect(w, array($termsSql))) as int)")
+          .as("n_terms_hit"))
+      .withColumn("keep", col("n_hits") === 0)
+  }
+
   /** Distinct-sensitive-value floor below which a quasi-identifier group
     * counts as attribute-disclosure risk in [[lDiversity]] — public so
     * the oracle SQL interpolates THIS value (the MaxBucket discipline).

@@ -968,30 +968,37 @@ object StatsOps {
     * oracle-checked as four chained CTEs with the identical
     * (d, seed)-ordered row_number argmin.
     *
-    * Scale: each round is ONE equi-join edges⋈frontier plus a
-    * partial-aggregated struct-min — shuffles carry (node, d, seed)
-    * ids only, never adjacency; lineage is checkpoint-truncated per
-    * round like the other graph fixpoints.
+    * Scale: DELTA form — each round joins edges against only the
+    * FRONTIER (nodes first reached last round), not the whole settled
+    * set: in BFS a node's (dist, seed) is final the round it is first
+    * reached (all shortest paths arrive together, so min seed over the
+    * frontier neighbors IS the lexicographic (d, seed) min), so settled
+    * nodes never re-relax and post-saturation rounds are near-free.
+    * Shuffles carry (node, seed) ids only, never adjacency; lineage is
+    * checkpoint-truncated per round like the other graph fixpoints.
+    * (The naive full-relaxation form measured 5.19 s at sf0.1 — the
+    * frontier form is what a web-scale BFS must do anyway.)
     */
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val edges = Tables.ckpt(copurchaseEdges(spark, dir))
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
-    var dist = Tables.ckpt(
+    var frontier = Tables.ckpt(
       bidir.select(col("u")).distinct()
         .filter(pmod(col("u"), lit(BfsSeedMod)) === 0)
-        .select(col("u"), lit(0).as("d"), col("u").as("seed")))
-    for (_ <- 1 to BfsMaxHops) {
-      val relaxed = bidir
-        .join(dist.select(col("u").as("v"), col("d"), col("seed")), "v")
-        .select(col("u"), (col("d") + 1).as("d"), col("seed"))
-        .unionByName(dist.select(col("u"), col("d"), col("seed")))
-      dist = Tables.ckpt(
-        relaxed.groupBy(col("u"))
-          .agg(min(struct(col("d"), col("seed"))).as("m"))
-          .select(col("u"), col("m.d").as("d"), col("m.seed").as("seed")))
+        .select(col("u"), col("u").as("seed")))
+    var settled = frontier.select(col("u"), lit(0).as("d"), col("seed"))
+    for (r <- 1 to BfsMaxHops) {
+      val reached = bidir
+        .join(frontier.select(col("u").as("v"), col("seed")), "v")
+        .select(col("u"), col("seed"))
+        .join(settled.select(col("u")), Seq("u"), "left_anti")
+        .groupBy(col("u")).agg(min(col("seed")).as("seed"))
+      frontier = Tables.ckpt(reached)
+      settled = Tables.ckpt(settled.unionByName(
+        frontier.select(col("u"), lit(r).as("d"), col("seed"))))
     }
-    dist.select(col("u").as("node"),
+    settled.select(col("u").as("node"),
       col("d").cast(IntegerType).as("dist"),
       col("seed").as("nearest_seed"))
   }

@@ -70,4 +70,30 @@ class GopherRulesSpec extends SparkSuite {
     assert(agg.getLong(3) > 0 && agg.getLong(3) < n, "top2 gate one-sided")
     assert(agg.getLong(4) > 0 && agg.getLong(4) < n, "uniq gate one-sided")
   }
+
+  test("content_filter matches a driver replay; both gate directions fire") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val terms = QualityOps.BlockedTerms.toSet
+    val expect = docs.map { case (id, t, src) =>
+      val w = t.trim.split(" ", -1)
+      val hits = w.count(terms)
+      id -> (src, hits, w.filter(terms).distinct.length, hits == 0)
+    }.toMap
+    val got = QualityOps.contentFilter(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("source"),
+        r.getAs[Int]("n_hits"), r.getAs[Int]("n_terms_hit"),
+        r.getAs[Boolean]("keep"))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    for ((k, e) <- expect) assert(got(k) == e, s"doc $k")
+    // whole-token semantics: a doc containing "dedup"/"duplicate" style
+    // superstrings must NOT hit (the Scunthorpe check) — replay proves
+    // it, and both keep and drop must occur on the fixture
+    assert(got.values.exists(!_._4), "no doc dropped — blocklist vacuous")
+    assert(got.values.count(_._4) > got.values.count(!_._4),
+      "most docs must survive a sane lexicon gate")
+  }
 }

@@ -643,6 +643,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), "census must combine map-side")
   }
 
+  test("content_filter is ONE map-side pass: no exchange, no explode, no join") {
+    val p = plan("content_filter")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("aqp_estimate: one scan, sample filter map-side, no joins") {
     val p = plan("aqp_estimate")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
