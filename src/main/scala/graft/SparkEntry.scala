@@ -257,6 +257,7 @@ object SparkEntry {
     "hybrid_rrf"        -> (SimilarityOps.hybridRrf _),
     "ndcg_eval"         -> (SimilarityOps.ndcgEval _),
     "hard_negatives"    -> (SimilarityOps.hardNegatives _),
+    "embed_drift"       -> (SimilarityOps.embedDrift _),
     "filtered_knn"      -> (SimilarityOps.filteredKnn _),
     "ann_lsh"           -> (SimilarityOps.annLsh _),
     "ann_ivf"           -> (SimilarityOps.annIvf _),
@@ -1915,6 +1916,36 @@ object SparkEntry {
         |  CAST(coalesce(dcg_scaled, 0) AS DOUBLE)
         |    / ${graft.ops.SimilarityOps.NdcgIdealScaled}e0 AS ndcg
         |FROM qs LEFT JOIN g ON g.q_id = qs.q_id""".stripMargin,
+    // drift monitor: floor(1e3·x) keeps every product under 2^53 so all
+    // conversions are exact; the mean cosine's 1/n factors cancel into
+    // pure integer sums; argmax via (cr desc, dim) LIMIT 1 = the engine's
+    // min_by struct twin
+    "embed_drift" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e3) AS BIGINT) AS q
+        |  FROM embeddings),
+        |d AS (SELECT dim,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN q ELSE 0 END) AS BIGINT) AS sb
+        |  FROM e GROUP BY dim),
+        |c AS (SELECT dim, n_a, n_b, sa, sb,
+        |        abs(sa * n_b - sb * n_a) AS cr FROM d),
+        |g AS (SELECT min(n_a) AS n_a, min(n_b) AS n_b,
+        |    CASE WHEN sum(sa * sa) <> 0 AND sum(sb * sb) <> 0 THEN
+        |      CAST(sum(sa * sb) AS DOUBLE)
+        |        / (sqrt(CAST(sum(sa * sa) AS DOUBLE))
+        |           * sqrt(CAST(sum(sb * sb) AS DOUBLE))) END AS cos_means,
+        |    CAST(sum(CASE WHEN cr > n_a * n_b * 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_drifted_dims
+        |  FROM c),
+        |m AS (SELECT dim AS max_shift_dim, CAST(cr AS BIGINT) AS max_shift_q
+        |      FROM c ORDER BY cr DESC, dim LIMIT 1)
+        |SELECT g.n_a, g.n_b, g.cos_means, g.n_drifted_dims,
+        |  m.max_shift_dim, m.max_shift_q
+        |FROM g, m""".stripMargin,
     // hard negatives: per-pair cosines are the parity-established
     // fragment; max over doubles is order-independent; margin is one
     // subtraction of engine-identical doubles

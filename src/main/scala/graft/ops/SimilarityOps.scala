@@ -259,6 +259,58 @@ object SimilarityOps {
         col("pos_cos"), (col("pos_cos") - col("cosine")).as("margin"))
   }
 
+  /** Embedding-distribution drift monitor — the check an ML platform runs
+    * when the encoder version changes or a new ingest source lands: split
+    * the corpus into two deterministic cohorts (even/odd vec_id — stand-in
+    * for before/after or source A/B), quantize each coordinate to
+    * floor(1e3·x) (bounds every downstream product under 2^53, so no
+    * inexact integer→double conversion ever happens), and report
+    *  - the cosine between the two cohort MEAN vectors computed entirely
+    *    from the integer per-dim sums (the 1/n factors cancel, so no
+    *    mean is ever materialized as a float),
+    *  - how many dims shifted by more than 0.01 in original units via the
+    *    cross-multiplied integer test |sa·nb − sb·na| > 10·na·nb (no
+    *    division — the decile_drift exact-rank discipline), and
+    *  - the argmax-shift dim with a (−shift, dim) tiebreak.
+    * Fully oracle-checkable: integer sums all the way, one guarded
+    * division chain at the cosine boundary.
+    *
+    * Scale: one corpus pass exploding to (dim, cohort) partial sums —
+    * the shuffle carries 64·2 summary rows; the final census reads a
+    * 64-row frame.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.balanced(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        (col("vec_id") % 2 === 0).as("is_a"),
+        floor(col("x").cast(DoubleType) * lit(1e3)).as("q"))
+    val byDim = e.groupBy(col("dim"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), col("q")).otherwise(0L)).as("sa"),
+        sum(when(!col("is_a"), col("q")).otherwise(0L)).as("sb"))
+      .withColumn("cross", abs(col("sa") * col("n_b") - col("sb") * col("n_a")))
+    byDim.agg(
+        min(col("n_a")).as("n_a"),
+        min(col("n_b")).as("n_b"),
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("naa"),
+        sum(col("sb") * col("sb")).as("nbb"),
+        sum(when(col("cross") > col("n_a") * col("n_b") * 10L, 1L)
+          .otherwise(0L)).as("n_drifted_dims"),
+        max(col("cross")).as("max_shift_q"),
+        min_by(col("dim"), struct((-col("cross")).as("nc"), col("dim")))
+          .cast(IntegerType).as("max_shift_dim"))
+      .select(col("n_a"), col("n_b"),
+        when(col("naa") =!= 0 && col("nbb") =!= 0,
+          col("dot").cast(DoubleType) /
+            (sqrt(col("naa").cast(DoubleType)) * sqrt(col("nbb").cast(DoubleType))))
+          .as("cos_means"),
+        col("n_drifted_dims"), col("max_shift_dim"), col("max_shift_q"))
+  }
+
   /** Hybrid (filtered) vector search: metadata predicate first, exact
     * cosine top-k over the SURVIVORS — the filter-then-rank shape every
     * production vector store exposes (pre-filtering, not post-filtering:

@@ -651,6 +651,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("embed_drift: one scan to a 64-dim summary, partial sums, no joins") {
+    val p = plan("embed_drift")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), "dim sums must combine map-side")
+  }
+
   test("aqp_estimate: one scan, sample filter map-side, no joins") {
     val p = plan("aqp_estimate")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)

@@ -222,4 +222,35 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(got(8)._2 > got(16)._2 && got(16)._2 > got(32)._2)
     assert(got(8)._2 > 0.0, "zero truncation error at k=8 — vacuous fixture")
   }
+
+  test("embed_drift matches a driver-side integer replay at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet").collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    }
+    val dims = rows.head._2.length
+    val (as, bs) = rows.partition(_._1 % 2 == 0)
+    def sums(cohort: Array[(Long, Array[Float])]): Array[Long] =
+      (0 until dims).map { d =>
+        cohort.map(v => math.floor(v._2(d).toDouble * 1e3).toLong).sum
+      }.toArray
+    val sa = sums(as); val sb = sums(bs)
+    val na = as.length.toLong; val nb = bs.length.toLong
+    val cross = (0 until dims).map(d => math.abs(sa(d) * nb - sb(d) * na))
+    val dot = (0 until dims).map(d => sa(d) * sb(d)).sum
+    val naa = sa.map(s => s * s).sum; val nbb = sb.map(s => s * s).sum
+    val expCos = dot.toDouble / (math.sqrt(naa.toDouble) * math.sqrt(nbb.toDouble))
+    val expDrifted = cross.count(_ > na * nb * 10L).toLong
+    val expMaxDim = cross.indices.minBy(d => (-cross(d), d))
+    val r = SparkEntry.queries("embed_drift")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Double]("cos_means") == expCos)
+    assert(r.getAs[Long]("n_drifted_dims") == expDrifted)
+    assert(r.getAs[Int]("max_shift_dim") == expMaxDim)
+    assert(r.getAs[Long]("max_shift_q") == cross.max)
+    // both census branches must fire on the fixture
+    assert(expDrifted > 0 && expDrifted < dims,
+      s"drift census one-sided: $expDrifted of $dims")
+  }
 }
