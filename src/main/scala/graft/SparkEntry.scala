@@ -274,6 +274,7 @@ object SparkEntry {
     "ann_index_upsert"  -> (SimilarityOps.annIndexUpsert _),
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
+    "cv_folds"          -> (PipelineOps.cvFolds _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "pps_sample"        -> (PipelineOps.ppsSample _),
     "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
@@ -839,6 +840,22 @@ object SparkEntry {
     // key pre-reduced mod p before the multiply (same as hashBucket): the
     // product then provably fits in int64 for any BIGINT doc_id on both
     // engines; bucket values are unchanged (pmod(x*m,p) = pmod(pmod(x,p)*m,p))
+    // k-fold rotation plan: same multiplicative hash, fold count
+    // interpolated; train = broadcast totals minus the fold
+    "cv_folds" ->
+      s"""WITH f AS (SELECT
+        |    CAST((doc_id % 1000000007) * 2654435761 % 1000000007
+        |         % ${graft.ops.PipelineOps.CvK} AS INTEGER) AS fold,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |p AS (SELECT fold, count(*) AS n_val_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_val_tokens
+        |      FROM f GROUP BY fold),
+        |t AS (SELECT CAST(sum(n_val_docs) AS BIGINT) AS t_docs,
+        |        CAST(sum(n_val_tokens) AS BIGINT) AS t_toks FROM p)
+        |SELECT fold, t_docs - n_val_docs AS n_train_docs, n_val_docs,
+        |  t_toks - n_val_tokens AS n_train_tokens, n_val_tokens
+        |FROM p, t""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'train'

@@ -43,6 +43,44 @@ object PipelineOps {
   private[ops] def hashBucket(c: org.apache.spark.sql.Column) =
     pmod(permKey(c), lit(100))
 
+  /** Fold count for [[cvFolds]] — public so the oracle SQL interpolates
+    * THIS value.
+    */
+  val CvK = 5
+
+  /** k-fold cross-validation plan — the rotation primitive
+    * [[trainTestSplit]]'s fixed 80/10/10 cannot express: every document
+    * lands in exactly one of [[CvK]] folds by the deterministic
+    * multiplicative-hash permutation (no RNG — rerun/partitioning-stable,
+    * so every trainer sees the identical folds), and each output row is
+    * one ROTATION: fold f's validation doc/token counts plus the
+    * complementary train counts (total − fold, via an unpartitioned
+    * window over the k-row census — a second aggregation branch would
+    * re-scan the corpus, and a SinglePartition window is exactly the
+    * summary-frame shape the global PlanSpec sweep allows). A
+    * balance-checking spec pins that fold sizes stay within 20%, the
+    * property k-fold CV needs from the assignment.
+    *
+    * Scale: ONE pass to a k-row census (map-side combined); everything
+    * after touches k rows. All-integer output.
+    */
+  def cvFolds(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.documents(spark, dir)
+      .select(
+        pmod(permKey(col("doc_id")), lit(CvK)).cast(IntegerType).as("fold"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_val_docs"), sum(col("toks")).as("n_val_tokens"))
+      .select(col("fold"),
+        (sum(col("n_val_docs")).over(w) - col("n_val_docs")).as("n_train_docs"),
+        col("n_val_docs"),
+        (sum(col("n_val_tokens")).over(w) - col("n_val_tokens")).as("n_train_tokens"),
+        col("n_val_tokens"))
+  }
+
   /** Deterministic 80/10/10 train/val/test split over documents. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

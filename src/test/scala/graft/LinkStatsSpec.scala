@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.col
 import graft.model.Tables
-import graft.ops.{QualityOps, SimilarityOps, StatsOps}
+import graft.ops.{PipelineOps, QualityOps, SimilarityOps, StatsOps}
 
 /** Ground truth for the round-11 stats/graph/governance additions:
   * straight-line textbook replays over the collected fixture, compared
@@ -286,6 +286,33 @@ class LinkStatsSpec extends SparkSuite {
     // non-vacuity: multiple hop levels and multiple nearest seeds fire
     assert(got.values.map(_._1).toSet.size >= 2, "single hop level — BFS vacuous")
     assert(got.values.map(_._2).toSet.size >= 2, "single nearest seed — tie-break vacuous")
+  }
+
+  test("cv_folds: rotation counts match a driver replay; folds are balanced") {
+    val docs = Tables.documents(spark, sfTies)
+      .selectExpr("doc_id", "size(split(trim(text), ' ')) AS toks").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val k = PipelineOps.CvK
+    def fold(id: Long): Int = (id % 1000000007L * 2654435761L % 1000000007L % k).toInt
+    val byFold = docs.groupBy(d => fold(d._1))
+      .map { case (f, g) => f -> (g.length.toLong, g.map(_._2).sum) }
+    val tDocs = docs.length.toLong
+    val tToks = docs.map(_._2).sum
+    val got = PipelineOps.cvFolds(spark, sfTies).collect()
+      .map(r => r.getAs[Int]("fold") -> r).toMap
+    assert(got.keySet == byFold.keySet && got.size == k,
+      s"folds ${got.keySet} — every fold must be populated")
+    for ((f, (nd, nt)) <- byFold) {
+      val row = got(f)
+      assert(row.getAs[Long]("n_val_docs") == nd, s"fold $f")
+      assert(row.getAs[Long]("n_val_tokens") == nt, s"fold $f")
+      assert(row.getAs[Long]("n_train_docs") == tDocs - nd, s"fold $f")
+      assert(row.getAs[Long]("n_train_tokens") == tToks - nt, s"fold $f")
+    }
+    // the property CV needs from the assignment: balanced folds
+    val sizes = byFold.values.map(_._1)
+    assert(sizes.max <= sizes.min * 1.2,
+      s"fold imbalance ${sizes.min}..${sizes.max} exceeds 20%")
   }
 
   test("calibration_bins: exact integer binning matches a driver replay") {

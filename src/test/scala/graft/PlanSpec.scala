@@ -651,6 +651,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("cv_folds: ONE scan to a k-row census; totals via a summary window, no join") {
+    val p = plan("cv_folds")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), "census must combine map-side")
+  }
+
   test("embed_drift: one scan to a 64-dim summary, partial sums, no joins") {
     val p = plan("embed_drift")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
