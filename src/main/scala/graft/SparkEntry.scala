@@ -275,6 +275,7 @@ object SparkEntry {
     // ---- dataset preparation (north-star extensions) ----
     "train_test_split"  -> (PipelineOps.trainTestSplit _),
     "cv_folds"          -> (PipelineOps.cvFolds _),
+    "batch_padding"     -> (PipelineOps.batchPadding _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "pps_sample"        -> (PipelineOps.ppsSample _),
     "tfidf_top_terms"   -> (PipelineOps.tfidfTopTerms _),
@@ -840,6 +841,45 @@ object SparkEntry {
     // key pre-reduced mod p before the multiply (same as hashBucket): the
     // product then provably fits in int64 for any BIGINT doc_id on both
     // engines; bucket values are unchanged (pmod(x*m,p) = pmod(pmod(x,p)*m,p))
+    // padding audit: both batchings replay as identically-ordered
+    // row_number windows; pure integer sums to one boundary division;
+    // batch size interpolated
+    "batch_padding" -> {
+      val b = graft.ops.PipelineOps.PadBatch
+      s"""WITH base AS (SELECT doc_id,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS hkey,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT count(*) AS cnt, max(toks) AS mx,
+        |    CAST(sum(toks) AS BIGINT) AS real
+        |  FROM (SELECT toks, toks // 64 AS grp,
+        |          row_number() OVER (PARTITION BY toks // 64
+        |                             ORDER BY hkey, doc_id) AS rn
+        |        FROM base) t
+        |  GROUP BY grp, (rn - 1) // $b),
+        |h AS (
+        |  SELECT count(*) AS cnt, max(toks) AS mx,
+        |    CAST(sum(toks) AS BIGINT) AS real
+        |  FROM (SELECT toks, hkey % 64 AS grp,
+        |          row_number() OVER (PARTITION BY hkey % 64
+        |                             ORDER BY hkey, doc_id) AS rn
+        |        FROM base) t
+        |  GROUP BY grp, (rn - 1) // $b),
+        |s AS (
+        |  SELECT 'grouped' AS strategy, count(*) AS n_batches,
+        |    CAST(sum(real) AS BIGINT) AS real_tokens,
+        |    CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'hash_order', count(*), CAST(sum(real) AS BIGINT),
+        |    CAST(sum(cnt * mx) AS BIGINT)
+        |  FROM h)
+        |SELECT strategy, n_batches, real_tokens, padded_tokens,
+        |  CAST(padded_tokens - real_tokens AS DOUBLE)
+        |    / CAST(padded_tokens AS DOUBLE) AS waste_frac
+        |FROM s""".stripMargin
+    },
     // k-fold rotation plan: same multiplicative hash, fold count
     // interpolated; train = broadcast totals minus the fold
     "cv_folds" ->

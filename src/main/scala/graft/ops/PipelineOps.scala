@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -824,6 +824,59 @@ object PipelineOps {
     * per-shard local sort), with shard count sized to the write target
     * (not a global sort, not a single partition).
     */
+  /** Batch size for [[batchPadding]] — public so the oracle SQL
+    * interpolates THIS value.
+    */
+  val PadBatch = 32
+
+  /** Length-grouped batching plan — the padding-efficiency audit behind
+    * every trainer's group-by-length option: when docs batch in hash
+    * order, each batch pads to its longest member and short docs burn
+    * compute; grouping by length first shrinks that waste. Both
+    * strategies are planned DETERMINISTICALLY (no RNG, no global sort):
+    *  - `grouped`: bucket = tokens div 64, rank by the multiplicative-
+    *    hash permutation WITHIN bucket, chop into [[PadBatch]]-doc
+    *    batches — windows partition by bucket;
+    *  - `hash_order`: the corpus_shuffle sharding (64 hash shards, rank
+    *    within shard) — the "random" baseline with the same no-global-
+    *    sort discipline.
+    * Per strategy: batch count, real tokens, padded tokens
+    * (Σ per batch cnt·max_len), and the waste fraction as the single
+    * boundary division. All-integer; fully oracle-checkable (both
+    * rankings replay as identically-ordered row_number windows).
+    *
+    * Scale: two passes over a (doc_id, tokens) projection; every window
+    * partitions by bucket/shard (bounded fan-in per partition), batch
+    * maxima partial-aggregate. At 100 TB the plan IS the batching
+    * manifest a loader consumes.
+    */
+  def batchPadding(spark: SparkSession, dir: String): DataFrame = {
+    val b = PadBatch
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), permKey(col("doc_id")).as("hkey"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+    def plan(name: String, keyCol: Column): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col("hkey"), col("doc_id"))
+      base.withColumn("grp", keyCol)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"(rn - 1) div $b"))
+        .groupBy(col("grp"), col("batch"))
+        .agg(count(lit(1)).as("cnt"), max(col("toks")).as("mx"),
+          sum(col("toks")).as("real"))
+        .agg(
+          lit(name).as("strategy"),
+          count(lit(1)).as("n_batches"),
+          sum(col("real")).as("real_tokens"),
+          sum(col("cnt") * col("mx")).as("padded_tokens"))
+        .select(col("strategy"), col("n_batches"), col("real_tokens"),
+          col("padded_tokens"),
+          ((col("padded_tokens") - col("real_tokens")).cast(DoubleType) /
+            col("padded_tokens").cast(DoubleType)).as("waste_frac"))
+    }
+    plan("grouped", expr("toks div 64"))
+      .unionByName(plan("hash_order", col("hkey") % 64))
+  }
+
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
     val hkey = permKey(col("doc_id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))

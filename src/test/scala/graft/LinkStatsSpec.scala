@@ -315,6 +315,42 @@ class LinkStatsSpec extends SparkSuite {
       s"fold imbalance ${sizes.min}..${sizes.max} exceeds 20%")
   }
 
+  test("batch_padding: both batching plans match a driver replay; grouping wins") {
+    val docs = Tables.documents(spark, sfTies)
+      .selectExpr("doc_id", "size(split(trim(text), ' ')) AS toks").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    def hkey(id: Long): Long = id % 1000000007L * 2654435761L % 1000000007L
+    val b = PipelineOps.PadBatch
+    def replay(grp: ((Long, Long)) => Long): (Long, Long, Long) = {
+      val batches = docs.groupBy(grp).values.flatMap { g =>
+        g.sortBy { case (id, _) => (hkey(id), id) }
+          .grouped(b).map { batch =>
+            (batch.length.toLong, batch.map(_._2).max, batch.map(_._2).sum)
+          }
+      }.toSeq
+      (batches.length.toLong, batches.map(_._3).sum,
+        batches.map(x => x._1 * x._2).sum)
+    }
+    val expect = Map(
+      "grouped"    -> replay { case (_, t) => t / 64 },
+      "hash_order" -> replay { case (id, _) => hkey(id) % 64 })
+    val got = PipelineOps.batchPadding(spark, sfTies).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(got.keySet == expect.keySet)
+    for ((s, (nb, real, padded)) <- expect) {
+      val row = got(s)
+      assert(row.getAs[Long]("n_batches") == nb, s)
+      assert(row.getAs[Long]("real_tokens") == real, s)
+      assert(row.getAs[Long]("padded_tokens") == padded, s)
+      assert(row.getAs[Double]("waste_frac") ==
+        (padded - real).toDouble / padded.toDouble, s)
+    }
+    // the op's reason to exist: grouping by length must waste less
+    assert(got("grouped").getAs[Double]("waste_frac") <
+      got("hash_order").getAs[Double]("waste_frac"),
+      "length grouping did not reduce padding on the fixture")
+  }
+
   test("calibration_bins: exact integer binning matches a driver replay") {
     val rows = Tables.events(spark, sfTies)
       .filter(col("value").isNotNull)

@@ -651,6 +651,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("batch_padding: bucket/shard-partitioned windows, no join, no global sort") {
+    val p = plan("batch_padding")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_count"), "batch census must combine map-side")
+  }
+
   test("cv_folds: ONE scan to a k-row census; totals via a summary window, no join") {
     val p = plan("cv_folds")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
