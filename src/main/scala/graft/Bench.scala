@@ -52,7 +52,9 @@ object BenchLogic {
     * is sufficient and avoids a JSON-library dependency in the hot main.
     */
   def parsePriorMedians(json: String): Map[String, Double] = {
-    val Re = """"([^"\\]+)":\{"median":(-?[0-9][0-9.eE+\-]*)""".r
+    // whitespace-tolerant: a re-serialized prior file (pretty-printed or
+    // hand-merged) must not silently disable the sentinel
+    val Re = """"([^"\\]+)"\s*:\s*\{\s*"median"\s*:\s*(-?[0-9][0-9.eE+\-]*)""".r
     Re.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

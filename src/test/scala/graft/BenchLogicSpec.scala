@@ -21,6 +21,10 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(m("a_q") == 0.32)
     assert(m("b.q-2") == 0.15)
     assert(m("dead") == -1.0)
+    // a pretty-printed / re-serialized prior file parses identically
+    // (a hand-merged file once silently broke the space-sensitive regex)
+    val spaced = json.replace(":", ": ").replace(",", ", ")
+    assert(BenchLogic.parsePriorMedians(spaced) == m)
   }
 
   test("parsePriorMedians survives the committed bench_prior.json") {
