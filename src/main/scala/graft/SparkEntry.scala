@@ -852,7 +852,7 @@ object SparkEntry {
         |  FROM documents),
         |g AS (
         |  SELECT count(*) AS cnt, max(toks) AS mx,
-        |    CAST(sum(toks) AS BIGINT) AS real
+        |    CAST(sum(toks) AS BIGINT) AS real_toks
         |  FROM (SELECT toks, toks // 64 AS grp,
         |          row_number() OVER (PARTITION BY toks // 64
         |                             ORDER BY hkey, doc_id) AS rn
@@ -860,7 +860,7 @@ object SparkEntry {
         |  GROUP BY grp, (rn - 1) // $b),
         |h AS (
         |  SELECT count(*) AS cnt, max(toks) AS mx,
-        |    CAST(sum(toks) AS BIGINT) AS real
+        |    CAST(sum(toks) AS BIGINT) AS real_toks
         |  FROM (SELECT toks, hkey % 64 AS grp,
         |          row_number() OVER (PARTITION BY hkey % 64
         |                             ORDER BY hkey, doc_id) AS rn
@@ -868,11 +868,11 @@ object SparkEntry {
         |  GROUP BY grp, (rn - 1) // $b),
         |s AS (
         |  SELECT 'grouped' AS strategy, count(*) AS n_batches,
-        |    CAST(sum(real) AS BIGINT) AS real_tokens,
+        |    CAST(sum(real_toks) AS BIGINT) AS real_tokens,
         |    CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens
         |  FROM g
         |  UNION ALL
-        |  SELECT 'hash_order', count(*), CAST(sum(real) AS BIGINT),
+        |  SELECT 'hash_order', count(*), CAST(sum(real_toks) AS BIGINT),
         |    CAST(sum(cnt * mx) AS BIGINT)
         |  FROM h)
         |SELECT strategy, n_batches, real_tokens, padded_tokens,
@@ -2025,7 +2025,7 @@ object SparkEntry {
         |SELECT n.q_id, n.q_label, n.vec_id, n.label, n.cosine,
         |  CAST(n.rk AS INTEGER) AS rk, p.pos_cos,
         |  p.pos_cos - n.cosine AS margin
-        |FROM neg n JOIN pos p ON p.q_id = n.q_id WHERE n.rk <= 5""".stripMargin,
+        |FROM neg n LEFT JOIN pos p ON p.q_id = n.q_id WHERE n.rk <= 5""".stripMargin,
     // the integer codes themselves are engine-identical (exact float→double
     // cast, same two IEEE ops, same half-away-from-zero round), so the
     // per-dim audit hashes exactly — see SimilarityOps.int8Quantize
@@ -4326,7 +4326,7 @@ object SparkEntry {
     // explicit list_distinct
     "content_filter" -> {
       val terms = graft.ops.QualityOps.BlockedTerms
-        .map(t => s"'$t'").mkString(", ")
+        .map(graft.ops.QualityOps.sqlLit).mkString(", ")
       s"""SELECT doc_id, source,
         |  CAST(len(list_filter(string_split(trim(text), ' '),
         |    x -> list_contains([$terms], x))) AS INTEGER) AS n_hits,

@@ -477,6 +477,15 @@ object QualityOps {
     */
   val BlockedTerms: Seq[String] = Seq("dup", "forbidden", "redacted")
 
+  /** Render a string as an ANSI SQL literal for the DuckDB oracle:
+    * single quotes double ('' — the only escape standard strings have;
+    * backslash is a literal character there). The Spark side never
+    * interpolates terms into SQL at all ([[contentFilter]] builds Column
+    * literals), so this is the one remaining text boundary a hostile
+    * lexicon entry could cross.
+    */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Lexicon-based content filter — the C4-shape badwords gate (Raffel
     * et al. 2020 §2.2: drop any document containing a blocklisted word)
     * every production corpus pipeline runs in some form: per document,
@@ -492,14 +501,18 @@ object QualityOps {
     * native Expression, the plan shape is unchanged.
     */
   def contentFilter(spark: SparkSession, dir: String): DataFrame = {
-    val termsSql = BlockedTerms.map(t => s"'$t'").mkString(", ")
+    // terms enter the plan as Column literals, never via string
+    // interpolation into SQL text — a future lexicon entry containing a
+    // quote/backslash/metacharacter cannot break or inject into the query
+    // (the oracle side escapes with SqlLit for the same reason)
+    val terms = array(BlockedTerms.map(lit): _*)
     Tables.documents(spark, dir)
-      .withColumn("w", expr("split(trim(text), ' ')"))
+      .withColumn("w", split(trim(col("text")), " "))
       .select(col("doc_id"), col("source"),
-        expr(s"cast(size(filter(w, x -> array_contains(array($termsSql), x))) as int)")
-          .as("n_hits"),
-        expr(s"cast(size(array_intersect(w, array($termsSql))) as int)")
-          .as("n_terms_hit"))
+        size(filter(col("w"), x => array_contains(terms, x)))
+          .cast(IntegerType).as("n_hits"),
+        size(array_intersect(col("w"), terms))
+          .cast(IntegerType).as("n_terms_hit"))
       .withColumn("keep", col("n_hits") === 0)
   }
 

@@ -57,13 +57,25 @@ object RelationalOps {
     * oracle-checkable. Sketch semantics match `DataFrame.stat.bloomFilter`:
     * raw `putLong` on build = raw `mightContainLong` on probe.
     */
+  /** Fixed build-side capacity for [[bloomPrefilterJoin]]'s sketch. A
+    * FIXED constant, not `keys.count()`: sizing by count spent a whole
+    * extra action re-scanning the filtered build side before the real
+    * one (the two-actions shape the repo replaced with `observe()`
+    * elsewhere), and capacity only tunes the false-positive rate — the
+    * exact join behind the prefilter removes every false positive, so
+    * output is byte-identical at ANY capacity. 1M keys × fpp 1% ≈ 1.2 MB
+    * sketch; a build side beyond it degrades fpp gracefully (more rows
+    * survive to the exact join), never correctness.
+    */
+  val BloomCapacity: Long = 1L << 20
+
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.GraftBridge
     val keys = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bloom = keys.stat.bloomFilter("c_custkey", math.max(keys.count(), 1024L), 0.01)
+    val bloom = keys.stat.bloomFilter("c_custkey", BloomCapacity, 0.01)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

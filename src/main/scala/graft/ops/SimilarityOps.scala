@@ -250,10 +250,14 @@ object SimilarityOps {
       .groupBy(col("q_id")).agg(max(col("cosine")).as("pos_cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
+    // LEFT join onto the positive ceiling: an anchor with no same-label
+    // peer still mines its 5 negatives, with null pos_cos/margin (the
+    // ndcgEval 'a silent drop would overstate' discipline — an inner join
+    // here silently lost such anchors; the oracle SQL mirrors the LEFT)
     scored.filter(col("label") =!= col("q_label"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .join(broadcast(pos), Seq("q_id"))
+      .join(broadcast(pos), Seq("q_id"), "left")
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         col("cosine"), col("rk").cast(IntegerType).as("rk"),
         col("pos_cos"), (col("pos_cos") - col("cosine")).as("margin"))

@@ -2005,13 +2005,23 @@ object StatsOps {
       .select(col("l_returnflag").as("flag"), col("l_orderkey"), cents.as("cents"))
       .groupBy(col("flag"), col("l_orderkey"))
       .agg(count(lit(1)).as("nl"), sum(col("cents")).as("y"))
+    // the y² sum aggregates in DECIMAL(38,0); the int64 boundary cast is
+    // GUARDED because non-ANSI decimal overflow yields null SILENTLY on
+    // the Spark side while the DuckDB oracle's CAST raises — asymmetric
+    // failure. assert_true makes the Spark side fail loudly too; past the
+    // guard the cast is provably lossless.
+    val y2dec = col("sum_y2_dec")
+    val y2Guard = assert_true(
+      y2dec.isNotNull && y2dec <= lit(Long.MaxValue) && y2dec >= lit(0L),
+      lit("aqp_estimate: y² sum exceeds int64 — widen sum_y2 to decimal"))
     perOrder.groupBy(col("flag"))
       .agg(
         sum(col("nl")).as("n_sample_rows"),
         count(lit(1)).as("n_sample_orders"),
         sum(col("y")).as("sum_y"),
-        sum(col("y").cast(DecimalType(38, 0)) * col("y"))
-          .cast(LongType).as("sum_y2"))
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("sum_y2_dec"))
+      .withColumn("sum_y2",
+        when(y2Guard.isNull, y2dec.cast(LongType)))
       .select(col("flag"),
         col("n_sample_rows"), col("n_sample_orders"),
         (col("n_sample_rows") * up).as("est_rows"),
