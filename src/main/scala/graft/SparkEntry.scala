@@ -193,9 +193,11 @@ object SparkEntry {
     "calibration_bins"  -> (StatsOps.calibrationBins _),
     "survival_curve"    -> (StatsOps.survivalCurve _),
     "mutual_info"       -> (StatsOps.mutualInfo _),
+    "chi_square"        -> (StatsOps.chiSquare _),
     "link_prediction"   -> (StatsOps.linkPrediction _),
     "k_anonymity"       -> (QualityOps.kAnonymity _),
     "l_diversity"       -> (QualityOps.lDiversity _),
+    "t_closeness"       -> (QualityOps.tCloseness _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
@@ -255,6 +257,7 @@ object SparkEntry {
     // ---- similarity search (north-star extensions) ----
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "hybrid_rrf"        -> (SimilarityOps.hybridRrf _),
+    "bm25_topk"         -> ((s: SparkSession, d: String) => SimilarityOps.bm25TopK(s, d)),
     "ndcg_eval"         -> (SimilarityOps.ndcgEval _),
     "hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "embed_drift"       -> (SimilarityOps.embedDrift _),
@@ -1927,6 +1930,54 @@ object SparkEntry {
         |  SELECT q_id, id, rk_v, rk_l, fused,
         |    row_number() OVER (PARTITION BY q_id ORDER BY fused DESC, id) AS fr
         |  FROM f) t WHERE fr <= 10""".stripMargin,
+    // BM25 lexical retrieval: idf floor-quantized to q6 the moment it is
+    // computed (pmi_q9 discipline — ln is the one library-rounded step),
+    // k1/b as parse-exact literals (SimilarityOps.Bm25K1/Bm25B; 1.2+1.0
+    // == 2.2 exactly), dl/avgdl cleared to the exact integer dl·N over T,
+    // per-term weights floor-quantized to BIGINT before the score sum
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |docs AS (SELECT doc_id, w, CAST(len(w) - 2 AS BIGINT) AS dl
+        |         FROM d WHERE len(w) >= 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |            CAST(sum(dl) AS BIGINT) AS t_grams FROM docs),
+        |ex AS (SELECT doc_id, dl,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM docs),
+        |qset AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+        |grams AS (SELECT doc_id, dl, g, CAST(count(*) AS BIGINT) AS tf
+        |          FROM ex JOIN qset USING (g) GROUP BY 1, 2, 3),
+        |qg AS (SELECT doc_id AS q_id, g FROM grams WHERE doc_id < 10),
+        |idf AS (SELECT g,
+        |          CAST(floor(ln(1e0 +
+        |            (CAST(n_docs AS DOUBLE) - CAST(df_g AS DOUBLE) + 0.5e0)
+        |              / (CAST(df_g AS DOUBLE) + 0.5e0)) * 1e6) AS BIGINT)
+        |            AS idf_q6
+        |        FROM (SELECT g, CAST(count(*) AS BIGINT) AS df_g
+        |              FROM grams GROUP BY 1) f, stats),
+        |scored AS (
+        |  SELECT qg.q_id, gr.doc_id,
+        |    CAST(sum(CAST(floor(CAST(idf.idf_q6 AS DOUBLE) *
+        |      ((CAST(gr.tf AS DOUBLE) * 2.2) /
+        |       (CAST(gr.tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(gr.dl * s.n_docs AS DOUBLE)
+        |                        / CAST(s.t_grams AS DOUBLE)))))) AS BIGINT))
+        |      AS BIGINT) AS score_q6
+        |  FROM grams gr
+        |  JOIN qg ON qg.g = gr.g AND gr.doc_id <> qg.q_id
+        |  JOIN idf ON idf.g = gr.g
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT q_id, doc_id AS id, score_q6,
+        |  CAST(score_q6 AS DOUBLE) / 1e6 AS score,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT q_id, doc_id, score_q6,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score_q6 DESC, doc_id) AS rk
+        |      FROM scored) t
+        |WHERE rk <= 10""".stripMargin,
     // nDCG@10 of the lexical leg vs exact-cosine relevance: both legs
     // replay their parity-established fragments; DCG is pure BIGINT
     // (gain × interpolated integer discount literals — no libm log in
@@ -4252,6 +4303,42 @@ object SparkEntry {
         |    AS BIGINT) AS pmi_q9
         |FROM joint j, mx, my, t
         |WHERE j.flag = mx.flag AND j.status = my.status""".stripMargin,
+    // χ² on the same cell frame: dev = O·n − n_x·n_y exact BIGINT; the
+    // per-cell contribution is a fixed parenthesized IEEE ·,/ chain over
+    // exact-integer doubles (bit-identical both engines) floor-quantized
+    // to 1e-6 BEFORE the sum, so the statistic is pure BIGINT; critical
+    // values interpolated from the literal StatsOps.ChiSqCrit05Q6 table
+    "chi_square" -> {
+      val crit = graft.ops.StatsOps.ChiSqCrit05Q6.mkString(", ")
+      s"""WITH joint AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |         count(*) AS n_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT flag, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM joint GROUP BY 1),
+        |my AS (SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM joint GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+        |        count(DISTINCT flag) AS nr,
+        |        count(DISTINCT status) AS nc FROM joint),
+        |c AS (SELECT CAST(j.n_xy AS BIGINT) * t.n - mx.n_x * my.n_y AS dev,
+        |        t.n, t.nr, t.nc, mx.n_x, my.n_y
+        |      FROM joint j, mx, my, t
+        |      WHERE j.flag = mx.flag AND j.status = my.status),
+        |s AS (SELECT CAST(min(n) AS BIGINT) AS n,
+        |        CAST(min((nr - 1) * (nc - 1)) AS INTEGER) AS df,
+        |        CAST(sum(CAST(floor(
+        |          ((CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
+        |           / ((CAST(n AS DOUBLE) * CAST(n_x AS DOUBLE))
+        |              * CAST(n_y AS DOUBLE))) * 1e6) AS BIGINT)) AS BIGINT)
+        |          AS chi2_q6
+        |      FROM c)
+        |SELECT df, n, chi2_q6,
+        |  CAST(chi2_q6 AS DOUBLE) / 1e6 AS chi2,
+        |  CAST(([$crit])[df] AS BIGINT) AS crit_q6,
+        |  chi2_q6 > CAST(([$crit])[df] AS BIGINT) AS reject
+        |FROM s""".stripMargin
+    },
     // link prediction: wedge self-join on the shared (center, brand) —
     // brand equality blocks the candidate set the way the engine does;
     // existing edges removed via NOT EXISTS; all integer until the single
@@ -4371,6 +4458,65 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l < ${graft.ops.QualityOps.LDivThreshold}
         |    THEN grp ELSE 0 END) AS BIGINT)
         |FROM l3""".stripMargin,
+    // t-closeness: ordered-distribution EMD as the prefix-sum identity
+    // with cleared denominators — emd_num = Σ_j |P_j·n_t − Q_j·n_c| is
+    // exact BIGINT; the violation test cross-multiplies the literal
+    // TCloseNum/TCloseDen rational; max_t is max over per-group doubles
+    // from ONE identical division (order-independent)
+    "t_closeness" -> {
+      val tn = graft.ops.QualityOps.TCloseNum
+      val td = graft.ops.QualityOps.TCloseDen
+      def lvl(name: String, keys: Seq[String]): String = {
+        val ks = keys.mkString(", ")
+        val gk = keys.map(k => s"g.$k").mkString(", ")
+        val on = keys.map(k => s"c.$k = g.$k").mkString(" AND ")
+        s"""SELECT '$name' AS level,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  max(CASE WHEN den <> 0
+           |      THEN CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) END) AS max_t,
+           |  CAST(sum(CASE WHEN emd_num * $td > den * $tn THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS groups_violating,
+           |  CAST(sum(CASE WHEN emd_num * $td > den * $tn THEN n_c ELSE 0 END)
+           |    AS BIGINT) AS rows_at_risk
+           |FROM (
+           |  SELECT $ks, min(n_c) AS n_c,
+           |    CAST(sum(abs(p_cum * n_t - g_cum * n_c)) AS BIGINT) AS emd_num,
+           |    min((n_bands - 1) * n_c * n_t) AS den
+           |  FROM (
+           |    SELECT $gk, g.n_c, l.g_cum, t.n_t, t.n_bands, l.band,
+           |      CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY $gk
+           |        ORDER BY l.band
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS BIGINT) AS p_cum
+           |    FROM (SELECT $ks, CAST(sum(cnt) AS BIGINT) AS n_c
+           |          FROM cells GROUP BY $ks) g
+           |    CROSS JOIN ladder l CROSS JOIN tot t
+           |    LEFT JOIN (SELECT $ks, band, CAST(sum(cnt) AS BIGINT) AS cnt
+           |               FROM cells GROUP BY $ks, band) c
+           |      ON c.band = l.band AND $on
+           |  ) grid
+           |  GROUP BY $ks
+           |) per_class""".stripMargin
+      }
+      s"""WITH cells AS (
+        |  SELECT c.c_nationkey, n.n_regionkey, c.c_mktsegment,
+        |    floor(c.c_acctbal / 1000e0) AS band, count(*) AS cnt
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2, 3, 4),
+        |ladder AS (
+        |  SELECT band,
+        |    CAST(sum(g) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS g_cum
+        |  FROM (SELECT band, sum(cnt) AS g FROM cells GROUP BY 1) b),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t,
+        |          CAST(count(DISTINCT band) AS BIGINT) AS n_bands FROM cells)
+        |${lvl("nation_segment", Seq("c_nationkey", "c_mktsegment"))}
+        |UNION ALL
+        |${lvl("region_segment", Seq("n_regionkey", "c_mktsegment"))}
+        |UNION ALL
+        |${lvl("segment", Seq("c_mktsegment"))}""".stripMargin
+    },
     "ab_ttest" ->
       """WITH a AS (
         |  SELECT

@@ -560,4 +560,94 @@ object QualityOps {
       .unionByName(level("region_segment", col("n_regionkey"), col("c_mktsegment")))
       .unionByName(level("segment", col("c_mktsegment")))
   }
+
+  /** EMD ceiling for [[tCloseness]] as an exact rational t = num/den
+    * (0.2) — public so the oracle SQL interpolates THESE integers and
+    * the violation test stays a pure integer cross-multiplication (the
+    * decile_drift no-division discipline).
+    */
+  val TCloseNum = 1
+  val TCloseDen = 5
+
+  /** t-closeness audit — the third leg of the governance triad
+    * (Li, Li & Venkatasubramanian 2007): a group can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    * far from the table's (all its balances in the top band, say), so
+    * the gate bounds the Earth Mover's Distance between each
+    * quasi-identifier group's band distribution and the global one. Over
+    * the SAME ordered band ladder as [[lDiversity]]
+    * (floor(c_acctbal/1000)), ordered-distribution EMD is the prefix-sum
+    * identity EMD = (1/(B−1))·Σ_j |P_j/n_c − Q_j/n_t| — and clearing
+    * denominators makes every group's numerator
+    * `emd_num = Σ_j |P_j·n_t − Q_j·n_c|` EXACT BIGINT arithmetic: the
+    * violation test t·den < num cross-multiplies integers
+    * ([[TCloseNum]]/[[TCloseDen]]), the realized per-group EMD is ONE
+    * boundary division of exact integers (max over those doubles is
+    * order-independent), and the census per ladder level reports
+    * groups/rows past the ceiling. All other columns integer.
+    *
+    * Scale: ONE fact scan builds the checkpointed
+    * (nation, region, segment, band) cell frame (≤ |QI|·|bands| rows at
+    * ANY population — the mutualInfo cell discipline); the band ladder,
+    * every ladder level, and the group×band grid all derive from those
+    * cells, with the grid bounded by groups·bands, never rows. Products
+    * P_j·n_t stay in int64 up to ~3e9 rows; past that promote the
+    * factors to DECIMAL (the chi_square guard pattern).
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val cells = Tables.ckpt(
+      Tables.customer(spark, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("band", floor(col("c_acctbal") / lit(1000.0)))
+        .groupBy(col("c_nationkey"), col("n_regionkey"), col("c_mktsegment"),
+          col("band"))
+        .agg(count(lit(1)).as("cnt")))
+    // global ordered ladder: per band the cumulative census Q_j, plus the
+    // table totals — a bands-cardinality frame, always broadcastable
+    val wq = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bands = cells.groupBy(col("band")).agg(sum(col("cnt")).as("g"))
+      .withColumn("g_cum", sum(col("g")).over(wq))
+      .drop("g")
+    val tot = cells.agg(
+      sum(col("cnt")).as("n_t"),
+      countDistinct(col("band")).as("n_bands"))
+    val ladder = broadcast(bands.crossJoin(broadcast(tot)))
+
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val kc = keys.map(col)
+      val cls = cells.groupBy(kc: _*).agg(sum(col("cnt")).as("n_c"))
+      val cnts = cells.groupBy(kc :+ col("band"): _*).agg(sum(col("cnt")).as("cnt"))
+      val wp = Window.partitionBy(kc: _*).orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val den = (col("n_bands") - 1) * col("n_c") * col("n_t")
+      val perClass = cls.join(ladder) // grid: every group × every band
+        .join(cnts, keys :+ "band", "left")
+        .withColumn("p_cum",
+          sum(coalesce(col("cnt"), lit(0L))).over(wp))
+        .withColumn("term",
+          abs(col("p_cum") * col("n_t") - col("g_cum") * col("n_c")))
+        .groupBy(kc: _*)
+        .agg(min(col("n_c")).as("n_c"), min(col("n_t")).as("n_t"),
+          min(col("n_bands")).as("n_bands"), sum(col("term")).as("emd_num"))
+        .withColumn("den", den)
+        .withColumn("emd",
+          when(col("den") =!= 0,
+            col("emd_num").cast(DoubleType) / col("den").cast(DoubleType)))
+        .withColumn("violating",
+          col("emd_num") * TCloseDen > col("den") * TCloseNum)
+      perClass.agg(
+        lit(name).as("level"),
+        count(lit(1)).as("n_groups"),
+        max(col("emd")).as("max_t"),
+        sum(when(col("violating"), 1L).otherwise(0L)).as("groups_violating"),
+        sum(when(col("violating"), col("n_c")).otherwise(0L)).as("rows_at_risk"))
+    }
+    level("nation_segment", Seq("c_nationkey", "c_mktsegment"))
+      .unionByName(level("region_segment", Seq("n_regionkey", "c_mktsegment")))
+      .unionByName(level("segment", Seq("c_mktsegment")))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -147,6 +147,93 @@ object SimilarityOps {
       .withColumn("rk_l", row_number().over(w))
       .filter(col("rk_l") <= k)
       .select(col("q_id"), col("id"), col("rk_l"))
+  }
+
+  /** BM25 parameters as exact-double literals, public so the oracle SQL
+    * interpolates THE SAME parse-exact decimal strings (0.75 and 0.25 are
+    * dyadic; 1.2 and 2.2 parse to doubles with 1.2+1.0 == 2.2 exactly, so
+    * k1+1 is safe as the literal 2.2 on both engines).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25-weighted lexical retrieval — [[lexicalTopK]] upgraded from raw
+    * distinct-shingle overlap to the ranking function production hybrid
+    * stacks actually run (Robertson-Walker BM25 over word-3-gram terms):
+    * per query doc (doc_id < 10) the top-10 corpus docs by
+    * Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Oracle discipline (the NdcgDiscounts integer-scaling applied to a
+    * data-dependent weight): idf is floor-quantized to 1e-6 units the
+    * moment it is computed (`idf_q6`, the mutual_info pmi_q9 pattern —
+    * ln() is the single library-rounded step and the q6 floor's
+    * disagreement window is ~1e-9 per distinct df), every later step is
+    * parse-exact literals and fixed parenthesized IEEE ·,/,+ over
+    * exact-integer-valued doubles — bit-identical across engines — and
+    * the per-term weight floor-quantizes to BIGINT BEFORE summation, so
+    * the document score accumulates as pure integer arithmetic
+    * (summation order can never matter) with ONE boundary division to
+    * the reported double score. tf·avgdl normalization clears the
+    * average's division: dl/avgdl = dl·N/T with dl·N exact BIGINT.
+    *
+    * Scale: the corpus shingle explosion is map-side semi-joined against
+    * the BROADCAST query-gram set BEFORE any aggregation, so the (doc,
+    * gram, tf) shuffle carries only query-relevant pairs (never the
+    * corpus vocabulary); document frequencies and idf derive from that
+    * same restricted frame (a ≤|query grams| aggregate, broadcast back);
+    * dl/N/T are one map-side doc-level pass. No all-pairs term anywhere
+    * — the lexicalTopK candidate plan with BM25 weights riding it.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val docs = Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("dl", (size(col("w")) - 2).cast(LongType))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
+    val exploded = docs.select(
+      col("doc_id"), col("dl"),
+      explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("g"))
+    // query-gram universe (distinct grams of the 10 query docs) restricts
+    // the corpus explosion map-side before the tf aggregation ever shuffles
+    val qset = broadcast(
+      exploded.filter(col("doc_id") < 10).select(col("g")).distinct())
+    val grams = exploded.join(qset, "g")
+      .groupBy(col("doc_id"), col("dl"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val qg = grams.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("g"))
+    // corpus-wide document frequency of each query gram, then idf_q6 —
+    // the one ln(), floor-quantized immediately (pmi_q9 discipline)
+    val idf = grams.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+      .crossJoin(broadcast(stats))
+      .select(col("g"),
+        floor(log(lit(1.0) +
+          (d(col("n_docs")) - d(col("df_g")) + lit(0.5)) /
+            (d(col("df_g")) + lit(0.5))) * lit(1e6))
+          .cast(LongType).as("idf_q6"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+    grams.join(broadcast(qg), "g")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(idf), "g")
+      .crossJoin(broadcast(stats))
+      .withColumn("dln", col("dl") * col("n_docs"))
+      .withColumn("tfn",
+        (d(col("tf")) * lit(2.2)) /
+          (d(col("tf")) + lit(Bm25K1) *
+            (lit(0.25) + lit(Bm25B) * (d(col("dln")) / d(col("t_grams"))))))
+      .withColumn("w_q6", floor(d(col("idf_q6")) * col("tfn")).cast(LongType))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w_q6")).as("score_q6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id").as("id"), col("score_q6"),
+        (d(col("score_q6")) / lit(1e6)).as("score"),
+        col("rk").cast(IntegerType).as("rk"))
   }
 
   /** Integer-scaled nDCG@10 position discounts: `round(1e9 / log2(i+1))`

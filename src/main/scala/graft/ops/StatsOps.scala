@@ -1895,6 +1895,81 @@ object StatsOps {
           * lit(1e9)).cast(LongType).as("pmi_q9"))
   }
 
+  /** χ²₀.₀₅ critical values for df = 1..12, in 1e-6 units (floored) — a
+    * LITERAL table, so no CDF/special function ever executes in hashed
+    * output; public so the oracle SQL interpolates THESE longs (the
+    * MaxBucket discipline).
+    */
+  val ChiSqCrit05Q6: Seq[Long] = Seq(
+    3841458L, 5991464L, 7814727L, 9487729L, 11070497L, 12591587L,
+    14067140L, 15507313L, 16918977L, 18307038L, 19675137L, 21026069L)
+
+  /** Pearson χ² independence test between return flag and line status —
+    * [[mutualInfo]]'s standard decision-procedure companion, riding the
+    * SAME bounded category-pair cell frame. Per cell the deviation
+    * `dev = O·n − n_x·n_y` is EXACT integer arithmetic (aggregated in
+    * DECIMAL(38,0) with the aqp_estimate assert_true guard at the int64
+    * boundary, so a population past ~3e9 rows fails loudly instead of
+    * wrapping); the cell contribution dev²/(n·n_x·n_y) is a fixed
+    * parenthesized chain of IEEE ·,/ over exact-integer-valued doubles —
+    * bit-identical across engines — and is floor-quantized to 1e-6 units
+    * BEFORE summation, so the statistic accumulates as pure BIGINT
+    * (summation order can never matter; the mannwhitney_u exact-to-the-
+    * boundary discipline). df = (r−1)(c−1) from the realized category
+    * cardinalities; the α=0.05 decision compares against the LITERAL
+    * [[ChiSqCrit05Q6]] table (guard-asserted df ≤ 12), so no libm call
+    * of any kind reaches hashed output — stricter than mutual_info's
+    * quantized-ln boundary.
+    *
+    * Scale: identical to mutualInfo — ONE map-side-combined pass to the
+    * checkpointed cell frame; marginals/total are broadcasts over cells;
+    * the statistic aggregates a category-cardinality frame (≤ dozens of
+    * rows at any data scale).
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.ckpt(Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n_xy")))
+    val mx = joint.groupBy(col("flag")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("status")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(
+      sum(col("n_xy")).as("n"),
+      countDistinct(col("flag")).as("nr"),
+      countDistinct(col("status")).as("nc"))
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    val devDec = d19(col("n_xy")) * d19(col("n")) -
+      d19(col("n_x")) * d19(col("n_y"))
+    val devGuard = assert_true(
+      abs(col("dev_dec")) <= lit(Long.MaxValue),
+      lit("chi_square: O·n − n_x·n_y exceeds int64 — promote dev to decimal"))
+    val dd = col("dev").cast(DoubleType)
+    val contrib = (dd * dd) /
+      ((col("n").cast(DoubleType) * col("n_x").cast(DoubleType))
+        * col("n_y").cast(DoubleType))
+    val dfGuard = assert_true(
+      col("df") >= 1 && col("df") <= ChiSqCrit05Q6.length,
+      lit("chi_square: df outside the literal critical-value table"))
+    joint
+      .join(broadcast(mx), "flag")
+      .join(broadcast(my), "status")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev_dec", devDec)
+      .withColumn("dev", when(devGuard.isNull, col("dev_dec").cast(LongType)))
+      .withColumn("contrib_q6", floor(contrib * lit(1e6)).cast(LongType))
+      .agg(
+        min(col("n")).as("n"),
+        min((col("nr") - 1) * (col("nc") - 1)).cast(IntegerType).as("df"),
+        sum(col("contrib_q6")).as("chi2_q6"))
+      .withColumn("crit_q6",
+        element_at(array(ChiSqCrit05Q6.map(lit): _*),
+          when(dfGuard.isNull, col("df"))))
+      .select(
+        col("df"), col("n"), col("chi2_q6"),
+        (col("chi2_q6").cast(DoubleType) / lit(1e6)).as("chi2"),
+        col("crit_q6"),
+        (col("chi2_q6") > col("crit_q6")).as("reject"))
+  }
+
   /** BLOCKED common-neighbor link prediction over the co-purchase graph:
     * the top-100 same-brand NON-edges ranked by shared-neighbor count,
     * with the Jaccard coefficient cn/(deg_a + deg_b − cn) — the

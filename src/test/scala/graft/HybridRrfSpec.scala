@@ -168,4 +168,82 @@ class HybridRrfSpec extends SparkSuite {
     assert(got.values.exists(_._6 < 0.0),
       "no margin-violating negative on the fixture — hardness vacuous")
   }
+
+  test("bm25_topk matches a driver-side BM25 replay at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramList(t: String): Seq[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val byDoc = docs.map { case (id, t) => id -> gramList(t) }
+      .filter(_._2.nonEmpty)
+    val dl = byDoc.map { case (id, g) => id -> g.length.toLong }
+    val nDocs = byDoc.size.toLong
+    val tGrams = dl.values.sum
+    val queries = byDoc.keys.filter(_ < 10).toSeq.sorted
+    val qGramSet = queries.flatMap(q => byDoc(q)).toSet
+    // tf per (doc, gram) over query-relevant grams; df corpus-wide
+    val tf: Map[(Long, String), Long] = byDoc.toSeq.flatMap { case (id, gs) =>
+      gs.filter(qGramSet).groupBy(identity).map { case (g, o) =>
+        (id, g) -> o.length.toLong
+      }
+    }.toMap
+    val df: Map[String, Long] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (g, ks) => g -> ks.length.toLong }
+    val idfQ6: Map[String, Long] = df.map { case (g, d) =>
+      g -> math.floor(math.log(1.0 +
+        (nDocs.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5)) * 1e6).toLong
+    }
+    val expected: Map[(Long, Long), (Long, Int)] = queries.flatMap { q =>
+      val qGrams = byDoc(q).toSet
+      val scored = byDoc.keys.filter(_ != q).toSeq.map { d =>
+        val s = qGrams.toSeq.flatMap { g =>
+          tf.get((d, g)).map { t =>
+            val tfn = (t.toDouble * 2.2) /
+              (t.toDouble + 1.2 * (0.25 + 0.75 *
+                ((dl(d) * nDocs).toDouble / tGrams.toDouble)))
+            math.floor(idfQ6(g).toDouble * tfn).toLong
+          }
+        }.sum
+        (d, s)
+      }.filter(_._2 != 0L || qGrams.nonEmpty) // candidates share ≥1 gram
+      scored.filter { case (d, _) => byDoc(d).exists(qGrams) }
+        .sortBy { case (d, s) => (-s, d) }
+        .take(10).zipWithIndex.map { case ((d, s), i) => (q, d) -> (s, i + 1) }
+    }.toMap
+    val got = SimilarityOps.bm25TopK(spark, sf).collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("id")) ->
+        (r.getAs[Long]("score_q6"), r.getAs[Int]("rk"),
+          r.getAs[Double]("score"))
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"only-got=${got.keySet -- expected.keySet} only-exp=${expected.keySet -- got.keySet}")
+    for ((k, (s, rk)) <- expected) {
+      assert(got(k)._1 == s, s"score_q6 at $k")
+      assert(got(k)._2 == rk, s"rk at $k")
+      assert(got(k)._3 == s.toDouble / 1e6, s"score at $k")
+    }
+    // Non-vacuity: idf weighting must actually change a ranking — some
+    // query's BM25 top-10 ordering must differ from the raw distinct-
+    // overlap ordering lexicalTopK produces. (tf saturation can't be
+    // exercised through the corpus: repeated trigrams exist in documents
+    // — 36 at sf0.001 — but none is query-relevant in a candidate doc at
+    // any SF, so every ranked tf is 1; the tfn formula itself is pinned
+    // by the replay above.)
+    val overlapOrder: Map[Long, Seq[Long]] = queries.map { q =>
+      val qs = byDoc(q).toSet
+      q -> byDoc.keys.filter(_ != q).toSeq
+        .map(d => (d, byDoc(d).toSet.intersect(qs).size))
+        .filter(_._2 > 0)
+        .sortBy { case (d, o) => (-o, d) }.take(10).map(_._1)
+    }.toMap
+    val bm25Order: Map[Long, Seq[Long]] = expected.toSeq
+      .groupBy(_._1._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2._2).map(_._1._2) }
+    assert(queries.exists(q => bm25Order(q) != overlapOrder(q)),
+      "BM25 order identical to raw overlap for every query — weighting vacuous")
+  }
 }

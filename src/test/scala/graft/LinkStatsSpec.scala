@@ -97,6 +97,32 @@ class LinkStatsSpec extends SparkSuite {
     assert(got.exists(_.getAs[Long]("pmi_q9") != 0L))
   }
 
+  test("chi_square: statistic/df/decision match a driver recompute with identical IEEE steps") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val joint = li.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val mx = li.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val my = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = li.length.toLong
+    val chi2q6 = joint.map { case ((f, s), nxy) =>
+      val dev = (nxy * n - mx(f) * my(s)).toDouble
+      math.floor((dev * dev) / ((n.toDouble * mx(f)) * my(s)) * 1e6).toLong
+    }.sum
+    val df = (mx.size - 1) * (my.size - 1)
+    val got = StatsOps.chiSquare(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Int]("df") == df)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("chi2_q6") == chi2q6)
+    assert(r.getAs[Long]("crit_q6") == StatsOps.ChiSqCrit05Q6(df - 1))
+    assert(r.getAs[Boolean]("reject") == (chi2q6 > StatsOps.ChiSqCrit05Q6(df - 1)))
+    // flag/status are near-independent in the fixture only if χ² is tiny;
+    // either decision is fine, but the statistic must be non-degenerate
+    assert(chi2q6 != 0L, "χ² exactly zero — independence fixture vacuous")
+  }
+
   test("link_prediction: top-100 matches brute-force blocked common-neighbor search") {
     val items = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -212,6 +238,54 @@ class LinkStatsSpec extends SparkSuite {
     assert(expect.values.exists(_._3 > 0L), "no group under l — risk path vacuous")
     assert(expect("segment")._2 >= expect("nation_segment")._2,
       "coarser QI must not lower realized l")
+  }
+
+  test("t_closeness: prefix-sum EMD censuses match brute-force replay") {
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), math.floor(r.getDouble(2) / 1000.0).toLong))
+    val bands = cust.map(_._3).distinct.sorted
+    val nT = cust.length.toLong
+    val globalCum = bands.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    val den0 = (bands.length - 1).toLong
+    def census(grouped: Seq[(Any, Long)]): (Long, Double, Long, Long) = {
+      val grps = grouped.groupBy(_._1).values.map { g =>
+        val nC = g.length.toLong
+        val emdNum = bands.map { b =>
+          val pCum = g.count(_._2 <= b).toLong
+          math.abs(pCum * nT - globalCum(b) * nC)
+        }.sum
+        (nC, emdNum, den0 * nC * nT)
+      }.toSeq
+      (grps.length.toLong,
+        grps.map(x => x._2.toDouble / x._3.toDouble).max,
+        grps.count(x => x._2 * QualityOps.TCloseDen > x._3 * QualityOps.TCloseNum).toLong,
+        grps.filter(x => x._2 * QualityOps.TCloseDen > x._3 * QualityOps.TCloseNum)
+          .map(_._1).sum)
+    }
+    val expect = Map(
+      "nation_segment" -> census(cust.map { case (nk, s, b) => ((nk, s): Any, b) }),
+      "region_segment" -> census(cust.map { case (nk, s, b) => ((nat(nk), s): Any, b) }),
+      "segment"        -> census(cust.map { case (_, s, b) => (s: Any, b) }))
+    val got = QualityOps.tCloseness(spark, sf).collect()
+    assert(got.length == 3)
+    for (row <- got) {
+      val e = expect(row.getAs[String]("level"))
+      assert(row.getAs[Long]("n_groups") == e._1, row.toString)
+      assert(row.getAs[Double]("max_t") == e._2, row.toString)
+      assert(row.getAs[Long]("groups_violating") == e._3, row.toString)
+      assert(row.getAs[Long]("rows_at_risk") == e._4, row.toString)
+    }
+    // the violation branch must fire somewhere, and generalizing up the
+    // ladder must not worsen closeness (coarser groups track the global
+    // distribution at least as well at the max)
+    assert(expect.values.exists(_._3 > 0L), "no group past t — violation path vacuous")
+    assert(expect("segment")._2 <= expect("nation_segment")._2,
+      "coarser QI must not raise max EMD")
   }
 
   test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {

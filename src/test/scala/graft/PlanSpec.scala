@@ -612,12 +612,29 @@ class PlanSpec extends SparkSuite {
     assert(k.contains("BroadcastExchange"), k)
   }
 
+  test("bm25_topk: broadcast query grams gate the explosion; no cartesian anywhere") {
+    val p = plan("bm25_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-10 per query rides the rank-limit pushdown, not a global sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("mutual_info: ONE fact scan; marginals ride broadcasts over the checkpointed cells") {
     val p = plan("mutual_info")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     // without the checkpoint cut Catalyst plans FOUR independent scans
     // (one per aggregate branch) — the cells must be materialized once
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("chi_square: ONE fact scan; marginals ride broadcasts over the checkpointed cells") {
+    val p = plan("chi_square")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // same cell-frame discipline as mutual_info: cells materialize once
     assert(!p.contains("FileScan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
@@ -634,6 +651,15 @@ class PlanSpec extends SparkSuite {
     val p = plan("k_anonymity")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t_closeness: one fact scan into checkpointed cells; ladder broadcasts onto the grid") {
+    val p = plan("t_closeness")
+    // the customer fact is scanned ONCE into the checkpointed cell frame;
+    // all three ladder levels and the band ladder read the cells
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("l_diversity: broadcast dim join; distinct census partial-aggregates") {
