@@ -330,7 +330,8 @@ object SparkEntry {
     "compaction_scan"   -> (StorageOps.compactionScan _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
-    "frame_sample"      -> (MultimodalOps.frameSample _),
+    "video_meta"        -> (MultimodalOps.videoMeta _),
+    "video_frame_sample" -> (MultimodalOps.videoFrameSample _),
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
@@ -4871,15 +4872,69 @@ object SparkEntry {
         |  sqrt(list_sum(list_transform(features, x -> x * x))) AS feat_norm,
         |  features[1] AS feat0
         |FROM f""".stripMargin,
-    "frame_sample" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    greatest(octet_length(encode(text)) // 100, 1) AS n_frames
-        |  FROM documents)
-        |SELECT doc_id, n_frames, frame_idx, frame_idx * 100 AS byte_offset FROM (
-        |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
-        |    CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
-        |  FROM f) t""".stripMargin,
+    // the engine ENCODES a real MJPEG-in-AVI per document (1..7 baseline
+    // JPEG frames in a real RIFF form) and PARSES the container headers
+    // back; the oracle re-derives codec/dims/fps/frame-count analytically
+    // from the fixture rules (constants interpolated from MultimodalOps)
+    "video_meta" -> {
+      val mf = graft.ops.MultimodalOps.VideoMaxFrames
+      val fb = graft.ops.MultimodalOps.VideoFpsBase
+      val fs = graft.ops.MultimodalOps.VideoFpsSpan
+      s"""WITH m AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents)
+        |SELECT doc_id, 'mjpeg' AS codec,
+        |  CAST(8 * (2 + (nb // 16) % 16) AS INTEGER) AS width,
+        |  CAST(8 * (2 + (nb // 32) % 16) AS INTEGER) AS height,
+        |  CAST($fb + nb % $fs AS INTEGER) AS fps,
+        |  CAST(1 + nb % $mf AS BIGINT) AS n_frames
+        |FROM m""".stripMargin
+    },
+    // every 2nd frame entropy-decoded through the full JPEG path; the
+    // oracle replays the per-frame tile grid + the lossy DC quantization
+    // chain analytically (jpeg_features discipline, frame index riding
+    // the byte lookup) — a hash match proves container walk + per-frame
+    // Huffman decode + IDCT. ASCII fixture assumption as in image_features
+    "video_frame_sample" -> {
+      val mf = graft.ops.MultimodalOps.VideoMaxFrames
+      val qd = graft.ops.JpegCodec.QuantDc
+      s"""WITH m AS (SELECT doc_id, text,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id, text, nb,
+        |        2 + (nb // 16) % 16 AS tx, 2 + (nb // 32) % 16 AS ty,
+        |        1 + nb % $mf AS nf,
+        |        CASE WHEN nb = 0 THEN 1 ELSE least(nb, 128) END AS mm
+        |      FROM m),
+        |fr AS (SELECT doc_id, text, nb, tx, ty, nf, mm,
+        |         CAST(unnest(range(0, nf, 2)) AS BIGINT) AS f
+        |       FROM x),
+        |t AS (SELECT doc_id, nf, f, tx, ty,
+        |        CASE WHEN nb = 0 THEN 0
+        |             ELSE ord(substr(text,
+        |                    CAST((j * tx + i + f) % mm AS INTEGER) + 1, 1)) END AS v
+        |      FROM fr
+        |      CROSS JOIN (SELECT unnest(range(17)) AS j) t1
+        |      CROSS JOIN (SELECT unnest(range(17)) AS i) t2
+        |      WHERE i < tx AND j < ty),
+        |p AS (SELECT doc_id, nf, f, tx, ty,
+        |        least(255, greatest(0,
+        |          CAST(floor(
+        |            floor((v - 128e0) * 8e0 / ${qd}e0 + 0.5e0)
+        |            * ${qd}e0 / 8e0 + 0.5e0) AS BIGINT)
+        |          + 128)) AS pv
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  f AS frame_idx,
+        |  CAST(max(tx) * 8 AS INTEGER) AS width,
+        |  CAST(max(ty) * 8 AS INTEGER) AS height,
+        |  CAST(64 * count(*) AS BIGINT) AS n_pixels,
+        |  CAST(64 * sum(pv) AS BIGINT) AS sum_gray,
+        |  CAST(CAST(64 * sum(pv) AS BIGINT) AS DOUBLE)
+        |    / CAST(64 * count(*) AS BIGINT) AS mean_gray
+        |FROM p GROUP BY doc_id, f""".stripMargin
+    },
     // the oracle derives pixel statistics ANALYTICALLY from the 16x16
     // block structure (ceil-difference pixel counts per block x a text
     // byte value) — a hash match proves the engine's encode->decode->

@@ -496,20 +496,133 @@ object MultimodalOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Frame sampling for video-like payloads (the raw byte stream stands
-    * in for a container the frame index walks): every 10th frame index,
-    * exploded to one row per sampled frame with its byte offset. The
-    * explode multiplies rows BEFORE any shuffle — downstream ops see
-    * (doc, frame) rows that partition freely.
+  /** Deterministic 8-aligned frame f of a document's video: the
+    * [[buildJpegImage]] constant-tile grid with the sampled text byte
+    * SHIFTED by the frame index — consecutive frames of one video are
+    * near-identical (the temporal coherence real video has), and every
+    * frame's decoded statistics stay an exact analytic function of
+    * (text, f) for the oracle.
     */
-  def frameSample(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def buildVideoFrame(
+      textBytes: Array[Byte], f: Int): ImageCodec.Image = {
+    val nb = textBytes.length
+    val tx = 2 + (nb / 16) % 16
+    val ty = 2 + (nb / 32) % 16
+    val w = 8 * tx; val h = 8 * ty
+    val m = math.min(math.max(nb, 1), 128)
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val j = y / 8
+      var x = 0
+      while (x < w) {
+        val i = x / 8
+        val v: Byte = if (nb == 0) 0 else textBytes((j * tx + i + f) % m)
+        val p = 3 * (y * w + x)
+        rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, rgb)
+  }
+
+  /** Frame-count and frame-rate for a document's video, public so the
+    * oracle SQL interpolates the SAME derivations (analytic in nb).
+    */
+  val VideoMaxFrames = 7
+  val VideoFpsBase = 10
+  val VideoFpsSpan = 20
+
+  /** documents → genuinely encoded MJPEG-in-AVI payloads: 1..7 real
+    * baseline-JPEG frames ([[JpegCodec.encodeJpeg]]) wrapped in a real
+    * RIFF/AVI container ([[AviCodec.encodeAvi]]) — every video op
+    * exercises BOTH codec layers on every document. Encoding runs
+    * partition-wise; only (id, bytes) rows exist, never a driver copy.
+    */
+  def videoPayloads(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        octet_length(col("text")).as("n_bytes"))
-      .withColumn("n_frames", greatest(floor(col("n_bytes") / 100), lit(1L)))
-      .select(
-        col("doc_id"),
-        col("n_frames"),
-        explode(expr("sequence(0, n_frames - 1, 10)")).as("frame_idx"))
-      .withColumn("byte_offset", col("frame_idx") * 100)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val nb = r.payload.length
+        val nFrames = 1 + nb % VideoMaxFrames
+        val fps = VideoFpsBase + nb % VideoFpsSpan
+        val frames = (0 until nFrames)
+          .map(f => JpegCodec.encodeJpeg(buildVideoFrame(r.payload, f)))
+        val tx = 2 + (nb / 16) % 16
+        val ty = 2 + (nb / 32) % 16
+        MediaRow(r.doc_id,
+          AviCodec.encodeAvi(8 * tx, 8 * ty, fps, frames))
+      })
+  }
+
+  /** REAL video metadata in the decode slot: parse the AVI container
+    * headers (avih/strh/strf — [[AviCodec.decodeAvi]] validates the full
+    * chunk grammar; no frame is entropy-decoded) and report the DECLARED
+    * codec/dims/fps/frame count. The oracle re-derives every field
+    * analytically from the fixture rules, so a hash match proves the
+    * encode→container-parse path end to end. Corrupt payloads quarantine
+    * as zero rows with codec='corrupt' (the realDecode contract).
+    *
+    * Scale: pure map, one partition-wise pass, header-only work per row
+    * (frame payloads are never touched) — the cheapest possible census
+    * over a 100 TB video corpus.
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoPayloads(spark, dir)
+      .mapPartitions(_.map { r =>
+        try {
+          val (m, _) = AviCodec.decodeAvi(r.payload)
+          (r.doc_id, "mjpeg", m.width, m.height, m.fps, m.nFrames.toLong)
+        } catch {
+          case _: IllegalArgumentException | _: NoSuchElementException =>
+            (r.doc_id, "corrupt", 0, 0, 0, 0L)
+        }
+      })
+      .toDF("doc_id", "codec", "width", "height", "fps", "n_frames")
+  }
+
+  /** REAL frame sampling — the op that replaced the r11 byte-offset
+    * stand-in: every 2nd frame of each document's AVI is entropy-decoded
+    * through the full JPEG path and reduced to its pixel statistics
+    * (mean gray + pixel count), one row per sampled frame. The oracle
+    * never touches bytes: it replays the per-frame tile grid AND the DC
+    * quantization chain analytically (the jpeg_features discipline with
+    * the frame index riding the byte lookup), so a hash match PROVES
+    * container walk + per-frame Huffman decode + IDCT land on the
+    * mathematically-required pixels for every sampled frame. Corrupt
+    * payloads quarantine as a single all-zero row.
+    *
+    * Scale: pure map with a bounded per-row fan-out (≤ 4 sampled frames
+    * per video at the fixture's 1..7 frame counts) — the explode happens
+    * INSIDE the decode slot before any shuffle; downstream sees (doc,
+    * frame) rows that partition freely. Decode cost is per SAMPLED
+    * frame only: unsampled frame chunks are skipped undecoded.
+    */
+  def videoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoPayloads(spark, dir)
+      .mapPartitions(_.flatMap { r =>
+        try {
+          val (m, frames) = AviCodec.decodeAvi(r.payload)
+          (0 until m.nFrames by 2).map { f =>
+            val img = ImageCodec.decode(frames(f))
+            var sum = 0L
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) { sum += img.rgb(3 * i) & 0xff; i += 1 }
+            (r.doc_id, m.nFrames.toLong, f.toLong, img.width, img.height,
+              n.toLong, sum, sum.toDouble / n)
+          }
+        } catch {
+          case _: IllegalArgumentException | _: NoSuchElementException =>
+            Seq((r.doc_id, 0L, 0L, 0, 0, 0L, 0L, 0.0))
+        }
+      })
+      .toDF("doc_id", "n_frames", "frame_idx", "width", "height",
+        "n_pixels", "sum_gray", "mean_gray")
+  }
 }

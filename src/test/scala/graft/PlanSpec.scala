@@ -764,6 +764,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("video_meta: header-only codec map — one scan, zero exchanges, no join") {
+    val p = plan("video_meta")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("video_frame_sample: decode-slot frame fan-out — one scan, zero exchanges, no join") {
+    val p = plan("video_frame_sample")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("triangle_count: AQE's runtime size switch picks broadcast on this fixture") {
     // The auto mode carries NO broadcast hint — the plan is SMJ until
     // AQE measures the adjacency exchange and converts. count() would
