@@ -59,7 +59,10 @@ object ScaleProbe {
     val sf1 = s"$scratch/sf1x"
     buildSf1(spark, "/root/testdata/sf0.1", sf1)
     val sf10 = s"$scratch/sf10x"
-    if (deep) buildLineitemCopies(spark, "/root/testdata/sf0.1", sf10, 100)
+    if (deep) {
+      buildLineitemCopies(spark, "/root/testdata/sf0.1", sf10, 100)
+      buildCorpusCopies(spark, "/root/testdata/sf0.1", sf10, 100)
+    }
 
     def time(op: String, dir: String): Double = {
       def run(): Unit =
@@ -110,6 +113,43 @@ object ScaleProbe {
       .withColumn("l_suppkey", col("l_suppkey") + col("i") * (ms + 1))
       .drop("i")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  /** Derive an N× documents + embeddings corpus for the second decade of
+    * the text/vector ops (the r12 ndcg_eval deep probe) — same per-copy
+    * remappings as [[buildSf1]]: token-suffixed documents keep shingle
+    * universes disjoint across copies; rotated embeddings keep within-copy
+    * cosines identical (strides collide past dim copies — fine for a
+    * TIMING probe, ties break on vec_id).
+    */
+  def buildCorpusCopies(
+      spark: SparkSession, from: String, out: String, n: Int): Unit = {
+    val copies = spark.range(0, n).select(col("id").cast("int").as("i"))
+    if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
+      val d = spark.read.parquet(s"$from/documents.parquet")
+      val maxDoc = d.agg(max("doc_id")).head().getLong(0)
+      d.crossJoin(broadcast(copies))
+        .withColumn("doc_id", col("doc_id") + col("i") * (maxDoc + 1))
+        .withColumn("text", array_join(
+          transform(split(trim(col("text")), " "),
+            t => concat(t, lit("_"), col("i"))), " "))
+        .withColumn("source", concat(col("source"), lit("_"), col("i")))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+      val e = spark.read.parquet(s"$from/embeddings.parquet")
+      val maxVec = e.agg(max("vec_id")).head().getLong(0)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      e.crossJoin(broadcast(copies))
+        .withColumn("vec_id", col("vec_id") + col("i") * (maxVec + 1))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => element_at(col("embedding"),
+              pmod(j + col("i") * lit(13), lit(dim)) + 1)))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
   }
 
   /** Derive the 10× corpus (idempotent: skips tables already written). */
