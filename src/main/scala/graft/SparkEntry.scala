@@ -102,6 +102,7 @@ object SparkEntry {
     "sessionize"        -> (StatsOps.sessionize _),
     "grouping_sets"     -> (StatsOps.groupingSetsSales _),
     "retention_cohorts" -> (StatsOps.retentionCohorts _),
+    "seasonal_decompose" -> (StatsOps.seasonalDecompose _),
     "funnel_stages"     -> (StatsOps.funnelStages _),
     "twap"              -> (AggOps.twap _),
     "candle_patterns"   -> (AggOps.candlePatterns _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "k_anonymity"       -> (QualityOps.kAnonymity _),
     "l_diversity"       -> (QualityOps.lDiversity _),
     "t_closeness"       -> (QualityOps.tCloseness _),
+    "dp_count"          -> (QualityOps.dpCount _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
@@ -249,6 +251,7 @@ object SparkEntry {
     "simhash"           -> (DedupOps.simhash _),
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
+    "rouge_eval"        -> (TextOps.rougeEval _),
     "ngram_containment" -> (DedupOps.ngramContainment _),
     "containment_lsh"   -> (DedupOps.containmentLsh _), // rows-only: LSH candidate stream
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
@@ -258,6 +261,7 @@ object SparkEntry {
     "knn_cosine"        -> (SimilarityOps.knnCosine _),
     "hybrid_rrf"        -> (SimilarityOps.hybridRrf _),
     "bm25_topk"         -> ((s: SparkSession, d: String) => SimilarityOps.bm25TopK(s, d)),
+    "hybrid_rrf3"       -> (SimilarityOps.hybridRrf3 _),
     "ndcg_eval"         -> (SimilarityOps.ndcgEval _),
     "hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "embed_drift"       -> (SimilarityOps.embedDrift _),
@@ -1788,6 +1792,55 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // ROUGE with real CLIPPED counts (multiset min of tfs); F1 via the
+    // algebraic collapse 2·ov/(n_ref+n_cand) — one division over exact
+    // integers; ROUGE-2 NULL-guards one-token documents
+    "rouge_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) >= 2
+        |             THEN list_transform(range(1, len(w)),
+        |                    i -> concat(w[i], ' ', w[i+1]))
+        |             ELSE [] END AS g2
+        |      FROM d),
+        |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n1,
+        |          CAST(len(g2) AS BIGINT) AS n2 FROM b),
+        |t1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS g FROM b) x GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(g2) AS g FROM b) x GROUP BY 1, 2),
+        |o1 AS (SELECT r.doc_id AS ref_id,
+        |         CAST(sum(least(r.tf, c.tf)) AS BIGINT) AS ov1
+        |       FROM t1 r JOIN t1 c ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+        |       GROUP BY 1),
+        |o2 AS (SELECT r.doc_id AS ref_id,
+        |         CAST(sum(least(r.tf, c.tf)) AS BIGINT) AS ov2
+        |       FROM t2 r JOIN t2 c ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+        |       GROUP BY 1),
+        |p AS (SELECT r.doc_id AS ref_id, r.n1 AS n1_ref, r.n2 AS n2_ref,
+        |        c.n1 AS n1_cand, c.n2 AS n2_cand
+        |      FROM tot r JOIN tot c ON c.doc_id = r.doc_id + 1)
+        |SELECT p.ref_id, p.ref_id + 1 AS cand_id,
+        |  coalesce(o1.ov1, 0) AS ov1, n1_ref, n1_cand,
+        |  CAST(coalesce(o1.ov1, 0) AS DOUBLE) / CAST(n1_cand AS DOUBLE)
+        |    AS rouge1_p,
+        |  CAST(coalesce(o1.ov1, 0) AS DOUBLE) / CAST(n1_ref AS DOUBLE)
+        |    AS rouge1_r,
+        |  CAST(2 * coalesce(o1.ov1, 0) AS DOUBLE)
+        |    / CAST(n1_ref + n1_cand AS DOUBLE) AS rouge1_f,
+        |  coalesce(o2.ov2, 0) AS ov2, n2_ref, n2_cand,
+        |  CASE WHEN n2_cand <> 0 THEN
+        |    CAST(coalesce(o2.ov2, 0) AS DOUBLE) / CAST(n2_cand AS DOUBLE)
+        |  END AS rouge2_p,
+        |  CASE WHEN n2_ref <> 0 THEN
+        |    CAST(coalesce(o2.ov2, 0) AS DOUBLE) / CAST(n2_ref AS DOUBLE)
+        |  END AS rouge2_r,
+        |  CASE WHEN n2_ref + n2_cand <> 0 THEN
+        |    CAST(2 * coalesce(o2.ov2, 0) AS DOUBLE)
+        |      / CAST(n2_ref + n2_cand AS DOUBLE)
+        |  END AS rouge2_f
+        |FROM p LEFT JOIN o1 USING (ref_id) LEFT JOIN o2 USING (ref_id)""".stripMargin,
     "ngram_containment" ->
       s"""WITH d AS (
         |  SELECT doc_id, anchor,
@@ -1929,6 +1982,93 @@ object SparkEntry {
         |        ON v.q_id = l.q_id AND v.id = l.id)
         |SELECT q_id, id, rk_v, rk_l, fused, CAST(fr AS INTEGER) AS fused_rk FROM (
         |  SELECT q_id, id, rk_v, rk_l, fused,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY fused DESC, id) AS fr
+        |  FROM f) t WHERE fr <= 10""".stripMargin,
+    // three-leg RRF: the vector/overlap legs replay hybrid_rrf's parity-
+    // established fragments, the BM25 leg replays bm25_topk's; fused is
+    // the same FIXED left-associated sum of 1/(60+rank) CASE terms over
+    // integer ranks, so no float aggregation exists to diverge
+    "hybrid_rrf3" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id),
+        |vleg AS (SELECT q_id, vec_id AS id, rk AS rk_v FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM s) t WHERE rk <= 10),
+        |d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM d WHERE len(w) >= 3),
+        |o AS (SELECT qs.doc_id AS q_id, c.doc_id AS id,
+        |        len(list_intersect(c.g, qs.g)) AS overlap
+        |      FROM sh c JOIN sh qs ON qs.doc_id < 10 AND c.doc_id <> qs.doc_id),
+        |lleg AS (SELECT q_id, id, rk AS rk_l FROM (
+        |    SELECT q_id, id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, id) AS rk
+        |    FROM o WHERE overlap > 0) t WHERE rk <= 10),
+        |docs AS (SELECT doc_id, w, CAST(len(w) - 2 AS BIGINT) AS dl
+        |         FROM d WHERE len(w) >= 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |            CAST(sum(dl) AS BIGINT) AS t_grams FROM docs),
+        |ex AS (SELECT doc_id, dl,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM docs),
+        |qset AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+        |grams AS (SELECT doc_id, dl, g, CAST(count(*) AS BIGINT) AS tf
+        |          FROM ex JOIN qset USING (g) GROUP BY 1, 2, 3),
+        |qg AS (SELECT doc_id AS q_id, g FROM grams WHERE doc_id < 10),
+        |idf AS (SELECT g,
+        |          CAST(floor(ln(1e0 +
+        |            (CAST(n_docs AS DOUBLE) - CAST(df_g AS DOUBLE) + 0.5e0)
+        |              / (CAST(df_g AS DOUBLE) + 0.5e0)) * 1e6) AS BIGINT)
+        |            AS idf_q6
+        |        FROM (SELECT g, CAST(count(*) AS BIGINT) AS df_g
+        |              FROM grams GROUP BY 1) f, stats),
+        |scored AS (
+        |  SELECT qg.q_id, gr.doc_id,
+        |    CAST(sum(CAST(floor(CAST(idf.idf_q6 AS DOUBLE) *
+        |      ((CAST(gr.tf AS DOUBLE) * 2.2) /
+        |       (CAST(gr.tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(gr.dl * s.n_docs AS DOUBLE)
+        |                        / CAST(s.t_grams AS DOUBLE)))))) AS BIGINT))
+        |      AS BIGINT) AS score_q6
+        |  FROM grams gr
+        |  JOIN qg ON qg.g = gr.g AND gr.doc_id <> qg.q_id
+        |  JOIN idf ON idf.g = gr.g
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |bleg AS (SELECT q_id, doc_id AS id, rk AS rk_b
+        |  FROM (SELECT q_id, doc_id,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY score_q6 DESC, doc_id) AS rk
+        |        FROM scored) t
+        |  WHERE rk <= 10),
+        |vl AS (SELECT coalesce(v.q_id, l.q_id) AS q_id,
+        |         coalesce(v.id, l.id) AS id, v.rk_v, l.rk_l
+        |       FROM vleg v FULL OUTER JOIN lleg l
+        |         ON v.q_id = l.q_id AND v.id = l.id),
+        |f AS (SELECT coalesce(vl.q_id, b.q_id) AS q_id,
+        |        coalesce(vl.id, b.id) AS id,
+        |        CAST(coalesce(vl.rk_v, 0) AS INTEGER) AS rk_v,
+        |        CAST(coalesce(vl.rk_l, 0) AS INTEGER) AS rk_l,
+        |        CAST(coalesce(b.rk_b, 0) AS INTEGER) AS rk_b,
+        |        (CASE WHEN vl.rk_v IS NOT NULL THEN 1e0 / (60 + vl.rk_v) ELSE 0e0 END
+        |         + CASE WHEN vl.rk_l IS NOT NULL THEN 1e0 / (60 + vl.rk_l) ELSE 0e0 END
+        |         + CASE WHEN b.rk_b IS NOT NULL THEN 1e0 / (60 + b.rk_b) ELSE 0e0 END)
+        |          AS fused
+        |      FROM vl FULL OUTER JOIN bleg b
+        |        ON vl.q_id = b.q_id AND vl.id = b.id)
+        |SELECT q_id, id, rk_v, rk_l, rk_b, fused,
+        |  CAST(fr AS INTEGER) AS fused_rk FROM (
+        |  SELECT q_id, id, rk_v, rk_l, rk_b, fused,
         |    row_number() OVER (PARTITION BY q_id ORDER BY fused DESC, id) AS fr
         |  FROM f) t WHERE fr <= 10""".stripMargin,
     // BM25 lexical retrieval: idf floor-quantized to q6 the moment it is
@@ -4518,6 +4658,27 @@ object SparkEntry {
         |UNION ALL
         |${lvl("segment", Seq("c_mktsegment"))}""".stripMargin
     },
+    // DP count release: the two-sided geometric (discrete Laplace)
+    // mechanism at ε=ln2 with the exact-rational inverse CDF cleared to
+    // the integer DpThresholds ladder; the deterministic test-mode u =
+    // permKey/P makes the release oracle-replayable (see QualityOps)
+    "dp_count" -> {
+      val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val scale = 3L * (1L << graft.ops.QualityOps.DpNoiseBound)
+      s"""WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey, true_n,
+        |        (c_nationkey % 1000000007) * 2654435761 % 1000000007 AS h
+        |      FROM c)
+        |SELECT c_nationkey,
+        |  CAST(true_n + list_sum(list_transform([$thr],
+        |    s -> CASE WHEN h * $scale >= s THEN 1 ELSE 0 END)) - $b
+        |    AS BIGINT) AS noisy_count,
+        |  CAST(${graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT) AS epsilon_q6,
+        |  CAST($b AS INTEGER) AS noise_bound
+        |FROM n""".stripMargin
+    },
     "ab_ttest" ->
       """WITH a AS (
         |  SELECT
@@ -4765,6 +4926,33 @@ object SparkEntry {
         |       AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    // additive decomposition in exact rationals: det_num = 7·v − tn and
+    // s_num = Σ det_num are exact BIGINTs, every float column is ONE
+    // division of exact integers; weekday = epoch-day mod 7 (Spark and
+    // DuckDB dayofweek origins disagree); full 7-day windows only
+    "seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                 CAST(count(*) AS BIGINT) AS v
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT day, v,
+        |        CASE WHEN count(*) OVER win = 7
+        |             THEN CAST(sum(v) OVER win AS BIGINT) END AS tn
+        |      FROM daily
+        |      WINDOW win AS (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, v, tn, 7 * v - tn AS det_num,
+        |         CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS wd
+        |       FROM t),
+        |seas AS (SELECT wd, CAST(sum(det_num) AS BIGINT) AS s_num,
+        |           CAST(count(*) AS BIGINT) AS n_w
+        |         FROM t2 WHERE tn IS NOT NULL GROUP BY 1)
+        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, wd, v AS volume,
+        |  CAST(tn AS DOUBLE) / 7e0 AS trend,
+        |  CAST(s_num AS DOUBLE) / CAST(7 * n_w AS DOUBLE) AS seasonal,
+        |  CASE WHEN tn IS NOT NULL THEN
+        |    CAST(det_num * n_w - s_num AS DOUBLE) / CAST(7 * n_w AS DOUBLE)
+        |  END AS residual
+        |FROM t2 LEFT JOIN seas USING (wd)""".stripMargin,
     "seasonal_backtest" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |                      count(*) AS cnt

@@ -650,4 +650,61 @@ object QualityOps {
       .unionByName(level("region_segment", Seq("n_regionkey", "c_mktsegment")))
       .unionByName(level("segment", Seq("c_mktsegment")))
   }
+
+  /** Mechanism constants for [[dpCount]], public so the oracle SQL
+    * interpolates THESE exact integers (the MaxBucket discipline):
+    * ε = ln 2 (surfaced as the q6 literal), truncation bound B = 16, and
+    * the inverse-CDF threshold ladder of the truncated two-sided
+    * geometric at α = e^(−ε) = 1/2 — the ONE noise distribution whose
+    * CDF is exactly rational (P(K=k) = (1/3)·2^(−|k|), CDF(k≤0) =
+    * 2^(k+1)/3, CDF(k>0) = 1 − 2^(−k)/3), so quantile inversion clears
+    * to pure integer comparisons: u < CDF(k) ⟺ h·3·2^B < S(k) with
+    * S(k) = CDF(k)·(3·2^B)·P, all exact BIGINTs under the house hash
+    * modulus P.
+    */
+  val DpEpsilonQ6 = 693147L
+  val DpNoiseBound = 16
+  val DpHashP = 1000000007L
+  val DpThresholds: Seq[Long] =
+    (-DpNoiseBound until DpNoiseBound).map { k =>
+      if (k <= 0) (1L << (k + DpNoiseBound + 1)) * DpHashP
+      else (3L * (1L << DpNoiseBound) - (1L << (DpNoiseBound - k))) * DpHashP
+    }
+
+  /** Differentially-private count release — the governance primitive a
+    * data clearinghouse runs when it must publish group sizes without
+    * revealing any individual's membership: per-nation customer counts
+    * plus two-sided geometric noise (the discrete Laplace mechanism,
+    * Ghosh-Roughgarden-Sundararajan 2009 — ε-DP for counting queries at
+    * sensitivity 1), ε = ln 2, truncated at ±[[DpNoiseBound]]
+    * (truncation tail mass (2/3)·2^(−16) ≈ 1e-5). True counts are NOT
+    * surfaced — the release is the noisy count with its privacy
+    * parameters.
+    *
+    * TEST-MODE NOISE SOURCE, stated loudly (the stubDecode discipline
+    * applied to randomness): u = permKey(group)/P — a deterministic hash,
+    * NOT a random draw, so this exact release is replayable by the
+    * DuckDB oracle end to end (the mechanism ARITHMETIC — exact-rational
+    * inverse CDF via the integer [[DpThresholds]] ladder — is what the
+    * hash match proves). A production deployment swaps u for a real RNG
+    * draw (one line), restoring the formal ε-DP guarantee; everything
+    * else — ladder, truncation, sensitivity — ships unchanged.
+    *
+    * Scale: one map-side-combined count per group + an O(B) literal-array
+    * fold per GROUP (never per row); output bounded by group cardinality.
+    */
+  def dpCount(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("h") * lit(3L * (1L << DpNoiseBound))
+    val thr = array(DpThresholds.map(lit): _*)
+    val noise = aggregate(thr, lit(0),
+      (acc, s) => acc + when(x >= s, 1).otherwise(0)) - lit(DpNoiseBound)
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_n"))
+      .withColumn("h", PipelineOps.permKey(col("c_nationkey")))
+      .select(
+        col("c_nationkey"),
+        (col("true_n") + noise).as("noisy_count"),
+        lit(DpEpsilonQ6).as("epsilon_q6"),
+        lit(DpNoiseBound).as("noise_bound"))
+  }
 }

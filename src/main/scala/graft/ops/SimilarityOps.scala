@@ -149,6 +149,49 @@ object SimilarityOps {
       .select(col("q_id"), col("id"), col("rk_l"))
   }
 
+  /** Three-leg Reciprocal Rank Fusion — [[hybridRrf]] extended with the
+    * [[bm25TopK]] leg, the production shape where the lexical side runs
+    * BOTH a cheap boolean-overlap retriever and a BM25-weighted one and
+    * the fusion arbitrates: per query, fused = Σ over present legs of
+    * 1/(60+rank) across (vector cosine top-10, distinct-overlap top-10,
+    * BM25 top-10). Still a FIXED three-term expression over integer
+    * ranks — no float aggregation anywhere — so fully oracle-checkable;
+    * 0 marks an absent leg. Two same-cost lexical legs genuinely
+    * disagree (BM25's idf demotes stopword-ish shingles), which is what
+    * gives the third leg fusion value; HybridRrf3Spec asserts the
+    * orders differ and replays the full fusion.
+    *
+    * Scale: the three legs are the three established bounded plans (one
+    * corpus stream + broadcast queries each); fusion full-outer-joins
+    * three ≤10·|Q|-row frames. Nothing new shuffles.
+    */
+  def hybridRrf3(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val vleg = knnCosine(spark, dir)
+      .select(col("q_id"), col("vec_id").as("id"), col("rk").as("rk_v"))
+    val lleg = lexicalTopK(spark, dir)
+      .select(col("q_id"), col("id"), col("rk_l"))
+    val bleg = bm25TopK(spark, dir)
+      .select(col("q_id"), col("id"), col("rk").as("rk_b"))
+    def term(rk: Column) =
+      when(rk.isNotNull, lit(1.0) / (lit(60) + rk)).otherwise(lit(0.0))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("fused").desc, col("id"))
+    vleg.join(lleg, Seq("q_id", "id"), "full_outer")
+      .join(bleg, Seq("q_id", "id"), "full_outer")
+      .select(
+        col("q_id"), col("id"),
+        coalesce(col("rk_v"), lit(0)).cast(IntegerType).as("rk_v"),
+        coalesce(col("rk_l"), lit(0)).cast(IntegerType).as("rk_l"),
+        coalesce(col("rk_b"), lit(0)).cast(IntegerType).as("rk_b"),
+        (term(col("rk_v")) + term(col("rk_l")) + term(col("rk_b")))
+          .as("fused"))
+      .withColumn("fused_rk", row_number().over(wf))
+      .filter(col("fused_rk") <= k)
+      .select(col("q_id"), col("id"), col("rk_v"), col("rk_l"), col("rk_b"),
+        col("fused"), col("fused_rk").cast(IntegerType).as("fused_rk"))
+  }
+
   /** BM25 parameters as exact-double literals, public so the oracle SQL
     * interpolates THE SAME parse-exact decimal strings (0.75 and 0.25 are
     * dyadic; 1.2 and 2.2 parse to doubles with 1.2+1.0 == 2.2 exactly, so

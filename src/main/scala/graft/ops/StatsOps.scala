@@ -1040,6 +1040,58 @@ object StatsOps {
     * ROW window would silently mis-forecast across gap days — calendar
     * join semantics are the correct ones and cost the same.
     */
+  /** Classical additive seasonal decomposition of the daily event-volume
+    * series — volume = trend + weekly seasonal + residual, the
+    * [[seasonalBacktest]] diagnostic's explanatory companion (and the
+    * load-forecasting prep every capacity model starts from): trend is
+    * the centered 7-day moving average (full windows only — edge days
+    * report null trend and are excluded from the seasonal fit), seasonal
+    * is the per-weekday mean of the detrended series, residual is what
+    * remains.
+    *
+    * Exact-rational discipline (no float aggregation anywhere): the
+    * detrended value v − tn/7 is carried as its exact INTEGER numerator
+    * det_num = 7·v − tn; the weekday seasonal mean is Σdet_num/(7·n_w) —
+    * an exact BIGINT sum (order-free) with ONE boundary division; the
+    * residual clears to ((det_num·n_w − s_num))/(7·n_w), again one
+    * division of exact integers. Weekday is epoch-day mod 7 — engine-
+    * neutral (Spark dayofweek and DuckDB dayofweek disagree on origin).
+    *
+    * Scale: daily volumes partial-aggregate map-side to a calendar-
+    * bounded frame; the single-partition windows and the weekday fit run
+    * over that summary (30 rows/month at ANY event volume) — the
+    * skew_report/decile_drift discipline.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint-truncated like mutual_info's cells: the seasonal-fit
+    // branch and the output branch both consume the day summary — without
+    // the cut Catalyst plans TWO independent fact scans
+    val daily = Tables.ckpt(Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("v")))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("tn",
+        when(count(lit(1)).over(w) === 7, sum(col("v")).over(w)))
+      .withColumn("det_num", lit(7) * col("v") - col("tn"))
+      .withColumn("wd",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7))
+          .cast(IntegerType))
+    val seas = t.filter(col("tn").isNotNull)
+      .groupBy(col("wd"))
+      .agg(sum(col("det_num")).as("s_num"), count(lit(1)).as("n_w"))
+    t.join(broadcast(seas), Seq("wd"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("wd"), col("v").as("volume"),
+        (col("tn").cast(DoubleType) / lit(7.0)).as("trend"),
+        (col("s_num").cast(DoubleType)
+          / (lit(7L) * col("n_w")).cast(DoubleType)).as("seasonal"),
+        when(col("tn").isNotNull,
+          (col("det_num") * col("n_w") - col("s_num")).cast(DoubleType)
+            / (lit(7L) * col("n_w")).cast(DoubleType)).as("residual"))
+  }
+
   def seasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))

@@ -329,4 +329,70 @@ object TextOps {
           (lit(2L).cast(DecimalType(19, 0)) * d(col("na")) * d(col("nb")))
             .cast(DoubleType)).as("tv_distance"))
   }
+
+  /** ROUGE-1/ROUGE-2 evaluation over (reference, candidate) document
+    * pairs — the n-gram-overlap metric every summarization / distillation
+    * / paraphrase pipeline reports (Lin 2004), with the CLIPPED counts
+    * real ROUGE uses: overlap_n = Σ_g min(tf_cand(g), tf_ref(g)) — a
+    * multiset intersection, so a candidate repeating one reference token
+    * can't inflate recall. Pairing is the adjacent-id convention the
+    * corpus's pair ops share (ngram_jaccard's generator): reference = doc
+    * d, candidate = doc d+1 — a production run swaps in its real
+    * (cand, ref) key. Precision/recall are single divisions of exact
+    * integers; F1 uses the algebraic collapse 2PR/(P+R) = 2·ov/(n_ref +
+    * n_cand) — ONE division over exact integers instead of a float chain
+    * (the centroid_confusion F1 discipline). ROUGE-2 columns NULL-guard
+    * the one-token-document case (n2 = 0).
+    *
+    * Scale: tf frames aggregate map-side on (doc, gram); the overlap
+    * join is EQUI on (doc+1, gram) — both sides hash on the pair key, so
+    * a common gram never fans out across unrelated pairs; per-pair work
+    * is bounded by document length. No all-pairs term.
+    */
+  def rougeEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .withColumn("g2", expr(
+        "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])), array())"))
+    val tot = base.select(col("doc_id"),
+      size(col("w")).cast(LongType).as("n1"),
+      size(col("g2")).cast(LongType).as("n2"))
+    def tf(c: String): DataFrame = base
+      .select(col("doc_id"), explode(col(c)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    def ov(c: String, out: String): DataFrame = {
+      val r = tf(c).select(col("doc_id").as("ref_id"), col("g"),
+        col("tf").as("tf_r"))
+      val cd = tf(c).select((col("doc_id") - 1).as("ref_id"), col("g"),
+        col("tf").as("tf_c"))
+      r.join(cd, Seq("ref_id", "g"))
+        .groupBy(col("ref_id"))
+        .agg(sum(least(col("tf_r"), col("tf_c"))).as(out))
+    }
+    def d(c: Column) = c.cast(DoubleType)
+    val pairs = tot.select(col("doc_id").as("ref_id"),
+        col("n1").as("n1_ref"), col("n2").as("n2_ref"))
+      .join(tot.select((col("doc_id") - 1).as("ref_id"),
+        col("n1").as("n1_cand"), col("n2").as("n2_cand")), Seq("ref_id"))
+    pairs
+      .join(ov("w", "ov1"), Seq("ref_id"), "left")
+      .join(ov("g2", "ov2"), Seq("ref_id"), "left")
+      .select(
+        col("ref_id"), (col("ref_id") + 1).as("cand_id"),
+        coalesce(col("ov1"), lit(0L)).as("ov1"),
+        col("n1_ref"), col("n1_cand"),
+        (d(coalesce(col("ov1"), lit(0L))) / d(col("n1_cand"))).as("rouge1_p"),
+        (d(coalesce(col("ov1"), lit(0L))) / d(col("n1_ref"))).as("rouge1_r"),
+        (d(lit(2L) * coalesce(col("ov1"), lit(0L)))
+          / d(col("n1_ref") + col("n1_cand"))).as("rouge1_f"),
+        coalesce(col("ov2"), lit(0L)).as("ov2"),
+        col("n2_ref"), col("n2_cand"),
+        when(col("n2_cand") =!= 0,
+          d(coalesce(col("ov2"), lit(0L))) / d(col("n2_cand"))).as("rouge2_p"),
+        when(col("n2_ref") =!= 0,
+          d(coalesce(col("ov2"), lit(0L))) / d(col("n2_ref"))).as("rouge2_r"),
+        when(col("n2_ref") + col("n2_cand") =!= 0,
+          d(lit(2L) * coalesce(col("ov2"), lit(0L)))
+            / d(col("n2_ref") + col("n2_cand"))).as("rouge2_f"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.QualityOps
+import graft.ops.{QualityOps, TextOps}
 
 /** Hand-computed ground truth for the Gopher-style repetition rules:
   * crafted documents with known n-gram structure, written to a temp
@@ -95,5 +95,51 @@ class GopherRulesSpec extends SparkSuite {
     assert(got.values.exists(!_._4), "no doc dropped — blocklist vacuous")
     assert(got.values.count(_._4) > got.values.count(!_._4),
       "most docs must survive a sane lexicon gate")
+  }
+
+  test("rouge_eval matches a clipped-count driver replay at sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] = t.trim.split(" ", -1).toSeq
+    def bigrams(w: Seq[String]): Seq[String] =
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => s"${p.head} ${p.last}").toSeq
+    def clipped(a: Seq[String], b: Seq[String]): Long = {
+      val ta = a.groupBy(identity).map { case (g, o) => g -> o.length }
+      val tb = b.groupBy(identity).map { case (g, o) => g -> o.length }
+      ta.map { case (g, c) => math.min(c, tb.getOrElse(g, 0)) }.sum.toLong
+    }
+    val expected = docs.keys.filter(d => docs.contains(d + 1)).map { ref =>
+      val (wr, wc) = (toks(docs(ref)), toks(docs(ref + 1)))
+      val (br, bc) = (bigrams(wr), bigrams(wc))
+      val ov1 = clipped(wr, wc); val ov2 = clipped(br, bc)
+      ref -> (ov1, wr.length.toLong, wc.length.toLong,
+        2.0 * ov1 / (wr.length + wc.length),
+        ov2, br.length.toLong, bc.length.toLong,
+        if (br.length + bc.length != 0)
+          Some(2.0 * ov2 / (br.length + bc.length)) else None)
+    }.toMap
+    val got = TextOps.rougeEval(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        r.getAs[Long]("ref_id") -> (
+          r.getAs[Long]("ov1"), r.getAs[Long]("n1_ref"),
+          r.getAs[Long]("n1_cand"), r.getAs[Double]("rouge1_f"),
+          r.getAs[Long]("ov2"), r.getAs[Long]("n2_ref"),
+          r.getAs[Long]("n2_cand"),
+          Option(r.getAs[java.lang.Double]("rouge2_f")).map(_.doubleValue))
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, e) <- expected) assert(got(k) == e, s"pair $k")
+    // clipping must matter somewhere: some pair's clipped unigram overlap
+    // is strictly below the unclipped (sum-of-min vs naive min-of-sums
+    // differ only when a gram repeats) — guards against a set-semantics
+    // regression reading as ROUGE
+    val anyRepeatPair = docs.keys.filter(d => docs.contains(d + 1)).exists { ref =>
+      val wr = toks(docs(ref)); val wc = toks(docs(ref + 1))
+      val shared = wr.toSet.intersect(wc.toSet)
+      shared.exists(g => wr.count(_ == g) > 1 || wc.count(_ == g) > 1)
+    }
+    assert(anyRepeatPair, "no repeated shared token in any pair — clipping vacuous")
   }
 }

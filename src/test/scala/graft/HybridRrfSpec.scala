@@ -246,4 +246,68 @@ class HybridRrfSpec extends SparkSuite {
     assert(queries.exists(q => bm25Order(q) != overlapOrder(q)),
       "BM25 order identical to raw overlap for every query — weighting vacuous")
   }
+
+  test("hybrid_rrf3 matches a driver-side three-leg fusion replay at sf0.001") {
+    // the three legs from the ops' OWN outputs (each leg is pinned by
+    // its own replay test above / in knn_cosine's oracle); this test
+    // pins the three-way fusion arithmetic and top-10 cut
+    val vleg: Map[(Long, Long), Int] =
+      SparkEntry.queries("knn_cosine")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+          r.getAs[Int]("rk")).toMap
+    val bleg: Map[(Long, Long), Int] =
+      SimilarityOps.bm25TopK(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("id")) ->
+          r.getAs[Int]("rk")).toMap
+    // the full lexical leg is recomputed here (hybridRrf's output only
+    // carries lexical ranks that survived ITS two-leg fused top-10)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }
+    val queries = docs.keys.filter(_ < 10).toSeq.sorted
+    val llegFull: Map[(Long, Long), Int] = queries.flatMap { q =>
+      val qg = gs(q)
+      gs.toSeq
+        .filter { case (id, g) => id != q && g.intersect(qg).nonEmpty }
+        .map { case (id, g) => (id, g.intersect(qg).size) }
+        .sortBy { case (id, ov) => (-ov, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1) }
+    }.toMap
+    val expected = queries.flatMap { q =>
+      val ids = (vleg.keySet ++ llegFull.keySet ++ bleg.keySet)
+        .collect { case (`q`, id) => id }
+      ids.map { id =>
+        val rv = vleg.get((q, id)); val rl = llegFull.get((q, id))
+        val rb = bleg.get((q, id))
+        val fused = rv.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, id, rv.getOrElse(0), rl.getOrElse(0), rb.getOrElse(0), fused)
+      }.toSeq.sortBy { case (_, id, _, _, _, f) => (-f, id) }
+        .take(10).zipWithIndex
+        .map { case ((qq, id, rv, rl, rb, f), i) =>
+          (qq, id) -> (rv, rl, rb, f, i + 1) }
+    }.toMap
+    val got = SimilarityOps.hybridRrf3(spark, sf).collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("id")) -> (
+        r.getAs[Int]("rk_v"), r.getAs[Int]("rk_l"), r.getAs[Int]("rk_b"),
+        r.getAs[Double]("fused"), r.getAs[Int]("fused_rk"))
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"only-got=${got.keySet -- expected.keySet} only-exp=${expected.keySet -- got.keySet}")
+    for ((k, e) <- expected) assert(got(k) == e, s"pair $k")
+    // the third leg must genuinely move the fusion: some row's two
+    // lexical ranks disagree, and some fused row carries a bm25 rank
+    val rows = got.values.toSeq
+    assert(rows.exists(r => r._2 > 0 && r._3 > 0 && r._2 != r._3),
+      "overlap and BM25 ranks never disagree — third leg vacuous")
+    assert(rows.exists(r => r._3 > 0), "no bm25-ranked row in any top-10")
+  }
 }

@@ -288,6 +288,98 @@ class LinkStatsSpec extends SparkSuite {
       "coarser QI must not raise max EMD")
   }
 
+  test("seasonal_decompose: exact-rational replay; additive identity holds") {
+    val days = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"))
+      .collect().map(_.getDate(0).toLocalDate)
+    val daily = days.groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val sorted = daily.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    // the fixture is calendar-gapless (every day has events), so the
+    // engine's 7-ROW window IS a 7-day centered window — assert that
+    // precondition so a gapped future fixture fails loudly here
+    assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+      b.toEpochDay == a.toEpochDay + 1 }, "events fixture has calendar gaps")
+    val tn: Map[java.time.LocalDate, Option[Long]] = sorted.zipWithIndex.map {
+      case (d, i) =>
+        val full = i >= 3 && i + 3 < sorted.length
+        d -> (if (full) Some((i - 3 to i + 3).map(j => daily(sorted(j))).sum)
+              else None)
+    }.toMap
+    val detNum = sorted.collect {
+      case d if tn(d).isDefined => d -> (7L * daily(d) - tn(d).get)
+    }.toMap
+    def wd(d: java.time.LocalDate): Int = (((d.toEpochDay % 7) + 7) % 7).toInt
+    val seas = detNum.keys.groupBy(wd).map { case (w, ds) =>
+      w -> (ds.map(detNum).sum, ds.size.toLong)
+    }
+    val got = StatsOps.seasonalDecompose(spark, sf).collect()
+    assert(got.length == sorted.length)
+    for (r <- got) {
+      val d = java.time.LocalDate.parse(r.getAs[String]("day"))
+      assert(r.getAs[Int]("wd") == wd(d))
+      assert(r.getAs[Long]("volume") == daily(d))
+      val trend = Option(r.getAs[java.lang.Double]("trend")).map(_.doubleValue)
+      assert(trend == tn(d).map(_.toDouble / 7.0), s"trend $d")
+      val (sNum, nW) = seas(wd(d))
+      assert(r.getAs[Double]("seasonal") == sNum.toDouble / (7.0 * nW))
+      val resid = Option(r.getAs[java.lang.Double]("residual")).map(_.doubleValue)
+      tn(d) match {
+        case Some(_) =>
+          val e = (detNum(d) * nW - sNum).toDouble / (7.0 * nW)
+          assert(resid.contains(e), s"residual $d")
+          // additive identity: exact in rationals, ~1 ulp in doubles
+          assert(math.abs(daily(d).toDouble -
+            (trend.get + sNum.toDouble / (7.0 * nW) + e)) < 1e-9)
+        case None => assert(resid.isEmpty, s"edge day $d must have null residual")
+      }
+    }
+    // non-vacuity: a weekly pattern must exist (some seasonal ≠ 0) and
+    // both edge (null-trend) and interior days occur
+    assert(seas.values.exists(_._1 != 0L), "all seasonal zero — no weekly pattern")
+    assert(tn.values.exists(_.isEmpty) && tn.values.exists(_.isDefined))
+  }
+
+  test("dp_count: threshold ladder IS the exact rational CDF; release matches a replay") {
+    import QualityOps._
+    val B = DpNoiseBound
+    // ladder vs the textbook two-sided-geometric CDF at α = 1/2, computed
+    // independently in exact rationals: CDF(k≤0) = 2^(k+1)/3,
+    // CDF(k>0) = 1 − 2^(−k)/3; S(k) = CDF(k)·3·2^B·P
+    for ((s, idx) <- DpThresholds.zipWithIndex) {
+      val k = idx - B
+      val num = // CDF(k) · 3 · 2^B as an exact integer
+        if (k <= 0) BigInt(2).pow(k + 1 + B)
+        else BigInt(3) * BigInt(2).pow(B) - BigInt(2).pow(B - k)
+      assert(BigInt(s) == num * DpHashP, s"ladder at k=$k")
+    }
+    assert(DpThresholds == DpThresholds.sorted, "ladder must be monotone")
+    // release replay
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey")).collect().map(_.getInt(0))
+    val trueN = cust.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def noise(nk: Int): Long = {
+      val h = BigInt(nk) % DpHashP * BigInt(2654435761L) % DpHashP
+      val x = h * (3L * (1L << B))
+      DpThresholds.count(s => x >= s).toLong - B
+    }
+    val got = QualityOps.dpCount(spark, sf).collect()
+    assert(got.length == trueN.size)
+    for (r <- got) {
+      val nk = r.getAs[Int]("c_nationkey")
+      assert(r.getAs[Long]("noisy_count") == trueN(nk) + noise(nk), s"nation $nk")
+      assert(r.getAs[Long]("epsilon_q6") == DpEpsilonQ6)
+      assert(r.getAs[Int]("noise_bound") == B)
+    }
+    // the mechanism must actually perturb: some group's noise is nonzero,
+    // and all noise stays inside the truncation bound
+    val noises = trueN.keys.map(noise)
+    assert(noises.exists(_ != 0L), "all noise zero — mechanism vacuous")
+    assert(noises.forall(n => n >= -B && n <= B))
+    // both signs occur across the hash-spread groups (distribution sanity)
+    assert(noises.exists(_ > 0L) && noises.exists(_ < 0L),
+      "noise never changes sign across 25 groups — suspicious u spread")
+  }
+
   test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {
     val rows = Tables.lineitem(spark, sfTies)
       .selectExpr("l_returnflag", "l_orderkey",

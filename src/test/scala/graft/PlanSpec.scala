@@ -620,6 +620,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("rouge_eval: overlap joins are equi on (pair, gram) — no cartesian, no BNLJ") {
+    val p = plan("rouge_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hybrid_rrf3: three bounded legs, no cartesian anywhere") {
+    val p = plan("hybrid_rrf3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("mutual_info: ONE fact scan; marginals ride broadcasts over the checkpointed cells") {
     val p = plan("mutual_info")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
@@ -660,6 +672,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("FileScan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("seasonal_decompose: ONE fact scan into checkpointed day summary; fit broadcasts back") {
+    val p = plan("seasonal_decompose")
+    // the cut: both branches read the materialized 30-row day frame
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dp_count: one map-side-combined scan; the noise fold runs per GROUP, no join") {
+    val p = plan("dp_count")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
   }
 
   test("l_diversity: broadcast dim join; distinct census partial-aggregates") {
