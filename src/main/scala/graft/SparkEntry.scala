@@ -200,6 +200,7 @@ object SparkEntry {
     "l_diversity"       -> (QualityOps.lDiversity _),
     "t_closeness"       -> (QualityOps.tCloseness _),
     "dp_count"          -> (QualityOps.dpCount _),
+    "watermark_detect"  -> (QualityOps.watermarkDetect _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
@@ -4658,6 +4659,35 @@ object SparkEntry {
         |UNION ALL
         |${lvl("segment", Seq("c_mktsegment"))}""".stripMargin
     },
+    // greenlist test: md5 is byte-identical cross-engine and the first
+    // hex digit <= '7' is an exact gamma=1/2 partition; z = (2G-T)/sqrt(T)
+    // is one division over an IEEE-exact sqrt; threshold interpolated
+    "watermark_detect" ->
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 2
+        |             THEN list_transform(range(1, len(w)),
+        |                    i -> concat(w[i], ' ', w[i+1]))
+        |             ELSE [] END AS g2
+        |      FROM d),
+        |s AS (SELECT doc_id,
+        |        CAST(len(g2) AS BIGINT) AS t_scored,
+        |        CAST(coalesce(list_sum(list_transform(g2,
+        |          g -> CASE WHEN substring(md5(g), 1, 1) <= '7'
+        |               THEN 1 ELSE 0 END)), 0) AS BIGINT) AS g_hits
+        |      FROM b)
+        |SELECT doc_id, t_scored, g_hits,
+        |  CASE WHEN t_scored <> 0 THEN
+        |    CAST(g_hits AS DOUBLE) / CAST(t_scored AS DOUBLE) END AS green_frac,
+        |  CASE WHEN t_scored <> 0 THEN
+        |    CAST(2 * g_hits - t_scored AS DOUBLE)
+        |      / sqrt(CAST(t_scored AS DOUBLE)) END AS z,
+        |  coalesce(CASE WHEN t_scored <> 0 THEN
+        |    CAST(2 * g_hits - t_scored AS DOUBLE)
+        |      / sqrt(CAST(t_scored AS DOUBLE)) END
+        |    > ${graft.ops.QualityOps.WatermarkZ}, false) AS flagged
+        |FROM s""".stripMargin,
     // DP count release: the two-sided geometric (discrete Laplace)
     // mechanism at ε=ln2 with the exact-rational inverse CDF cleared to
     // the integer DpThresholds ladder; the deterministic test-mode u =

@@ -570,12 +570,32 @@ object MultimodalOps {
     * (frame payloads are never touched) — the cheapest possible census
     * over a 100 TB video corpus.
     */
-  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+  def videoMeta(spark: SparkSession, dir: String): DataFrame =
+    videoMetaRows(Tables.documents(spark, dir))
+
+  /** The ONE encode→container-parse definition behind [[videoMeta]] and
+    * the streaming twin [[graft.streaming.MediaMetaStream]]: accepts any
+    * (doc_id, text) frame — batch OR streaming (the map is stateless, so
+    * it runs unmodified under a streaming plan) — and both paths are
+    * bit-identical by construction.
+    */
+  def videoMetaRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    videoPayloads(spark, dir)
+    docs
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
       .mapPartitions(_.map { r =>
+        val nb = r.payload.length
+        val nFrames = 1 + nb % VideoMaxFrames
+        val fps = VideoFpsBase + nb % VideoFpsSpan
+        val frames = (0 until nFrames)
+          .map(f => JpegCodec.encodeJpeg(buildVideoFrame(r.payload, f)))
+        val tx = 2 + (nb / 16) % 16
+        val ty = 2 + (nb / 32) % 16
+        val avi = AviCodec.encodeAvi(8 * tx, 8 * ty, fps, frames)
         try {
-          val (m, _) = AviCodec.decodeAvi(r.payload)
+          val (m, _) = AviCodec.decodeAvi(avi)
           (r.doc_id, "mjpeg", m.width, m.height, m.fps, m.nFrames.toLong)
         } catch {
           case _: IllegalArgumentException | _: NoSuchElementException =>

@@ -651,6 +651,59 @@ object QualityOps {
       .unionByName(level("segment", Seq("c_mktsegment")))
   }
 
+  /** Screening z-threshold for [[watermarkDetect]] — public so the oracle
+    * SQL interpolates THIS literal. 2.0 is a triage threshold (≈2.3% of
+    * clean docs flag for review); a production detector confirming
+    * watermarks uses ~4.
+    */
+  val WatermarkZ = 2.0
+
+  /** Greenlist watermark detection — the screen a training-data pipeline
+    * runs for LLM-watermarked synthetic text (Kirchenbauer et al. 2023:
+    * a watermarking sampler boosts a prev-token-keyed pseudorandom
+    * "green" half of the vocabulary, so watermarked text shows a green
+    * excess any party with the hash can detect): per document, score
+    * each token against the greenlist keyed by its predecessor —
+    * green ⟺ the first hex digit of md5(prev ⊔ ' ' ⊔ cur) ≤ '7', an
+    * exactly-γ=1/2 pseudorandom partition BOTH engines compute
+    * byte-identically (md5 is fully specified; the hex compare is a
+    * string compare) — and report the hit count, fraction, and the
+    * one-proportion z statistic, which at γ = 1/2 collapses to
+    * z = (2G − T)/√T: exact integers into ONE division over one
+    * IEEE-exact sqrt, no transcendental anywhere. Docs with < 2 tokens
+    * score nothing (null fraction/z, unflagged). The fixture corpus is
+    * unwatermarked, so flags at [[WatermarkZ]] are the expected ~2%
+    * false-positive tail — the spec pins the mean-z-near-0 sanity and
+    * that both flag branches occur.
+    *
+    * Scale: ONE map-side pass — the per-doc greenlist fold runs inside
+    * an array aggregate (no explode, no join, zero exchanges,
+    * PlanSpec-pinned); md5-per-bigram is the dominant cost and is
+    * embarrassingly parallel, the codec-op class.
+    */
+  def watermarkDetect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("w", split(trim(col("text")), " "))
+      .withColumn("g2", expr(
+        "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])), array())"))
+      .select(
+        col("doc_id"),
+        size(col("g2")).cast(LongType).as("t_scored"),
+        expr(
+          "aggregate(g2, 0L, (acc, g) -> acc + IF(substring(md5(g), 1, 1) <= '7', 1L, 0L))")
+          .as("g_hits"))
+      .select(
+        col("doc_id"), col("t_scored"), col("g_hits"),
+        when(col("t_scored") =!= 0,
+          col("g_hits").cast(DoubleType) / col("t_scored").cast(DoubleType))
+          .as("green_frac"),
+        when(col("t_scored") =!= 0,
+          (lit(2L) * col("g_hits") - col("t_scored")).cast(DoubleType)
+            / sqrt(col("t_scored").cast(DoubleType))).as("z"))
+      .withColumn("flagged",
+        coalesce(col("z") > lit(WatermarkZ), lit(false)))
+  }
+
   /** Mechanism constants for [[dpCount]], public so the oracle SQL
     * interpolates THESE exact integers (the MaxBucket discipline):
     * ε = ln 2 (surfaced as the q6 literal), truncation bound B = 16, and

@@ -97,6 +97,53 @@ class GopherRulesSpec extends SparkSuite {
       "most docs must survive a sane lexicon gate")
   }
 
+  test("watermark_detect matches an MD5 driver replay; clean corpus behaves like a null") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def green(g: String): Boolean = {
+      val h = md.digest(g.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) <= 7
+    }
+    val expected = docs.map { case (id, t) =>
+      val w = t.trim.split(" ", -1)
+      val g2 = if (w.length < 2) Seq.empty
+               else (1 until w.length).map(i => s"${w(i - 1)} ${w(i)}")
+      val tN = g2.length.toLong
+      val gN = g2.count(green).toLong
+      id -> (tN, gN,
+        if (tN != 0) Some((2.0 * gN - tN) / math.sqrt(tN.toDouble)) else None)
+    }
+    val got = QualityOps.watermarkDetect(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> (
+          r.getAs[Long]("t_scored"), r.getAs[Long]("g_hits"),
+          Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+          r.getAs[Boolean]("flagged"))
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, (tN, gN, z)) <- expected) {
+      assert(got(k)._1 == tN, s"t at $k")
+      assert(got(k)._2 == gN, s"g at $k")
+      // engine z: (2G−T) cast double / sqrt(T) — same IEEE steps
+      z match {
+        case Some(_) =>
+          val e = (2.0 * gN - tN) / math.sqrt(tN.toDouble)
+          assert(got(k)._3.contains(e), s"z at $k")
+          assert(got(k)._4 == (e > QualityOps.WatermarkZ), s"flag at $k")
+        case None => assert(got(k)._3.isEmpty && !got(k)._4)
+      }
+    }
+    // null behavior on a clean corpus: mean z near 0, both branches occur
+    val zs = got.values.flatMap(_._3).toSeq
+    assert(zs.nonEmpty)
+    val meanZ = zs.sum / zs.length
+    assert(math.abs(meanZ) < 0.5, s"mean z $meanZ far from 0 on clean text")
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "screening threshold never/always fires — branch vacuous")
+  }
+
   test("rouge_eval matches a clipped-count driver replay at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", "text").collect()

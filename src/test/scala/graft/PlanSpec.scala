@@ -620,6 +620,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("watermark_detect: one map-side pass — no explode, no join, zero exchanges") {
+    val p = plan("watermark_detect")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+  }
+
   test("rouge_eval: overlap joins are equi on (pair, gram) — no cartesian, no BNLJ") {
     val p = plan("rouge_eval")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
