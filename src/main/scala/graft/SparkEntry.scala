@@ -253,6 +253,7 @@ object SparkEntry {
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "rouge_eval"        -> (TextOps.rougeEval _),
+    "bleu_eval"         -> (TextOps.bleuEval _),
     "ngram_containment" -> (DedupOps.ngramContainment _),
     "containment_lsh"   -> (DedupOps.containmentLsh _), // rows-only: LSH candidate stream
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
@@ -1793,6 +1794,49 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // BLEU components: per order 1..4 the clipped match count and the
+    // candidate total, p_n one exact division; the scalar BLEU (exp/ln)
+    // is left to callers by design — every ingredient is exact
+    "bleu_eval" -> {
+      def gram(n: Int): String =
+        if (n == 1) "w"
+        else s"CASE WHEN len(w) >= $n THEN list_transform(range(1, len(w) - ${n - 2}), " +
+          s"i -> concat(${(0 until n).map(j => if (j == 0) "w[i]" else s"' ', w[i+$j]").mkString(", ")})) ELSE [] END"
+      val tfs = (1 to 4).map { n =>
+        s"""t$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(${if (n == 1) "w" else s"g$n"}) AS g FROM b) x
+           |  GROUP BY 1, 2),
+           |o$n AS (SELECT r.doc_id AS ref_id,
+           |    CAST(sum(least(r.tf, c.tf)) AS BIGINT) AS m$n
+           |  FROM t$n r JOIN t$n c ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val outs = (1 to 4).map { n =>
+        s"""  coalesce(o$n.m$n, 0) AS m$n, c$n,
+           |  CASE WHEN c$n <> 0 THEN
+           |    CAST(coalesce(o$n.m$n, 0) AS DOUBLE) / CAST(c$n AS DOUBLE)
+           |  END AS p$n""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w,
+        |        ${gram(2)} AS g2, ${gram(3)} AS g3, ${gram(4)} AS g4
+        |      FROM d),
+        |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS c1,
+        |          CAST(len(g2) AS BIGINT) AS c2,
+        |          CAST(len(g3) AS BIGINT) AS c3,
+        |          CAST(len(g4) AS BIGINT) AS c4 FROM b),
+        |$tfs,
+        |p AS (SELECT r.doc_id AS ref_id,
+        |        r.c1 AS r1, c.c1, c.c2, c.c3, c.c4
+        |      FROM tot r JOIN tot c ON c.doc_id = r.doc_id + 1)
+        |SELECT p.ref_id, p.ref_id + 1 AS cand_id,
+        |  r1 AS r_len, c1 AS c_len, c1 < r1 AS bp_applies,
+        |$outs
+        |FROM p
+        |LEFT JOIN o1 USING (ref_id) LEFT JOIN o2 USING (ref_id)
+        |LEFT JOIN o3 USING (ref_id) LEFT JOIN o4 USING (ref_id)""".stripMargin
+    },
     // ROUGE with real CLIPPED counts (multiset min of tfs); F1 via the
     // algebraic collapse 2·ov/(n_ref+n_cand) — one division over exact
     // integers; ROUGE-2 NULL-guards one-token documents

@@ -349,6 +349,65 @@ object TextOps {
     * a common gram never fans out across unrelated pairs; per-pair work
     * is bounded by document length. No all-pairs term.
     */
+  /** BLEU component evaluation over the same (reference, candidate)
+    * pairs as [[rougeEval]] — the precision-side metric (Papineni 2002)
+    * completing the generation-eval pair: per n-gram order n = 1..4, the
+    * CLIPPED match count m_n = Σ_g min(tf_cand, tf_ref) and the
+    * candidate total c_n, with p_n = m_n/c_n a single division of exact
+    * integers; brevity-penalty INPUTS surface as exact lengths plus the
+    * `bp_applies` decision (c_len < r_len). The scalar BLEU —
+    * BP·exp(Σ ln p_n / 4) — is deliberately left to callers: exp/ln are
+    * not cross-engine correctly-rounded and a fused scalar would also
+    * hide WHICH order failed (the ECE / mutual-info / survival-product
+    * discipline; callers get every exact ingredient).
+    *
+    * Scale: same plan family as rougeEval — per-order tf frames
+    * aggregate map-side on (doc, gram), each overlap join is EQUI on
+    * (pair, gram); four bounded passes over the corpus explosion, no
+    * all-pairs term.
+    */
+  def bleuEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val withGrams = (2 to 4).foldLeft(base) { (df, n) =>
+      df.withColumn(s"g$n", expr(
+        s"IF(size(w) >= $n, transform(sequence(${n - 1}, size(w) - 1), " +
+          s"i -> concat_ws(' ', ${(0 until n).reverse.map(j => s"w[i-$j]").mkString(", ")})), array())"))
+    }
+    val tot = withGrams.select(col("doc_id") +:
+      (1 to 4).map(n => (if (n == 1) size(col("w"))
+        else size(col(s"g$n"))).cast(LongType).as(s"c$n")): _*)
+    def tf(c: String): DataFrame = withGrams
+      .select(col("doc_id"), explode(col(c)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    def ov(c: String, out: String): DataFrame = {
+      val r = tf(c).select(col("doc_id").as("ref_id"), col("g"),
+        col("tf").as("tf_r"))
+      val cd = tf(c).select((col("doc_id") - 1).as("ref_id"), col("g"),
+        col("tf").as("tf_c"))
+      r.join(cd, Seq("ref_id", "g"))
+        .groupBy(col("ref_id"))
+        .agg(sum(least(col("tf_r"), col("tf_c"))).as(out))
+    }
+    def d(c: Column) = c.cast(DoubleType)
+    val pairs = tot.select(col("doc_id").as("ref_id") +:
+        (1 to 4).map(n => col(s"c$n").as(s"r$n")): _*)
+      .join(tot.select((col("doc_id") - 1).as("ref_id") +:
+        (1 to 4).map(n => col(s"c$n")): _*), Seq("ref_id"))
+    val joined = (1 to 4).foldLeft(pairs) { (df, n) =>
+      df.join(ov(if (n == 1) "w" else s"g$n", s"m$n"), Seq("ref_id"), "left")
+    }
+    joined.select(
+      col("ref_id") +: (col("ref_id") + 1).as("cand_id") +:
+        col("r1").as("r_len") +: col("c1").as("c_len") +:
+        (col("c1") < col("r1")).as("bp_applies") +:
+        (1 to 4).flatMap { n =>
+          val m = coalesce(col(s"m$n"), lit(0L))
+          Seq(m.as(s"m$n"), col(s"c$n"),
+            when(col(s"c$n") =!= 0, d(m) / d(col(s"c$n"))).as(s"p$n"))
+        }: _*)
+  }
+
   def rougeEval(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))

@@ -97,6 +97,50 @@ class GopherRulesSpec extends SparkSuite {
       "most docs must survive a sane lexicon gate")
   }
 
+  test("bleu_eval matches a clipped-count driver replay at sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] = t.trim.split(" ", -1).toSeq
+    def grams(w: Seq[String], n: Int): Seq[String] =
+      if (w.length < n) Seq.empty
+      else w.sliding(n).map(_.mkString(" ")).toSeq
+    def clipped(a: Seq[String], b: Seq[String]): Long = {
+      val ta = a.groupBy(identity).map { case (g, o) => g -> o.length }
+      val tb = b.groupBy(identity).map { case (g, o) => g -> o.length }
+      ta.map { case (g, c) => math.min(c, tb.getOrElse(g, 0)) }.sum.toLong
+    }
+    val expected = docs.keys.filter(d => docs.contains(d + 1)).map { ref =>
+      val wr = toks(docs(ref)); val wc = toks(docs(ref + 1))
+      val per = (1 to 4).map { n =>
+        val (gr, gc) = (grams(wr, n), grams(wc, n))
+        val m = clipped(gr, gc) // clipped against the REFERENCE
+        (m, gc.length.toLong,
+          if (gc.nonEmpty) Some(m.toDouble / gc.length) else None)
+      }
+      ref -> (wr.length.toLong, wc.length.toLong,
+        wc.length < wr.length, per)
+    }.toMap
+    val got = TextOps.bleuEval(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        r.getAs[Long]("ref_id") -> (
+          r.getAs[Long]("r_len"), r.getAs[Long]("c_len"),
+          r.getAs[Boolean]("bp_applies"),
+          (1 to 4).map { n =>
+            (r.getAs[Long](s"m$n"), r.getAs[Long](s"c$n"),
+              Option(r.getAs[java.lang.Double](s"p$n")).map(_.doubleValue))
+          })
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, e) <- expected) assert(got(k) == e, s"pair $k")
+    // non-vacuity: every order has SOME match somewhere, precisions fall
+    // with order (clipping sanity), and both bp branches occur
+    for (n <- 1 to 4)
+      assert(expected.values.exists(_._4(n - 1)._1 > 0L), s"no $n-gram match anywhere")
+    assert(expected.values.exists(_._3) && expected.values.exists(!_._3),
+      "brevity penalty never/always applies")
+  }
+
   test("watermark_detect matches an MD5 driver replay; clean corpus behaves like a null") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", "text").collect()

@@ -632,6 +632,11 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bleu_eval: four per-order equi overlap joins — no cartesian, no BNLJ") {
+    val p = plan("bleu_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hybrid_rrf3: three bounded legs, no cartesian anywhere") {
     val p = plan("hybrid_rrf3")
     assert(!p.contains("CartesianProduct"), p)
