@@ -5008,12 +5008,15 @@ object SparkEntry {
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |                 CAST(count(*) AS BIGINT) AS v
         |               FROM events GROUP BY 1),
-        |t AS (SELECT day, v,
-        |        CASE WHEN count(*) OVER win = 7
-        |             THEN CAST(sum(v) OVER win AS BIGINT) END AS tn
-        |      FROM daily
-        |      WINDOW win AS (ORDER BY day
-        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |trend AS (SELECT day2 AS day, CAST(sum(v) AS BIGINT) AS tn_all,
+        |            count(*) AS nw
+        |          FROM (SELECT day + CAST(unnest(range(-3, 4)) AS INTEGER)
+        |                  AS day2, v
+        |                FROM daily) x
+        |          GROUP BY 1),
+        |t AS (SELECT daily.day, v,
+        |        CASE WHEN nw = 7 THEN tn_all END AS tn
+        |      FROM daily JOIN trend USING (day)),
         |t2 AS (SELECT day, v, tn, 7 * v - tn AS det_num,
         |         CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS wd
         |       FROM t),

@@ -1058,21 +1058,33 @@ object StatsOps {
     * neutral (Spark dayofweek and DuckDB dayofweek disagree on origin).
     *
     * Scale: daily volumes partial-aggregate map-side to a calendar-
-    * bounded frame; the single-partition windows and the weekday fit run
-    * over that summary (30 rows/month at ANY event volume) — the
-    * skew_report/decile_drift discipline.
+    * bounded frame; the trend is a ±3-day SCATTER + hash-partitioned
+    * re-aggregation over that summary — no single-partition window
+    * funnel anywhere (the GLOBAL PlanSpec invariant holds even on the
+    * 30-row frame, so the op stays shape-correct if the summary ever
+    * grows to years of days) — and the weekday fit broadcasts back.
     */
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint-truncated like mutual_info's cells: the seasonal-fit
-    // branch and the output branch both consume the day summary — without
-    // the cut Catalyst plans TWO independent fact scans
+    // checkpoint-truncated like mutual_info's cells: the trend explode,
+    // the output join and the seasonal fit all consume the day summary —
+    // without the cut Catalyst plans independent fact scans per branch
     val daily = Tables.ckpt(Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("v")))
-    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    // centered 7-day window WITHOUT a single-partition window funnel
+    // (the GLOBAL PlanSpec invariant): each day scatters its volume to
+    // day±3 and the trend re-aggregates under normal hash partitioning —
+    // full windows are exactly the days that collected 7 contributions.
+    // (On a gapless calendar this equals the 7-ROW centered window; on a
+    // gapped one the CALENDAR window is the defensible semantics anyway.)
+    val trend = daily
+      .select(col("day"), col("v"), explode(sequence(lit(-3), lit(3))).as("k"))
+      .select(date_add(col("day"), col("k")).as("day"), col("v"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).as("tn_all"), count(lit(1)).as("nw"))
     val t = daily
-      .withColumn("tn",
-        when(count(lit(1)).over(w) === 7, sum(col("v")).over(w)))
+      .join(trend, Seq("day"))
+      .withColumn("tn", when(col("nw") === 7, col("tn_all")))
       .withColumn("det_num", lit(7) * col("v") - col("tn"))
       .withColumn("wd",
         pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7))

@@ -294,9 +294,10 @@ class LinkStatsSpec extends SparkSuite {
       .collect().map(_.getDate(0).toLocalDate)
     val daily = days.groupBy(identity).map { case (d, v) => d -> v.length.toLong }
     val sorted = daily.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
-    // the fixture is calendar-gapless (every day has events), so the
-    // engine's 7-ROW window IS a 7-day centered window — assert that
-    // precondition so a gapped future fixture fails loudly here
+    // the engine computes the CALENDAR-centered window (±3 days via
+    // scatter + re-aggregate); on the gapless fixture that equals this
+    // consecutive-index replay — assert the precondition so a gapped
+    // future fixture fails loudly here instead of silently diverging
     assert(sorted.zip(sorted.tail).forall { case (a, b) =>
       b.toEpochDay == a.toEpochDay + 1 }, "events fixture has calendar gaps")
     val tn: Map[java.time.LocalDate, Option[Long]] = sorted.zipWithIndex.map {

@@ -686,13 +686,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("seasonal_decompose: ONE fact scan into checkpointed day summary; fit broadcasts back") {
+  test("seasonal_decompose: ONE fact scan into checkpointed day summary; no single-partition funnel") {
     val p = plan("seasonal_decompose")
-    // the cut: both branches read the materialized 30-row day frame
+    // the cut: every branch reads the materialized 30-row day frame
     assert(!p.contains("FileScan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the trend is a ±3-day scatter + hash re-aggregation, NOT an
+    // unpartitioned window — the GLOBAL invariant holds structurally
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("dp_count: one map-side-combined scan; the noise fold runs per GROUP, no join") {
