@@ -344,9 +344,11 @@ object TextOps {
     * (the centroid_confusion F1 discipline). ROUGE-2 columns NULL-guard
     * the one-token-document case (n2 = 0).
     *
-    * Scale: tf frames aggregate map-side on (doc, gram); the overlap
-    * join is EQUI on (doc+1, gram) — both sides hash on the pair key, so
-    * a common gram never fans out across unrelated pairs; per-pair work
+    * Scale: both orders ride ONE corpus explosion carrying an
+    * (order, gram) struct key — tf aggregates map-side on (doc, n, gram)
+    * and a single equi overlap join on (pair, n, gram) feeds one
+    * conditional aggregation (one scan, one tf shuffle, one join); a
+    * common gram never fans out across unrelated pairs and per-pair work
     * is bounded by document length. No all-pairs term.
     */
   /** BLEU component evaluation over the same (reference, candidate)
@@ -361,43 +363,49 @@ object TextOps {
     * hide WHICH order failed (the ECE / mutual-info / survival-product
     * discipline; callers get every exact ingredient).
     *
-    * Scale: same plan family as rougeEval — per-order tf frames
-    * aggregate map-side on (doc, gram), each overlap join is EQUI on
-    * (pair, gram); four bounded passes over the corpus explosion, no
+    * Scale: ALL FOUR orders ride ONE corpus explosion — grams carry an
+    * (order, gram) struct key, tf aggregates map-side on (doc, n, gram),
+    * and a SINGLE equi overlap join on (pair, n, gram) feeds one
+    * conditional aggregation that lands the four clipped counts at once
+    * (the first cut built four per-order tf frames and joins — 8 corpus
+    * scans; this shape is one scan, one tf shuffle, one join). No
     * all-pairs term.
     */
   def bleuEval(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-    val withGrams = (2 to 4).foldLeft(base) { (df, n) =>
-      df.withColumn(s"g$n", expr(
-        s"IF(size(w) >= $n, transform(sequence(${n - 1}, size(w) - 1), " +
-          s"i -> concat_ws(' ', ${(0 until n).reverse.map(j => s"w[i-$j]").mkString(", ")})), array())"))
-    }
-    val tot = withGrams.select(col("doc_id") +:
-      (1 to 4).map(n => (if (n == 1) size(col("w"))
-        else size(col(s"g$n"))).cast(LongType).as(s"c$n")): _*)
-    def tf(c: String): DataFrame = withGrams
-      .select(col("doc_id"), explode(col(c)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-    def ov(c: String, out: String): DataFrame = {
-      val r = tf(c).select(col("doc_id").as("ref_id"), col("g"),
+      // one (n, gram) stream for every order: token window w[i-n+1..i]
+      // per end position i (1-based slice start = i-n+2 on 0-based i)
+      .withColumn("grams", expr(
+        """flatten(transform(array(1, 2, 3, 4), n ->
+          |  IF(size(w) >= n,
+          |     transform(sequence(n - 1, size(w) - 1),
+          |       i -> named_struct('n', n, 'g', concat_ws(' ', slice(w, i - n + 2, n)))),
+          |     array())))""".stripMargin))
+    val tot = base.select(col("doc_id") +:
+      (1 to 4).map(n =>
+        greatest(size(col("w")) - (n - 1), lit(0)).cast(LongType).as(s"c$n")): _*)
+    val tf = base
+      .select(col("doc_id"), explode(col("grams")).as("t"))
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("tf"))
+    val ov = tf.select(col("doc_id").as("ref_id"), col("n"), col("g"),
         col("tf").as("tf_r"))
-      val cd = tf(c).select((col("doc_id") - 1).as("ref_id"), col("g"),
-        col("tf").as("tf_c"))
-      r.join(cd, Seq("ref_id", "g"))
-        .groupBy(col("ref_id"))
-        .agg(sum(least(col("tf_r"), col("tf_c"))).as(out))
-    }
+      .join(tf.select((col("doc_id") - 1).as("ref_id"), col("n"), col("g"),
+        col("tf").as("tf_c")), Seq("ref_id", "n", "g"))
+      .groupBy(col("ref_id"))
+      .agg(
+        sum(when(col("n") === 1, least(col("tf_r"), col("tf_c")))
+          .otherwise(0L)).as("m1"),
+        (2 to 4).map(n =>
+          sum(when(col("n") === n, least(col("tf_r"), col("tf_c")))
+            .otherwise(0L)).as(s"m$n")): _*)
     def d(c: Column) = c.cast(DoubleType)
     val pairs = tot.select(col("doc_id").as("ref_id") +:
         (1 to 4).map(n => col(s"c$n").as(s"r$n")): _*)
       .join(tot.select((col("doc_id") - 1).as("ref_id") +:
         (1 to 4).map(n => col(s"c$n")): _*), Seq("ref_id"))
-    val joined = (1 to 4).foldLeft(pairs) { (df, n) =>
-      df.join(ov(if (n == 1) "w" else s"g$n", s"m$n"), Seq("ref_id"), "left")
-    }
-    joined.select(
+    pairs.join(ov, Seq("ref_id"), "left").select(
       col("ref_id") +: (col("ref_id") + 1).as("cand_id") +:
         col("r1").as("r_len") +: col("c1").as("c_len") +:
         (col("c1") < col("r1")).as("bp_applies") +:
@@ -411,31 +419,39 @@ object TextOps {
   def rougeEval(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      .withColumn("g2", expr(
-        "IF(size(w) >= 2, transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i])), array())"))
+      // BOTH orders ride ONE corpus explosion (the bleuEval shape): an
+      // (order, gram) struct stream, one tf shuffle, one overlap join —
+      // the first cut built per-order tf frames (4 corpus scans)
+      .withColumn("grams", expr(
+        """flatten(transform(array(1, 2), n ->
+          |  IF(size(w) >= n,
+          |     transform(sequence(n - 1, size(w) - 1),
+          |       i -> named_struct('n', n, 'g', concat_ws(' ', slice(w, i - n + 2, n)))),
+          |     array())))""".stripMargin))
     val tot = base.select(col("doc_id"),
       size(col("w")).cast(LongType).as("n1"),
-      size(col("g2")).cast(LongType).as("n2"))
-    def tf(c: String): DataFrame = base
-      .select(col("doc_id"), explode(col(c)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-    def ov(c: String, out: String): DataFrame = {
-      val r = tf(c).select(col("doc_id").as("ref_id"), col("g"),
+      greatest(size(col("w")) - 1, lit(0)).cast(LongType).as("n2"))
+    val tf = base
+      .select(col("doc_id"), explode(col("grams")).as("t"))
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("tf"))
+    val ov = tf.select(col("doc_id").as("ref_id"), col("n"), col("g"),
         col("tf").as("tf_r"))
-      val cd = tf(c).select((col("doc_id") - 1).as("ref_id"), col("g"),
-        col("tf").as("tf_c"))
-      r.join(cd, Seq("ref_id", "g"))
-        .groupBy(col("ref_id"))
-        .agg(sum(least(col("tf_r"), col("tf_c"))).as(out))
-    }
+      .join(tf.select((col("doc_id") - 1).as("ref_id"), col("n"), col("g"),
+        col("tf").as("tf_c")), Seq("ref_id", "n", "g"))
+      .groupBy(col("ref_id"))
+      .agg(
+        sum(when(col("n") === 1, least(col("tf_r"), col("tf_c")))
+          .otherwise(0L)).as("ov1"),
+        sum(when(col("n") === 2, least(col("tf_r"), col("tf_c")))
+          .otherwise(0L)).as("ov2"))
     def d(c: Column) = c.cast(DoubleType)
     val pairs = tot.select(col("doc_id").as("ref_id"),
         col("n1").as("n1_ref"), col("n2").as("n2_ref"))
       .join(tot.select((col("doc_id") - 1).as("ref_id"),
         col("n1").as("n1_cand"), col("n2").as("n2_cand")), Seq("ref_id"))
     pairs
-      .join(ov("w", "ov1"), Seq("ref_id"), "left")
-      .join(ov("g2", "ov2"), Seq("ref_id"), "left")
+      .join(ov, Seq("ref_id"), "left")
       .select(
         col("ref_id"), (col("ref_id") + 1).as("cand_id"),
         coalesce(col("ov1"), lit(0L)).as("ov1"),
