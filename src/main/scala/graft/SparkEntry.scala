@@ -253,6 +253,7 @@ object SparkEntry {
     "simhash_neardup"   -> (DedupOps.simhashNeardup _),
     "ngram_jaccard"     -> (DedupOps.ngramJaccard _),
     "rouge_eval"        -> (TextOps.rougeEval _),
+    "rouge_l_eval"      -> (TextOps.rougeLEval _),
     "bleu_eval"         -> (TextOps.bleuEval _),
     "ngram_containment" -> (DedupOps.ngramContainment _),
     "containment_lsh"   -> (DedupOps.containmentLsh _), // rows-only: LSH candidate stream
@@ -1886,6 +1887,54 @@ object SparkEntry {
         |      / CAST(n2_ref + n2_cand AS DOUBLE)
         |  END AS rouge2_f
         |FROM p LEFT JOIN o1 USING (ref_id) LEFT JOIN o2 USING (ref_id)""".stripMargin,
+    // ROUGE-L: the LCS DP replayed over ANTI-DIAGONALS in a recursive CTE
+    // (the bpe_segment replay discipline) — cell (i,j) needs (i-1,j-1)
+    // from diagonal k-2 and (i-1,j)/(i,j-1) from k-1, and a recursive arm
+    // may reference its own table only once, so each iteration's row per
+    // pair carries diagonal k as `cur` AND diagonal k-1 as `prev`, both as
+    // lists indexed by row i (position i+1). Invalid/boundary cells hold 0
+    // (never exceeds a real dp value, and dp[i][0]=dp[0][j]=0 anyway);
+    // answer = dp[nr][nc] on diagonal nr+nc. Depth = nr+nc, bounded by
+    // document length.
+    "rouge_l_eval" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT r.doc_id AS ref_id,
+        |         string_split(trim(r.text), ' ') AS wr,
+        |         string_split(trim(c.text), ' ') AS wc
+        |  FROM documents r JOIN documents c ON c.doc_id = r.doc_id + 1),
+        |dims AS (SELECT ref_id, wr, wc,
+        |           CAST(len(wr) AS INTEGER) AS nr,
+        |           CAST(len(wc) AS INTEGER) AS nc
+        |         FROM pairs),
+        |dp AS (
+        |  SELECT ref_id, 0 AS k,
+        |    list_transform(range(0, nr + 1), a -> 0) AS cur,
+        |    list_transform(range(0, nr + 1), a -> 0) AS prev
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT d.ref_id, d.k + 1,
+        |    list_transform(range(0, m.nr + 1), a ->
+        |      CASE WHEN a < 1 OR d.k + 1 - a < 1 OR d.k + 1 - a > m.nc
+        |             THEN 0
+        |           WHEN m.wr[CAST(a AS INTEGER)]
+        |                  = m.wc[CAST(d.k + 1 - a AS INTEGER)]
+        |             THEN d.prev[CAST(a AS INTEGER)] + 1
+        |           ELSE greatest(d.cur[CAST(a AS INTEGER)],
+        |                         d.cur[CAST(a + 1 AS INTEGER)])
+        |      END),
+        |    d.cur
+        |  FROM dp d JOIN dims m USING (ref_id)
+        |  WHERE d.k < m.nr + m.nc),
+        |fin AS (
+        |  SELECT d.ref_id, d.cur[m.nr + 1] AS lcs, m.nr, m.nc
+        |  FROM dp d JOIN dims m USING (ref_id)
+        |  WHERE d.k = m.nr + m.nc)
+        |SELECT ref_id, ref_id + 1 AS cand_id, CAST(lcs AS BIGINT) AS lcs,
+        |  CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cand,
+        |  CAST(lcs AS DOUBLE) / CAST(nc AS DOUBLE) AS rougel_p,
+        |  CAST(lcs AS DOUBLE) / CAST(nr AS DOUBLE) AS rougel_r,
+        |  CAST(2 * lcs AS DOUBLE) / CAST(nr + nc AS DOUBLE) AS rougel_f
+        |FROM fin""".stripMargin,
     "ngram_containment" ->
       s"""WITH d AS (
         |  SELECT doc_id, anchor,
@@ -5018,7 +5067,8 @@ object SparkEntry {
         |        CASE WHEN nw = 7 THEN tn_all END AS tn
         |      FROM daily JOIN trend USING (day)),
         |t2 AS (SELECT day, v, tn, 7 * v - tn AS det_num,
-        |         CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS wd
+        |         CAST(((day - DATE '1970-01-01') % 7 + 7) % 7 AS INTEGER)
+        |           AS wd
         |       FROM t),
         |seas AS (SELECT wd, CAST(sum(det_num) AS BIGINT) AS s_num,
         |           CAST(count(*) AS BIGINT) AS n_w

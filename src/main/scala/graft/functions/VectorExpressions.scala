@@ -160,7 +160,19 @@ object GraftFunctions {
       (children: Seq[Expression]) => PqAdc(children(0), children(1))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("clipped_ngram_overlaps"),
+      new ExpressionInfo(classOf[ClippedNgramOverlaps].getName, "clipped_ngram_overlaps"),
+      (children: Seq[Expression]) => ClippedNgramOverlaps(children(0), children(1),
+        // maxOrder must be a literal: it is baked into codegen
+        children(2).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"clipped_ngram_overlaps maxOrder must be an integer literal, got $other")
+        })),
+    (FunctionIdentifier("lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
+      (children: Seq[Expression]) => LcsLength(children(0), children(1))))
 
   /** Per-corpus `pq_encode` column, the codebook captured in the
     * expression — the codebook is DATA (trained per corpus), so unlike the

@@ -92,6 +92,13 @@ object AviCodec {
       frames: Seq[Array[Byte]]): Array[Byte] = {
     require(width >= 1 && width <= MaxDim && height >= 1 && height <= MaxDim,
       s"AVI: bad dimensions $width x $height")
+    // canonical-writer invariants tighter than the tolerant reader's caps:
+    // the output must round-trip through decodeAvi (MaxPixels), and rcFrame
+    // carries u16 fields, so dims beyond 0xffff would truncate silently
+    require(width.toLong * height <= MaxPixels,
+      s"AVI: $width x $height exceeds MaxPixels")
+    require(width <= 0xffff && height <= 0xffff,
+      s"AVI: $width x $height exceeds rcFrame u16 range")
     require(fps >= 1 && fps <= MaxRate, s"AVI: bad fps $fps")
     require(frames.nonEmpty && frames.length <= MaxFrames,
       s"AVI: ${frames.length} frames")
@@ -198,6 +205,8 @@ object AviCodec {
     var totalFrames = -1; var strhLength = -1
     var haveAvih = false; var haveStrh = false; var haveStrf = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val frameIds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val framePos = scala.collection.mutable.ArrayBuffer.empty[Int]
     var moviListStart = -1
     var idx1: Array[Byte] = null
 
@@ -246,6 +255,11 @@ object AviCodec {
           strhLength = getIntLE(bytes, pos + 8 + 32)
           require(scale >= 1 && rate >= 1 && rate <= MaxRate,
             s"AVI: bad rate/scale $rate/$scale")
+          // fps = rate/scale integer-divides to 0 when scale > rate — a
+          // sub-1fps stream is outside the canonical-writer family; reject
+          // rather than report fps=0
+          require(scale <= rate,
+            s"AVI: scale $scale > rate $rate (sub-1fps stream)")
           haveStrh = true
         } else if (id == "strf") {
           require(haveStrh, "AVI: strf before strh")
@@ -273,6 +287,8 @@ object AviCodec {
         if (id == "00dc" || id == "00db") {
           require(frames.length < MaxFrames, "AVI: too many frame chunks")
           frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
+          frameIds += id
+          framePos += pos
         }
         pos += 8 + sz + (sz & 1)
       }
@@ -311,6 +327,17 @@ object AviCodec {
         s"AVI: idx1 carries ${idx1.length / 16} entries for ${frames.length} frames")
       var i = 0
       while (i < frames.length) {
+        require(tag(idx1, 16 * i) == frameIds(i),
+          s"AVI: idx1 entry $i id '${tag(idx1, 16 * i)}' disagrees with " +
+            s"walked chunk '${frameIds(i)}'")
+        // offsets are relative to the 'movi' fourcc position in the
+        // canonical form; some writers emit absolute file offsets — a
+        // tolerant reader accepts either, but the entry must point at
+        // THIS chunk's header
+        val off = getIntLE(idx1, 16 * i + 8)
+        require(off == framePos(i) - moviListStart || off == framePos(i),
+          s"AVI: idx1 entry $i offset $off points at neither relative " +
+            s"${framePos(i) - moviListStart} nor absolute ${framePos(i)}")
         require(getIntLE(idx1, 16 * i + 12) == frames(i).length,
           s"AVI: idx1 entry $i size disagrees with frame chunk")
         i += 1

@@ -566,9 +566,12 @@ object MultimodalOps {
     * encode→container-parse path end to end. Corrupt payloads quarantine
     * as zero rows with codec='corrupt' (the realDecode contract).
     *
-    * Scale: pure map, one partition-wise pass, header-only work per row
-    * (frame payloads are never touched) — the cheapest possible census
-    * over a 100 TB video corpus.
+    * Scale: pure map, one partition-wise pass. The PARSE side is
+    * header-only (frame payloads are never entropy-decoded); the synthetic
+    * fixture necessarily pays the full JPEG+AVI encode per row to build
+    * the payload it parses, so encode cost dominates HERE — on a real
+    * corpus where the AVI bytes already exist, the census is header-only
+    * end to end (the 100 TB lever).
     */
   def videoMeta(spark: SparkSession, dir: String): DataFrame =
     videoMetaRows(Tables.documents(spark, dir))

@@ -63,11 +63,13 @@ object RelationalOps {
     * one (the two-actions shape the repo replaced with `observe()`
     * elsewhere), and capacity only tunes the false-positive rate — the
     * exact join behind the prefilter removes every false positive, so
-    * output is byte-identical at ANY capacity. 1M keys × fpp 1% ≈ 1.2 MB
-    * sketch; a build side beyond it degrades fpp gracefully (more rows
-    * survive to the exact join), never correctness.
+    * output is byte-identical at ANY capacity. 128k keys × fpp 1% ≈
+    * 150 KB sketch — still ≫ any realistic broadcast-worthy build side
+    * (the r12 1M/1.2 MB default made every task carry a megabyte literal
+    * for a ~3k-key build); a build side beyond it degrades fpp gracefully
+    * (more rows survive to the exact join), never correctness.
     */
-  val BloomCapacity: Long = 1L << 20
+  val BloomCapacity: Long = 1L << 17
 
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

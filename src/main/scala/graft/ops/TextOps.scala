@@ -330,144 +330,141 @@ object TextOps {
             .cast(DoubleType)).as("tv_distance"))
   }
 
-  /** ROUGE-1/ROUGE-2 evaluation over (reference, candidate) document
+  /** The PAIR-LOCAL generation-eval frame shared by [[bleuEval]] /
+    * [[rougeEval]] / [[rougeLEval]]: reference = doc d, candidate = doc
+    * d+1 (the adjacent-id convention the corpus's pair ops share —
+    * ngram_jaccard's generator; a production run swaps in its real
+    * (cand, ref) key), with each side's TOKEN ARRAY riding the join.
+    *
+    * Scale: this is the r13 rewrite of the r12 exploded plans, which
+    * shuffled gram-instance STRINGS twice (a (doc, order, gram) tf
+    * shuffle, then a (pair, order, gram) overlap-join re-shuffle — ~5
+    * gram rows per token on the wire; bleu_eval was the registry's most
+    * expensive op at 76.6 s/sf1x). Pairing is strictly (d, d+1), so each
+    * document ships exactly TWICE (once as ref keyed d, once as cand
+    * keyed d−1) through ONE equi-join shuffle of token arrays, and every
+    * n-gram statistic is computed INSIDE the row by a codegen'd kernel
+    * ([[graft.functions.ClippedNgramOverlaps]] /
+    * [[graft.functions.LcsLength]]) — O(tokens) shuffle bytes, O(tokens ·
+    * orders) bounded per-pair work, zero gram strings on the wire.
+    */
+  private def evalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    base.select(col("doc_id").as("ref_id"), col("w").as("w_ref"))
+      .join(base.select((col("doc_id") - 1).as("ref_id"),
+        col("w").as("w_cand")), Seq("ref_id"))
+  }
+
+  private def clippedCol(maxOrder: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ClippedNgramOverlaps(
+        org.apache.spark.sql.GraftBridge.expression(col("w_ref")),
+        org.apache.spark.sql.GraftBridge.expression(col("w_cand")),
+        maxOrder))
+
+  /** BLEU component evaluation over (reference, candidate) document
+    * pairs — the precision-side metric (Papineni 2002): per n-gram order
+    * n = 1..4, the CLIPPED match count m_n = Σ_g min(tf_cand, tf_ref)
+    * (real BLEU's multiset-min, so a candidate repeating one reference
+    * token can't inflate the match) and the candidate total c_n, with
+    * p_n = m_n/c_n a single division of exact integers; brevity-penalty
+    * INPUTS surface as exact lengths plus the `bp_applies` decision
+    * (c_len < r_len). The scalar BLEU — BP·exp(Σ ln p_n / 4) — is
+    * deliberately left to callers: exp/ln are not cross-engine
+    * correctly-rounded and a fused scalar would also hide WHICH order
+    * failed (the ECE / mutual-info / survival-product discipline;
+    * callers get every exact ingredient).
+    *
+    * Scale: see [[evalPairs]] — one token-array join shuffle, all four
+    * orders' clipped counts from one in-row kernel pass.
+    */
+  def bleuEval(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    evalPairs(spark, dir)
+      .withColumn("m", clippedCol(4))
+      .select(
+        col("ref_id") +: (col("ref_id") + 1).as("cand_id") +:
+          size(col("w_ref")).cast(LongType).as("r_len") +:
+          size(col("w_cand")).cast(LongType).as("c_len") +:
+          (size(col("w_cand")) < size(col("w_ref"))).as("bp_applies") +:
+          (1 to 4).flatMap { n =>
+            val m = element_at(col("m"), n)
+            val cn = greatest(size(col("w_cand")) - (n - 1), lit(0))
+              .cast(LongType)
+            Seq(m.as(s"m$n"), cn.as(s"c$n"),
+              when(cn =!= 0, d(m) / d(cn)).as(s"p$n"))
+          }: _*)
+  }
+
+  /** ROUGE-1/ROUGE-2 evaluation over the same (reference, candidate)
     * pairs — the n-gram-overlap metric every summarization / distillation
     * / paraphrase pipeline reports (Lin 2004), with the CLIPPED counts
-    * real ROUGE uses: overlap_n = Σ_g min(tf_cand(g), tf_ref(g)) — a
-    * multiset intersection, so a candidate repeating one reference token
-    * can't inflate recall. Pairing is the adjacent-id convention the
-    * corpus's pair ops share (ngram_jaccard's generator): reference = doc
-    * d, candidate = doc d+1 — a production run swaps in its real
-    * (cand, ref) key. Precision/recall are single divisions of exact
+    * real ROUGE uses. Precision/recall are single divisions of exact
     * integers; F1 uses the algebraic collapse 2PR/(P+R) = 2·ov/(n_ref +
     * n_cand) — ONE division over exact integers instead of a float chain
     * (the centroid_confusion F1 discipline). ROUGE-2 columns NULL-guard
     * the one-token-document case (n2 = 0).
     *
-    * Scale: both orders ride ONE corpus explosion carrying an
-    * (order, gram) struct key — tf aggregates map-side on (doc, n, gram)
-    * and a single equi overlap join on (pair, n, gram) feeds one
-    * conditional aggregation (one scan, one tf shuffle, one join); a
-    * common gram never fans out across unrelated pairs and per-pair work
-    * is bounded by document length. No all-pairs term.
+    * Scale: see [[evalPairs]] — one token-array join shuffle, both
+    * orders' clipped counts from one in-row kernel pass.
     */
-  /** BLEU component evaluation over the same (reference, candidate)
-    * pairs as [[rougeEval]] — the precision-side metric (Papineni 2002)
-    * completing the generation-eval pair: per n-gram order n = 1..4, the
-    * CLIPPED match count m_n = Σ_g min(tf_cand, tf_ref) and the
-    * candidate total c_n, with p_n = m_n/c_n a single division of exact
-    * integers; brevity-penalty INPUTS surface as exact lengths plus the
-    * `bp_applies` decision (c_len < r_len). The scalar BLEU —
-    * BP·exp(Σ ln p_n / 4) — is deliberately left to callers: exp/ln are
-    * not cross-engine correctly-rounded and a fused scalar would also
-    * hide WHICH order failed (the ECE / mutual-info / survival-product
-    * discipline; callers get every exact ingredient).
-    *
-    * Scale: ALL FOUR orders ride ONE corpus explosion — grams carry an
-    * (order, gram) struct key, tf aggregates map-side on (doc, n, gram),
-    * and a SINGLE equi overlap join on (pair, n, gram) feeds one
-    * conditional aggregation that lands the four clipped counts at once
-    * (the first cut built four per-order tf frames and joins — 8 corpus
-    * scans; this shape is one scan, one tf shuffle, one join). No
-    * all-pairs term.
-    */
-  def bleuEval(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      // one (n, gram) stream for every order: token window w[i-n+1..i]
-      // per end position i (1-based slice start = i-n+2 on 0-based i)
-      .withColumn("grams", expr(
-        """flatten(transform(array(1, 2, 3, 4), n ->
-          |  IF(size(w) >= n,
-          |     transform(sequence(n - 1, size(w) - 1),
-          |       i -> named_struct('n', n, 'g', concat_ws(' ', slice(w, i - n + 2, n)))),
-          |     array())))""".stripMargin))
-    val tot = base.select(col("doc_id") +:
-      (1 to 4).map(n =>
-        greatest(size(col("w")) - (n - 1), lit(0)).cast(LongType).as(s"c$n")): _*)
-    val tf = base
-      .select(col("doc_id"), explode(col("grams")).as("t"))
-      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("tf"))
-    val ov = tf.select(col("doc_id").as("ref_id"), col("n"), col("g"),
-        col("tf").as("tf_r"))
-      .join(tf.select((col("doc_id") - 1).as("ref_id"), col("n"), col("g"),
-        col("tf").as("tf_c")), Seq("ref_id", "n", "g"))
-      .groupBy(col("ref_id"))
-      .agg(
-        sum(when(col("n") === 1, least(col("tf_r"), col("tf_c")))
-          .otherwise(0L)).as("m1"),
-        (2 to 4).map(n =>
-          sum(when(col("n") === n, least(col("tf_r"), col("tf_c")))
-            .otherwise(0L)).as(s"m$n")): _*)
-    def d(c: Column) = c.cast(DoubleType)
-    val pairs = tot.select(col("doc_id").as("ref_id") +:
-        (1 to 4).map(n => col(s"c$n").as(s"r$n")): _*)
-      .join(tot.select((col("doc_id") - 1).as("ref_id") +:
-        (1 to 4).map(n => col(s"c$n")): _*), Seq("ref_id"))
-    pairs.join(ov, Seq("ref_id"), "left").select(
-      col("ref_id") +: (col("ref_id") + 1).as("cand_id") +:
-        col("r1").as("r_len") +: col("c1").as("c_len") +:
-        (col("c1") < col("r1")).as("bp_applies") +:
-        (1 to 4).flatMap { n =>
-          val m = coalesce(col(s"m$n"), lit(0L))
-          Seq(m.as(s"m$n"), col(s"c$n"),
-            when(col(s"c$n") =!= 0, d(m) / d(col(s"c$n"))).as(s"p$n"))
-        }: _*)
-  }
-
   def rougeEval(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      // BOTH orders ride ONE corpus explosion (the bleuEval shape): an
-      // (order, gram) struct stream, one tf shuffle, one overlap join —
-      // the first cut built per-order tf frames (4 corpus scans)
-      .withColumn("grams", expr(
-        """flatten(transform(array(1, 2), n ->
-          |  IF(size(w) >= n,
-          |     transform(sequence(n - 1, size(w) - 1),
-          |       i -> named_struct('n', n, 'g', concat_ws(' ', slice(w, i - n + 2, n)))),
-          |     array())))""".stripMargin))
-    val tot = base.select(col("doc_id"),
-      size(col("w")).cast(LongType).as("n1"),
-      greatest(size(col("w")) - 1, lit(0)).cast(LongType).as("n2"))
-    val tf = base
-      .select(col("doc_id"), explode(col("grams")).as("t"))
-      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("tf"))
-    val ov = tf.select(col("doc_id").as("ref_id"), col("n"), col("g"),
-        col("tf").as("tf_r"))
-      .join(tf.select((col("doc_id") - 1).as("ref_id"), col("n"), col("g"),
-        col("tf").as("tf_c")), Seq("ref_id", "n", "g"))
-      .groupBy(col("ref_id"))
-      .agg(
-        sum(when(col("n") === 1, least(col("tf_r"), col("tf_c")))
-          .otherwise(0L)).as("ov1"),
-        sum(when(col("n") === 2, least(col("tf_r"), col("tf_c")))
-          .otherwise(0L)).as("ov2"))
     def d(c: Column) = c.cast(DoubleType)
-    val pairs = tot.select(col("doc_id").as("ref_id"),
-        col("n1").as("n1_ref"), col("n2").as("n2_ref"))
-      .join(tot.select((col("doc_id") - 1).as("ref_id"),
-        col("n1").as("n1_cand"), col("n2").as("n2_cand")), Seq("ref_id"))
-    pairs
-      .join(ov, Seq("ref_id"), "left")
+    val n1r = size(col("w_ref")).cast(LongType)
+    val n1c = size(col("w_cand")).cast(LongType)
+    val n2r = greatest(size(col("w_ref")) - 1, lit(0)).cast(LongType)
+    val n2c = greatest(size(col("w_cand")) - 1, lit(0)).cast(LongType)
+    val ov1 = element_at(col("m"), 1)
+    val ov2 = element_at(col("m"), 2)
+    evalPairs(spark, dir)
+      .withColumn("m", clippedCol(2))
       .select(
         col("ref_id"), (col("ref_id") + 1).as("cand_id"),
-        coalesce(col("ov1"), lit(0L)).as("ov1"),
-        col("n1_ref"), col("n1_cand"),
-        (d(coalesce(col("ov1"), lit(0L))) / d(col("n1_cand"))).as("rouge1_p"),
-        (d(coalesce(col("ov1"), lit(0L))) / d(col("n1_ref"))).as("rouge1_r"),
-        (d(lit(2L) * coalesce(col("ov1"), lit(0L)))
-          / d(col("n1_ref") + col("n1_cand"))).as("rouge1_f"),
-        coalesce(col("ov2"), lit(0L)).as("ov2"),
-        col("n2_ref"), col("n2_cand"),
-        when(col("n2_cand") =!= 0,
-          d(coalesce(col("ov2"), lit(0L))) / d(col("n2_cand"))).as("rouge2_p"),
-        when(col("n2_ref") =!= 0,
-          d(coalesce(col("ov2"), lit(0L))) / d(col("n2_ref"))).as("rouge2_r"),
-        when(col("n2_ref") + col("n2_cand") =!= 0,
-          d(lit(2L) * coalesce(col("ov2"), lit(0L)))
-            / d(col("n2_ref") + col("n2_cand"))).as("rouge2_f"))
+        ov1.as("ov1"),
+        n1r.as("n1_ref"), n1c.as("n1_cand"),
+        (d(ov1) / d(n1c)).as("rouge1_p"),
+        (d(ov1) / d(n1r)).as("rouge1_r"),
+        (d(lit(2L) * ov1) / d(n1r + n1c)).as("rouge1_f"),
+        ov2.as("ov2"),
+        n2r.as("n2_ref"), n2c.as("n2_cand"),
+        when(n2c =!= 0, d(ov2) / d(n2c)).as("rouge2_p"),
+        when(n2r =!= 0, d(ov2) / d(n2r)).as("rouge2_r"),
+        when(n2r + n2c =!= 0,
+          d(lit(2L) * ov2) / d(n2r + n2c)).as("rouge2_f"))
+  }
+
+  /** ROUGE-L over the same (reference, candidate) pairs — the LCS-based
+    * metric summarization evals report beside ROUGE-1/2 (Lin 2004 §3):
+    * the longest common SUBSEQUENCE rewards in-order coverage without
+    * requiring contiguity, so it sees sentence-level structure the fixed
+    * n-gram orders miss. lcs is an exact integer from the in-row DP
+    * kernel ([[graft.functions.LcsLength]], O(n·m) time / O(min-side)
+    * space per pair); P = lcs/n_cand, R = lcs/n_ref, and F uses the same
+    * exact-integer collapse 2·lcs/(n_ref + n_cand) as [[rougeEval]]
+    * (β = 1). Token counts are ≥ 1 by construction (split of a non-null
+    * string), so the divisions need no zero guards — the rouge1 column
+    * convention.
+    *
+    * Scale: see [[evalPairs]]. Per-pair work is quadratic in document
+    * length but documents are length-bounded upstream (gopher_rules /
+    * content_filter cut the tail), and NO shuffle grows with it.
+    */
+  def rougeLEval(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val lcs = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LcsLength(
+        org.apache.spark.sql.GraftBridge.expression(col("w_ref")),
+        org.apache.spark.sql.GraftBridge.expression(col("w_cand"))))
+    val nr = size(col("w_ref")).cast(LongType)
+    val nc = size(col("w_cand")).cast(LongType)
+    evalPairs(spark, dir)
+      .withColumn("lcs", lcs)
+      .select(
+        col("ref_id"), (col("ref_id") + 1).as("cand_id"),
+        col("lcs"), nr.as("n_ref"), nc.as("n_cand"),
+        (d(col("lcs")) / d(nc)).as("rougel_p"),
+        (d(col("lcs")) / d(nr)).as("rougel_r"),
+        (d(lit(2L) * col("lcs")) / d(nr + nc)).as("rougel_f"))
   }
 }

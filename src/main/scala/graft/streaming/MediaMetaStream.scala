@@ -23,8 +23,10 @@ import graft.ops.MultimodalOps
   *    ANY corpus size), re-emitting refined totals per micro-batch; the
   *    final state equals the batch census over the same corpus.
   *
-  * 100 TB posture: header-only parse per item (frame payloads are never
-  * entropy-decoded — the cheapest census, same as batch video_meta), and
+  * 100 TB posture: the PARSE side is header-only per item (frame payloads
+  * are never entropy-decoded — same as batch video_meta; the synthetic
+  * fixture pays the full encode per row to build what it parses, but a
+  * real corpus with existing AVI bytes is header-only end to end), and
   * the only shuffle carries the bounded census keys.
   */
 object MediaMetaStream {

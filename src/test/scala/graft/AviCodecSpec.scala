@@ -154,10 +154,38 @@ class AviCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AviCodec.decodeAvi(mutated(100 + 8 + 4, tag("H264")))
     }
+    // sub-1fps stream: scale > rate (strh data at 108; dwScale at +20)
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(108 + 20, le32(11)))
+    }
+    // idx1 entry pointing at the wrong offset (single frame: idx1 data is
+    // the last 16 bytes; dwChunkOffset at entry +8)
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(good.length - 16 + 8, le32(12345)))
+    }
+    // idx1 entry id disagreeing with the walked chunk
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(good.length - 16, tag("01wb")))
+    }
     // empty payload and non-AVI RIFF
     intercept[IllegalArgumentException] { AviCodec.decodeAvi(Array[Byte]()) }
     assert(!AviCodec.sniff(Array[Byte](1, 2, 3)))
     assert(AviCodec.sniff(good))
+  }
+
+  test("encodeAvi enforces the canonical-writer caps (always decodable)") {
+    val f = Seq(Array[Byte](1, 2, 3))
+    // beyond rcFrame's u16 range
+    intercept[IllegalArgumentException] { AviCodec.encodeAvi(70000, 8, 10, f) }
+    // legal per-dim but beyond MaxPixels — r12's writer emitted a file its
+    // own decoder rejected
+    intercept[IllegalArgumentException] {
+      AviCodec.encodeAvi(8192, 8200, 10, f)
+    }
+    // the boundary itself encodes AND its own decoder accepts it
+    val ok = AviCodec.encodeAvi(8192, 8192, 10, f)
+    val (m, fr) = AviCodec.decodeAvi(ok)
+    assert(m.width == 8192 && m.height == 8192 && fr.length == 1)
   }
 
   test("fixture chain reproduces the analytic DC-chain pixels per frame") {

@@ -58,4 +58,22 @@ class BenchLogicSpec extends AnyFunSuite {
     // No flags: plain sum of successful medians.
     assert(BenchLogic.totalExclFlagged(med, mins, Set.empty) == 12.0)
   }
+
+  test("totalRemeasured substitutes the quiet-tail value, min fallback") {
+    val med = Map("a" -> 10.0, "b" -> 2.0, "c" -> -1.0)
+    val mins = Map("a" -> 0.5, "b" -> 1.9, "c" -> -1.0)
+    // "a" flagged with a re-measure -> contributes 0.7 (not median 10, not
+    // min 0.5); "b" unflagged -> median.
+    assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 0.7),
+      Set("a")) == 2.7)
+    // Flagged but the re-measure itself failed -> min fallback (the
+    // totalExclFlagged behavior).
+    assert(BenchLogic.totalRemeasured(med, mins, Map.empty, Set("a")) == 2.5)
+    // A genuine regression re-measures slow and stays damning.
+    assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 9.8),
+      Set("a")) == 11.8)
+    // No flags: identical to the plain total.
+    assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 0.7),
+      Set.empty) == 12.0)
+  }
 }
