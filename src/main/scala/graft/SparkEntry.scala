@@ -200,6 +200,8 @@ object SparkEntry {
     "l_diversity"       -> (QualityOps.lDiversity _),
     "t_closeness"       -> (QualityOps.tCloseness _),
     "dp_count"          -> (QualityOps.dpCount _),
+    "dp_sum"            -> (QualityOps.dpSum _),
+    "dp_avg"            -> (QualityOps.dpAvg _),
     "watermark_detect"  -> (QualityOps.watermarkDetect _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
@@ -4799,6 +4801,68 @@ object SparkEntry {
         |    s -> CASE WHEN h * $scale >= s THEN 1 ELSE 0 END)) - $b
         |    AS BIGINT) AS noisy_count,
         |  CAST(${graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT) AS epsilon_q6,
+        |  CAST($b AS INTEGER) AS noise_bound
+        |FROM n""".stripMargin
+    },
+    // dp_sum/dp_avg replay the whole mechanism — per-record clamp to
+    // exact cents, the same integer threshold ladder scaled by the clamp
+    // (sum) or raw (count leg), distinct permKey offsets per release —
+    // as pure BIGINT arithmetic; noisy_avg is one division of exact ints
+    "dp_sum" -> {
+      val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val scale = 3L * (1L << graft.ops.QualityOps.DpNoiseBound)
+      val clamp = graft.ops.QualityOps.DpClampCents
+      val off = graft.ops.QualityOps.DpSumKeyOff
+      s"""WITH c AS (SELECT c_nationkey,
+        |    CAST(sum(least(greatest(
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      0), $clamp)) AS BIGINT) AS clamped_sum
+        |  FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey, clamped_sum,
+        |        ((c_nationkey + $off) % 1000000007) * 2654435761
+        |          % 1000000007 AS h
+        |      FROM c)
+        |SELECT c_nationkey,
+        |  CAST(clamped_sum + $clamp * (list_sum(list_transform([$thr],
+        |    s -> CASE WHEN h * $scale >= s THEN 1 ELSE 0 END)) - $b)
+        |    AS BIGINT) AS noisy_sum_cents,
+        |  CAST($clamp AS BIGINT) AS clamp_cents,
+        |  CAST(${graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT) AS epsilon_q6,
+        |  CAST($b AS INTEGER) AS noise_bound
+        |FROM n""".stripMargin
+    },
+    "dp_avg" -> {
+      val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val scale = 3L * (1L << graft.ops.QualityOps.DpNoiseBound)
+      val clamp = graft.ops.QualityOps.DpClampCents
+      val offS = graft.ops.QualityOps.DpSumKeyOff
+      val offC = graft.ops.QualityOps.DpAvgCntKeyOff
+      s"""WITH c AS (SELECT c_nationkey,
+        |    CAST(sum(least(greatest(
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      0), $clamp)) AS BIGINT) AS clamped_sum,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey,
+        |        CAST(clamped_sum + $clamp * (list_sum(list_transform([$thr],
+        |          s -> CASE WHEN
+        |            ((c_nationkey + $offS) % 1000000007) * 2654435761
+        |              % 1000000007 * $scale >= s THEN 1 ELSE 0 END)) - $b)
+        |          AS BIGINT) AS noisy_sum_cents,
+        |        CAST(true_n + list_sum(list_transform([$thr],
+        |          s -> CASE WHEN
+        |            ((c_nationkey + $offC) % 1000000007) * 2654435761
+        |              % 1000000007 * $scale >= s THEN 1 ELSE 0 END)) - $b
+        |          AS BIGINT) AS noisy_count
+        |      FROM c)
+        |SELECT c_nationkey, noisy_sum_cents, noisy_count,
+        |  CASE WHEN noisy_count > 0 THEN
+        |    CAST(noisy_sum_cents AS DOUBLE) / CAST(100 * noisy_count AS DOUBLE)
+        |  END AS noisy_avg,
+        |  CAST(${2L * graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT)
+        |    AS epsilon_q6,
         |  CAST($b AS INTEGER) AS noise_bound
         |FROM n""".stripMargin
     },

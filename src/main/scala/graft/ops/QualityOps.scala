@@ -747,17 +747,104 @@ object QualityOps {
     * fold per GROUP (never per row); output bounded by group cardinality.
     */
   def dpCount(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("h") * lit(3L * (1L << DpNoiseBound))
-    val thr = array(DpThresholds.map(lit): _*)
-    val noise = aggregate(thr, lit(0),
-      (acc, s) => acc + when(x >= s, 1).otherwise(0)) - lit(DpNoiseBound)
     Tables.customer(spark, dir)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_n"))
       .withColumn("h", PipelineOps.permKey(col("c_nationkey")))
       .select(
         col("c_nationkey"),
-        (col("true_n") + noise).as("noisy_count"),
+        (col("true_n") + dpNoise).as("noisy_count"),
         lit(DpEpsilonQ6).as("epsilon_q6"),
+        lit(DpNoiseBound).as("noise_bound"))
+  }
+
+  /** The geometric noise draw shared by the DP release lane: inverts the
+    * exact-rational [[DpThresholds]] ladder against the test-mode uniform
+    * `h` (see [[dpCount]]'s noise-source note) — an O(B) literal-array
+    * fold per GROUP.
+    */
+  private def dpNoise: Column = {
+    val x = col("h") * lit(3L * (1L << DpNoiseBound))
+    val thr = array(DpThresholds.map(lit): _*)
+    aggregate(thr, lit(0),
+      (acc, s) => acc + when(x >= s, 1).otherwise(0)) - lit(DpNoiseBound)
+  }
+
+  /** Per-record contribution clamp for [[dpSum]]/[[dpAvg]], in exact
+    * CENTS (c_acctbal through the house DECIMAL(18,2) boundary): each
+    * customer contributes min(max(acctbal, 0), $5000) — the clamp IS the
+    * sensitivity bound B, so one record changes the sum by at most
+    * [[DpClampCents]] and noise [[DpClampCents]]·K (K the α = 1/2
+    * two-sided geometric) releases the sum at ε = ln 2: a one-record
+    * change moves the sum at most one noise step, bounding the
+    * probability ratio by 1/α = 2.
+    */
+  val DpClampCents = 500000L
+
+  /** Distinct permKey offsets so the lane's three releases (count / sum /
+    * avg's count leg) draw INDEPENDENT test-mode noise — reusing one draw
+    * across releases would correlate what production treats as
+    * independent RNG draws.
+    */
+  val DpSumKeyOff = 101L
+  val DpAvgCntKeyOff = 202L
+
+  private def clampedSums(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        least(greatest(
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast(LongType),
+          lit(0L)), lit(DpClampCents)).as("v"))
+      .groupBy(col("c_nationkey")).agg(sum(col("v")).as("clamped_sum"))
+
+  /** Differentially-private SUM release — [[dpCount]]'s next rung: total
+    * (clamped) account balance per nation without revealing any single
+    * customer's balance. Per-record clamping to [0, [[DpClampCents]]]
+    * bounds the sensitivity (an unbounded value would need unbounded
+    * noise); the release is clamped_sum + B·K with the SAME
+    * exact-rational geometric ladder, so the whole mechanism — clamp,
+    * ladder inversion, scaling — is replayed by the DuckDB oracle to the
+    * bit. True sums are NOT surfaced. Test-mode noise source: see
+    * [[dpCount]]; production swaps one line.
+    *
+    * Scale: one map-side-combined sum per group + the O(B) per-GROUP
+    * ladder fold; output bounded by group cardinality.
+    */
+  def dpSum(spark: SparkSession, dir: String): DataFrame =
+    clampedSums(spark, dir)
+      .withColumn("h",
+        PipelineOps.permKey(col("c_nationkey") + lit(DpSumKeyOff)))
+      .select(
+        col("c_nationkey"),
+        (col("clamped_sum") + lit(DpClampCents) * dpNoise)
+          .as("noisy_sum_cents"),
+        lit(DpClampCents).as("clamp_cents"),
+        lit(DpEpsilonQ6).as("epsilon_q6"),
+        lit(DpNoiseBound).as("noise_bound"))
+
+  /** Differentially-private MEAN release — the standard noisy-sum /
+    * noisy-count quotient (each leg its own ε = ln 2 release on an
+    * independent draw; sequential composition makes the mean 2·ln 2-DP,
+    * surfaced as `epsilon_q6` = 2·[[DpEpsilonQ6]]). Both exact-integer
+    * ingredients ride along (the derive-client-side discipline); the
+    * quotient is ONE division of exact integers, NULL-guarded for the
+    * noise-driven noisy_count ≤ 0 corner a tiny group can hit.
+    */
+  def dpAvg(spark: SparkSession, dir: String): DataFrame = {
+    val sums = dpSum(spark, dir)
+      .select(col("c_nationkey"), col("noisy_sum_cents"))
+    val counts = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_n"))
+      .withColumn("h",
+        PipelineOps.permKey(col("c_nationkey") + lit(DpAvgCntKeyOff)))
+      .select(col("c_nationkey"), (col("true_n") + dpNoise).as("noisy_count"))
+    sums.join(counts, Seq("c_nationkey"))
+      .select(
+        col("c_nationkey"), col("noisy_sum_cents"), col("noisy_count"),
+        when(col("noisy_count") > 0,
+          col("noisy_sum_cents").cast(DoubleType)
+            / (lit(100L) * col("noisy_count")).cast(DoubleType))
+          .as("noisy_avg"),
+        lit(2L * DpEpsilonQ6).as("epsilon_q6"),
         lit(DpNoiseBound).as("noise_bound"))
   }
 }

@@ -381,6 +381,57 @@ class LinkStatsSpec extends SparkSuite {
       "noise never changes sign across 25 groups — suspicious u spread")
   }
 
+  test("dp_sum/dp_avg: per-record clamp bounds sensitivity; releases match a replay") {
+    import QualityOps._
+    val B = DpNoiseBound
+    val rows = Tables.customer(spark, sf)
+      .selectExpr("c_nationkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // the clamp boundary is REAL on this fixture: records exist below 0
+    // (floor engages) and above the clamp (ceiling engages)
+    assert(rows.exists(_._2 < 0L), "no negative balances — clamp floor vacuous")
+    assert(rows.exists(_._2 > DpClampCents),
+      "no balance above clamp — ceiling vacuous")
+    val clamped = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => math.min(math.max(x._2, 0L), DpClampCents)).sum
+    }
+    val trueN = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def noise(key: Long): Long = {
+      val h = BigInt(key) % DpHashP * BigInt(2654435761L) % DpHashP
+      val x = h * (3L * (1L << B))
+      DpThresholds.count(s => x >= BigInt(s)).toLong - B
+    }
+    val gotSum = QualityOps.dpSum(spark, sf).collect()
+    assert(gotSum.length == trueN.size)
+    for (r <- gotSum) {
+      val nk = r.getAs[Int]("c_nationkey")
+      assert(r.getAs[Long]("noisy_sum_cents")
+        == clamped(nk) + DpClampCents * noise(nk + DpSumKeyOff), s"nation $nk")
+      assert(r.getAs[Long]("clamp_cents") == DpClampCents)
+      assert(r.getAs[Long]("epsilon_q6") == DpEpsilonQ6)
+    }
+    val gotAvg = QualityOps.dpAvg(spark, sf).collect()
+    assert(gotAvg.length == trueN.size)
+    for (r <- gotAvg) {
+      val nk = r.getAs[Int]("c_nationkey")
+      val ns = clamped(nk) + DpClampCents * noise(nk + DpSumKeyOff)
+      val ncnt = trueN(nk) + noise(nk + DpAvgCntKeyOff)
+      assert(r.getAs[Long]("noisy_sum_cents") == ns, s"nation $nk")
+      assert(r.getAs[Long]("noisy_count") == ncnt, s"nation $nk")
+      if (ncnt > 0)
+        assert(r.getAs[Double]("noisy_avg")
+          == ns.toDouble / (100L * ncnt).toDouble, s"nation $nk")
+      else assert(r.isNullAt(r.fieldIndex("noisy_avg")), s"nation $nk")
+      // composed privacy budget: sum leg + count leg
+      assert(r.getAs[Long]("epsilon_q6") == 2L * DpEpsilonQ6)
+    }
+    // the two legs draw INDEPENDENT noise (distinct permKey offsets)
+    assert(trueN.keys.exists(nk =>
+      noise(nk + DpSumKeyOff) != noise(nk + DpAvgCntKeyOff)),
+      "sum and count legs drew identical noise everywhere — offsets vacuous")
+  }
+
   test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {
     val rows = Tables.lineitem(spark, sfTies)
       .selectExpr("l_returnflag", "l_orderkey",
