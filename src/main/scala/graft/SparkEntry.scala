@@ -341,6 +341,7 @@ object SparkEntry {
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "video_meta"        -> (MultimodalOps.videoMeta _),
     "video_frame_sample" -> (MultimodalOps.videoFrameSample _),
+    "av_sync_check"     -> (MultimodalOps.avSyncCheck _),
     "media_resize"      -> (MultimodalOps.mediaResize _),
     "feature_extract"   -> (MultimodalOps.featureExtract _),
     "media_phash_dedup" -> (MultimodalOps.mediaPhashDedup _),
@@ -5268,6 +5269,42 @@ object SparkEntry {
         |  CAST($fb + nb % $fs AS INTEGER) AS fps,
         |  CAST(1 + nb % $mf AS BIGINT) AS n_frames
         |FROM m""".stripMargin
+    },
+    // the A/V mux lane: every field is a pure function of nb through the
+    // fixture rules (video geometry/fps as video_meta; the audio leg's
+    // rate ladder, channel bucket, and duration-targeting sample-frame
+    // count with its deterministic drift jitter), so a hash match proves
+    // encode -> two-stream mux -> demux -> per-stream headers end to end;
+    // `synced` is exact integer cross-multiplication on both sides
+    "av_sync_check" -> {
+      val mf = graft.ops.MultimodalOps.VideoMaxFrames
+      val fb = graft.ops.MultimodalOps.VideoFpsBase
+      val fs = graft.ops.MultimodalOps.VideoFpsSpan
+      val tenths = graft.ops.MultimodalOps.AvSyncTenthsPerSec
+      s"""WITH m AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |x AS (SELECT doc_id, nb,
+        |        1 + nb % $mf AS nf,
+        |        $fb + nb % $fs AS fps,
+        |        CASE (nb // 64) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          ELSE 44100 END AS rate,
+        |        CAST(1 + (nb // 32) % 2 AS INTEGER) AS channels
+        |      FROM m),
+        |y AS (SELECT doc_id, nf, fps, rate, channels,
+        |        greatest((rate * nf) // fps
+        |          + ((nb % 5) - 2) * (rate // 10), 1) AS af
+        |      FROM x)
+        |SELECT doc_id, 'mjpeg+pcm' AS codec,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(fps AS INTEGER) AS fps,
+        |  CAST(af AS BIGINT) AS audio_frames,
+        |  CAST(rate AS INTEGER) AS sample_rate, channels,
+        |  CAST(nf AS DOUBLE) / CAST(fps AS DOUBLE) AS video_dur,
+        |  CAST(af AS DOUBLE) / CAST(rate AS DOUBLE) AS audio_dur,
+        |  CAST(nf AS DOUBLE) / CAST(fps AS DOUBLE)
+        |    - CAST(af AS DOUBLE) / CAST(rate AS DOUBLE) AS drift,
+        |  $tenths * abs(nf * rate - af * fps) <= fps * rate AS synced
+        |FROM y""".stripMargin
     },
     // every 2nd frame entropy-decoded through the full JPEG path; the
     // oracle replays the per-frame tile grid + the lossy DC quantization

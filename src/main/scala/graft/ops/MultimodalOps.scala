@@ -24,9 +24,12 @@ import graft.model.Tables
   * directions and progressive (SOF2) decode ([[JpegCodec]] —
   * FDCT/Huffman encode, full marker/entropy/multi-scan decode;
   * [[jpegFeatures]] proves the lossy chain against an analytic oracle).
-  * [[stubDecode]] remains only as the documented fallback for payload
-  * formats this container has no codec for (webp needs native libs);
-  * the plan shape — binary
+  * Round 13 removed the last stand-in (`stubDecode`, which faked a
+  * header parse for unsniffable payloads): every fixture format now has
+  * a REAL pure-JVM codec, and a payload with unknown magic quarantines
+  * as `format = "unknown"` — the dead-letter behavior a real pipeline
+  * wants, not a fake parse (a deployment routes those to ImageIO/ffmpeg).
+  * The plan shape — binary
   * column in, `mapPartitions` decode (one decoder init per partition, no
   * shuffle), small typed metadata rows out — is identical either way, so
   * a deployment swaps the decoder body without touching any query.
@@ -100,7 +103,9 @@ object MultimodalOps {
 
   /** REAL decoder for the formats [[ImageCodec]] covers: sniffs the
     * magic bytes, parses the header, and reports the DECODED dimensions.
-    * Unknown formats fall back to [[stubDecode]] (documented stand-in).
+    * Unknown magic quarantines as `format = "unknown"` with zero
+    * dimensions — the same dead-letter posture as `corrupt`, never a
+    * faked parse (r13 removed the stub that used to stand in here).
     *
     * TOTAL by contract: a payload whose magic matches but whose body is
     * malformed (truncated pixel data, bad header) quarantines as
@@ -122,27 +127,7 @@ object MultimodalOps {
         case _: IllegalArgumentException | _: NoSuchElementException =>
           MediaMeta(r.doc_id, r.payload.length, 0, 0, "corrupt")
       }
-    case None => stubDecode(r)
-  }
-
-  /** STUB decoder — deterministic fake of an image header parse, kept
-    * ONLY as the fallback for formats with no pure-JVM codec in this
-    * container (a deployment would route these to ImageIO/ffmpeg). The
-    * derived fields are a pure function of payload length so pipelines
-    * over stub-decoded payloads stay oracle-checkable.
-    */
-  def stubDecode(r: MediaRow): MediaMeta = {
-    val n = r.payload.length
-    MediaMeta(
-      doc_id = r.doc_id,
-      n_bytes = n,
-      width = 64 + n % 512,
-      height = 64 + (n / 2) % 512,
-      format = (n % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "webp"
-      })
+    case None => MediaMeta(r.doc_id, r.payload.length, 0, 0, "unknown")
   }
 
   /** encoded payloads → partition-wise REAL decode. */
@@ -648,4 +633,104 @@ object MultimodalOps {
       .toDF("doc_id", "n_frames", "frame_idx", "width", "height",
         "n_pixels", "sum_gray", "mean_gray")
   }
+
+  /** A/V-sync drift threshold: streams are `synced` when the duration gap
+    * is at most 1/[[AvSyncTenthsPerSec]] s = 0.1 s — decided by EXACT
+    * integer cross-multiplication (|nf·rate − af·fps|·10 ≤ fps·rate), so
+    * the flag never rides float rounding.
+    */
+  val AvSyncTenthsPerSec = 10
+
+  /** Deterministic PCM track for a document's A/V mux: rate/channels
+    * bucket off quantized byte length (the [[graft.ops.AudioOps
+    * .buildClip]] ladder), the sample-frame count targets the video
+    * duration nf/fps PLUS a deterministic jitter of (nb%5 − 2) tenths of
+    * a second — so the fixture plants in-sync, boundary, and
+    * out-of-sync pairs — and PCM content samples the text bytes (the
+    * buildClip fill), so the mux carries real waveform data.
+    */
+  private[graft] def buildAvAudio(
+      textBytes: Array[Byte], nFrames: Int, fps: Int): AudioCodec.Audio = {
+    val nb = textBytes.length
+    val rate = ((nb / 64) % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    val channels = 1 + (nb / 32) % 2
+    val base = (rate.toLong * nFrames / fps).toInt
+    val jitter = (nb % 5 - 2) * (rate / 10)
+    val aFrames = math.max(base + jitter, 1)
+    val m = math.min(math.max(nb, 1), 128)
+    val samples = new Array[Short](aFrames * channels)
+    var k = 0
+    while (k < samples.length) {
+      val v = if (nb == 0) 0
+        else ((textBytes((k / 16) % m) & 0xff) - 128) * 200
+      samples(k) = v.toShort
+      k += 1
+    }
+    AudioCodec.Audio(rate, channels, samples)
+  }
+
+  /** The ONE mux→demux→sync-report definition behind [[avSyncCheck]] and
+    * the streaming twin ([[graft.streaming.MediaMetaStream.avRows]]):
+    * per document, REAL JPEG frames and a REAL PCM track are muxed into a
+    * two-stream AVI ([[AviCodec.encodeAviAv]]), demuxed back
+    * ([[AviCodec.decodeAviFull]]), and the report is computed from the
+    * DECODED per-stream facts — durations, their gap, and the exact
+    * integer `synced` decision. Stateless map: batch and streaming runs
+    * are bit-identical by construction. Corrupt payloads quarantine as
+    * codec='corrupt' all-zero rows (the realDecode contract).
+    *
+    * Scale: pure map, no shuffle; the PARSE side never entropy-decodes a
+    * frame (the video_meta posture — the synthetic fixture pays the
+    * encode to build what it demuxes).
+    */
+  def avSyncRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val nb = r.payload.length
+        val nFrames = 1 + nb % VideoMaxFrames
+        val fps = VideoFpsBase + nb % VideoFpsSpan
+        val frames = (0 until nFrames)
+          .map(f => JpegCodec.encodeJpeg(buildVideoFrame(r.payload, f)))
+        val tx = 2 + (nb / 16) % 16
+        val ty = 2 + (nb / 32) % 16
+        val audio = buildAvAudio(r.payload, nFrames, fps)
+        val avi = AviCodec.encodeAviAv(8 * tx, 8 * ty, fps, frames, audio)
+        try {
+          val c = AviCodec.decodeAviFull(avi)
+          val a = c.audio.get
+          val vDur = c.meta.nFrames.toDouble / c.meta.fps
+          val aDur = a.frames.toDouble / a.sampleRate
+          val synced = AvSyncTenthsPerSec.toLong *
+            math.abs(c.meta.nFrames.toLong * a.sampleRate -
+              a.frames.toLong * c.meta.fps) <=
+            c.meta.fps.toLong * a.sampleRate
+          (r.doc_id, "mjpeg+pcm", c.meta.nFrames.toLong, c.meta.fps,
+            a.frames.toLong, a.sampleRate, a.channels,
+            vDur, aDur, vDur - aDur, synced)
+        } catch {
+          case _: IllegalArgumentException | _: NoSuchElementException =>
+            (r.doc_id, "corrupt", 0L, 0, 0L, 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      })
+      .toDF("doc_id", "codec", "n_frames", "fps", "audio_frames",
+        "sample_rate", "channels", "video_dur", "audio_dur", "drift",
+        "synced")
+  }
+
+  /** A/V-sync audit over the corpus — the mux-integrity gate a video
+    * pipeline runs before training on (video, audio) pairs: per document,
+    * both streams' DECLARED durations from the demuxed container and the
+    * drift flag. Fully oracle-checked analytically (every field is a
+    * pure function of nb through the fixture rules, so a hash match
+    * proves encode→mux→demux→per-stream-headers end to end, audio leg
+    * included).
+    */
+  def avSyncCheck(spark: SparkSession, dir: String): DataFrame =
+    avSyncRows(Tables.documents(spark, dir))
 }

@@ -734,7 +734,7 @@ object QualityOps {
     * surfaced — the release is the noisy count with its privacy
     * parameters.
     *
-    * TEST-MODE NOISE SOURCE, stated loudly (the stubDecode discipline
+    * TEST-MODE NOISE SOURCE, stated loudly (the stated-stand-in discipline
     * applied to randomness): u = permKey(group)/P — a deterministic hash,
     * NOT a random draw, so this exact release is replayable by the
     * DuckDB oracle end to end (the mechanism ARITHMETIC — exact-rational

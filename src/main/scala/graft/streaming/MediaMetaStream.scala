@@ -48,4 +48,27 @@ object MediaMetaStream {
         sum(col("n_frames")).as("sum_frames"),
         sum(col("width").cast("long") * col("height").cast("long")
           * col("n_frames")).as("sum_frame_pixels"))
+
+  /** The A/V lane's streaming rows: [[MultimodalOps.avSyncRows]] — the
+    * SAME mux→demux→sync-report map as the batch `av_sync_check` query
+    * (stateless, so it runs unmodified under an append-mode plan; the
+    * spec pins bit-parity with batch across micro-batch splits).
+    */
+  def avRows(docs: DataFrame): DataFrame =
+    MultimodalOps.avSyncRows(docs)
+
+  /** Running A/V census over [[avRows]]: per (codec, sample_rate,
+    * channels) — audio columns joining the census the r12 video lane
+    * started — the item count, total frames both streams, and the
+    * out-of-sync count a mux-integrity monitor alerts on. State stays
+    * bounded by codec × rate-ladder × channel cardinality (a few dozen
+    * keys at ANY corpus size).
+    */
+  def avCensus(av: DataFrame): DataFrame =
+    av.groupBy(col("codec"), col("sample_rate"), col("channels"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_frames")).as("sum_video_frames"),
+        sum(col("audio_frames")).as("sum_audio_frames"),
+        count(when(!col("synced"), 1)).as("n_out_of_sync"))
 }

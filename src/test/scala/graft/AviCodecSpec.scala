@@ -65,6 +65,68 @@ class AviCodecSpec extends AnyFunSuite {
     JpegCodec.encodeJpeg(ImageCodec.Image(w, h, rgb))
   }
 
+  /** Hand-assemble the canonical TWO-stream (MJPEG + PCM) form the A/V
+    * encoder documents, independently of its arithmetic: second strl
+    * (strh 'auds' with the MS PCM conventions + 16-byte PCMWAVEFORMAT
+    * strf), audio split into one '01wb' per video frame interleaved
+    * 00dc/01wb, idx1 covering both streams in file order.
+    */
+  private def handBuiltAv(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
+      audio: graft.ops.AudioCodec.Audio): Array[Byte] = {
+    val n = frames.length
+    val ba = 2 * audio.channels
+    val byteRate = audio.sampleRate * ba
+    val aF = audio.frames
+    val avih = tag("avih") ++ le32(56) ++
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(n) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strhV = tag("strh") ++ le32(56) ++
+      tag("vids") ++ tag("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(n) ++
+      le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strfV = tag("strf") ++ le32(40) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      tag("MJPG") ++ le32(3 * w * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strlV = tag("LIST") ++ le32(4 + strhV.length + strfV.length) ++
+      tag("strl") ++ strhV ++ strfV
+    val strhA = tag("strh") ++ le32(56) ++
+      tag("auds") ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(ba) ++ le32(byteRate) ++ le32(0) ++ le32(aF) ++
+      le32(0) ++ le32(-1) ++ le32(ba) ++
+      le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+    val strfA = tag("strf") ++ le32(16) ++
+      le16(1) ++ le16(audio.channels) ++ le32(audio.sampleRate) ++
+      le32(byteRate) ++ le16(ba) ++ le16(16)
+    val strlA = tag("LIST") ++ le32(4 + strhA.length + strfA.length) ++
+      tag("strl") ++ strhA ++ strfA
+    val hdrl = tag("LIST") ++
+      le32(4 + avih.length + strlV.length + strlA.length) ++
+      tag("hdrl") ++ avih ++ strlV ++ strlA
+    def slice(i: Int): Int = ((aF.toLong * i) / n).toInt
+    var off = 4
+    val chunks = (0 until n).flatMap { i =>
+      val f = frames(i)
+      val v = tag("00dc") ++ le32(f.length) ++ f ++
+        (if (f.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      val vo = off; off += v.length
+      val pcm = (slice(i) * audio.channels until slice(i + 1) * audio.channels)
+        .flatMap(k => le16(audio.samples(k) & 0xffff)).toArray
+      val a = tag("01wb") ++ le32(pcm.length) ++ pcm
+      val ao = off; off += a.length
+      Seq(("00dc", v, vo, f.length), ("01wb", a, ao, pcm.length))
+    }
+    val movi = tag("LIST") ++ le32(4 + chunks.map(_._2.length).sum) ++
+      tag("movi") ++ chunks.flatMap(_._2)
+    val idx1 = tag("idx1") ++ le32(16 * chunks.length) ++
+      chunks.flatMap { case (id, _, o, sz) =>
+        tag(id) ++ le32(if (id == "00dc") 0x10 else 0) ++ le32(o) ++ le32(sz)
+      }
+    val body = tag("AVI ") ++ hdrl ++ movi ++ idx1
+    tag("RIFF") ++ le32(body.length) ++ body
+  }
+
   test("encodeAvi matches the hand-built canonical form byte-for-byte") {
     val frames = Seq(jpegFrame(16, 8, 40), jpegFrame(16, 8, 200))
     val got = AviCodec.encodeAvi(16, 8, 25, frames)
@@ -171,6 +233,86 @@ class AviCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AviCodec.decodeAvi(Array[Byte]()) }
     assert(!AviCodec.sniff(Array[Byte](1, 2, 3)))
     assert(AviCodec.sniff(good))
+  }
+
+  test("encodeAviAv matches the hand-built two-stream form byte-for-byte") {
+    val frames = Seq(jpegFrame(16, 8, 40), jpegFrame(16, 8, 200),
+      jpegFrame(16, 8, 120))
+    // 7 sample-frames across 3 chunks -> uneven 2/3/2 split; stereo
+    val audio = graft.ops.AudioCodec.Audio(8000, 2,
+      Array[Short](10, -10, 600, -600, 32767, -32768, 0, 5, 7, -7, 12, 13,
+        -32000, 31000))
+    val got = AviCodec.encodeAviAv(16, 8, 25, frames, audio)
+    val want = handBuiltAv(16, 8, 25, frames, audio)
+    assert(got.length == want.length,
+      s"length ${got.length} vs hand-built ${want.length}")
+    assert(java.util.Arrays.equals(got, want))
+  }
+
+  test("decodeAviFull round-trips A/V headers, frames, and every PCM sample") {
+    val frames = (0 until 4).map(f => jpegFrame(8, 16, 20 * f + 5))
+    val samples = Array.tabulate(2 * 333)(k => ((k * 37) % 65536 - 32768).toShort)
+    val audio = graft.ops.AudioCodec.Audio(16000, 2, samples)
+    val c = AviCodec.decodeAviFull(AviCodec.encodeAviAv(8, 16, 10, frames, audio))
+    assert(c.meta.width == 8 && c.meta.height == 16 && c.meta.fps == 10 &&
+      c.meta.nFrames == 4)
+    for (i <- 0 until 4)
+      assert(java.util.Arrays.equals(c.frames(i), frames(i)), s"frame $i")
+    val a = c.audio.get
+    assert(a.sampleRate == 16000 && a.channels == 2 && a.frames == 333)
+    assert(java.util.Arrays.equals(a.samples, samples))
+    // decodeAvi (the audio-blind view) accepts the same file
+    val (m2, fr2) = AviCodec.decodeAvi(AviCodec.encodeAviAv(8, 16, 10, frames, audio))
+    assert(m2.nFrames == 4 && fr2.length == 4)
+    // and a 1-stream file reports no audio
+    assert(AviCodec.decodeAviFull(
+      AviCodec.encodeAvi(8, 8, 10, Seq(jpegFrame(8, 8, 50)))).audio.isEmpty)
+  }
+
+  test("crafted A/V headers are rejected as IllegalArgumentException") {
+    val frames = Seq(jpegFrame(8, 8, 60))
+    val audio = graft.ops.AudioCodec.Audio(8000, 1, Array[Short](1, 2, 3, 4))
+    val good = AviCodec.encodeAviAv(8, 8, 10, frames, audio)
+    def mutated(off: Int, v: Array[Byte]): Array[Byte] = {
+      val b = good.clone(); System.arraycopy(v, 0, b, off, v.length); b
+    }
+    // fixed layout offsets: avih data at 32; video strl LIST at 88 (strh
+    // data at 108, strf data at 172); audio strl LIST at 212 (strh data
+    // at 232, strf data at 296)
+    val aStrh = 232
+    val aStrf = 296
+    assert(new String(good, aStrh - 8, 4, "US-ASCII") == "strh")
+    assert(new String(good, aStrf - 8, 4, "US-ASCII") == "strf")
+    // non-PCM format tag
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(aStrf, le16(2)))
+    }
+    // blockAlign disagreeing with channels
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(aStrf + 12, le16(4)))
+    }
+    // 8-bit audio
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(aStrf + 14, le16(8)))
+    }
+    // declared sample-frame length disagreeing with the '01wb' byte total
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(aStrh + 32, le32(5)))
+    }
+    // strh sampleSize != blockAlign
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(aStrh + 44, le32(1)))
+    }
+    // demote to 1 declared stream: the second strl becomes excess
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(32 + 24, le32(1)))
+    }
+    // three declared streams: unsupported
+    intercept[IllegalArgumentException] {
+      AviCodec.decodeAvi(mutated(32 + 24, le32(3)))
+    }
+    // the unmutated file parses
+    assert(AviCodec.decodeAviFull(good).audio.get.frames == 4)
   }
 
   test("encodeAvi enforces the canonical-writer caps (always decodable)") {

@@ -215,13 +215,13 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
-  property("stubDecode is deterministic with bounded dimensions") =
-    forAll(Gen.choose(0, 100000), Gen.choose(0L, 1000000L)) { (n, id) =>
-      val row = MultimodalOps.MediaRow(id, Array.fill(n)(7.toByte))
-      val m1 = MultimodalOps.stubDecode(row)
-      val m2 = MultimodalOps.stubDecode(row)
-      m1 == m2 && m1.width >= 64 && m1.width < 576 &&
-        m1.height >= 64 && m1.height < 576 && m1.n_bytes == n
+  property("unknown-magic payloads quarantine, never fake a parse") =
+    forAll(Gen.choose(0, 1000), Gen.choose(0L, 1000000L)) { (n, id) =>
+      // 0xEE never begins any sniffable format's magic
+      val row = MultimodalOps.MediaRow(id, Array.fill(n + 1)(0xEE.toByte))
+      val m = MultimodalOps.realDecode(row)
+      m.format == "unknown" && m.width == 0 && m.height == 0 &&
+        m.n_bytes == n + 1
     }
 
   property("WAV encode/decode round-trips any clip exactly") =

@@ -116,10 +116,11 @@ class ImageCodecSpec extends AnyFunSuite {
     val badGif = MultimodalOps.realDecode(
       MultimodalOps.MediaRow(9L, "GIF89a....".getBytes("US-ASCII")))
     assert(badGif.format == "corrupt")
-    // unknown magic still routes to the documented stub fallback
+    // unknown magic quarantines as "unknown" — never a faked parse
     val unknown = MultimodalOps.realDecode(
       MultimodalOps.MediaRow(10L, "RIFF0000WEBP".getBytes("US-ASCII")))
-    assert(Set("png", "jpeg", "webp")(unknown.format))
+    assert(unknown.format == "unknown" && unknown.width == 0 &&
+      unknown.height == 0 && unknown.n_bytes == 12)
   }
 
   test("decodeGif inflates a hand-built LZW stream byte-for-byte") {
