@@ -627,14 +627,44 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join") && !p.contains("Generate"), p)
   }
 
-  test("rouge_eval: overlap joins are equi on (pair, gram) — no cartesian, no BNLJ") {
+  test("rouge_eval: pair-local — one token-array equi-join, in-row kernel, no explode") {
     val p = plan("rouge_eval")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the r12 exploded shape is gone: no Generate, no gram-instance agg,
+    // and the clipped counts come from ONE kernel call (not inlined per
+    // output column by CollapseProject)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("clipped_ngram_overlaps".r.findAllIn(p).length == 1, p)
   }
 
-  test("bleu_eval: four per-order equi overlap joins — no cartesian, no BNLJ") {
+  test("bleu_eval: pair-local — one token-array equi-join, all 4 orders in-row") {
     val p = plan("bleu_eval")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("clipped_ngram_overlaps".r.findAllIn(p).length == 1, p)
+  }
+
+  test("rouge_l_eval: pair-local LCS kernel — one join, no explode, no window") {
+    val p = plan("rouge_l_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Generate") && !p.contains("Window"), p)
+    assert("lcs_length".r.findAllIn(p).length == 1, p)
+  }
+
+  test("av_sync_check: pure map — one scan, zero exchanges") {
+    val p = plan("av_sync_check")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("dp_sum/dp_avg: map-side-combined group census, noise fold per group") {
+    val ps = plan("dp_sum")
+    assert("Scan parquet".r.findAllIn(ps).length == 1, ps)
+    assert(!ps.contains("Join"), ps)
+    val pa = plan("dp_avg")
+    assert(!pa.contains("CartesianProduct") && !pa.contains("SortMergeJoin"), pa)
   }
 
   test("hybrid_rrf3: three bounded legs, no cartesian anywhere") {
