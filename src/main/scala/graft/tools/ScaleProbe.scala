@@ -62,6 +62,7 @@ object ScaleProbe {
     if (deep) {
       buildLineitemCopies(spark, "/root/testdata/sf0.1", sf10, 100)
       buildCorpusCopies(spark, "/root/testdata/sf0.1", sf10, 100)
+      buildDimCopies(spark, "/root/testdata/sf0.1", sf10, 100)
     }
 
     def time(op: String, dir: String): Double = {
@@ -237,11 +238,47 @@ object ScaleProbe {
         .drop("i")
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
-    // small dims some probed plans touch (read-through copies)
-    Seq("part", "supplier", "nation", "region").foreach { t =>
+    // part/supplier must replicate with the SAME key offsets lineitem
+    // used, or every part/supplier join degenerates to copy 0 and a
+    // "10x" probe of a part-joining op measures a corpus that did NOT
+    // scale (the r11 link_prediction sf1x rows had this flaw — a plain
+    // read-through copy; rows re-measured r13). Brands/nations stay
+    // unchanged, so blocking keys keep their real cardinality and blocks
+    // grow with the catalog — the honest scale-up.
+    buildDimCopies(spark, from, out, 10)
+    // truly global dims (25 nations / 5 regions) stay read-through
+    Seq("nation", "region").foreach { t =>
       if (new java.io.File(s"$from/$t.parquet").exists() && !done(t))
         spark.read.parquet(s"$from/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  /** Replicate part/supplier with key offsets matching lineitem's (base =
+    * lineitem's own max key — the offset buildLineitemCopies/buildSf1
+    * apply to l_partkey/l_suppkey), idempotent.
+    */
+  def buildDimCopies(
+      spark: SparkSession, from: String, out: String, n: Int): Unit = {
+    val copies = spark.range(0, n).select(col("id").cast("int").as("i"))
+    def done(name: String) =
+      new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()
+    val l = spark.read.parquet(s"$from/lineitem.parquet")
+    lazy val maxes = l.agg(
+      max("l_partkey").as("mp"), max("l_suppkey").as("ms")).head()
+    if (!done("part")) {
+      spark.read.parquet(s"$from/part.parquet")
+        .crossJoin(broadcast(copies))
+        .withColumn("p_partkey", col("p_partkey") + col("i") * (maxes.getLong(0) + 1))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
+    if (!done("supplier")) {
+      spark.read.parquet(s"$from/supplier.parquet")
+        .crossJoin(broadcast(copies))
+        .withColumn("s_suppkey", col("s_suppkey") + col("i") * (maxes.getLong(1) + 1))
+        .drop("i")
+        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     }
   }
 }
