@@ -202,6 +202,7 @@ object SparkEntry {
     "dp_count"          -> (QualityOps.dpCount _),
     "dp_sum"            -> (QualityOps.dpSum _),
     "dp_avg"            -> (QualityOps.dpAvg _),
+    "dp_noisy_max"      -> (QualityOps.dpNoisyMax _),
     "watermark_detect"  -> (QualityOps.watermarkDetect _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
@@ -4832,6 +4833,28 @@ object SparkEntry {
         |  CAST(${graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT) AS epsilon_q6,
         |  CAST($b AS INTEGER) AS noise_bound
         |FROM n""".stripMargin
+    },
+    // report-noisy-max: the winner's IDENTITY only, scores never surface;
+    // lowest-key tiebreak makes the argmax engine-exact
+    "dp_noisy_max" -> {
+      val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val scale = 3L * (1L << graft.ops.QualityOps.DpNoiseBound)
+      val off = graft.ops.QualityOps.DpMaxKeyOff
+      s"""WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey,
+        |        true_n + list_sum(list_transform([$thr],
+        |          s -> CASE WHEN
+        |            ((c_nationkey + $off) % 1000000007) * 2654435761
+        |              % 1000000007 * $scale >= s THEN 1 ELSE 0 END)) - $b
+        |          AS noisy
+        |      FROM c)
+        |SELECT c_nationkey AS winner_nationkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_candidates,
+        |  CAST(${graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT) AS epsilon_q6,
+        |  CAST($b AS INTEGER) AS noise_bound
+        |FROM n ORDER BY noisy DESC, c_nationkey LIMIT 1""".stripMargin
     },
     "dp_avg" -> {
       val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")

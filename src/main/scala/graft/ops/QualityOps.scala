@@ -821,6 +821,39 @@ object QualityOps {
         lit(DpEpsilonQ6).as("epsilon_q6"),
         lit(DpNoiseBound).as("noise_bound"))
 
+  /** Report-noisy-max key offset (see [[DpSumKeyOff]]). */
+  val DpMaxKeyOff = 303L
+
+  /** Report-noisy-max (Dwork-Roth §3.3) — private SELECTION, the fourth
+    * rung of the DP lane: which nation has the most customers, released
+    * by adding an independent geometric draw to every candidate's count
+    * and reporting ONLY the argmax identity (never the scores — the
+    * mechanism's entire point is that the winner's identity alone is
+    * ε-DP while the noisy scores would cost budget per candidate).
+    * Deterministic tiebreak (lowest key) so the release is exactly
+    * replayable; same exact-rational ladder, same test-mode noise
+    * contract as [[dpCount]].
+    *
+    * Scale: the candidate frame is group-cardinality-bounded, so the
+    * argmax is a 25-row fold — the scan is the only data-sized work.
+    */
+  def dpNoisyMax(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_n"))
+      .withColumn("h",
+        PipelineOps.permKey(col("c_nationkey") + lit(DpMaxKeyOff)))
+      .select(col("c_nationkey"), (col("true_n") + dpNoise).as("noisy"))
+    scored.agg(
+      min_by(col("c_nationkey"),
+        struct((-col("noisy")).as("neg"), col("c_nationkey")))
+        .as("winner_nationkey"),
+      count(lit(1)).as("n_candidates"))
+      .select(
+        col("winner_nationkey"), col("n_candidates"),
+        lit(DpEpsilonQ6).as("epsilon_q6"),
+        lit(DpNoiseBound).as("noise_bound"))
+  }
+
   /** Differentially-private MEAN release — the standard noisy-sum /
     * noisy-count quotient (each leg its own ε = ln 2 release on an
     * independent draw; sequential composition makes the mean 2·ln 2-DP,

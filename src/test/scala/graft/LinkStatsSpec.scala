@@ -432,6 +432,32 @@ class LinkStatsSpec extends SparkSuite {
       "sum and count legs drew identical noise everywhere — offsets vacuous")
   }
 
+  test("dp_noisy_max: winner identity matches a replay; scores never surface") {
+    import QualityOps._
+    val B = DpNoiseBound
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey")).collect().map(_.getInt(0))
+    val trueN = cust.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def noise(key: Long): Long = {
+      val h = BigInt(key) % DpHashP * BigInt(2654435761L) % DpHashP
+      val x = h * (3L * (1L << B))
+      DpThresholds.count(s => x >= BigInt(s)).toLong - B
+    }
+    val winner = trueN.keys.toSeq
+      .sortBy(nk => (-(trueN(nk) + noise(nk + DpMaxKeyOff)), nk)).head
+    val got = QualityOps.dpNoisyMax(spark, sf).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Int]("winner_nationkey") == winner)
+    assert(got(0).getAs[Long]("n_candidates") == trueN.size.toLong)
+    // release surface: identity + params ONLY — no score column leaks
+    assert(got(0).schema.fieldNames.toSet ==
+      Set("winner_nationkey", "n_candidates", "epsilon_q6", "noise_bound"))
+    // selection noise actually mattered at least in principle: the noisy
+    // argmax tiebreak path is deterministic (re-run identical)
+    val again = QualityOps.dpNoisyMax(spark, sf).collect()
+    assert(again(0).getAs[Int]("winner_nationkey") == winner)
+  }
+
   test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {
     val rows = Tables.lineitem(spark, sfTies)
       .selectExpr("l_returnflag", "l_orderkey",
