@@ -72,6 +72,10 @@ class BenchLogicSpec extends AnyFunSuite {
     // A genuine regression re-measures slow and stays damning.
     assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 9.8),
       Set("a")) == 11.8)
+    // A noisy single-sample re-measure ABOVE the median can't inflate
+    // the healed headline: min(median, re-measure) caps it.
+    assert(BenchLogic.totalRemeasured(med, mins, Map("b" -> 2.6),
+      Set("b")) == 12.0)
     // No flags: identical to the plain total.
     assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 0.7),
       Set.empty) == 12.0)
