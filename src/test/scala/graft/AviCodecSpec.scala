@@ -315,6 +315,36 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.decodeAviFull(good).audio.get.frames == 4)
   }
 
+  test("idx1 with absolute file offsets (the other real-world convention) parses") {
+    // some writers emit idx1 offsets from file start instead of from the
+    // 'movi' fourcc; the tolerant reader accepts both as long as each
+    // entry points at ITS chunk's header
+    val frames = Seq(jpegFrame(8, 8, 30), jpegFrame(8, 8, 90))
+    val enc = AviCodec.encodeAvi(8, 8, 10, frames)
+    val fixed = enc.clone()
+    // locate the movi LIST: walk top-level chunks from offset 12
+    var pos = 12
+    var moviTag = -1
+    var idx1Pos = -1
+    def le(off: Int) = (enc(off) & 0xff) | ((enc(off + 1) & 0xff) << 8) |
+      ((enc(off + 2) & 0xff) << 16) | ((enc(off + 3) & 0xff) << 24)
+    while (pos + 8 <= enc.length) {
+      val id = new String(enc, pos, 4, "US-ASCII")
+      val sz = le(pos + 4)
+      if (id == "LIST" && new String(enc, pos + 8, 4, "US-ASCII") == "movi")
+        moviTag = pos + 8
+      if (id == "idx1") idx1Pos = pos + 8
+      pos += 8 + sz + (sz & 1)
+    }
+    assert(moviTag > 0 && idx1Pos > 0)
+    for (i <- 0 until frames.length) {
+      val rel = le(idx1Pos + 16 * i + 8)
+      System.arraycopy(le32(rel + moviTag), 0, fixed, idx1Pos + 16 * i + 8, 4)
+    }
+    val (m, fr) = AviCodec.decodeAvi(fixed)
+    assert(m.nFrames == 2 && java.util.Arrays.equals(fr(1), frames(1)))
+  }
+
   test("encodeAvi enforces the canonical-writer caps (always decodable)") {
     val f = Seq(Array[Byte](1, 2, 3))
     // beyond rcFrame's u16 range
