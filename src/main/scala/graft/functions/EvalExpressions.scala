@@ -72,10 +72,11 @@ object EvalExprOps {
       var cnt = 0L
       a = 0
       while (a + n <= c.length) {
-        val v = hist.get(gram(c, a, n))
+        val g = gram(c, a, n)
+        val v = hist.get(g)
         if (v != null && v > 0) {
           cnt += 1
-          hist.put(gram(c, a, n), v - 1)
+          hist.put(g, v - 1)
         }
         a += 1
       }
