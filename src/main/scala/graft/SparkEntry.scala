@@ -296,6 +296,7 @@ object SparkEntry {
     "freq_tokens"       -> (PipelineOps.freqTokens _),
     "dedup_keep_best"   -> (PipelineOps.dedupKeepBest _),
     "pack_sequences"    -> (PipelineOps.packSequences _),
+    "pack_efficiency"   -> (PipelineOps.packEfficiency _),
     "span_corruption"   -> (PipelineOps.spanCorruption _),
     "contamination_check" -> (PipelineOps.contaminationCheck _),
     "decontaminate_train" -> (PipelineOps.decontaminateTrain _),
@@ -962,6 +963,32 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang,
         |          len(string_split(trim(text), ' ')) AS n_tokens
         |        FROM documents) t) t2""".stripMargin,
+    // window-side packing census: spans exploded per (doc, window), exact
+    // integer interval overlaps, one division at the fill-ratio boundary
+    "pack_efficiency" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cb
+        |      FROM d),
+        |e AS (SELECT lang, n, cb,
+        |        unnest(range(cb // 2048, (cb + n - 1) // 2048 + 1)) AS p
+        |      FROM c),
+        |t AS (SELECT lang, CAST(p AS INTEGER) AS pack_id,
+        |        least((p + 1) * 2048, cb + n) - greatest(p * 2048, cb) AS tok,
+        |        CASE WHEN cb // 2048 = p THEN 1 ELSE 0 END AS starts,
+        |        CASE WHEN (cb + n - 1) // 2048 > p THEN 1 ELSE 0 END
+        |          AS crosses
+        |      FROM e)
+        |SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(starts) AS BIGINT) AS n_docs_starting,
+        |  CAST(sum(crosses) AS BIGINT) AS n_docs_crossing,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tok) AS DOUBLE) / 2048 AS fill_ratio
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "contamination_check" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -215,6 +215,52 @@ object PipelineOps {
         pmod(col("cum_before"), lit(ctxLen)).cast(IntegerType).as("pack_offset"))
   }
 
+  /** WINDOW-side census of [[packSequences]]' packing — the efficiency
+    * diagnostic a training-prep pipeline reads before committing a
+    * packing strategy: per (lang shard, context window), how many
+    * documents contribute tokens, how many START here, how many are SPLIT
+    * across the window's right boundary (the attention-masking /
+    * cross-doc-leakage cost of concat-and-chop), the exact token fill and
+    * its ratio (one division; every interior window must fill to exactly
+    * 2048 — the trailing window of each shard is the only partial one).
+    * A document spanning windows [first, last] contributes
+    * min((p+1)·L, cum+n) − max(p·L, cum) tokens to window p — exact
+    * integer interval overlap, no float anywhere before the ratio.
+    *
+    * Scale: the same per-shard running sum as packSequences (sharded BY
+    * DESIGN — see there), then a BOUNDED explode: one row per
+    * (doc, spanned window), totalling corpus_tokens/2048 + n_docs rows,
+    * and a hash aggregation on (lang, pack) — cardinality = corpus
+    * tokens / 2048, never rows².
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctxLen = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n"))
+      .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("p", explode(expr(
+        s"sequence(cb div $ctxLen, (cb + n - 1) div $ctxLen)")))
+      .select(
+        col("lang"), col("p").cast(IntegerType).as("pack_id"),
+        (least((col("p") + 1) * ctxLen, col("cb") + col("n"))
+          - greatest(col("p") * ctxLen, col("cb"))).as("tok"),
+        (expr(s"cb div $ctxLen") === col("p")).cast(IntegerType).as("starts"),
+        (expr(s"(cb + n - 1) div $ctxLen") > col("p"))
+          .cast(IntegerType).as("crosses"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("starts")).cast(LongType).as("n_docs_starting"),
+        sum(col("crosses")).cast(LongType).as("n_docs_crossing"),
+        sum(col("tok")).as("n_tokens"))
+      .withColumn("fill_ratio",
+        col("n_tokens").cast(DoubleType) / ctxLen)
+  }
+
   /** Train/test contamination check — the eval-integrity gate every
     * training-data pipeline needs: for each test-split document, the
     * fraction of its distinct word-3-gram shingles that appear anywhere in

@@ -659,6 +659,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("pack_efficiency: one scan, sharded window, bounded span explode") {
+    val p = plan("pack_efficiency")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // the running sum is lang-sharded, never a global single partition
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(p.contains("Generate"), p) // the bounded per-window explode
+  }
+
   test("dp_sum/dp_avg: map-side-combined group census, noise fold per group") {
     val ps = plan("dp_sum")
     assert("Scan parquet".r.findAllIn(ps).length == 1, ps)
