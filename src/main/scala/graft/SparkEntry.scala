@@ -203,6 +203,8 @@ object SparkEntry {
     "dp_sum"            -> (QualityOps.dpSum _),
     "dp_avg"            -> (QualityOps.dpAvg _),
     "dp_noisy_max"      -> (QualityOps.dpNoisyMax _),
+    "dp_quantile"       -> (QualityOps.dpQuantile _),
+    "dp_topk"           -> (QualityOps.dpTopk _),
     "watermark_detect"  -> (QualityOps.watermarkDetect _),
     "content_filter"    -> (QualityOps.contentFilter _),
     "triangle_count"    -> (StatsOps.triangleCount _),
@@ -242,6 +244,8 @@ object SparkEntry {
     "token_count"       -> (TextOps.tokenCount _),
     "lang_id"           -> (TextOps.langId _),
     "quality_score"     -> (TextOps.qualityScore _),
+    "preference_pairs"  -> (TextOps.preferencePairs _),
+    "source_winrate"    -> (TextOps.sourceWinrate _),
     "gopher_rules"      -> (QualityOps.gopherRules _),
     "doc_fingerprint"   -> (TextOps.docFingerprint _),
     "dedup_doc_exact"   -> (TextOps.dedupDocExact _),
@@ -269,6 +273,8 @@ object SparkEntry {
     "bm25_topk"         -> ((s: SparkSession, d: String) => SimilarityOps.bm25TopK(s, d)),
     "hybrid_rrf3"       -> (SimilarityOps.hybridRrf3 _),
     "ndcg_eval"         -> (SimilarityOps.ndcgEval _),
+    "rbo_eval"          -> (SimilarityOps.rboEval _),
+    "ann_recall_curve"  -> (SimilarityOps.annRecallCurve _),
     "hard_negatives"    -> (SimilarityOps.hardNegatives _),
     "embed_drift"       -> (SimilarityOps.embedDrift _),
     "filtered_knn"      -> (SimilarityOps.filteredKnn _),
@@ -353,6 +359,7 @@ object SparkEntry {
     "audio_meta"        -> (AudioOps.audioMeta _),
     "audio_resample"    -> (AudioOps.audioResample _),
     "audio_fingerprint" -> (AudioOps.audioFingerprint _),
+    "audio_vad"         -> (AudioOps.audioVad _),
   )
 
   /** Shared candle-cents CTE for the technical-indicator oracles: the
@@ -1746,6 +1753,63 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS avg_token_len
         |FROM documents""".stripMargin,
+    // DPO pair mining: the integer score makes argmax/argmin/margin
+    // engine-exact; chosen/rejected replayed via row_number twins of the
+    // engine's min_by struct keys (score desc/asc, doc_id tiebreak)
+    "preference_pairs" -> {
+      val margin = graft.ops.TextOps.PrefMinMargin
+      s"""WITH s AS (SELECT lang, source, doc_id,
+        |    200 * len(list_filter(string_split(trim(text), ' '),
+        |      t -> t = 'the' OR t = 'and' OR t = 'a' OR t = 'of' OR t = 'to'
+        |           OR t = 'data' OR t = 'scan'))
+        |      + n_chars
+        |      - 4 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS s
+        |  FROM documents),
+        |w AS (SELECT *,
+        |        row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY s DESC, doc_id) AS rc,
+        |        row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY s ASC, doc_id) AS rr
+        |      FROM s),
+        |g AS (SELECT lang, source,
+        |        CAST(count(*) AS BIGINT) AS n_candidates,
+        |        max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+        |        CAST(max(s) AS BIGINT) AS chosen_score,
+        |        max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+        |        CAST(min(s) AS BIGINT) AS rejected_score
+        |      FROM w GROUP BY 1, 2)
+        |SELECT lang, source, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin, n_candidates
+        |FROM g
+        |WHERE n_candidates >= 2
+        |  AND chosen_score - rejected_score >= $margin""".stripMargin
+    },
+    // the oracle is the TEXTBOOK quadratic pair scan (ties = 1, wins = 2),
+    // so the hash match proves the engine's rank-summary algebra equals
+    // the all-pairs Mann-Whitney definition
+    "source_winrate" ->
+      """WITH s AS (SELECT lang, source,
+        |    200 * len(list_filter(string_split(trim(text), ' '),
+        |      t -> t = 'the' OR t = 'and' OR t = 'a' OR t = 'of' OR t = 'to'
+        |           OR t = 'data' OR t = 'scan'))
+        |      + n_chars
+        |      - 4 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS s
+        |  FROM documents),
+        |p AS (SELECT a.lang, a.source AS source_a, b.source AS source_b,
+        |        CAST(sum(CASE WHEN a.s > b.s THEN 2
+        |                      WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS u2
+        |      FROM s a JOIN s b
+        |        ON a.lang = b.lang AND a.source < b.source
+        |      GROUP BY 1, 2, 3),
+        |n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1, 2)
+        |SELECT p.lang, source_a, source_b, na.n AS n_a, nb.n AS n_b, u2,
+        |  CAST(u2 AS DOUBLE) / (2 * na.n * nb.n) AS win_rate
+        |FROM p
+        |JOIN n na ON na.lang = p.lang AND na.source = p.source_a
+        |JOIN n nb ON nb.lang = p.lang AND nb.source = p.source_b""".stripMargin,
     // Gopher-style repetition rules: the oracle unnests 2-grams and
     // re-groups for the max multiplicity (clarity over speed — the
     // engine's sorted run-length fold is the scale form); every
@@ -2290,6 +2354,74 @@ object SparkEntry {
         |  CAST(coalesce(dcg_scaled, 0) AS DOUBLE)
         |    / ${graft.ops.SimilarityOps.NdcgIdealScaled}e0 AS ndcg
         |FROM qs LEFT JOIN g ON g.q_id = qs.q_id""".stripMargin,
+    // truncated RBO at p = 1/2: a shared id at ranks (r_v, r_b) enters
+    // every depth >= max(r_v, r_b), so its whole contribution is the
+    // interpolated suffix-sum lookup — exact BIGINT, one boundary division
+    "rbo_eval" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |    list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        |  FROM e, q WHERE vec_id <> q_id),
+        |vleg AS (SELECT q_id, vec_id AS id, rk AS rk_v FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM s) t WHERE rk <= 10),
+        |d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |docs AS (SELECT doc_id, w, CAST(len(w) - 2 AS BIGINT) AS dl
+        |         FROM d WHERE len(w) >= 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |            CAST(sum(dl) AS BIGINT) AS t_grams FROM docs),
+        |ex AS (SELECT doc_id, dl,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |       FROM docs),
+        |qset AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+        |grams AS (SELECT doc_id, dl, g, CAST(count(*) AS BIGINT) AS tf
+        |          FROM ex JOIN qset USING (g) GROUP BY 1, 2, 3),
+        |qg AS (SELECT doc_id AS q_id, g FROM grams WHERE doc_id < 10),
+        |idf AS (SELECT g,
+        |          CAST(floor(ln(1e0 +
+        |            (CAST(n_docs AS DOUBLE) - CAST(df_g AS DOUBLE) + 0.5e0)
+        |              / (CAST(df_g AS DOUBLE) + 0.5e0)) * 1e6) AS BIGINT)
+        |            AS idf_q6
+        |        FROM (SELECT g, CAST(count(*) AS BIGINT) AS df_g
+        |              FROM grams GROUP BY 1) f, stats),
+        |scored AS (
+        |  SELECT qg.q_id, gr.doc_id,
+        |    CAST(sum(CAST(floor(CAST(idf.idf_q6 AS DOUBLE) *
+        |      ((CAST(gr.tf AS DOUBLE) * 2.2) /
+        |       (CAST(gr.tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(gr.dl * s.n_docs AS DOUBLE)
+        |                        / CAST(s.t_grams AS DOUBLE)))))) AS BIGINT))
+        |      AS BIGINT) AS score_q6
+        |  FROM grams gr
+        |  JOIN qg ON qg.g = gr.g AND gr.doc_id <> qg.q_id
+        |  JOIN idf ON idf.g = gr.g
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |bleg AS (SELECT q_id, doc_id AS id, rk AS rk_b
+        |  FROM (SELECT q_id, doc_id,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY score_q6 DESC, doc_id) AS rk
+        |        FROM scored) t
+        |  WHERE rk <= 10),
+        |shared AS (SELECT v.q_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |    CAST(sum(list_extract(
+        |      [${graft.ops.SimilarityOps.RboTailWeights.mkString(", ")}],
+        |      greatest(v.rk_v, b.rk_b))) AS BIGINT) AS rbo_scaled
+        |  FROM vleg v JOIN bleg b ON b.q_id = v.q_id AND b.id = v.id
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM (
+        |  SELECT q_id FROM vleg UNION ALL SELECT q_id FROM bleg) u)
+        |SELECT qs.q_id, coalesce(n_shared, 0) AS n_shared,
+        |  coalesce(rbo_scaled, 0) AS rbo_scaled,
+        |  CAST(coalesce(rbo_scaled, 0) AS DOUBLE)
+        |    / ${graft.ops.SimilarityOps.RboDenom}e0 AS rbo
+        |FROM qs LEFT JOIN shared ON shared.q_id = qs.q_id""".stripMargin,
     // drift monitor: floor(1e3·x) keeps every product under 2^53 so all
     // conversions are exact; the mean cosine's 1/n factors cancel into
     // pure integer sums; argmax via (cr desc, dim) LIMIT 1 = the engine's
@@ -4917,6 +5049,85 @@ object SparkEntry {
         |  CAST($b AS INTEGER) AS noise_bound
         |FROM n""".stripMargin
     },
+    // one-shot noisy top-k: identities + order only, scores never surface;
+    // (noisy desc, key) rank replayed verbatim
+    "dp_topk" -> {
+      val thr = graft.ops.QualityOps.DpThresholds.mkString(", ")
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val scale = 3L * (1L << graft.ops.QualityOps.DpNoiseBound)
+      val off = graft.ops.QualityOps.DpTopkKeyOff
+      val k = graft.ops.QualityOps.DpTopkK
+      s"""WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey,
+        |        true_n + list_sum(list_transform([$thr],
+        |          s -> CASE WHEN
+        |            ((c_nationkey + $off) % 1000000007) * 2654435761
+        |              % 1000000007 * $scale >= s THEN 1 ELSE 0 END)) - $b
+        |          AS noisy
+        |      FROM c),
+        |r AS (SELECT c_nationkey,
+        |        row_number() OVER (ORDER BY noisy DESC, c_nationkey)
+        |          AS release_rank
+        |      FROM n)
+        |SELECT CAST(release_rank AS INTEGER) AS release_rank,
+        |  c_nationkey AS winner_nationkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_candidates,
+        |  CAST(${k.toLong * graft.ops.QualityOps.DpEpsilonQ6} AS BIGINT)
+        |    AS epsilon_q6,
+        |  CAST($b AS INTEGER) AS noise_bound
+        |FROM r WHERE release_rank <= $k""".stripMargin
+    },
+    // exponential-mechanism median: clamp → band counts → boundary ranks →
+    // rank utilities → dyadic weights 2^(u−umax) truncated at 2^(−B) →
+    // inverse-CDF selection against the test-mode uniform — every step
+    // exact integers, replayed here relationally (the Spark side folds the
+    // same integers in-row over the band array)
+    "dp_quantile" -> {
+      val nB = graft.ops.QualityOps.DpQuantBands
+      val w = graft.ops.QualityOps.DpQuantBandCents
+      val b = graft.ops.QualityOps.DpNoiseBound
+      val clamp = graft.ops.QualityOps.DpClampCents
+      val off = graft.ops.QualityOps.DpQuantKeyOff
+      s"""WITH c AS (SELECT c_nationkey,
+        |    least(greatest(
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      0), $clamp) AS v
+        |  FROM customer),
+        |bc AS (SELECT c_nationkey, least(v // $w, ${nB - 1}) AS band,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM c GROUP BY 1, 2),
+        |n AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS nn
+        |      FROM c GROUP BY 1),
+        |j AS (SELECT c_nationkey, nn, unnest(range(0, ${nB + 1})) AS j
+        |      FROM n),
+        |r AS (SELECT j.c_nationkey, j.j,
+        |        -abs(COALESCE((SELECT sum(cnt) FROM bc
+        |                       WHERE bc.c_nationkey = j.c_nationkey
+        |                         AND bc.band < j.j), 0)
+        |             - ((j.nn + 1) // 2)) AS u
+        |      FROM j),
+        |wts AS (SELECT c_nationkey, j,
+        |          (CAST(1 AS BIGINT) << CAST(greatest(
+        |            u - max(u) OVER (PARTITION BY c_nationkey) + $b, 0)
+        |            AS INTEGER)) AS w
+        |        FROM r),
+        |cw AS (SELECT c_nationkey, j, w,
+        |         sum(w) OVER (PARTITION BY c_nationkey ORDER BY j
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(w) OVER (PARTITION BY c_nationkey) AS wtot
+        |       FROM wts)
+        |SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN
+        |      ((c_nationkey + $off) % 1000000007) * 2654435761
+        |        % 1000000007 * wtot >= cum * 1000000007
+        |      THEN 1 ELSE 0 END) * $w AS BIGINT) AS noisy_median_cents,
+        |  CAST(${nB + 1} AS INTEGER) AS n_candidates,
+        |  CAST($clamp AS BIGINT) AS clamp_cents,
+        |  CAST(${graft.ops.QualityOps.DpQuantEpsilonQ6} AS BIGINT)
+        |    AS epsilon_q6
+        |FROM cw GROUP BY 1""".stripMargin
+    },
     "ab_ttest" ->
       """WITH a AS (
         |  SELECT
@@ -5552,5 +5763,40 @@ object SparkEntry {
         |  CAST((frames + 1) // 2 AS INTEGER) AS out_frames,
         |  CAST(44 + 2 * ((frames + 1) // 2) * channels AS INTEGER) AS out_bytes
         |FROM a""".stripMargin,
+    // the Spark side walks REAL decoded PCM; the oracle replays the
+    // identical window energies analytically from the fixture's
+    // text-byte→sample law: a 256-sample window = 16 constant 16-sample
+    // blocks, energy = 16·40000·Σ(byte−128)² — exact integers end to end
+    "audio_vad" -> {
+      val win = graft.ops.AudioOps.VadWindow
+      val thr = graft.ops.AudioOps.VadThresholdEnergy
+      s"""WITH a AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE (strlen(text) // 64) % 3 WHEN 0 THEN 8000
+        |         WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |    (256 + ((strlen(text) // 16) * 31) % 2048)
+        |      * (1 + (strlen(text) // 32) % 2) // $win AS n_windows,
+        |    least(greatest(strlen(text), 1), 128) AS m
+        |  FROM documents),
+        |e AS (SELECT doc_id, sample_rate, n_windows,
+        |        unnest(range(0, n_windows)) AS wi, text, m
+        |      FROM a),
+        |en AS (SELECT doc_id, sample_rate, n_windows,
+        |         16 * 40000 * list_sum(list_transform(
+        |           list_transform(range(16 * wi, 16 * wi + 16),
+        |             x -> ascii(substr(text, CAST(x % m AS INTEGER) + 1, 1))
+        |                  - 128),
+        |           c -> CAST(c AS BIGINT) * c)) AS energy
+        |       FROM e)
+        |SELECT doc_id, sample_rate,
+        |  CAST(n_windows AS INTEGER) AS n_windows,
+        |  CAST(sum(CASE WHEN energy > $thr THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_active,
+        |  CAST(sum(energy) AS BIGINT) AS sum_energy,
+        |  CAST(sum(CASE WHEN energy > $thr THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / n_windows AS active_frac,
+        |  'ok' AS status
+        |FROM en GROUP BY doc_id, sample_rate, n_windows""".stripMargin
+    },
   )
 }

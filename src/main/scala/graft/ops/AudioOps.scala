@@ -140,6 +140,77 @@ object AudioOps {
         "out_bytes")
   }
 
+  /** VAD frame size in interleaved samples. 256 = 16 of [[buildClip]]'s
+    * 16-sample constant blocks, so a window's energy is analytically
+    * derivable from 16 text bytes — which is what lets the oracle replay
+    * a genuinely PCM-computed statistic.
+    */
+  val VadWindow = 256
+
+  /** Energy gate for [[audioVad]]: a window is "active" when its summed
+    * squared-sample energy exceeds this. 19.2e9 = 640000·30000, i.e. a
+    * mean squared sample of 30000/16·200² — on the fixture waveform
+    * (samples = (byte−128)·200) this splits space-heavy windows (|c| =
+    * 96) from letter-only windows (|c| ≤ 31), so both classes occur.
+    * Public so the oracle SQL interpolates THIS value.
+    */
+  val VadThresholdEnergy = 19200000000L
+
+  /** Voice-activity-style energy gating over the DECODED waveform — the
+    * census a speech-data pipeline runs to drop silence-dominated clips
+    * before paying for transcription: per clip, fixed
+    * [[VadWindow]]-sample windows are scored by exact integer energy
+    * Σ v² and gated at [[VadThresholdEnergy]]; the release is the window
+    * census (count, active count, exact total energy) plus the one
+    * boundary division `active_frac`. The Spark side genuinely decodes
+    * the RIFF container and walks real PCM samples ([[realDecode]]'s
+    * quarantine contract for malformed payloads); the oracle replays the
+    * identical integers analytically from the fixture's
+    * text-byte→sample law (the video_frame_sample discipline), so a
+    * decoder that misreads any sample hash-mismatches. The trailing
+    * partial window (< [[VadWindow]] samples) is EXCLUDED by both sides.
+    *
+    * Scale: pure per-row map in the decode slot — zero exchanges, zero
+    * joins; 100 TB of audio costs one scan and the census rides the
+    * row.
+    */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioPayloads(spark, dir)
+      .mapPartitions(_.map { r =>
+        try {
+          val a = AudioCodec.decodeWav(r.payload)
+          val s = a.samples
+          val nWin = s.length / VadWindow
+          var wI = 0
+          var nAct = 0
+          var sumE = 0L
+          while (wI < nWin) {
+            var k = wI * VadWindow
+            val end = k + VadWindow
+            var e = 0L
+            while (k < end) { val v = s(k).toLong; e += v * v; k += 1 }
+            sumE += e
+            if (e > VadThresholdEnergy) nAct += 1
+            wI += 1
+          }
+          (r.doc_id, a.sampleRate, nWin, nAct, sumE, "ok")
+        } catch {
+          case _: IllegalArgumentException =>
+            (r.doc_id, 0, 0, 0, 0L, "corrupt")
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_windows", "n_active", "sum_energy",
+        "status")
+      .select(
+        col("doc_id"), col("sample_rate"), col("n_windows"),
+        col("n_active"), col("sum_energy"),
+        when(col("n_windows") =!= 0,
+          col("n_active").cast(DoubleType)
+            / col("n_windows").cast(DoubleType)).as("active_frac"),
+        col("status"))
+  }
+
   /** TOTAL fingerprint slot: energy-gradient hash of the DECODED PCM;
     * malformed or too-short clips fall back to the byte-histogram stub
     * (the [[MultimodalOps.phash64]] contract).

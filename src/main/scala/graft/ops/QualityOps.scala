@@ -880,4 +880,125 @@ object QualityOps {
         lit(2L * DpEpsilonQ6).as("epsilon_q6"),
         lit(DpNoiseBound).as("noise_bound"))
   }
+
+  /** Noisy-top-k key offset (see [[DpSumKeyOff]]) and release size. */
+  val DpTopkKeyOff = 505L
+  val DpTopkK = 3
+
+  /** One-shot noisy top-k (the peeling mechanism's batch form, Durfee &
+    * Rogers 2019) — [[dpNoisyMax]] extended to a RANKED release: every
+    * candidate's count gets one independent geometric draw and the top
+    * [[DpTopkK]] noisy scores release their IDENTITIES AND ORDER — never
+    * the scores. Equivalent to running report-noisy-max k times with the
+    * winners removed (the noise is drawn once per candidate, so the
+    * ranked prefix is exactly the iterated argmax), paying k·ε by
+    * sequential composition — surfaced as `epsilon_q6` = k·[[DpEpsilonQ6]].
+    * Deterministic (noisy desc, lowest-key) tiebreak; same exact-rational
+    * ladder and test-mode noise contract as [[dpCount]].
+    *
+    * Scale: the candidate frame is group-cardinality-bounded; the ranked
+    * prefix is a k-row window over it.
+    */
+  def dpTopk(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_n"))
+      .withColumn("h",
+        PipelineOps.permKey(col("c_nationkey") + lit(DpTopkKeyOff)))
+      .select(col("c_nationkey"), (col("true_n") + dpNoise).as("noisy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("noisy").desc, col("c_nationkey"))
+    val n = scored.agg(count(lit(1)).as("n_candidates"))
+    scored
+      .withColumn("release_rank", row_number().over(w))
+      .filter(col("release_rank") <= DpTopkK)
+      .crossJoin(broadcast(n))
+      .select(
+        col("release_rank"), col("c_nationkey").as("winner_nationkey"),
+        col("n_candidates"),
+        lit(DpTopkK.toLong * DpEpsilonQ6).as("epsilon_q6"),
+        lit(DpNoiseBound).as("noise_bound"))
+  }
+
+  /** Candidate ladder for [[dpQuantile]]: [[DpQuantBands]] equal bands
+    * over the [0, [[DpClampCents]]] clamp range, so the 33 band
+    * BOUNDARIES j·[[DpQuantBandCents]] (j = 0..32) are the mechanism's
+    * output candidates. 500000 = 32·15625 exactly — no rounding anywhere
+    * in the ladder.
+    */
+  val DpQuantBands = 32
+  val DpQuantBandCents: Long = DpClampCents / DpQuantBands
+  /** Selection key offset (see [[DpSumKeyOff]]). */
+  val DpQuantKeyOff = 404L
+  /** The exponential mechanism's ε: weights are 2^u = exp(u·ε/2) with
+    * Δu = 1 (rank utility), so ε = 2·ln 2 — base-2 weights are WHY the
+    * whole mechanism clears to exact dyadic integers.
+    */
+  val DpQuantEpsilonQ6: Long = 2L * DpEpsilonQ6
+
+  /** Differentially-private QUANTILE release (the median here) — the
+    * exponential mechanism (McSherry-Talwar 2007; Smith 2011's private
+    * quantile instantiation), the fifth rung of the DP lane and the first
+    * that releases a VALUE chosen from a candidate set rather than a
+    * noised aggregate: per nation, each boundary y_j = j·W of the
+    * 32-band clamp ladder scores u_j = −|rank(y_j) − ⌈N/2⌉| (rank =
+    * clamped balances in bands below j — sensitivity 1 per record), and
+    * y_j is released with probability ∝ exp(ε·u_j/2) = 2^(u_j) at
+    * ε = 2·ln 2. Because the weights are POWERS OF TWO, the entire
+    * sampler is exact integer arithmetic: weights 2^(u_j − u_max)
+    * truncated at 2^(−[[DpNoiseBound]]) (the dpCount tail-mass
+    * discipline) scale to BIGINTs in [1, 2^16], the inverse CDF is the
+    * same ladder-count fold as [[dpNoise]], and the DuckDB oracle
+    * replays clamp → band counts → ranks → utilities → dyadic weights →
+    * selection to the bit. True ranks and counts are NOT surfaced.
+    * Test-mode noise source: see [[dpCount]]; production swaps the
+    * uniform for a real RNG draw, everything else ships unchanged.
+    *
+    * Scale: ONE map-side-combined scan (32 conditional counts per
+    * group); ranks/weights/selection are O(bands²) array folds per
+    * GROUP — output and post-scan work bounded by group cardinality,
+    * exactly like the rest of the lane.
+    */
+  def dpQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val nB = DpQuantBands
+    val w = DpQuantBandCents
+    val b = DpNoiseBound
+    val bandCounts = (0 until nB).map(i =>
+      sum(when(col("band") === i, 1L).otherwise(0L)).as(s"c$i"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_nationkey"),
+        least(greatest(
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast(LongType),
+          lit(0L)), lit(DpClampCents)).as("v"))
+      .withColumn("band",
+        least(expr(s"v DIV $w"), lit(nB - 1L)).cast(IntegerType))
+      .groupBy(col("c_nationkey"))
+      .agg(bandCounts.head, bandCounts.tail: _*)
+      .withColumn("cnts", array((0 until nB).map(i => col(s"c$i")): _*))
+      .withColumn("h",
+        PipelineOps.permKey(col("c_nationkey") + lit(DpQuantKeyOff)))
+      // rank at boundary j = clamped values in bands 0..j−1 (j = 0..32)
+      .withColumn("ranks", expr(
+        s"transform(sequence(0, $nB), " +
+          "j -> aggregate(slice(cnts, 1, j), 0L, (a, x) -> a + x))"))
+      .withColumn("t", expr(s"(element_at(ranks, ${nB + 1}) + 1L) DIV 2"))
+      .withColumn("umax", expr("array_max(transform(ranks, r -> -abs(r - t)))"))
+      // dyadic weights 2^(u − umax) truncated at 2^(−b), scaled by 2^b
+      .withColumn("ws", expr(
+        s"transform(ranks, r -> shiftleft(1L, " +
+          s"CAST(greatest(-abs(r - t) - umax + $b, 0L) AS INT)))"))
+      .withColumn("cums", expr(
+        s"transform(sequence(1, ${nB + 1}), " +
+          "j -> aggregate(slice(ws, 1, j), 0L, (a, x) -> a + x))"))
+      // inverse CDF: u < cum_j/W ⟺ h·W < cum_j·P (the dpNoise fold)
+      .withColumn("jstar", expr(
+        s"aggregate(cums, 0L, (a, c) -> a + IF(" +
+          s"h * element_at(cums, ${nB + 1}) >= c * ${DpHashP}L, 1L, 0L))"))
+      .select(
+        col("c_nationkey"),
+        (col("jstar") * lit(w)).as("noisy_median_cents"),
+        lit(nB + 1).as("n_candidates"),
+        lit(DpClampCents).as("clamp_cents"),
+        lit(DpQuantEpsilonQ6).as("epsilon_q6"))
+  }
 }

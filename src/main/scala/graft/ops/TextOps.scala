@@ -98,6 +98,128 @@ object TextOps {
           / col("n_tokens")).as("avg_token_len"))
   }
 
+  /** Margin gate for [[preferencePairs]] — a pair is emitted only when
+    * chosen and rejected scores differ by at least this much (a
+    * near-tie pair teaches a preference model nothing). Public so the
+    * oracle SQL interpolates THIS value.
+    */
+  val PrefMinMargin = 50L
+
+  /** Preference-pair mining — the DPO/RLHF data-prep step that turns a
+    * scored candidate pool into (chosen, rejected) training pairs: within
+    * each (lang, source) group (the prompt-cluster analog on this
+    * corpus), the best-scoring document becomes `chosen` and the worst
+    * becomes `rejected`, kept only when the score margin clears
+    * [[PrefMinMargin]] — the standard best-of-n vs worst-of-n pair
+    * construction. The score is [[qualityScore]]'s heuristics collapsed
+    * to ONE exact integer (200·stopword_hits + n_chars − 4·punct_chars)
+    * so argmax/argmin and the margin gate are engine-exact — no float
+    * ordering anywhere; ties break to the lowest doc_id via a single
+    * min_by struct key on both sides.
+    *
+    * Scale: one scan with the score computed map-side, one
+    * group-cardinality-bounded aggregation — candidate texts never
+    * shuffle, only (group, score, id) triples feed the agg, and the
+    * output is bounded by |lang|·|source|.
+    */
+  /** The ONE exact-integer quality score shared by [[preferencePairs]]
+    * and [[sourceWinrate]]: [[qualityScore]]'s heuristics collapsed to
+    * 200·stopword_hits + n_chars − 4·punct_chars — bounded by document
+    * length, so score CARDINALITY is value-range-bounded (the
+    * decile_drift discipline: summaries keyed by score never grow with
+    * row count).
+    */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "a", "of", "to", "data", "scan")
+    val inList = stop.map(s => s"t = '$s'").mkString(" OR ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("s",
+        lit(200L) * size(expr(s"filter(toks, t -> $inList)"))
+          + col("n_chars")
+          - lit(4L) * length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+  }
+
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    scoredDocs(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        min_by(col("doc_id"),
+          struct((-col("s")).as("ns"), col("doc_id"))).as("chosen_id"),
+        max(col("s")).as("chosen_score"),
+        min_by(col("doc_id"),
+          struct(col("s").as("s"), col("doc_id"))).as("rejected_id"),
+        min(col("s")).as("rejected_score"))
+      .where(col("n_candidates") >= 2 &&
+        (col("chosen_score") - col("rejected_score")) >= PrefMinMargin)
+      .select(
+        col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"),
+        col("n_candidates"))
+  }
+
+  /** Pairwise win-rate matrix between sources — the "model A vs model B"
+    * table every evaluation stack publishes, here over document quality:
+    * for every source pair (a, b) within a language,
+    * win_rate = P(random a-doc outscores a random b-doc) with ties ½ —
+    * the Mann-Whitney probability of superiority U/(n_a·n_b), kept exact
+    * by carrying u2 = 2·U (2·wins + ties) in BIGINT with ONE boundary
+    * division. The identity u2_ab + u2_ba = 2·n_a·n_b is spec-pinned.
+    *
+    * The scale move: NEVER the quadratic doc-pair join — docs collapse to
+    * a per-(lang, score, source) count summary whose cardinality is
+    * VALUE-RANGE-bounded (scores are bounded integers), an exclusive
+    * running count per (lang, source) over the shared score ladder gives
+    * every source's "how many below v", and
+    * u2_ab = Σ_v cnt_a(v)·(2·below_b(v) + at_b(v)) needs only the
+    * summary-grid equi-join — O(values·sources²) terms per language, row
+    * count never enters. The DuckDB oracle replays the textbook
+    * quadratic pair scan instead (clarity over speed), so the hash match
+    * also PROVES the rank-summary algebra equals the all-pairs
+    * definition.
+    */
+  def sourceWinrate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the summary frame is consumed FOUR ways (ladder, totals, grid, a-side)
+    // — checkpoint it so the corpus is scanned exactly once
+    val cnts = Tables.ckpt(scoredDocs(spark, dir)
+      .groupBy(col("lang"), col("s"), col("source"))
+      .agg(count(lit(1)).as("cnt")))
+    val ladder = cnts.select(col("lang"), col("s")).distinct()
+    val srcs = cnts.groupBy(col("lang"), col("source"))
+      .agg(sum(col("cnt")).as("n_total"))
+    // the full (lang, score, source) grid: zero-filled so the running
+    // count is defined at EVERY ladder rung for every source
+    val grid = ladder.join(srcs, Seq("lang"))
+      .join(cnts, Seq("lang", "s", "source"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("below",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("below"))
+    val a = cnts.select(col("lang"), col("s"),
+      col("source").as("source_a"), col("cnt").as("cnt_a"))
+    val b = grid.select(col("lang"), col("s"),
+      col("source").as("source_b"), col("cnt").as("cnt_b"),
+      col("below").as("below_b"), col("n_total").as("n_b"))
+    a.join(b, Seq("lang", "s"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("lang"), col("source_a"), col("source_b"))
+      .agg(
+        sum(col("cnt_a") * (lit(2L) * col("below_b") + col("cnt_b")))
+          .as("u2"),
+        sum(col("cnt_a")).as("n_a"),
+        min(col("n_b")).as("n_b"))
+      .select(
+        col("lang"), col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("u2"),
+        (col("u2").cast(DoubleType)
+          / (lit(2L) * col("n_a") * col("n_b")).cast(DoubleType))
+          .as("win_rate"))
+  }
+
   /** Text normalization — the canonical cleaning pass before dedup /
     * tokenization: lowercase, strip non-alphanumerics to spaces, collapse
     * whitespace runs, trim. Pure codegen'd regexp expressions, no UDF.

@@ -140,6 +140,39 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
+  test("ann_recall_curve matches a replay from the collected legs; band sane") {
+    import graft.ops.SimilarityOps
+    val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk")))
+    // replay the curve BY DEFINITION from the two collected legs (the
+    // legs themselves carry their own recall/parity specs)
+    val annLeg = SimilarityOps.ivfPqTop10(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk")))
+    def hitsAt(k: Int): Long = knn.count { case (q, id, rkEx) =>
+      rkEx <= k && annLeg.exists(a => a._1 == q && a._2 == id && a._3 <= k)
+    }.toLong
+    val got = SparkEntry.queries("ann_recall_curve")(spark, sf).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(got.keySet == SimilarityOps.RecallDepths.toSet)
+    val nQ = knn.map(_._1).distinct.length.toLong
+    for ((k, (n, hits, recall)) <- got) {
+      assert(n == nQ, s"n_queries at k=$k")
+      assert(hits == hitsAt(k), s"hits replay at k=$k")
+      assert(recall == hits.toDouble / (k.toLong * nQ), s"division at k=$k")
+    }
+    // the index genuinely finds things but is not exact search:
+    // the known fixture band (SURVEY: ivfpq recall@3 ~0.77-0.87)
+    assert(got(3)._3 >= 0.5, f"recall@3 ${got(3)._3}%.2f below sanity floor")
+    assert(got(10)._3 > 0.0 && got(1)._3 <= 1.0)
+    // hits@k is monotone non-decreasing in k (supersets of depths)
+    val hs = SimilarityOps.RecallDepths.map(k => got(k)._2)
+    assert(hs == hs.sorted, s"hits not monotone: $hs")
+  }
+
   test("ann_pq recall@3 vs exact kNN ground truth >= 0.7") {
     val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
     val ann = SparkEntry.queries("ann_pq")(spark, sf).collect()

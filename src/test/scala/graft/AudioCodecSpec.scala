@@ -124,6 +124,50 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("audio_vad: PCM-walked window energies match the analytic text-byte law") {
+    val spark = GraftSession.builder("AudioCodecSpec")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val sf = "/root/testdata/sf0.001"
+    // independent replay: NOT via the codec — straight from the fixture's
+    // text-byte→sample law (what the DuckDB oracle also does), so a codec
+    // or window-walk bug on the op side cannot self-confirm
+    val expect = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val text = r.getAs[String]("text")
+        val nb = text.length
+        val m = math.min(math.max(nb, 1), 128)
+        val channels = 1 + (nb / 32) % 2
+        val frames = 256 + ((nb / 16) * 31) % 2048
+        val nWin = frames * channels / AudioOps.VadWindow
+        val energies = (0 until nWin).map { w =>
+          16L * 40000L * (16 * w until 16 * w + 16)
+            .map { b => val c = (text((b % m)).toLong - 128); c * c }.sum
+        }
+        id -> (nWin, energies.count(_ > AudioOps.VadThresholdEnergy),
+          energies.sum)
+      }.toMap
+    val got = SparkEntry.queries("audio_vad")(spark, sf).collect()
+    assert(got.length == expect.size)
+    for (r <- got) {
+      val id = r.getAs[Long]("doc_id")
+      val (nWin, nAct, sumE) = expect(id)
+      assert(r.getAs[Int]("n_windows") == nWin, s"doc $id")
+      assert(r.getAs[Int]("n_active") == nAct, s"doc $id")
+      assert(r.getAs[Long]("sum_energy") == sumE, s"doc $id")
+      assert(r.getAs[Double]("active_frac") == nAct.toDouble / nWin, s"doc $id")
+      assert(r.getAs[String]("status") == "ok", s"doc $id")
+    }
+    // the gate is REAL on this fixture: both classes occur
+    val total = expect.values.map(_._1).sum
+    val active = expect.values.map(_._2).sum
+    assert(active > 0, "no active windows — threshold too high, gate vacuous")
+    assert(active < total, "every window active — threshold too low, gate vacuous")
+  }
+
   test("buildPayload encodes real clips; near-identical texts collide in ehash") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val pa = AudioOps.buildPayload(base.getBytes("UTF-8"))

@@ -233,4 +233,124 @@ class GopherRulesSpec extends SparkSuite {
     }
     assert(anyRepeatPair, "no repeated shared token in any pair — clipping vacuous")
   }
+
+  test("preference_pairs: crafted groups pin scores, tiebreaks, and both gates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prefpairs").toString
+    // scores are 200·stop_hits + n_chars − 4·punct_chars (exact integers):
+    //   s1: 611 / 7 / 3        -> kept, margin 608
+    //   s2: 7 / 5              -> DROPPED by the margin gate (2 < 50)
+    //   s3: singleton          -> DROPPED by the group-size gate
+    //   s4: 206 / 206 / 2      -> chosen TIE -> lowest doc_id (7)
+    //   s5: 206 / 2 / 2        -> rejected TIE -> lowest doc_id (10)
+    //   s6: 611 / −8           -> punct term drives rejected_score negative
+    val docs = Seq(
+      (1L, "the data of", "en", "s1"),
+      (2L, "zzz qqq", "en", "s1"),
+      (3L, "mmm", "en", "s1"),
+      (4L, "aaa bbb", "en", "s2"),
+      (5L, "cc dd", "en", "s2"),
+      (6L, "solo doc", "en", "s3"),
+      (7L, "the xx", "en", "s4"),
+      (8L, "the yy", "en", "s4"),
+      (9L, "zz", "en", "s4"),
+      (10L, "qq", "en", "s5"),
+      (11L, "ww", "en", "s5"),
+      (12L, "the aa", "en", "s5"),
+      (13L, "a!!!", "en", "s6"),
+      (14L, "the the the", "en", "s6"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.preferencePairs(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("chosen_score"), r.getAs[Long]("rejected_score"),
+          r.getAs[Long]("margin"), r.getAs[Long]("n_candidates"))).toMap
+    assert(got.keySet == Set("s1", "s4", "s5", "s6"),
+      s"gates wrong: ${got.keySet}")
+    assert(got("s1") == ((1L, 3L, 611L, 3L, 608L, 3L)))
+    assert(got("s4") == ((7L, 9L, 206L, 2L, 204L, 3L)))
+    assert(got("s5") == ((12L, 10L, 206L, 2L, 204L, 3L)))
+    assert(got("s6") == ((14L, 13L, 611L, -8L, 619L, 2L)))
+  }
+
+  test("source_winrate: rank-summary u2 equals the brute-force all-pairs definition") {
+    val stop = Set("the", "and", "a", "of", "to", "data", "scan")
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("text", "lang", "source", "n_chars").collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        val hits = text.trim.split(" ", -1).count(stop.contains)
+        val punct = text.count(c => !(c == ' ' || c.isDigit ||
+          (c >= 'a' && c <= 'z')))
+        (r.getAs[String]("lang"), r.getAs[String]("source"),
+          200L * hits + r.getAs[Long]("n_chars") - 4L * punct)
+      }
+    // brute force: every doc pair within a language, ties worth 1
+    def u2(lang: String, a: String, b: String): Long = {
+      val as = rows.filter(r => r._1 == lang && r._2 == a).map(_._3)
+      val bs = rows.filter(r => r._1 == lang && r._2 == b).map(_._3)
+      (for (x <- as; y <- bs) yield
+        if (x > y) 2L else if (x == y) 1L else 0L).sum
+    }
+    val got = TextOps.sourceWinrate(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (lang, a, b) = (r.getAs[String]("lang"),
+        r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b, "only the a < b direction is emitted")
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val uab = u2(lang, a, b)
+      assert(r.getAs[Long]("u2") == uab, s"($lang, $a, $b)")
+      // the Mann-Whitney identity: wins + losses + ties partition all pairs
+      assert(uab + u2(lang, b, a) == 2L * na * nb, s"identity ($lang, $a, $b)")
+      assert(r.getAs[Double]("win_rate")
+        == uab.toDouble / (2L * na * nb).toDouble)
+    }
+    // every co-present pair is emitted, none fabricated
+    val pairs = rows.map(r => (r._1, r._2)).distinct.groupBy(_._1)
+    val expectPairs = pairs.flatMap { case (lang, g) =>
+      val ss = g.map(_._2).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size)
+        yield (lang, ss(i), ss(j))
+    }.toSet
+    assert(got.map(r => (r.getAs[String]("lang"), r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"))).toSet == expectPairs)
+    // the matrix is informative: not every pair sits at 0.5
+    assert(got.exists(r => math.abs(r.getAs[Double]("win_rate") - 0.5) > 0.05),
+      "all win rates ~0.5 — matrix uninformative, fixture suspicious")
+  }
+
+  test("preference_pairs: fixture rows match a straight-line replay") {
+    val stop = Set("the", "and", "a", "of", "to", "data", "scan")
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    def score(text: String, nChars: Long): Long = {
+      val hits = text.trim.split(" ", -1).count(stop.contains)
+      val punct = text.count(c => !(c == ' ' || c.isDigit ||
+        (c >= 'a' && c <= 'z')))
+      200L * hits + nChars - 4L * punct
+    }
+    val expect = rows.groupBy(r => (r._3, r._4)).flatMap { case (k, g) =>
+      val scored = g.map(r => (r._1, score(r._2, r._5)))
+      val chosen = scored.minBy { case (id, s) => (-s, id) }
+      val rejected = scored.minBy { case (id, s) => (s, id) }
+      val margin = chosen._2 - rejected._2
+      if (g.length >= 2 && margin >= TextOps.PrefMinMargin)
+        Some(k -> (chosen._1, rejected._1, margin, g.length.toLong))
+      else None
+    }
+    val got = TextOps.preferencePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin"), r.getAs[Long]("n_candidates"))).toMap
+    assert(got.nonEmpty, "no pairs mined from the fixture — vacuous")
+    assert(got == expect)
+  }
 }

@@ -310,4 +310,56 @@ class HybridRrfSpec extends SparkSuite {
       "overlap and BM25 ranks never disagree — third leg vacuous")
     assert(rows.exists(r => r._3 > 0), "no bm25-ranked row in any top-10")
   }
+
+  test("rbo_eval: suffix-sum algebra equals the per-depth RBO definition") {
+    import graft.ops.SimilarityOps
+    // ladder sanity: w_d = (2520/d)·2^(10−d) exactly, tails are suffix sums
+    for (d <- 1 to 10) {
+      assert(2520 % d == 0, s"2520 must clear the /$d")
+      assert(SimilarityOps.RboWeights(d - 1) == (2520L / d) << (10 - d))
+    }
+    assert(SimilarityOps.RboTailWeights.head == SimilarityOps.RboWeights.sum)
+    // identical rankings hit the truncated ceiling Σ w_d·d = 2577960
+    assert((1 to 10).map(d => SimilarityOps.RboWeights(d - 1) * d).sum
+      == 2577960L)
+    val aLeg = SimilarityOps.knnCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk")))
+    val bLeg = SimilarityOps.bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("id"),
+        r.getAs[Int]("rk")))
+    // brute force BY DEFINITION: per depth d, count |top_a(d) ∩ top_b(d)|
+    // and weight it w_d — independent of the engine's per-id suffix trick
+    def rboScaled(q: Long): (Long, Long) = {
+      val as = aLeg.filter(_._1 == q)
+      val bs = bLeg.filter(_._1 == q)
+      val scaled = (1 to 10).map { d =>
+        val ta = as.filter(_._3 <= d).map(_._2).toSet
+        val tb = bs.filter(_._3 <= d).map(_._2).toSet
+        SimilarityOps.RboWeights(d - 1) * ta.intersect(tb).size
+      }.sum
+      val shared = as.map(_._2).toSet.intersect(bs.map(_._2).toSet).size
+      (scaled, shared.toLong)
+    }
+    val got = SimilarityOps.rboEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    val qids = (aLeg.map(_._1) ++ bLeg.map(_._1)).distinct
+    assert(got.keySet == qids.toSet, "one row per query, none dropped")
+    for (q <- qids) {
+      val (scaled, shared) = rboScaled(q)
+      val r = got(q)
+      assert(r.getAs[Long]("rbo_scaled") == scaled, s"q $q")
+      assert(r.getAs[Long]("n_shared") == shared, s"q $q")
+      assert(r.getAs[Double]("rbo")
+        == scaled.toDouble / SimilarityOps.RboDenom.toDouble, s"q $q")
+      assert(r.getAs[Double]("rbo") >= 0.0 &&
+        r.getAs[Double]("rbo") <= 2577960.0 / SimilarityOps.RboDenom)
+    }
+    // the metric is informative on the fixture: the two retrievers neither
+    // coincide (rbo at ceiling) nor are disjoint everywhere (all zero)
+    assert(got.values.exists(_.getAs[Long]("n_shared") > 0),
+      "no query shares any id across retrievers — rbo vacuous")
+    assert(got.values.exists(r => r.getAs[Long]("rbo_scaled") < 2577960L),
+      "every query at the ceiling — retrievers identical, rbo vacuous")
+  }
 }

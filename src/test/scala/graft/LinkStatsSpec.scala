@@ -458,6 +458,99 @@ class LinkStatsSpec extends SparkSuite {
     assert(again(0).getAs[Int]("winner_nationkey") == winner)
   }
 
+  test("dp_topk: ranked release matches replay AND the iterated-argmax peeling") {
+    import QualityOps._
+    val B = DpNoiseBound
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey")).collect().map(_.getInt(0))
+    val trueN = cust.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def noise(key: Long): Long = {
+      val h = BigInt(key) % DpHashP * BigInt(2654435761L) % DpHashP
+      val x = h * (3L * (1L << B))
+      DpThresholds.count(s => x >= BigInt(s)).toLong - B
+    }
+    val noisy = trueN.map { case (nk, n) =>
+      nk -> (n + noise(nk + DpTopkKeyOff))
+    }
+    val ranked = noisy.toSeq.sortBy { case (nk, s) => (-s, nk) }
+      .map(_._1).take(DpTopkK)
+    // the one-shot prefix IS the peeling: argmax, remove, argmax again
+    var pool = noisy
+    val peeled = (1 to DpTopkK).map { _ =>
+      val w = pool.minBy { case (nk, s) => (-s, nk) }._1
+      pool = pool - w
+      w
+    }
+    assert(ranked == peeled, "one-shot prefix diverged from iterated argmax")
+    val got = QualityOps.dpTopk(spark, sf).collect().sortBy(_.getAs[Int]("release_rank"))
+    assert(got.length == DpTopkK)
+    for ((r, i) <- got.zipWithIndex) {
+      assert(r.getAs[Int]("release_rank") == i + 1)
+      assert(r.getAs[Int]("winner_nationkey") == ranked(i), s"rank ${i + 1}")
+      assert(r.getAs[Long]("n_candidates") == trueN.size.toLong)
+      assert(r.getAs[Long]("epsilon_q6") == DpTopkK.toLong * DpEpsilonQ6)
+    }
+    // identities and order only — no score column leaks
+    assert(got(0).schema.fieldNames.toSet == Set("release_rank",
+      "winner_nationkey", "n_candidates", "epsilon_q6", "noise_bound"))
+  }
+
+  test("dp_quantile: exponential-mechanism median matches a straight-line replay; randomness is real") {
+    import QualityOps._
+    val nB = DpQuantBands
+    val w = DpQuantBandCents
+    val b = DpNoiseBound
+    assert(DpClampCents == nB.toLong * w, "band ladder must tile the clamp range exactly")
+    val rows = Tables.customer(spark, sfTies)
+      .selectExpr("c_nationkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byNation = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => math.min(math.max(x._2, 0L), DpClampCents))
+    }
+    def replay(nk: Int): (Long, Long) = { // (released cents, greedy jstar-free pick)
+      val vs = byNation(nk)
+      val cnts = Array.fill(nB)(0L)
+      vs.foreach(v => cnts(math.min((v / w).toInt, nB - 1)) += 1)
+      val ranks = (0 to nB).map(j => cnts.take(j).sum)
+      val t = (vs.size + 1L) / 2L
+      val us = ranks.map(r => -math.abs(r - t))
+      val umax = us.max
+      val ws = us.map(u => 1L << math.max(u - umax + b, 0L).toInt)
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val h = (BigInt(nk + DpQuantKeyOff) % DpHashP * BigInt(2654435761L)
+        % DpHashP).toLong
+      val jstar = cums.count(c => h * cums.last >= c * DpHashP).toLong
+      val greedy = us.indexOf(umax).toLong
+      (jstar * w, greedy * w)
+    }
+    val got = QualityOps.dpQuantile(spark, sfTies).collect()
+    assert(got.length == byNation.size)
+    for (r <- got) {
+      val nk = r.getAs[Int]("c_nationkey")
+      assert(r.getAs[Long]("noisy_median_cents") == replay(nk)._1, s"nation $nk")
+      assert(r.getAs[Int]("n_candidates") == nB + 1)
+      assert(r.getAs[Long]("clamp_cents") == DpClampCents)
+      assert(r.getAs[Long]("epsilon_q6") == DpQuantEpsilonQ6)
+      // release stays inside the clamp ladder
+      val rel = r.getAs[Long]("noisy_median_cents")
+      assert(rel >= 0L && rel <= DpClampCents)
+    }
+    // true ranks/counts never surface
+    assert(got(0).schema.fieldNames.toSet == Set("c_nationkey",
+      "noisy_median_cents", "n_candidates", "clamp_cents", "epsilon_q6"))
+    // the mechanism genuinely randomizes: some nation releases a candidate
+    // that is NOT the max-utility (greedy) boundary...
+    assert(byNation.keys.exists(nk => replay(nk)._1 != replay(nk)._2),
+      "every nation picked the greedy argmax — selection noise vacuous")
+    // ...but mass still concentrates: most nations release within one band
+    // of the greedy pick (2^-u decay), so the release is USEFUL
+    val close = byNation.keys.count(nk =>
+      math.abs(replay(nk)._1 - replay(nk)._2) <= 8L * w)
+    assert(close * 10 >= byNation.size * 5,
+      "over half the releases strayed > 8 bands from the true median — weights suspicious")
+  }
+
   test("aqp_estimate: HT estimator matches a driver replay and covers the exact total") {
     val rows = Tables.lineitem(spark, sfTies)
       .selectExpr("l_returnflag", "l_orderkey",

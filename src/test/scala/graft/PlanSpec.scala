@@ -683,6 +683,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("rbo_eval: two bounded legs, suffix-table fold — no cartesian, no sort-merge") {
+    val p = plan("rbo_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("mutual_info: ONE fact scan; marginals ride broadcasts over the checkpointed cells") {
     val p = plan("mutual_info")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
@@ -740,6 +747,35 @@ class PlanSpec extends SparkSuite {
   test("dp_count: one map-side-combined scan; the noise fold runs per GROUP, no join") {
     val p = plan("dp_count")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dp_quantile: one map-side-combined scan; ladder folds run per GROUP, no join") {
+    val p = plan("dp_quantile")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), "band counts must combine map-side")
+  }
+
+  test("preference_pairs: one scan, score computed map-side, group-bounded agg, no join") {
+    val p = plan("preference_pairs")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), "candidate texts must never explode")
+  }
+
+  test("source_winrate: corpus scanned once into the checkpointed summary; no cartesian") {
+    val p = plan("source_winrate")
+    // downstream of the checkpoint only summary frames flow
+    assert(!p.contains("Scan parquet"), "final plan must read the materialized summary, not re-scan the corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("audio_vad is a pure per-row decode map: no exchange, no join") {
+    val p = plan("audio_vad")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
 
