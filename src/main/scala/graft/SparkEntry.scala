@@ -289,6 +289,7 @@ object SparkEntry {
     "kmeans_embed"      -> ((s, d) => SimilarityOps.kmeansEmbed(s, d)),
     "cluster_balanced_sample" -> ((s, d) => SimilarityOps.clusterBalancedSample(s, d)),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
+    "shuffle_audit"     -> (PipelineOps.shuffleAudit _),
     "dataset_card"      -> (PipelineOps.datasetCard _),
     "ann_index_upsert"  -> (SimilarityOps.annIndexUpsert _),
     // ---- dataset preparation (north-star extensions) ----
@@ -2836,6 +2837,36 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hkey % 64
         |                          ORDER BY hkey, doc_id) AS INTEGER) AS pos
         |FROM h""".stripMargin,
+    // shuffle-mixing audit: adjacency = lag inside the shard window the
+    // shuffle defines; the well_mixed alert cross-multiplies exact
+    // integers (HUGEINT here, DECIMAL(38,0) engine-side) — never doubles
+    "shuffle_audit" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             (doc_id % 1000000007) * 2654435761 % 1000000007 AS hkey
+        |           FROM documents),
+        |t AS (SELECT source, lag(source) OVER (PARTITION BY hkey % 64
+        |                     ORDER BY hkey, doc_id) AS prev
+        |      FROM s),
+        |adj AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_pairs,
+        |          CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS collisions
+        |        FROM t),
+        |e AS (SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS expected_num,
+        |        CAST(sum(ns) * (sum(ns) - 1) AS BIGINT) AS expected_den
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS ns
+        |            FROM s GROUP BY source) c)
+        |SELECT n_docs, n_pairs, collisions,
+        |  CASE WHEN n_pairs > 0
+        |    THEN CAST(collisions AS DOUBLE) / n_pairs END AS collision_rate,
+        |  expected_num, expected_den,
+        |  CASE WHEN expected_den > 0
+        |    THEN CAST(expected_num AS DOUBLE) / expected_den
+        |  END AS expected_rate,
+        |  collisions * CAST(expected_den AS HUGEINT)
+        |    <= 2 * n_pairs * CAST(expected_num AS HUGEINT) AS well_mixed
+        |FROM adj, e""".stripMargin,
     // Spark groups under the UTF8_LCASE collation natively; the oracle
     // states the same semantics as count(DISTINCT lower(...))
     "collation_distinct" ->

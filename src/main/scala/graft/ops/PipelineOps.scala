@@ -932,6 +932,58 @@ object PipelineOps {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Training-order mixing audit of [[corpusShuffle]]'s permutation — the
+    * check run before a training job trusts a shuffled corpus ("data
+    * order matters"): within each shard, the rate at which ADJACENT
+    * documents come from the same source, against the random-permutation
+    * baseline P(collision) = Σ_s n_s(n_s−1) / (N(N−1)). A shuffle that
+    * silently preserves ingest order (e.g. a monotone key) shows
+    * collision_rate ≫ expected_rate; the `well_mixed` flag alerts at 2×
+    * the baseline, decided by exact DECIMAL cross-multiplication — the
+    * doubles are display-only. Adjacency is ONE `lag` inside the same
+    * shard window the shuffle itself defines (no self-join); the two
+    * exact-integer baseline terms ride along (the derive-client-side
+    * discipline; int64-safe below ~3·10⁹ docs per source — past that the
+    * two columns move to internal DECIMAL and only the rates ship).
+    *
+    * Scale: the id+source projection checkpoints once and feeds both the
+    * shard-windowed adjacency pass and the source census; shard count
+    * bounds window parallelism exactly as it bounds corpusShuffle's own
+    * write parallelism (production raises both together).
+    */
+  def shuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.ckpt(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("hkey", permKey(col("doc_id")))
+      .withColumn("shard", col("hkey") % 64))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    val adj = base
+      .withColumn("prev_source", lag(col("source"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("prev_source").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(when(col("prev_source") === col("source"), 1L).otherwise(0L))
+          .as("collisions"))
+    val exp = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .agg(
+        sum(col("ns") * (col("ns") - 1)).as("expected_num"),
+        (sum(col("ns")) * (sum(col("ns")) - 1)).as("expected_den"))
+    adj.crossJoin(broadcast(exp))
+      .select(
+        col("n_docs"), col("n_pairs"), col("collisions"),
+        when(col("n_pairs") > 0,
+          col("collisions").cast(DoubleType) / col("n_pairs").cast(DoubleType))
+          .as("collision_rate"),
+        col("expected_num"), col("expected_den"),
+        when(col("expected_den") > 0,
+          col("expected_num").cast(DoubleType)
+            / col("expected_den").cast(DoubleType)).as("expected_rate"),
+        (col("collisions").cast(DecimalType(38, 0)) * col("expected_den") <=
+          lit(2) * col("n_pairs").cast(DecimalType(38, 0)) * col("expected_num"))
+          .as("well_mixed"))
+  }
+
   /** Dataset card — the per-source datasheet a released corpus ships
     * with (Gebru et al.'s "Datasheets for Datasets", the model-card
     * sibling): per source, document/language/token/char totals, the

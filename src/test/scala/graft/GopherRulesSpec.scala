@@ -323,6 +323,77 @@ class GopherRulesSpec extends SparkSuite {
       "all win rates ~0.5 — matrix uninformative, fixture suspicious")
   }
 
+  test("shuffle_audit: adjacency census matches a straight-line replay of the shuffle order") {
+    import graft.ops.PipelineOps
+    val sf = "/root/testdata/sf0.01"
+    val P = 1000000007L
+    val rows = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val keyed = rows.map { case (id, src) =>
+      val hkey = id % P * 2654435761L % P
+      (hkey % 64, hkey, id, src)
+    }
+    val byShard = keyed.groupBy(_._1).values
+    var nPairs = 0L
+    var collisions = 0L
+    for (shard <- byShard) {
+      val ordered = shard.sortBy(t => (t._2, t._3)).map(_._4)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => nPairs += 1; if (a == b) collisions += 1
+        case _ =>
+      }
+    }
+    val ns = rows.groupBy(_._2).map(_._2.length.toLong)
+    val n = rows.length.toLong
+    val expectedNum = ns.map(x => x * (x - 1)).sum
+    val expectedDen = n * (n - 1)
+    val got = PipelineOps.shuffleAudit(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_pairs") == nPairs)
+    assert(r.getAs[Long]("collisions") == collisions)
+    assert(r.getAs[Long]("expected_num") == expectedNum)
+    assert(r.getAs[Long]("expected_den") == expectedDen)
+    assert(r.getAs[Double]("collision_rate") == collisions.toDouble / nPairs)
+    assert(r.getAs[Boolean]("well_mixed") ==
+      (BigInt(collisions) * expectedDen <= BigInt(2) * nPairs * expectedNum))
+    // adjacency pairs exist, and the shuffle passes its own audit. NOTE:
+    // collisions are legitimately ZERO here — source = src(doc_id % 20)
+    // and the multiplicative hash is a low-discrepancy sequence (the
+    // three-distance theorem: sorted-adjacent ids differ by a small fixed
+    // set of steps, none ≡ 0 mod 20), i.e. the shuffle is SUB-random on
+    // this fixture, which well_mixed correctly reports as mixed
+    assert(nPairs > 0, "no adjacency pairs — fixture too small for the audit")
+    assert(r.getAs[Boolean]("well_mixed"))
+  }
+
+  test("shuffle_audit: an order-correlated corpus trips the well_mixed alert") {
+    import spark.implicits._
+    import graft.ops.PipelineOps
+    val P = 1000000007L
+    val dir = java.nio.file.Files.createTempDirectory("shuffleaudit").toString
+    // adversarial fixture: assign sources in RUNS of the HASH order, so
+    // shard-adjacent documents almost always share a source — the
+    // monotone-ingest pathology the audit exists to catch
+    val ids = (0L until 400L).toSeq
+    val byHash = ids.sortBy(id => (id % P * 2654435761L % P % 64,
+      id % P * 2654435761L % P, id))
+    // 8 runs of 50: expected collision rate ≈ 8·(50·49)/(400·399) ≈ 0.12,
+    // while run-adjacency drives the observed rate near 1 — far past 2×
+    val srcOf = byHash.zipWithIndex
+      .map { case (id, rank) => id -> s"run${rank / 50}" }.toMap
+    ids.map(id => (id, "x y z", "en", srcOf(id), 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = PipelineOps.shuffleAudit(spark, dir).collect()(0)
+    assert(!r.getAs[Boolean]("well_mixed"),
+      s"run-structured corpus passed the audit: $r")
+    assert(r.getAs[Double]("collision_rate")
+      > 2 * r.getAs[Double]("expected_rate"))
+  }
+
   test("preference_pairs: fixture rows match a straight-line replay") {
     val stop = Set("the", "and", "a", "of", "to", "data", "scan")
     val sf = "/root/testdata/sf0.001"
