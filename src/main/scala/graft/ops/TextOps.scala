@@ -129,10 +129,14 @@ object TextOps {
     * decile_drift discipline: summaries keyed by score never grow with
     * row count).
     */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** Add the quality score `s` to any (streaming or batch) frame carrying
+    * (text, n_chars) — the shared projection that makes the streaming
+    * twin bit-identical to the batch op by construction.
+    */
+  private[graft] def withScore(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "and", "a", "of", "to", "data", "scan")
     val inList = stop.map(s => s"t = '$s'").mkString(" OR ")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("s",
         lit(200L) * size(expr(s"filter(toks, t -> $inList)"))
@@ -140,8 +144,17 @@ object TextOps {
           - lit(4L) * length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
   }
 
-  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
-    scoredDocs(spark, dir)
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    withScore(Tables.documents(spark, dir))
+
+  /** The (chosen, rejected) aggregation + gates over a scored frame —
+    * shared by [[preferencePairs]] and the streaming twin
+    * [[graft.streaming.PreferencePairsStream]] (the aggregation is pure
+    * min_by/max_by state, so it runs unchanged as an update-mode
+    * streaming agg whose state is bounded by |lang|·|source|).
+    */
+  private[graft] def pairsFromScored(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_candidates"),
@@ -158,7 +171,9 @@ object TextOps {
         col("chosen_score"), col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin"),
         col("n_candidates"))
-  }
+
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFromScored(scoredDocs(spark, dir))
 
   /** Pairwise win-rate matrix between sources — the "model A vs model B"
     * table every evaluation stack publishes, here over document quality:
