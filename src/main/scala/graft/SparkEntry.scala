@@ -290,6 +290,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> ((s, d) => SimilarityOps.clusterBalancedSample(s, d)),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "shuffle_audit"     -> (PipelineOps.shuffleAudit _),
+    "compression_ratio" -> (QualityOps.compressionRatio _),
     "dataset_card"      -> (PipelineOps.datasetCard _),
     "ann_index_upsert"  -> (SimilarityOps.annIndexUpsert _),
     // ---- dataset preparation (north-star extensions) ----

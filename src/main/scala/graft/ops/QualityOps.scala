@@ -881,6 +881,57 @@ object QualityOps {
         lit(DpNoiseBound).as("noise_bound"))
   }
 
+  /** Repetitiveness gate for [[compressionRatio]]: docs compressing below
+    * this deflate/raw ratio are flagged (repetitive text compresses
+    * well). 0.45 splits the fixture ~24/76 so both branches are
+    * exercised; production tunes per corpus.
+    */
+  val RepetitiveRatioThreshold = 0.45
+
+  /** Compression-ratio quality signal — the cheap repetitiveness
+    * heuristic the Gopher/CCNet-family cleaning stacks run beside the
+    * n-gram repetition rules: deflate each document (zlib via the JDK's
+    * bundled Deflater, default level) and report compressed/raw bytes.
+    * Boilerplate, template spam, and degenerate repetition compress far
+    * below natural prose, so a LOW ratio flags a document for the
+    * repetition review that [[gopherRules]] then quantifies exactly.
+    * Rows-only BY DESIGN: the compressed byte count is
+    * zlib-implementation-defined (deterministic for a fixed JDK, not a
+    * cross-engine constant), so no SQL oracle can replay it — the spec
+    * replays the deflate straight-line and pins both flag branches.
+    *
+    * Scale: pure per-row map — ONE Deflater per partition, reset between
+    * documents (the codec decode-slot discipline); zero exchanges, zero
+    * joins; 100 TB costs one scan.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater()
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, raw.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_raw", "n_deflate")
+      .select(
+        col("doc_id"), col("n_raw"), col("n_deflate"),
+        when(col("n_raw") > 0,
+          col("n_deflate").cast(DoubleType) / col("n_raw").cast(DoubleType))
+          .as("ratio"))
+      .withColumn("repetitive",
+        coalesce(col("ratio") < lit(RepetitiveRatioThreshold), lit(false)))
+  }
+
   /** Noisy-top-k key offset (see [[DpSumKeyOff]]) and release size. */
   val DpTopkKeyOff = 505L
   val DpTopkK = 3

@@ -369,6 +369,62 @@ class GopherRulesSpec extends SparkSuite {
     assert(r.getAs[Boolean]("well_mixed"))
   }
 
+  test("compression_ratio: deflate replay matches; repetition drives the flag") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    def deflatedLen(text: String): Long = {
+      val d = new java.util.zip.Deflater()
+      val raw = text.getBytes("UTF-8")
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      d.end(); out
+    }
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = QualityOps.compressionRatio(spark, sf).collect()
+    assert(got.length == texts.size)
+    for (r <- got) {
+      val id = r.getAs[Long]("doc_id")
+      val raw = texts(id).getBytes("UTF-8").length.toLong
+      val defl = deflatedLen(texts(id))
+      assert(r.getAs[Long]("n_raw") == raw, s"doc $id")
+      assert(r.getAs[Long]("n_deflate") == defl, s"doc $id")
+      assert(r.getAs[Double]("ratio") == defl.toDouble / raw, s"doc $id")
+      assert(r.getAs[Boolean]("repetitive") ==
+        (defl.toDouble / raw < QualityOps.RepetitiveRatioThreshold), s"doc $id")
+    }
+    // the gate is real on the fixture: both branches occur
+    val flags = got.map(_.getAs[Boolean]("repetitive"))
+    assert(flags.contains(true) && flags.contains(false),
+      "flag never splits the fixture — threshold vacuous")
+    // and the signal points the right way on crafted extremes
+    val dir = java.nio.file.Files.createTempDirectory("comprat").toString
+    val repetitive = "spam spam " * 40
+    // splitmix64-mixed 64-symbol text (~6 bits/char, ratio ≈ 0.84):
+    // genuinely incompressible — a bare multiplicative map is an
+    // ARITHMETIC progression mod p and zlib models it (measured 0.43)
+    val alphabet = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq(' ', '.')).mkString
+    def mix(i: Long): Int = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      (x & 63L).toInt
+    }
+    val varied = (0 until 400).map(i => alphabet(mix(i.toLong))).mkString("")
+    Seq((1L, repetitive, "en", "s", repetitive.length.toLong),
+      (2L, varied, "en", "s", varied.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val crafted = QualityOps.compressionRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("repetitive")).toMap
+    assert(crafted(1L), "degenerate repetition not flagged")
+    assert(!crafted(2L), "high-entropy text flagged")
+  }
+
   test("shuffle_audit: an order-correlated corpus trips the well_mixed alert") {
     import spark.implicits._
     import graft.ops.PipelineOps
