@@ -5798,12 +5798,15 @@ object SparkEntry {
     // the Spark side walks REAL decoded PCM; the oracle replays the
     // identical window energies analytically from the fixture's
     // text-byte→sample law: a 256-sample window = 16 constant 16-sample
-    // blocks, energy = 16·40000·Σ(byte−128)² — exact integers end to end
+    // blocks, energy = 16·40000·Σ(byte−128)² — exact integers end to end.
+    // nb = 0 mirrors buildClip's `if (nb == 0) 0` sample special case
+    // (sibling guard: video_frame_sample/image_features); like those
+    // oracles this assumes the fixture's ASCII text (strlen == bytes)
     "audio_vad" -> {
       val win = graft.ops.AudioOps.VadWindow
       val thr = graft.ops.AudioOps.VadThresholdEnergy
       s"""WITH a AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, text, strlen(text) AS nb,
         |    CAST(CASE (strlen(text) // 64) % 3 WHEN 0 THEN 8000
         |         WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
         |    (256 + ((strlen(text) // 16) * 31) % 2048)
@@ -5811,13 +5814,14 @@ object SparkEntry {
         |    least(greatest(strlen(text), 1), 128) AS m
         |  FROM documents),
         |e AS (SELECT doc_id, sample_rate, n_windows,
-        |        unnest(range(0, n_windows)) AS wi, text, m
+        |        unnest(range(0, n_windows)) AS wi, text, nb, m
         |      FROM a),
         |en AS (SELECT doc_id, sample_rate, n_windows,
         |         16 * 40000 * list_sum(list_transform(
         |           list_transform(range(16 * wi, 16 * wi + 16),
-        |             x -> ascii(substr(text, CAST(x % m AS INTEGER) + 1, 1))
-        |                  - 128),
+        |             x -> CASE WHEN nb = 0 THEN 0
+        |                  ELSE ascii(substr(text, CAST(x % m AS INTEGER) + 1, 1))
+        |                       - 128 END),
         |           c -> CAST(c AS BIGINT) * c)) AS energy
         |       FROM e)
         |SELECT doc_id, sample_rate,

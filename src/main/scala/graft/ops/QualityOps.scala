@@ -911,6 +911,11 @@ object QualityOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater()
+        // release the native zlib state when the task ends — GC
+        // finalization is not prompt enough for off-heap buffers on a
+        // long-lived executor
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")

@@ -896,7 +896,15 @@ object SimilarityOps {
     * index pieces compose. At 100 TB: corpus hash-partitioned by cell,
     * scan touches nProbe cells × 8 bytes/row, shuffle carries ids only.
     */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(spark, dir, k = 3)
+
+  /** The ONE IVF-PQ pipeline behind [[annIvfPq]] (k = 3, the lane's
+    * published shape) and [[annRecallCurve]]'s depth-10 ann leg — a
+    * single definition so the recall curve always measures exactly the
+    * index that ships.
+    */
+  private def ivfPqTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val nProbe = IvfPqProbe
     val e = unitVecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
@@ -914,7 +922,7 @@ object SimilarityOps {
         col("cell") === col("c_id") && col("vec_id") =!= col("q_id")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
-    exactRerank(cand, e, q)
+    exactRerank(cand, e, q, k)
   }
 
   /** Recall@k depths reported by [[annRecallCurve]], public for the spec. */
@@ -936,27 +944,12 @@ object SimilarityOps {
     * to depth 10 (same bounded plan), the exact leg is [[knnCosine]];
     * the curve itself touches only the two leg frames.
     */
-  /** [[annIvfPq]]'s candidate pipeline re-ranked to depth 10 — the ann
-    * leg of [[annRecallCurve]], package-visible so the spec can replay
-    * the curve arithmetic from the leg rows.
+  /** [[annIvfPq]]'s pipeline re-ranked to depth 10 — the ann leg of
+    * [[annRecallCurve]], package-visible so the spec can replay the
+    * curve arithmetic from the leg rows.
     */
-  private[graft] def ivfPqTop10(spark: SparkSession, dir: String): DataFrame = {
-    val nProbe = IvfPqProbe
-    val e = unitVecs(spark, dir)
-    val cents = ivfCentroids(spark, dir)
-    val cb = pqCodebooks(spark, dir)
-    val corpus = withCell(e, cents)
-      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("u"), cb))
-      .select(col("vec_id"), col("cell"), col("codes"))
-    val probes = cellProbes(spark, pqQueries(e, cb), cents, nProbe)
-      .select(col("q_id"), col("dtab"), col("c_id"))
-    val cand = adcTopC(
-      corpus.join(broadcast(probes),
-        col("cell") === col("c_id") && col("vec_id") =!= col("q_id")))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("q_nrm"))
-    exactRerank(cand, e, q, k = 10)
-  }
+  private[graft] def ivfPqTop10(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(spark, dir, k = 10)
 
   def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
     val ann = ivfPqTop10(spark, dir)

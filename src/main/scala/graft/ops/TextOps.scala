@@ -105,33 +105,15 @@ object TextOps {
     */
   val PrefMinMargin = 50L
 
-  /** Preference-pair mining — the DPO/RLHF data-prep step that turns a
-    * scored candidate pool into (chosen, rejected) training pairs: within
-    * each (lang, source) group (the prompt-cluster analog on this
-    * corpus), the best-scoring document becomes `chosen` and the worst
-    * becomes `rejected`, kept only when the score margin clears
-    * [[PrefMinMargin]] — the standard best-of-n vs worst-of-n pair
-    * construction. The score is [[qualityScore]]'s heuristics collapsed
-    * to ONE exact integer (200·stopword_hits + n_chars − 4·punct_chars)
-    * so argmax/argmin and the margin gate are engine-exact — no float
-    * ordering anywhere; ties break to the lowest doc_id via a single
-    * min_by struct key on both sides.
-    *
-    * Scale: one scan with the score computed map-side, one
-    * group-cardinality-bounded aggregation — candidate texts never
-    * shuffle, only (group, score, id) triples feed the agg, and the
-    * output is bounded by |lang|·|source|.
-    */
-  /** The ONE exact-integer quality score shared by [[preferencePairs]]
-    * and [[sourceWinrate]]: [[qualityScore]]'s heuristics collapsed to
-    * 200·stopword_hits + n_chars − 4·punct_chars — bounded by document
+  /** The ONE exact-integer quality score shared by [[preferencePairs]],
+    * [[sourceWinrate]], and the streaming twin: [[qualityScore]]'s
+    * heuristics collapsed to 200·stopword_hits + n_chars − 4·punct_chars
+    * over any (streaming or batch) frame carrying (text, n_chars) — the
+    * shared projection is what makes the streaming twin bit-identical to
+    * the batch op by construction. The score is bounded by document
     * length, so score CARDINALITY is value-range-bounded (the
     * decile_drift discipline: summaries keyed by score never grow with
     * row count).
-    */
-  /** Add the quality score `s` to any (streaming or batch) frame carrying
-    * (text, n_chars) — the shared projection that makes the streaming
-    * twin bit-identical to the batch op by construction.
     */
   private[graft] def withScore(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "and", "a", "of", "to", "data", "scan")
@@ -172,6 +154,22 @@ object TextOps {
         (col("chosen_score") - col("rejected_score")).as("margin"),
         col("n_candidates"))
 
+  /** Preference-pair mining — the DPO/RLHF data-prep step that turns a
+    * scored candidate pool into (chosen, rejected) training pairs: within
+    * each (lang, source) group (the prompt-cluster analog on this
+    * corpus), the best-scoring document becomes `chosen` and the worst
+    * becomes `rejected`, kept only when the score margin clears
+    * [[PrefMinMargin]] — the standard best-of-n vs worst-of-n pair
+    * construction. The [[withScore]] integer score makes argmax/argmin
+    * and the margin gate engine-exact — no float ordering anywhere; ties
+    * break to the lowest doc_id via a single min_by struct key on both
+    * sides.
+    *
+    * Scale: one scan with the score computed map-side, one
+    * group-cardinality-bounded aggregation — candidate texts never
+    * shuffle, only (group, score, id) triples feed the agg, and the
+    * output is bounded by |lang|·|source|.
+    */
   def preferencePairs(spark: SparkSession, dir: String): DataFrame =
     pairsFromScored(scoredDocs(spark, dir))
 
