@@ -264,6 +264,7 @@ object SparkEntry {
     "bleu_eval"         -> (TextOps.bleuEval _),
     "ngram_containment" -> (DedupOps.ngramContainment _),
     "containment_lsh"   -> (DedupOps.containmentLsh _), // rows-only: LSH candidate stream
+    "lsh_tuning_curve"  -> (DedupOps.lshTuningCurve _), // rows-only: xxhash-banded candidates
     "dedup_clusters"    -> (DedupOps.dedupClusters _),
     "dedup_clusters_lsh" -> (DedupOps.dedupClustersLsh _),
     "sql_recursive_closure" -> (DedupOps.sqlRecursiveClosure _),

@@ -148,6 +148,81 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
   }
 
+  /** The band/row grid [[lshTuningCurve]] sweeps — every (b, r) with
+    * b·r = 64 splits the SAME 64-hash signature, and because band
+    * boundaries NEST (a 16-row band is four 4-row bands), candidate sets
+    * nest too: agreeing on a coarse band implies agreeing on each of its
+    * sub-bands, so candidates(4,16) ⊆ (8,8) ⊆ (16,4) ⊆ (32,2) — the
+    * spec pins that containment. Public for the spec.
+    */
+  val TuningConfigs: Seq[(Int, Int)] =
+    Seq((4, 16), (8, 8), (16, 4), (32, 2))
+
+  /** The true-Jaccard operating point the analytic S-curve column is
+    * evaluated at (the fixture's planted near-dups sit above it).
+    */
+  val TuningTau = 0.7
+
+  /** LSH parameter tuning curve — the table a dedup owner computes
+    * BEFORE burning a full-corpus pass, to pick (bands, rows) for the
+    * target Jaccard: for each b·r = 64 split of the one signature frame,
+    * the measured candidate volume and verify-pass precision (estimated
+    * Jaccard ≥ 0.5, [[minhashNeardup]]'s own gate), beside the textbook
+    * S-curve recall 1−(1−τ^r)^b at τ = [[TuningTau]] (Leskovec-Rajaraman-
+    * Ullman §3.4.2 — more bands of fewer rows catch more true pairs AND
+    * more noise; the measured precision column is what the closed form
+    * can't tell you about YOUR corpus). Rows-only (banded candidates are
+    * xxhash-derived); ApproxOpsSpec pins the band-nesting containment,
+    * the shipped config's agreement with minhash_neardup, and the
+    * monotone candidate/S-curve columns.
+    *
+    * Scale: the corpus is shingled/signed ONCE (checkpointed ids+sig
+    * frame); each config re-bands that summary — ids-only shuffles with
+    * the same [[MaxBucket]] cap, never the text — and the verify join
+    * touches candidates only. The whole sweep costs |configs| passes
+    * over the signature summary, not over the corpus.
+    */
+  def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.ckpt(signed(spark, dir))
+    TuningConfigs.map { case (b, r) =>
+      val pairs = fp
+        .select(col("doc_id"), expr(
+          s"""explode(transform(sequence(0, ${b - 1}), bi ->
+             |  named_struct('band_id', bi,
+             |    'band_hash', xxhash64(bi, slice(sig, bi*$r + 1, $r)))))"""
+            .stripMargin).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+        .groupBy(col("band_id"), col("band_hash"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
+        .withColumn("ds", array_sort(col("ds")))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+            |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(expr(
+          s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)")
+          .as("est"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("est") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("n_est_dup"))
+        .select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_est_dup"),
+          when(col("n_candidates") > 0,
+            col("n_est_dup").cast(DoubleType)
+              / col("n_candidates").cast(DoubleType)).as("precision_est"),
+          lit(1.0 - math.pow(1.0 - math.pow(TuningTau, r), b))
+            .as("scurve_recall_tau"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Containment scoring composed with the LSH candidate stream — the
     * production form of [[ngramContainment]]: candidate pairs come from
     * [[lshCandidatePairs]] (banded signature equi-join, ids-only shuffle,

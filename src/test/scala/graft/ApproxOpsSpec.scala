@@ -140,6 +140,36 @@ class ApproxOpsSpec extends SparkSuite {
     assert(recall >= 0.7, f"recall@3 $recall%.2f below floor")
   }
 
+  test("lsh_tuning_curve: nested bands make candidates monotone; shipped config agrees") {
+    import graft.ops.DedupOps
+    val rows = SparkEntry.queries("lsh_tuning_curve")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_est_dup"),
+          r.getAs[Double]("scurve_recall_tau"))).toMap
+    assert(rows.keySet == DedupOps.TuningConfigs.toSet)
+    // band boundaries nest (b·r = 64), so candidate sets — and their
+    // counts — are monotone in the number of bands (bucket caps could in
+    // principle break this; the fixture's buckets stay under the cap)
+    val ordered = DedupOps.TuningConfigs.map(rows(_))
+    val cands = ordered.map(_._1)
+    assert(cands == cands.sorted,
+      s"candidate counts not monotone across nested configs: $cands")
+    // the S-curve recall is monotone in bands at fixed b·r, and extreme
+    // at the ends: 4 bands of 16 rows is conservative, 32 of 2 permissive
+    val sc = ordered.map(_._3)
+    assert(sc == sc.sorted && sc.head < 0.1 && sc.last > 0.99,
+      s"S-curve column shape wrong: $sc")
+    // the shipped config's verified-duplicate count equals the shipped op
+    val shipped = SparkEntry.queries("minhash_neardup")(spark, sf).count()
+    assert(rows((16, 4))._2 == shipped,
+      s"tuning row for the shipped (16,4) disagrees with minhash_neardup")
+    // verified pairs can never exceed candidates
+    for ((cfg, (c, v, _)) <- rows) assert(v <= c, s"$cfg")
+    // the sweep is informative: the permissive end generates strictly
+    // more candidates than the conservative end on this corpus
+    assert(cands.last > cands.head, "no spread across configs — sweep vacuous")
+  }
+
   test("ann_recall_curve matches a replay from the collected legs; band sane") {
     import graft.ops.SimilarityOps
     val knn = SparkEntry.queries("knn_cosine")(spark, sf).collect()
