@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.Tables
@@ -107,15 +107,45 @@ object DedupOps {
     * count, expand within-bucket pairs, and dedup pairs that collide in
     * more than one band. Output: (doc_a, doc_b), doc_a < doc_b.
     */
-  private def lshCandidatePairs(fp: DataFrame): DataFrame = {
-    val buckets = fp
+  /** (band_id, band_hash) → colliding doc-id lists for an arbitrary
+    * (bands, rowsPerBand) split of the signature — the ONE banding
+    * definition [[lshCandidatePairs]] (shipped config) and
+    * [[lshTuningCurve]] (config sweep) share, so the tuning table
+    * measures exactly the discipline that ships.
+    */
+  private[graft] def bandedBuckets(
+      fp: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    fp
       .select(col("doc_id"), expr(
-        s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))))"
+        s"explode(transform(sequence(0, ${bands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(b, slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))))"
       ).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       .groupBy(col("band_id"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
+
+  /** Cap-filter + within-bucket pair expansion + cross-band dedup — the
+    * other half shared by the shipped generator and the tuning sweep.
+    */
+  private[graft] def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ds")) <= MaxBucket)
+      .withColumn("ds", array_sort(col("ds")))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+
+  /** The minhash-agreement Jaccard estimator over two signature columns
+    * — shared by [[minhashNeardup]] and [[lshTuningCurve]].
+    */
+  private def estJaccard: Column = expr(
+    s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)")
+
+  private def lshCandidatePairs(fp: DataFrame): DataFrame = {
+    val buckets = bandedBuckets(fp, Bands, RowsPerBand)
       // Drop-count telemetry rides the checkpoint's OWN materialization
       // via observe() — no second job. (r10 shipped a standalone
       // `.filter(...).count()` here: the exact two-actions-for-telemetry
@@ -137,15 +167,7 @@ object DedupOps {
     lastLshDrops.set(drops)
     if (drops > 0)
       log.warn(s"lshCandidatePairs: dropped $drops degenerate band buckets (> $MaxBucket docs)")
-    ckd
-      .filter(size(col("ds")) <= MaxBucket)
-      .withColumn("ds", array_sort(col("ds")))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-          |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+    pairsFromBuckets(ckd)
   }
 
   /** The band/row grid [[lshTuningCurve]] sweeps — every (b, r) with
@@ -153,7 +175,12 @@ object DedupOps {
     * boundaries NEST (a 16-row band is four 4-row bands), candidate sets
     * nest too: agreeing on a coarse band implies agreeing on each of its
     * sub-bands, so candidates(4,16) ⊆ (8,8) ⊆ (16,4) ⊆ (32,2) — the
-    * spec pins that containment. Public for the spec.
+    * spec pins that containment AT THE SET LEVEL. The guarantee holds
+    * exactly when no bucket crosses [[MaxBucket]] (permissive configs
+    * grow the biggest buckets); the `n_capped_buckets` output column
+    * surfaces per config when the cap engaged (0 on the fixture), so a
+    * degraded row is visibly degraded, never silently understated.
+    * Public for the spec.
     */
   val TuningConfigs: Seq[(Int, Int)] =
     Seq((4, 16), (8, 8), (16, 4), (32, 2))
@@ -172,9 +199,11 @@ object DedupOps {
     * Ullman §3.4.2 — more bands of fewer rows catch more true pairs AND
     * more noise; the measured precision column is what the closed form
     * can't tell you about YOUR corpus). Rows-only (banded candidates are
-    * xxhash-derived); ApproxOpsSpec pins the band-nesting containment,
-    * the shipped config's agreement with minhash_neardup, and the
-    * monotone candidate/S-curve columns.
+    * xxhash-derived); ApproxOpsSpec pins the band-nesting containment AT
+    * THE SET LEVEL (via [[tuningPairs]]), the shipped config's agreement
+    * with minhash_neardup, and the monotone candidate/S-curve columns;
+    * `n_capped_buckets` surfaces any [[MaxBucket]] drops per config (the
+    * one condition under which nesting degrades — never silent).
     *
     * Scale: the corpus is shingled/signed ONCE (checkpointed ids+sig
     * frame); each config re-bands that summary — ids-only shuffles with
@@ -185,33 +214,22 @@ object DedupOps {
   def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.ckpt(signed(spark, dir))
     TuningConfigs.map { case (b, r) =>
-      val pairs = fp
-        .select(col("doc_id"), expr(
-          s"""explode(transform(sequence(0, ${b - 1}), bi ->
-             |  named_struct('band_id', bi,
-             |    'band_hash', xxhash64(bi, slice(sig, bi*$r + 1, $r)))))"""
-            .stripMargin).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-        .groupBy(col("band_id"), col("band_hash"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
-        .withColumn("ds", array_sort(col("ds")))
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-            |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-            |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      pairs
+      // the SAME banding/cap/pair-expansion the shipped generator uses —
+      // shared definitions, so the (16,4) row agrees with minhash_neardup
+      // by construction, not by test luck
+      val buckets = bandedBuckets(fp, b, r)
+      val capped = buckets.agg(
+        coalesce(sum(when(size(col("ds")) > MaxBucket, 1L).otherwise(0L)),
+          lit(0L)).as("n_capped_buckets"))
+      pairsFromBuckets(buckets)
         .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .select(expr(
-          s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)")
-          .as("est"))
+        .select(estJaccard.as("est"))
         .agg(
           count(lit(1)).as("n_candidates"),
           coalesce(sum(when(col("est") >= 0.5, 1L).otherwise(0L)), lit(0L))
             .as("n_est_dup"))
+        .crossJoin(capped)
         .select(
           lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_candidates"), col("n_est_dup"),
@@ -219,9 +237,17 @@ object DedupOps {
             col("n_est_dup").cast(DoubleType)
               / col("n_candidates").cast(DoubleType)).as("precision_est"),
           lit(1.0 - math.pow(1.0 - math.pow(TuningTau, r), b))
-            .as("scurve_recall_tau"))
+            .as("scurve_recall_tau"),
+          col("n_capped_buckets"))
     }.reduce(_.unionByName(_))
   }
+
+  /** One config's candidate pairs for the spec's SET-containment replay
+    * (package-visible; the op itself only ships aggregates).
+    */
+  private[graft] def tuningPairs(
+      spark: SparkSession, dir: String, bands: Int, rowsPerBand: Int): DataFrame =
+    pairsFromBuckets(bandedBuckets(Tables.ckpt(signed(spark, dir)), bands, rowsPerBand))
 
   /** Containment scoring composed with the LSH candidate stream — the
     * production form of [[ngramContainment]]: candidate pairs come from

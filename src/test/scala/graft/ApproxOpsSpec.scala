@@ -145,11 +145,29 @@ class ApproxOpsSpec extends SparkSuite {
     val rows = SparkEntry.queries("lsh_tuning_curve")(spark, sf).collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
         (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_est_dup"),
-          r.getAs[Double]("scurve_recall_tau"))).toMap
+          r.getAs[Double]("scurve_recall_tau"), r.getAs[Long]("n_capped_buckets"))).toMap
     assert(rows.keySet == DedupOps.TuningConfigs.toSet)
-    // band boundaries nest (b·r = 64), so candidate sets — and their
-    // counts — are monotone in the number of bands (bucket caps could in
-    // principle break this; the fixture's buckets stay under the cap)
+    // no bucket crosses the cap on this fixture — the precondition under
+    // which the nesting guarantee below is exact (the op surfaces the
+    // same fact as a column, so degraded rows are never silent)
+    for ((cfg, (_, _, _, capped)) <- rows)
+      assert(capped == 0L, s"fixture bucket crossed MaxBucket at $cfg")
+    // band boundaries nest (b·r = 64): agreeing on a coarse band implies
+    // agreeing on each of its sub-bands — assert the actual candidate
+    // SETS are nested, not just their counts (a slice-offset bug could
+    // fake count monotonicity with disjoint pair sets)
+    val pairSets = DedupOps.TuningConfigs.map { case (b, r) =>
+      DedupOps.tuningPairs(spark, sf, b, r).collect()
+        .map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
+    }
+    for (i <- 0 until pairSets.size - 1)
+      assert(pairSets(i).subsetOf(pairSets(i + 1)),
+        s"candidate sets not nested between configs $i and ${i + 1}: " +
+          s"${(pairSets(i) -- pairSets(i + 1)).take(3)}")
+    // and the op's aggregate counts are exactly those sets' sizes
+    for (((cfg, (c, _, _, _)), s) <- rows.toSeq.sortBy(x =>
+        DedupOps.TuningConfigs.indexOf(x._1)).zip(pairSets))
+      assert(c == s.size.toLong, s"count/set mismatch at $cfg")
     val ordered = DedupOps.TuningConfigs.map(rows(_))
     val cands = ordered.map(_._1)
     assert(cands == cands.sorted,
@@ -164,7 +182,7 @@ class ApproxOpsSpec extends SparkSuite {
     assert(rows((16, 4))._2 == shipped,
       s"tuning row for the shipped (16,4) disagrees with minhash_neardup")
     // verified pairs can never exceed candidates
-    for ((cfg, (c, v, _)) <- rows) assert(v <= c, s"$cfg")
+    for ((cfg, (c, v, _, _)) <- rows) assert(v <= c, s"$cfg")
     // the sweep is informative: the permissive end generates strictly
     // more candidates than the conservative end on this corpus
     assert(cands.last > cands.head, "no spread across configs — sweep vacuous")
