@@ -94,8 +94,7 @@ object DedupOps {
     lshCandidatePairs(fp)
       .join(fp.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", expr(
-        s"aggregate(zip_with(sig_a, sig_b, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumHashes as double)"))
+      .withColumn("est_jaccard", estJaccard)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }

@@ -35,9 +35,12 @@ import graft.ops.QualityOps
   * the same batch sequence (plus restart recovery), not batching
   * invariance.
   *
-  * Scale/state posture: O(log T) longs per key — 32 levels cover 4
-  * billion triggers — keyed state shuffles only (source, batch-count)
-  * pairs, never rows.
+  * Scale/state posture: O(log T) longs per key — 64 levels cover every
+  * reachable step count (t is a Long incremented once per trigger, so
+  * the highest completing level is numberOfTrailingZeros(2^62) = 62;
+  * the boundary step t = 2^32, where 32-length ladders would index out
+  * of range, is in-range by 30 bits of margin) — keyed state shuffles
+  * only (source, batch-count) pairs, never rows.
   */
 object DpCountStream {
 
@@ -50,7 +53,7 @@ object DpCountStream {
       source: String, step: Long, noisy_prefix: Long, n_levels: Int,
       epsilon_spent_q6: Long, noise_bound: Int)
 
-  private val MaxLevels = 32
+  private val MaxLevels = 64
 
   /** Deterministic per-key seed (test-mode noise contract): a stable
     * fold of the key string, mixed with (level, node index) below.
@@ -74,7 +77,7 @@ object DpCountStream {
     * level, draw its noise once, and release Σ of the set-bit α̂ levels.
     * Pure function of (state, key, x) — the spec replays it verbatim.
     */
-  private[streaming] def step(st: BmState, src: String, x: Long): (BmState, Release) = {
+  private[graft] def step(st: BmState, src: String, x: Long): (BmState, Release) = {
     val t = st.t + 1
     val alpha = st.alpha.clone()
     val alphaHat = st.alphaHat.clone()

@@ -115,4 +115,28 @@ class DpCountStreamSpec extends SparkSuite {
       assert(obs.map(_._3) != truePrefix, s"$src releases exactly true — noise vacuous")
     }
   }
+
+  test("boundary step t = 2^32 completes level 32 without indexing out of the ladder") {
+    // r13 ADVICE: with 32-length ladders, numberOfTrailingZeros(2^32) = 32
+    // threw ArrayIndexOutOfBounds and the release loop ignored bit 32.
+    // Drive step() directly at the boundary: state at t = 2^32 − 1 with
+    // every lower level holding one arrival; the next step must fold all
+    // 32 partials into level 32 and release exactly that one noisy node.
+    val levels = 64
+    val alpha = Array.tabulate(levels)(j => if (j < 32) 1L else 0L)
+    val st = DpCountStream.BmState((1L << 32) - 1, alpha, alpha.clone())
+    val (st2, rel) = DpCountStream.step(st, "edge", 1L)
+    assert(st2.t == (1L << 32))
+    assert(rel.n_levels == 1, "only bit 32 is set at t = 2^32")
+    val seed = (DpCountStream.keySeed("edge") * 1000003L + 32L) * 1000003L + 1L
+    val p = QualityOps.DpHashP
+    val h = BigInt(seed).mod(p) * BigInt(2654435761L) % p
+    val x = h * (3L * (1L << QualityOps.DpNoiseBound))
+    val noise = QualityOps.DpThresholds.count(s => x >= BigInt(s)).toLong -
+      QualityOps.DpNoiseBound
+    assert(rel.noisy_prefix == 33L + noise,
+      "release at the boundary must be the single level-32 noisy node")
+    assert((0 until 32).forall(st2.alpha(_) == 0L), "lower levels must reset")
+    assert(st2.alpha(32) == 33L)
+  }
 }
