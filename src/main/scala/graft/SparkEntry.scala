@@ -329,6 +329,7 @@ object SparkEntry {
     "chunk_dedup"       -> (PipelineOps.chunkDedup _),
     "mix_rebalance"     -> (PipelineOps.mixRebalance _),
     "mixture_plan"      -> (PipelineOps.mixturePlan _),
+    "temperature_mix"   -> (PipelineOps.temperatureMix _),
     "source_overlap"    -> (PipelineOps.sourceOverlap _),
     "url_normalize"     -> (CrawlOps.urlNormalize _),
     "domain_stats"      -> (CrawlOps.domainStats _),
@@ -3113,6 +3114,48 @@ object SparkEntry {
         |SELECT p.source, p.n_docs, p.n_tokens, p.w AS target_w,
         |  p.desired_tokens, p.epochs_q2, e.docs_emitted, e.tokens_emitted
         |FROM p JOIN e ON p.source = e.source""".stripMargin,
+    // isqrt replayed via the same guarded FLOOR(SQRT) ± 1 correction:
+    // both engines' sqrt is correctly rounded and n_tokens < 2^52, so
+    // the corrected root is the exact integer sqrt on both sides; the
+    // desired-tokens multiply routes through HUGEINT (Spark: decimal)
+    "temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |       FROM d GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(CASE WHEN r0 * r0 > n_tokens THEN r0 - 1
+        |          WHEN (r0 + 1) * (r0 + 1) <= n_tokens THEN r0 + 1
+        |          ELSE r0 END AS BIGINT) AS isqrt_w
+        |      FROM (SELECT ps.*,
+        |              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |                AS r0 FROM ps) q),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget,
+        |             CAST(sum(isqrt_w) AS BIGINT) AS s_total FROM w),
+        |p AS (SELECT source, n_docs, n_tokens, isqrt_w,
+        |        CAST(CAST(budget AS HUGEINT) * isqrt_w // s_total AS BIGINT)
+        |          AS desired_tokens
+        |      FROM w CROSS JOIN t),
+        |p2 AS (SELECT p.*,
+        |         CAST(least(400, 100 * desired_tokens // n_tokens) AS BIGINT)
+        |           AS epochs_q2
+        |       FROM p),
+        |e AS (SELECT d.source,
+        |        CAST(sum(p2.epochs_q2 // 100 + CASE WHEN
+        |          (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |            < p2.epochs_q2 % 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS docs_emitted,
+        |        CAST(sum((p2.epochs_q2 // 100 + CASE WHEN
+        |          (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |            < p2.epochs_q2 % 100 THEN 1 ELSE 0 END) * d.n_toks)
+        |          AS BIGINT) AS tokens_emitted
+        |      FROM d JOIN p2 USING (source) GROUP BY 1)
+        |SELECT p2.source, p2.n_docs, p2.n_tokens, p2.isqrt_w,
+        |  p2.desired_tokens, p2.epochs_q2, e.docs_emitted, e.tokens_emitted
+        |FROM p2 JOIN e ON p2.source = e.source""".stripMargin,
     // same aligned-window hash frame as passage_dedup, reduced to
     // DISTINCT (source, h) before the pair join
     "source_overlap" ->

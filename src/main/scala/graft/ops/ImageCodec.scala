@@ -207,7 +207,139 @@ object ImageCodec {
 
   // ---------------------------------------------------------------- GIF
 
-  /** GIF87a/89a decoder — DECODE-ONLY (fixtures stay PPM/BMP; this
+  /** GIF87a encoder — closes the last decode-only asymmetry (every
+    * other format here is bidirectional). A REAL adaptive
+    * variable-width LZW compressor, not a literal-spam shortcut: the
+    * dictionary grows to the 12-bit cap and stops (no mid-stream CLEAR
+    * — valid per the spec; [[lzwDecode]] mirrors with `if (next <
+    * maxCodes)`), code widths bump exactly when the DECODER's will
+    * (encoder tracks next = decoder_next + 1, so its bump test is
+    * `next == (1 << width) + 1` where the decoder's is `next == 1 <<
+    * width` — including the virtual tail add that mirrors the
+    * decoder's entry for the final data code, whose bump governs the
+    * width EOI is read at). Palette = the image's distinct colors in
+    * ascending packed-RGB order, padded to a power of two; images with
+    * more than 256 distinct colors are REJECTED (quantization is a
+    * lossy design decision no encoder should take silently), as are
+    * dimensions outside u16 and areas past [[MaxPixels]] — the same
+    * untrusted-input posture as the decoder, applied to encode inputs.
+    */
+  def encodeGif(img: Image): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff,
+      s"GIF encode: dimensions ${w}x$h outside u16")
+    require(w.toLong * h <= MaxPixels,
+      s"GIF encode: pixel count ${w.toLong * h} exceeds $MaxPixels")
+    val n = w * h
+    // palette: distinct packed colors, ascending (deterministic bytes)
+    val colorSet = new java.util.TreeSet[Integer]
+    var i = 0
+    while (i < n) {
+      val c = ((img.rgb(3 * i) & 0xff) << 16) |
+        ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
+      if (colorSet.add(c))
+        require(colorSet.size <= 256,
+          "GIF encode: more than 256 distinct colors — quantize first")
+      i += 1
+    }
+    val palette = new Array[Int](colorSet.size)
+    val colorIdx = new java.util.HashMap[Integer, Integer]
+    val it = colorSet.iterator()
+    var ci = 0
+    while (it.hasNext) { val c = it.next(); palette(ci) = c; colorIdx.put(c, ci); ci += 1 }
+    var tabBits = 1
+    while ((1 << tabBits) < palette.length) tabBits += 1 // 1..8
+    val minCode = math.max(2, tabBits)
+    // indices
+    val idx = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val c = ((img.rgb(3 * i) & 0xff) << 16) |
+        ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
+      idx(i) = colorIdx.get(c)
+      i += 1
+    }
+    // LZW, LSB-first bit packing
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val lzw = new ArrayBufferByte()
+    var acc = 0L
+    var nbits = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    val one = new Array[Byte](1)
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) {
+        one(0) = (acc & 0xff).toByte; lzw.append(one, 0, 1)
+        acc >>>= 8; nbits -= 8
+      }
+    }
+    // decoder adds its entry one code LATER than the encoder, so the
+    // encoder's next runs one ahead and every bump test shifts by one
+    def addEntry(): Unit =
+      if (next < (1 << 12)) {
+        next += 1
+        if (next == (1 << width) + 1 && width < 12) width += 1
+      }
+    put(clear)
+    val dict = new java.util.HashMap[Integer, Integer]
+    var cur = idx(0)
+    i = 1
+    while (i < n) {
+      val key = Integer.valueOf((cur << 8) | idx(i))
+      val e = dict.get(key)
+      if (e != null) cur = e.intValue()
+      else {
+        put(cur)
+        if (next < (1 << 12)) dict.put(key, next)
+        addEntry()
+        cur = idx(i)
+      }
+      i += 1
+    }
+    put(cur)
+    addEntry() // mirrors the decoder's entry for the final data code
+    put(eoi)
+    if (nbits > 0) { one(0) = (acc & 0xff).toByte; lzw.append(one, 0, 1) }
+    val code = lzw.result()
+    // assemble: header + LSD + global table + descriptor + sub-blocks
+    val tableN = 1 << tabBits
+    val nBlocks = (code.length + 254) / 255
+    val out = new ArrayBufferByte()
+    out.append("GIF87a".getBytes("US-ASCII"), 0, 6)
+    def u16(v: Int): Unit = {
+      val b = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      out.append(b, 0, 2)
+    }
+    u16(w); u16(h)
+    out.append(Array[Byte](
+      (0x80 | ((tabBits - 1) << 4) | (tabBits - 1)).toByte, 0, 0), 0, 3)
+    val table = new Array[Byte](3 * tableN)
+    i = 0
+    while (i < palette.length) {
+      table(3 * i) = (palette(i) >> 16).toByte
+      table(3 * i + 1) = (palette(i) >> 8).toByte
+      table(3 * i + 2) = palette(i).toByte
+      i += 1
+    }
+    out.append(table, 0, table.length)
+    out.append(Array[Byte](0x2c, 0, 0, 0, 0), 0, 5) // descriptor, left/top 0
+    u16(w); u16(h)
+    out.append(Array[Byte](0, minCode.toByte), 0, 2) // flags, LZW min code
+    var off = 0
+    var b = 0
+    while (b < nBlocks) {
+      val sz = math.min(255, code.length - off)
+      out.append(Array[Byte](sz.toByte), 0, 1)
+      out.append(code, off, sz)
+      off += sz; b += 1
+    }
+    out.append(Array[Byte](0, 0x3b), 0, 2) // data terminator + trailer
+    out.result()
+  }
+
+  /** GIF87a/89a decoder — the encode twin is [[encodeGif]] (this
     * widens the REAL domain of the decode slot to payloads a crawl
     * actually serves). Parses the logical screen descriptor, global and
     * local color tables, skips 89a extension blocks, and inflates the

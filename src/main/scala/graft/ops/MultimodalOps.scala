@@ -53,7 +53,7 @@ object MultimodalOps {
     * quantize by /16 and /32 so near-dup texts (lengths differing by a
     * few chars) usually share exact dimensions.
     */
-  private[ops] def buildImage(textBytes: Array[Byte]): ImageCodec.Image = {
+  private[graft] def buildImage(textBytes: Array[Byte]): ImageCodec.Image = {
     val nb = textBytes.length
     val w = 16 + (nb / 16) % 128
     val h = 16 + (nb / 32) % 128
@@ -89,6 +89,21 @@ object MultimodalOps {
       case _ => ImageCodec.encodePpm(img)
     }
   }
+
+  /** The phash fixture's OWN rotation, widened with GIF (r14): phash is
+    * a function of DECODED pixels and every codec here is lossless, so
+    * rotating formats cannot move a single hash bit — which is exactly
+    * why [[ImageCodec.encodeGif]] joins THIS mix (every corpus now
+    * exercises real LZW both directions in-pipeline) while the
+    * byte-hashing oracles (multimodal_meta's sum_bytes, media_thumbnail's
+    * out_bytes) keep [[buildPayload]]'s byte-analytic nb%4 rotation —
+    * an adaptive-LZW byte count is content-dependent and has no SQL
+    * twin. The fixture's grayscale images carry ≤ 128 distinct colors,
+    * so the 256-color encode gate never fires here.
+    */
+  private[graft] def buildPhashPayload(textBytes: Array[Byte]): Array[Byte] =
+    if (textBytes.length % 5 == 4) ImageCodec.encodeGif(buildImage(textBytes))
+    else buildPayload(textBytes)
 
   /** documents → genuinely encoded binary media payloads. Encoding runs
     * partition-wise; only (id, bytes) rows exist, never a driver copy.
@@ -455,8 +470,11 @@ object MultimodalOps {
   def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = Tables.ckpt(
-      mediaPayloads(spark, dir)
-        .mapPartitions(_.map(r => (r.doc_id, phash64(r.payload))))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[MediaRow]
+        .mapPartitions(_.map(r =>
+          (r.doc_id, phash64(buildPhashPayload(r.payload)))))
         .toDF("doc_id", "phash"))
     val banded = fp.select(col("doc_id"), expr(
       """explode(array(

@@ -1112,6 +1112,70 @@ object PipelineOps {
         col("docs_emitted"), col("tokens_emitted"))
   }
 
+  /** α-temperature source reweighting at α = 1/2 — the standard
+    * multilingual/source-balancing sampler (mBERT/XLM-R-style: sampling
+    * share p_s ∝ n_s^α, renormalized) that [[mixturePlan]]'s
+    * externally-given fixed ratios cannot express: the weight DERIVES
+    * from the observed size, flattening the head and boosting the tail
+    * without inverting the order. α = 1/2 keeps the whole plan
+    * engine-exact: the weight is isqrt(n_s) — floor-integer square root
+    * via the guarded FLOOR(SQRT(n)) ± 1 correction fold (sqrt is
+    * IEEE-correctly-rounded on both engines and n_s < 2^52 converts to
+    * double exactly, so the library root is within one of the true
+    * isqrt and the two integer comparisons pin it — no float survives
+    * into the plan). Downstream is [[mixturePlan]]'s own composition:
+    * desired = budget·isqrt_s div Σ isqrt (factors promoted to
+    * decimal/HUGEINT so the multiply can't wrap at corpus scale),
+    * epochs capped at 4 in hundredths, per-doc copy decision by the
+    * shared [[hashBucket]] — the emitted multiset is a pure function of
+    * (doc_id, plan row), identical on any engine, any partitioning.
+    *
+    * Scale shape is mixturePlan's: per-source summary + 1-row totals
+    * BROADCAST; two corpus passes, both map-side project+filter with
+    * partial aggregation on `source`; no shuffle wider than |sources|.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_toks")))
+
+  /** The plan body over a prepared (doc_id, source, n_toks) frame —
+    * factored out so the spec can force the epoch-cap branch on a
+    * synthetic corpus the near-uniform fixture cannot produce.
+    */
+  private[graft] def temperatureMixFrom(docs: DataFrame): DataFrame = {
+    val r0 = floor(sqrt(col("n_tokens").cast(DoubleType)))
+    val weighted = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("isqrt_w",
+        when(r0 * r0 > col("n_tokens"), r0 - 1)
+          .when((r0 + 1) * (r0 + 1) <= col("n_tokens"), r0 + 1)
+          .otherwise(r0))
+    val totals = weighted.agg(
+      sum(col("n_tokens")).as("budget"), sum(col("isqrt_w")).as("s_total"))
+    val plan = weighted.crossJoin(broadcast(totals))
+      .withColumn("desired_tokens", expr(
+        "CAST(CAST(budget AS DECIMAL(19,0)) * isqrt_w div s_total AS BIGINT)"))
+      .withColumn("epochs_q2",
+        least(lit(400L), expr("100L * desired_tokens div n_tokens")))
+      .withColumn("full_copies", expr("epochs_q2 div 100"))
+      .withColumn("frac_pct", expr("epochs_q2 % 100"))
+    val emitted = docs
+      .join(broadcast(plan.select(col("source"), col("full_copies"), col("frac_pct"))),
+        "source")
+      .withColumn("copies",
+        col("full_copies") +
+          when(hashBucket(col("doc_id")) < col("frac_pct"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("docs_emitted"),
+        sum(col("copies") * col("n_toks")).as("tokens_emitted"))
+    plan
+      .join(emitted, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("isqrt_w"),
+        col("desired_tokens"), col("epochs_q2"),
+        col("docs_emitted"), col("tokens_emitted"))
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct aligned 20-token passage hashes (the [[passageDedup]]
     * window) appear in BOTH — the leakage audit a corpus build runs

@@ -195,9 +195,7 @@ object OhlcvStream {
     * data window, not the stream's history.
     */
   def dedupTrades(trades: DataFrame, watermark: String = "2 minutes"): DataFrame =
-    trades
-      .withWatermark("trade_time", watermark)
-      .dropDuplicatesWithinWatermark("trade_id")
+    IngestDedupStream.deduped(trades, watermark)
 
   /** Start the query: update mode + 60 s trigger + checkpoint, foreachBatch
     * sink (reference: processor.py:103-112). `sink` runs in the driver JVM —

@@ -200,6 +200,60 @@ class ImageCodecSpec extends AnyFunSuite {
       gifOf(2, 2, pack(Seq((4, 3), (1, 3), (7, 3), (0, 3), (1, 3), (5, 3))))))
   }
 
+  test("encodeGif round-trips pixel-exact across LZW stress shapes") {
+    // shapes chosen to drive every encoder branch: single pixel (flush
+    // only), constant runs (KwKwK code==next chains), 2-color (tabBits
+    // clamped up to minCode 2), exactly-256-color (minCode 8), width-bump
+    // boundaries, and a 128x128 pseudo-random frame whose dictionary
+    // provably hits the 12-bit cap (16384 pixels, 256 colors)
+    def gray(vs: Array[Int], w: Int, h: Int): Image = {
+      val rgb = new Array[Byte](3 * w * h)
+      for (i <- 0 until w * h) {
+        rgb(3 * i) = vs(i).toByte; rgb(3 * i + 1) = vs(i).toByte
+        rgb(3 * i + 2) = vs(i).toByte
+      }
+      Image(w, h, rgb)
+    }
+    val shapes = Seq(
+      gray(Array(7), 1, 1),
+      gray(Array.fill(64)(3), 8, 8),                       // one long run
+      gray(Array.tabulate(64)(i => i % 2), 8, 8),          // ababab
+      gray(Array.tabulate(256)(identity), 16, 16),         // 256 colors
+      gray(Array.tabulate(333)(i => (i * i) % 5), 3, 111), // bump boundaries
+      gray(Array.tabulate(16384)(i => (i * 2654435761L % 1000003L % 256).toInt),
+        128, 128))                                         // dict cap
+    for (img <- shapes) {
+      val bytes = ImageCodec.encodeGif(img)
+      assert(ImageCodec.sniff(bytes).contains("gif"))
+      val back = ImageCodec.decode(bytes) // via the common dispatch slot
+      assert(back.width == img.width && back.height == img.height)
+      assert(back.rgb.toSeq == img.rgb.toSeq,
+        s"round trip ${img.width}x${img.height}")
+      assert(bytes.last == 0x3b, "trailer")
+    }
+    // the cap case really does fill the dictionary: a stream that never
+    // reaches 4096 entries stays under (4096-6) emitted codes; verify by
+    // size arithmetic rather than reaching into encoder internals
+    val big = ImageCodec.encodeGif(shapes.last)
+    assert(big.length > 4096, "cap fixture too compressible to fill the table")
+  }
+
+  test("encodeGif round-trips the real fixture images and rejects unencodable inputs") {
+    for (nb <- Seq(4, 9, 14, 19, 64, 129, 250)) {
+      val img = MultimodalOps.buildImage(Array.tabulate(nb)(i => (i * 7 + 1).toByte))
+      val back = ImageCodec.decodeGif(ImageCodec.encodeGif(img))
+      assert(back.rgb.toSeq == img.rgb.toSeq, s"fixture nb=$nb")
+    }
+    // 257 distinct colors: reject loudly instead of quantizing silently
+    val many = Image(257, 1, Array.tabulate(3 * 257)(i =>
+      if (i % 3 == 0) (i / 3).toByte else if (i / 3 == 256) 1.toByte else 0.toByte))
+    val e = intercept[IllegalArgumentException](ImageCodec.encodeGif(many))
+    assert(e.getMessage.contains("256"))
+    // dimensions must fit u16
+    intercept[IllegalArgumentException](
+      ImageCodec.encodeGif(Image(65536, 1, new Array[Byte](3 * 65536))))
+  }
+
   test("crafted u16 GIF dimensions fail the MaxPixels area bound as IAE") {
     // Full-u16 builder (gifOf above writes the low byte only): header
     // dims are attacker-controlled, and per-dimension MaxDim can never

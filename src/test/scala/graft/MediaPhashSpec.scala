@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.MultimodalOps
+import graft.ops.{ImageCodec, MultimodalOps}
 
 /** Ground truth for the rows-only media_phash_dedup: the 4×16-band search
   * must be EXACT for Hamming ≤ 3 (pigeonhole: 3 flipped bits can break at
   * most 3 of the 4 bands), so the op's pairs are compared pair-for-pair
   * against a driver-side brute-force all-pairs scan over the REAL
-  * pipeline's hashes (encode to PPM/BMP, parse back, dHash the decoded
+  * pipeline's hashes (encode through the rotating codec mix — PPM/BMP/
+  * PNG, plus GIF on the nb%5 slot — parse back, dHash the decoded
   * pixels) — no recall tolerance, strict set equality. A second test pins
   * that planted near-dup TEXTS actually produce near-dup IMAGES (the
   * non-vacuity the whole lane exists for).
@@ -20,8 +21,21 @@ class MediaPhashSpec extends SparkSuite {
     .select(col("doc_id"), col("text")).collect()
     .map { r =>
       r.getAs[Long]("doc_id") -> MultimodalOps.phash64(
-        MultimodalOps.buildPayload(r.getAs[String]("text").getBytes("UTF-8")))
+        MultimodalOps.buildPhashPayload(r.getAs[String]("text").getBytes("UTF-8")))
     }
+
+  test("the GIF rotation slot is populated and format-rotation never moves a hash bit") {
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0).getBytes("UTF-8"))
+    val gifSlot = texts.filter(_.length % 5 == 4)
+    assert(gifSlot.nonEmpty, "no doc lands in the GIF slot - rotation vacuous")
+    for (t <- gifSlot) {
+      assert(ImageCodec.sniff(MultimodalOps.buildPhashPayload(t)).contains("gif"))
+      // lossless codecs: the phash is a pixel function, not a byte function
+      assert(MultimodalOps.phash64(MultimodalOps.buildPhashPayload(t)) ==
+        MultimodalOps.phash64(MultimodalOps.buildPayload(t)))
+    }
+  }
 
   test("banded phash search equals brute-force all-pairs at Hamming <= 3") {
     val expected = (for {

@@ -119,6 +119,88 @@ class MixtureSourceSpec extends SparkSuite {
       shared.toDouble / (bySource(a).size + bySource(b).size - shared))).toMap
   }
 
+  /** Driver-side recompute of the α = 1/2 temperature plan over
+    * (doc_id, source, n_toks) rows. The integer sqrt is INDEPENDENT of
+    * the engine's guarded FLOOR(SQRT) fold: java.math.BigInteger.sqrt
+    * computes the exact floor root with no floating point at all.
+    */
+  private def replayTemperature(rows: Seq[(Long, String, Long)])
+      : Map[String, (Long, Long, Long, Long, Long, Long, Long)] = {
+    def isqrt(n: Long): Long =
+      java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+    val perSource = rows.groupBy(_._2).map { case (s, rs) =>
+      s -> (rs.size.toLong, rs.map(_._3).sum)
+    }
+    val budget = perSource.values.map(_._2).sum
+    val sTotal = perSource.values.map(v => isqrt(v._2)).sum
+    perSource.map { case (s, (nDocs, nTokens)) =>
+      val w = isqrt(nTokens)
+      val desired = (BigInt(budget) * w / sTotal).toLong
+      val epochsQ2 = math.min(400L, 100L * desired / nTokens)
+      val copies = rows.filter(_._2 == s).map { case (id, _, toks) =>
+        val c = epochsQ2 / 100 + (if (hashBucket(id) < epochsQ2 % 100) 1L else 0L)
+        (c, c * toks)
+      }
+      s -> (nDocs, nTokens, w, desired, epochsQ2,
+        copies.map(_._1).sum, copies.map(_._2).sum)
+    }
+  }
+
+  private def collectTemperature(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getAs[String]("source") -> (
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("isqrt_w"), r.getAs[Long]("desired_tokens"),
+        r.getAs[Long]("epochs_q2"),
+        r.getAs[Long]("docs_emitted"), r.getAs[Long]("tokens_emitted"))
+    }.toMap
+
+  test("temperature_mix matches the BigInteger-sqrt replay at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        sqlSplit(r.getString(2)).length.toLong)).toSeq
+    val expected = replayTemperature(docs)
+    val got = collectTemperature(PipelineOps.temperatureMix(spark, sf))
+    assert(got.keySet == expected.keySet)
+    for ((s, exp) <- expected) assert(got(s) == exp, s"source $s")
+    // α = 1/2 on a near-uniform corpus must still flatten both ways
+    val eq2 = got.values.map(_._5)
+    assert(eq2.exists(_ < 100), "no down-sampled source in fixture")
+    assert(eq2.exists(_ > 100), "no up-sampled source in fixture")
+  }
+
+  test("temperature_mix caps a tiny source at 4 epochs and interacts with the cap exactly") {
+    import spark.implicits._
+    // rare: 2 docs × 10 tokens; bulk: 198 × 10. desired_rare ≈
+    // √(20·1980) ≈ 199 ≥ 4·20, so the cap binds; bulk must down-sample.
+    val rows: Seq[(Long, String, Long)] =
+      (0L until 2L).map((_, "rare", 10L)) ++ (2L until 200L).map((_, "bulk", 10L))
+    val expected = replayTemperature(rows)
+    assert(expected("rare")._5 == 400L, "fixture must bind the cap")
+    assert(expected("bulk")._5 < 100L, "fixture must down-sample bulk")
+    // capped emission: exactly 4 copies of each rare doc, no hash gate
+    assert(expected("rare")._6 == 8L && expected("rare")._7 == 80L)
+    val got = collectTemperature(PipelineOps.temperatureMixFrom(
+      rows.toDF("doc_id", "source", "n_toks")))
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("the guarded FLOOR(SQRT) fold is the exact integer sqrt at perfect-square boundaries") {
+    import spark.implicits._
+    // n = k², k²−1, k²+1 near 2^26 — exactly where a correctly-rounded
+    // double sqrt can land on either side of the integer
+    val k = 67108859L // prime near 2^26
+    val ns = Seq(k * k - 1, k * k, k * k + 1, 4L, 3L, 1L, 2L)
+    val rows = ns.zipWithIndex.map { case (n, i) => (i.toLong, s"s$i", n) }
+    val got = collectTemperature(PipelineOps.temperatureMixFrom(
+      rows.toDF("doc_id", "source", "n_toks")))
+    for ((n, i) <- ns.zipWithIndex) {
+      val exact = java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+      assert(got(s"s$i")._3 == exact, s"isqrt($n)")
+    }
+  }
+
   test("source_overlap equals brute set intersection on a planted-leak fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString

@@ -174,6 +174,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("temperature_mix inherits mixture_plan's broadcast-summary shape") {
+    // same posture as mixture_plan: plan rows are |sources|-bounded, the
+    // totals frame is ONE row, the per-doc copy decision is a broadcast
+    // of the plan back over the corpus — no shuffle join anywhere
+    val p = plan("temperature_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("source_overlap pair join rides the passage-hash equi-key (no all-pairs)") {
     // distinct (source, hash) collapses before the join, and the pair join
     // is hash-keyed: per-hash fan-out is bounded by |sources|, so there is
