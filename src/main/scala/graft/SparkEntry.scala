@@ -192,6 +192,9 @@ object SparkEntry {
     "ks_test"           -> (StatsOps.ksTest _),
     "roc_auc"           -> (StatsOps.rocAuc _),
     "calibration_bins"  -> (StatsOps.calibrationBins _),
+    "ece_eval"          -> (StatsOps.eceEval _),
+    "fleiss_kappa"      -> (QualityOps.fleissKappa _),
+    "shard_manifest"    -> (PipelineOps.shardManifest _),
     "survival_curve"    -> (StatsOps.survivalCurve _),
     "mutual_info"       -> (StatsOps.mutualInfo _),
     "chi_square"        -> (StatsOps.chiSquare _),
@@ -4727,6 +4730,91 @@ object SparkEntry {
         |  CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) * 100 AS DOUBLE) AS mean_score
         |FROM e, m GROUP BY 1""".stripMargin,
+    // ECE over the SAME bins as calibration_bins, but with cleared
+    // denominators: ECE*N*mxc = sum over bins of |pos_b*mxc - sum_vc_b|,
+    // exact integers until one boundary division
+    "ece_eval" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT max(vc) AS mxc FROM e),
+        |b AS (SELECT least(9, vc * 10 // mxc) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n_b,
+        |        CAST(sum(pos) AS BIGINT) AS pos_b,
+        |        CAST(sum(vc) AS BIGINT) AS sum_vc,
+        |        min(mxc) AS mxc
+        |      FROM e, m GROUP BY 1)
+        |SELECT CAST(sum(n_b) AS BIGINT) AS n, min(mxc) AS mxc,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(abs(CAST(pos_b AS HUGEINT) * mxc - sum_vc)) AS BIGINT)
+        |    AS ece_num,
+        |  CAST(CAST(sum(abs(CAST(pos_b AS HUGEINT) * mxc - sum_vc))
+        |    AS BIGINT) AS DOUBLE)
+        |    / (CAST(sum(n_b) AS DOUBLE) * CAST(min(mxc) AS DOUBLE)) AS ece
+        |FROM b""".stripMargin,
+    // three deterministic rule raters in {0,1,2}; with 3 raters
+    // sum_j n_ij^2 = 3 + 2*(agreeing pairs), and clearing denominators
+    // gives kappa as one ratio of exact integers
+    "fleiss_kappa" ->
+      """WITH q AS (
+        |  SELECT n_chars,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+        |      AS nd
+        |  FROM documents),
+        |r AS (SELECT
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 380 THEN 1
+        |      ELSE 2 END AS ra,
+        |    CASE WHEN nt < 39 THEN 0 WHEN nt < 69 THEN 1 ELSE 2 END AS rb,
+        |    CASE WHEN nd * 100 < nt * 40 THEN 0
+        |      WHEN nd * 100 < nt * 55 THEN 1 ELSE 2 END AS rc
+        |  FROM q),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(3 + 2 * (CAST(ra = rb AS INT) + CAST(ra = rc AS INT)
+        |          + CAST(rb = rc AS INT))) AS BIGINT) AS s_sum,
+        |        CAST(sum(CAST(ra = 0 AS INT) + CAST(rb = 0 AS INT)
+        |          + CAST(rc = 0 AS INT)) AS BIGINT) AS t0,
+        |        CAST(sum(CAST(ra = 1 AS INT) + CAST(rb = 1 AS INT)
+        |          + CAST(rc = 1 AS INT)) AS BIGINT) AS t1,
+        |        CAST(sum(CAST(ra = 2 AS INT) + CAST(rb = 2 AS INT)
+        |          + CAST(rc = 2 AS INT)) AS BIGINT) AS t2
+        |      FROM r)
+        |SELECT n, s_sum, t0, t1, t2,
+        |  CAST(3 * CAST(n AS HUGEINT) * (s_sum - 3 * n)
+        |    - 2 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |           + CAST(t2 AS HUGEINT) * t2) AS BIGINT) AS kappa_num,
+        |  CAST(18 * CAST(n AS HUGEINT) * n
+        |    - 2 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |           + CAST(t2 AS HUGEINT) * t2) AS BIGINT) AS kappa_den,
+        |  CASE WHEN 18 * CAST(n AS HUGEINT) * n
+        |    - 2 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |           + CAST(t2 AS HUGEINT) * t2) != 0 THEN
+        |    CAST(CAST(3 * CAST(n AS HUGEINT) * (s_sum - 3 * n)
+        |      - 2 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |             + CAST(t2 AS HUGEINT) * t2) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(18 * CAST(n AS HUGEINT) * n
+        |      - 2 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |             + CAST(t2 AS HUGEINT) * t2) AS BIGINT) AS DOUBLE)
+        |  END AS kappa
+        |FROM a""".stripMargin,
+    // shard assignment by the shared multiplicative hash; the integrity
+    // digest is md5 over doc ids in (perm_key, doc_id) order — DuckDB's
+    // ordered string_agg equals Spark's sorted-array concat
+    "shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS pk
+        |  FROM documents)
+        |SELECT CAST(pk % 8 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY pk, doc_id)) AS ids_md5
+        |FROM d GROUP BY 1""".stripMargin,
     // KM life table over order fulfillment: whole-day ship lead times,
     // administrative censoring at the order-date horizon, suffix-sum
     // at-risk counts over the duration summary; hazard is the single

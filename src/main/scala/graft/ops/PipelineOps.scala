@@ -1219,4 +1219,46 @@ object PipelineOps {
         (col("n_shared").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
+
+  /** Shard count for [[shardManifest]] — public so the oracle SQL
+    * interpolates THIS value (the MaxBucket discipline).
+    */
+  val ShardCount = 8
+
+  /** Training-shard export manifest — the reproducibility record a
+    * corpus build writes beside its shards: every doc assigned to one of
+    * [[ShardCount]] shards by the shared [[permKey]] multiplicative hash
+    * (deterministic, partitioning/rerun-stable — the trainTestSplit
+    * discipline), and per shard the census a consumer validates against
+    * (doc/token/char counts, id range) plus an ORDER-DEFINED integrity
+    * checksum: md5 over the shard's doc ids in (perm_key, doc_id) order
+    * — the same permutation [[shuffleAudit]] audits, so the manifest
+    * fixes the exact byte order a trainer will read. Fully
+    * oracle-checkable: both engines compute the identical ordered
+    * digest (DuckDB string_agg ORDER BY == sorted-array concat here).
+    *
+    * Scale: shard count scales with the corpus (fixed target shard
+    * SIZE), so the per-shard ordered id list is bounded by shard size,
+    * not corpus size; the sort is per-group over that bounded list and
+    * the shuffle carries (ids, counts) only. At 100 TB the same plan
+    * emits one manifest row per output file.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_toks"),
+        permKey(col("doc_id")).as("pk"))
+      .withColumn("shard_id", pmod(col("pk"), lit(ShardCount)))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sort_array(collect_list(struct(col("pk"), col("doc_id")))).as("ord"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("min_doc_id"), col("max_doc_id"),
+        md5(expr("CAST(concat_ws(',', transform(ord, x -> CAST(x.doc_id AS STRING))) AS BINARY)"))
+          .as("ids_md5"))
 }

@@ -1057,4 +1057,81 @@ object QualityOps {
         lit(DpClampCents).as("clamp_cents"),
         lit(DpQuantEpsilonQ6).as("epsilon_q6"))
   }
+
+  /** Inter-annotator agreement — Fleiss' kappa (Fleiss 1971) over three
+    * deterministic heuristic labelers, the annotation-QC statistic every
+    * labeling pipeline (RLHF preference raters, quality annotators)
+    * publishes before the labels are trusted: observed agreement among n
+    * raters corrected for the agreement their marginal label rates would
+    * produce by chance. The raters here are three rule labelers in the
+    * gopher_rules family (char-length tertiles, token-count tertiles,
+    * distinct-token-ratio bands — the third deliberately measures a
+    * different axis so real disagreement exists), each mapping a doc to
+    * a category in {0,1,2}; a production deployment swaps in real
+    * annotator columns, the statistic is unchanged.
+    *
+    * Exactness: with 3 raters, Σ_j n_ij² = 3 + 2·(# agreeing pairs) per
+    * item, so the whole computation reduces to integer counts; clearing
+    * denominators gives κ = (3N(S−3N) − 2ΣT_j²) / (18N² − 2ΣT_j²) — a
+    * ratio of exact integers with ONE boundary division (the chi_square
+    * discipline). Products run in DECIMAL(38,0) and the int64 boundary
+    * cast is guarded (the aqp_estimate asymmetric-overflow rule);
+    * 18N² < 2^63 holds to N ≈ 7·10⁸ docs — a 100 TB census would
+    * surface the decimal columns unchanged. κ's final division is
+    * BIGINT→DOUBLE on both engines (exact below 2^53), correctly
+    * rounded once.
+    *
+    * Scale: one corpus pass, map-side partial aggregation into a 1-row
+    * summary. No joins, no shuffle wider than the aggregation.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_tok"),
+        size(array_distinct(split(trim(col("text")), " ")))
+          .cast(LongType).as("n_dis"))
+      .select(
+        when(col("n_chars") < 216, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L).as("ra"),
+        when(col("n_tok") < 39, 0L).when(col("n_tok") < 69, 1L)
+          .otherwise(2L).as("rb"),
+        when(col("n_dis") * 100 < col("n_tok") * 40, 0L)
+          .when(col("n_dis") * 100 < col("n_tok") * 55, 1L)
+          .otherwise(2L).as("rc"))
+    def catCount(j: Long): Column =
+      (col("ra") === j).cast(LongType) + (col("rb") === j).cast(LongType) +
+        (col("rc") === j).cast(LongType)
+    val agg = rated
+      .select(
+        (lit(3L) + lit(2L) *
+          ((col("ra") === col("rb")).cast(LongType) +
+            (col("ra") === col("rc")).cast(LongType) +
+            (col("rb") === col("rc")).cast(LongType))).as("s_i"),
+        catCount(0L).as("c0"), catCount(1L).as("c1"), catCount(2L).as("c2"))
+      .agg(count(lit(1)).as("n"), sum(col("s_i")).as("s_sum"),
+        sum(col("c0")).as("t0"), sum(col("c1")).as("t1"),
+        sum(col("c2")).as("t2"))
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    val t2sum = d19(col("t0")) * col("t0") + d19(col("t1")) * col("t1") +
+      d19(col("t2")) * col("t2")
+    val numDec = lit(3) * d19(col("n")) * (col("s_sum") - lit(3) * col("n")) -
+      lit(2) * col("t2s_dec")
+    val denDec = lit(18) * d19(col("n")) * col("n") - lit(2) * col("t2s_dec")
+    val boundGuard = assert_true(
+      abs(col("num_dec")) <= lit(Long.MaxValue) &&
+        abs(col("den_dec")) <= lit(Long.MaxValue),
+      lit("fleiss_kappa: cleared numerator exceeds int64 — surface decimals"))
+    agg
+      .withColumn("t2s_dec", t2sum)
+      .withColumn("num_dec", numDec)
+      .withColumn("den_dec", denDec)
+      .withColumn("kappa_num",
+        when(boundGuard.isNull, col("num_dec").cast(LongType)))
+      .withColumn("kappa_den", col("den_dec").cast(LongType))
+      .select(col("n"), col("s_sum"), col("t0"), col("t1"), col("t2"),
+        col("kappa_num"), col("kappa_den"),
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast(DoubleType) / col("kappa_den").cast(DoubleType))
+          .as("kappa"))
+  }
 }

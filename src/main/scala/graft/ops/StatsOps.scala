@@ -746,6 +746,10 @@ object StatsOps {
     * [[kcoreNodes]]. Basket-size-bounded self-join fan-out, then a
     * distinct that shuffles (a, b) id pairs only.
     */
+  /** Probe-visible alias of [[copurchaseEdges]] (tools.LinkPredAb). */
+  private[graft] def copurchaseEdgesProbe(spark: SparkSession, dir: String): DataFrame =
+    copurchaseEdges(spark, dir)
+
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1850,7 +1854,11 @@ object StatsOps {
     * combined pass into a 10-row frame. Nothing row-cardinality crosses
     * a single partition.
     */
-  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+  /** The binned (vc, pos, mxc, bin) event frame [[calibrationBins]] and
+    * [[eceEval]] share — one definition, so the diagram and its scalar
+    * can never bin differently.
+    */
+  private def scoreBinned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select((dec2(col("value")) * 100).cast(LongType).as("vc"),
@@ -1858,6 +1866,10 @@ object StatsOps {
     val mx = e.agg(max(col("vc")).as("mxc"))
     e.crossJoin(broadcast(mx))
       .withColumn("bin", least(lit(9L), expr("vc * 10 div mxc")))
+  }
+
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    scoreBinned(spark, dir)
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
@@ -1869,6 +1881,47 @@ object StatsOps {
           .as("event_rate"),
         (col("sum_vc").cast(DoubleType) / (col("n") * 100).cast(DoubleType))
           .as("mean_score"))
+  }
+
+  /** Expected calibration error — the scalar [[calibrationBins]]'s r11
+    * doc deliberately declined to hash ("a 10-term float dot product
+    * would reintroduce summation-order dependence") — made hashable by
+    * clearing denominators instead of summing floats: with conf
+    * normalized to the corpus max, the per-bin weighted gap
+    * (n_b/N)·|acc_b − conf_b| collapses to |pos_b·mxc − sum_vc_b| /
+    * (N·mxc), so ECE·N·mxc = Σ_b |pos_b·mxc − sum_vc_b| — a 10-term sum
+    * of exact INTEGER absolute deviations (order-independent), with one
+    * boundary division at the end. Shares [[scoreBinned]] with the
+    * diagram op, so the scalar aggregates exactly the published bins.
+    * The pos·mxc product runs in DECIMAL(38,0) with the guarded int64
+    * boundary cast (aqp discipline; pos_b ≤ N, so the bound is N·mxc —
+    * int64-safe to a ~10¹⁴-cent·row product, surfaced as decimal past
+    * it).
+    *
+    * Scale: the same one-pass 10-row summary as calibration_bins; the
+    * scalar folds the 10 rows. Nothing new crosses an exchange.
+    */
+  def eceEval(spark: SparkSession, dir: String): DataFrame = {
+    val gapDec = abs(col("pos_b").cast(DecimalType(19, 0)) * col("mxc")
+      - col("sum_vc"))
+    val gapGuard = assert_true(
+      col("gap_dec") <= lit(Long.MaxValue),
+      lit("ece_eval: pos*mxc gap exceeds int64 — surface the decimal"))
+    scoreBinned(spark, dir)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("pos")).as("pos_b"),
+        sum(col("vc")).as("sum_vc"), min(col("mxc")).as("mxc"))
+      .withColumn("gap_dec", gapDec)
+      .withColumn("gap", when(gapGuard.isNull, col("gap_dec").cast(LongType)))
+      .agg(
+        sum(col("n_b")).as("n"),
+        min(col("mxc")).as("mxc"),
+        count(lit(1)).as("n_bins"),
+        sum(col("gap")).as("ece_num"))
+      .select(col("n"), col("mxc"), col("n_bins"), col("ece_num"),
+        (col("ece_num").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("mxc").cast(DoubleType)))
+          .as("ece"))
   }
 
   /** Kaplan–Meier life table over order FULFILLMENT — time-to-ship with
@@ -2075,10 +2128,13 @@ object StatsOps {
     val pb = Tables.part(spark, dir)
       .select(col("p_partkey").as("dst"), col("p_brand").as("brand"))
     // the center's degree rides each wedge leg so RA weights need no
-    // post-aggregation join back to the pair frame
-    val adjb = adj.join(broadcast(pb), "dst")
+    // post-aggregation join back to the pair frame. adjb feeds BOTH wedge
+    // legs — checkpointed (r14), or each side re-runs the union + brand
+    // join + the deg aggregation's shuffle; the r13 quiet-run spread came
+    // mostly from re-planning this duplicated subtree under load
+    val adjb = Tables.ckpt(adj.join(broadcast(pb), "dst")
       .join(deg.withColumnRenamed("deg", "center_deg"), "src")
-      .withColumn("ra_w", expr("CAST(1000000000000 AS BIGINT) div center_deg"))
+      .withColumn("ra_w", expr("CAST(1000000000000 AS BIGINT) div center_deg")))
     val cand = adjb.as("x").join(adjb.as("y"),
         col("x.src") === col("y.src") && col("x.brand") === col("y.brand")
           && col("x.dst") < col("y.dst"))

@@ -174,6 +174,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("fleiss_kappa and shard_manifest are single-pass, join-free plans") {
+    for (q <- Seq("fleiss_kappa", "shard_manifest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.toLowerCase.contains("hashaggregate") ||
+        p.contains("SortAggregate"), s"$q aggregates:\n$p")
+    }
+  }
+
+  test("ece_eval binning rides the broadcast 1-row max, like calibration_bins") {
+    val p = plan("ece_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), "max frame must broadcast:\n" + p)
+  }
+
   test("temperature_mix inherits mixture_plan's broadcast-summary shape") {
     // same posture as mixture_plan: plan rows are |sources|-bounded, the
     // totals frame is ONE row, the per-doc copy decision is a broadcast
