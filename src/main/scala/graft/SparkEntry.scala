@@ -194,6 +194,8 @@ object SparkEntry {
     "calibration_bins"  -> (StatsOps.calibrationBins _),
     "ece_eval"          -> (StatsOps.eceEval _),
     "fleiss_kappa"      -> (QualityOps.fleissKappa _),
+    "pass_at_k"         -> (StatsOps.passAtK _),
+    "recency_mix"       -> (PipelineOps.recencyMix _),
     "shard_manifest"    -> (PipelineOps.shardManifest _),
     "survival_curve"    -> (StatsOps.survivalCurve _),
     "mutual_info"       -> (StatsOps.mutualInfo _),
@@ -4798,6 +4800,43 @@ object SparkEntry {
         |             + CAST(t2 AS HUGEINT) * t2) AS BIGINT) AS DOUBLE)
         |  END AS kappa
         |FROM a""".stripMargin,
+    // the Codex pass@k estimator as falling factorials — five explicit
+    // integer factors per side, one boundary division
+    "pass_at_k" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, n AS n_attempts, c AS n_success,
+        |  CAST(5 AS INTEGER) AS k,
+        |  CAST(CASE WHEN n - c < 5 THEN 0 ELSE
+        |    CAST(n - c AS HUGEINT) * (n - c - 1) * (n - c - 2)
+        |      * (n - c - 3) * (n - c - 4) END AS BIGINT) AS fail_num,
+        |  CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+        |    AS BIGINT) AS fail_den,
+        |  1.0 - CAST(CAST(CASE WHEN n - c < 5 THEN 0 ELSE
+        |      CAST(n - c AS HUGEINT) * (n - c - 1) * (n - c - 2)
+        |        * (n - c - 3) * (n - c - 4) END AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
+        |        * (n - 4) AS BIGINT) AS DOUBLE) AS pass_at_k
+        |FROM t""".stripMargin,
+    // dyadic half-life: keep_pct = 100 // 2^(age div 7) is exact per
+    // bucket; the per-record gate is the shared multiplicative hash
+    "recency_mix" ->
+      """WITH h AS (SELECT max(ts) AS horizon FROM events),
+        |e AS (SELECT event_type,
+        |        least(date_diff('day', CAST(ts AS DATE),
+        |          CAST(horizon AS DATE)) // 7, 20) AS bucket,
+        |        (event_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |          AS hb
+        |      FROM events, h)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(100 // (1 << CAST(bucket AS INT)) AS BIGINT) AS keep_pct,
+        |  CAST(sum(CASE WHEN hb < 100 // (1 << CAST(bucket AS INT))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM e GROUP BY event_type, bucket""".stripMargin,
     // shard assignment by the shared multiplicative hash; the integrity
     // digest is md5 over doc ids in (perm_key, doc_id) order — DuckDB's
     // ordered string_agg equals Spark's sorted-array concat

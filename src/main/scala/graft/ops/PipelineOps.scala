@@ -1220,6 +1220,53 @@ object PipelineOps {
           (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Half-life in days for [[recencyMix]] — public so the oracle SQL
+    * interpolates THIS value.
+    */
+  val RecencyHalfLifeDays = 7
+
+  /** Freshness-decay sampling plan — the recency weighting a training
+    * pipeline applies to behavioral/event or crawl-snapshot data (recsys
+    * training and news/crawl mixing both down-weight stale records):
+    * keep probability halves every [[RecencyHalfLifeDays]] days of age.
+    * A dyadic half-life keeps the whole plan engine-exact — weight
+    * 2^(−age div H) clears to keep_pct = 100 div 2^bucket, an exact
+    * integer per bucket (100/50/25/12/6/3/1 then 0), and the per-record
+    * decision is the shared [[hashBucket]] gate, so the emitted set is a
+    * pure function of (event_id, horizon) — rerun/partitioning-stable,
+    * any engine (the trainTestSplit discipline; no float rate ever
+    * exists). The bucket index is CLAMPED at 20 before the shift (past
+    * 2^20 the pct is 0 anyway) because Java's shift is mod-64 — an
+    * unclamped 64-bucket age would silently wrap keep_pct back to 100,
+    * the exact overflow class the permKey doc warns about.
+    *
+    * Output: per (event_type, age bucket) the census a mixing dashboard
+    * reads — population, keep_pct, emitted count.
+    *
+    * Scale: one pass; the 1-row horizon broadcasts; partial aggregation
+    * on (type, bucket) — a calendar-bounded frame. No shuffle wider
+    * than the census.
+    */
+  def recencyMix(spark: SparkSession, dir: String): DataFrame = {
+    val h = RecencyHalfLifeDays
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val hz = e.agg(max(col("ts")).as("horizon"))
+    e.crossJoin(broadcast(hz))
+      .withColumn("age_days",
+        datediff(to_date(col("horizon")), to_date(col("ts"))).cast(LongType))
+      .withColumn("bucket", least(expr(s"age_days div $h"), lit(20L)))
+      .withColumn("keep_pct",
+        expr("100L div shiftleft(1L, CAST(bucket AS INT))"))
+      .withColumn("kept",
+        (hashBucket(col("event_id")) < col("keep_pct")).cast(LongType))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("keep_pct")).as("keep_pct"),
+        sum(col("kept")).as("n_kept"))
+  }
+
   /** Shard count for [[shardManifest]] — public so the oracle SQL
     * interpolates THIS value (the MaxBucket discipline).
     */

@@ -1924,6 +1924,56 @@ object StatsOps {
           .as("ece"))
   }
 
+  /** k for [[passAtK]] — public so the oracle SQL interpolates THIS
+    * value.
+    */
+  val PassK = 5
+
+  /** pass@k — the unbiased estimator for "P(at least one of k sampled
+    * attempts succeeds)" (Chen et al. 2021, the Codex/HumanEval eval
+    * metric; statistically it is 1 − C(n−c, k)/C(n, k) over n attempts
+    * with c successes, the hypergeometric no-success probability): the
+    * eval-lane primitive for sampled generations, driven here by the
+    * behavioral fixture (user sessions as tasks, purchases as
+    * successes) — a real eval table swaps in (task_id, n_samples,
+    * n_pass) and the statistic is unchanged. Exactness: the binomial
+    * ratio collapses to falling factorials, fail_num = Π_{i<k}(n−c−i)
+    * (zero when n−c < k) over fail_den = Π_{i<k}(n−i) — k = [[PassK]]
+    * explicit integer factors per row, no Γ/ln anywhere, one boundary
+    * division (pass = 1 − num/den over exact BIGINTs). n is guarded at
+    * 6000 attempts (6000⁵ < 2^63; past that the factors promote to
+    * decimal — stated, not silent).
+    *
+    * Scale: one map-side-combined pass to a per-task (n, c) frame, the
+    * estimator is per-row arithmetic on that frame. No joins.
+    */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    val k = PassK
+    def fall(base: Column): Column =
+      (0 until k).map(i => base.cast(DecimalType(19, 0)) - lit(i))
+        .reduce(_ * _)
+    val nGuard = assert_true(col("n_attempts") <= lit(6000L),
+      lit("pass_at_k: attempt count exceeds the int64 factorial bound"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_success"))
+      // pass@k is defined for n ≥ k (C(n,k) = 0 below); tasks with fewer
+      // samples are excluded, the standard eval-harness behavior
+      .filter(col("n_attempts") >= k)
+      .withColumn("fail_num",
+        when(nGuard.isNull,
+          when(col("n_attempts") - col("n_success") < k, lit(0L))
+            .otherwise(fall(col("n_attempts") - col("n_success"))
+              .cast(LongType))))
+      .withColumn("fail_den", fall(col("n_attempts")).cast(LongType))
+      .select(col("user_id"), col("n_attempts"), col("n_success"),
+        lit(k).as("k"), col("fail_num"), col("fail_den"),
+        (lit(1.0) - col("fail_num").cast(DoubleType)
+          / col("fail_den").cast(DoubleType)).as("pass_at_k"))
+  }
+
   /** Kaplan–Meier life table over order FULFILLMENT — time-to-ship with
     * administrative censoring at the data cutoff, the survival analysis
     * an ops team runs on open orders (and the same table a retention

@@ -80,6 +80,35 @@ class AgreementOpsSpec extends SparkSuite {
     assert(bins.map(_._1).sum == row.getAs[Long]("n"))
   }
 
+  test("pass_at_k equals the BigInt falling-factorial replay; estimator strictly interior") {
+    val byUser = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1)
+      .map { case (u, g) =>
+        u -> (g.length.toLong, g.count(_._2 == "purchase").toLong)
+      }
+      .filter(_._2._1 >= 5)
+    def fall(base: Long): BigInt = (0 until 5).map(i => BigInt(base - i)).product
+    val got = SparkEntry.queries("pass_at_k")(spark, sf).collect().map { r =>
+      r.getAs[Long]("user_id") -> (
+        r.getAs[Long]("n_attempts"), r.getAs[Long]("n_success"),
+        r.getAs[Long]("fail_num"), r.getAs[Long]("fail_den"),
+        r.getAs[Double]("pass_at_k"))
+    }.toMap
+    assert(got.keySet == byUser.keySet)
+    for ((u, (n, c)) <- byUser) {
+      val num = if (n - c < 5) BigInt(0) else fall(n - c)
+      val den = fall(n)
+      assert(got(u) == ((n, c, num.toLong, den.toLong,
+        1.0 - num.toDouble / den.toDouble)), s"user $u")
+    }
+    // the fixture keeps the estimator strictly interior for some users
+    // (no degenerate all-pass / all-fail sweep)
+    assert(got.values.exists(v => v._5 > 0.0 && v._5 < 1.0))
+    assert(got.nonEmpty)
+  }
+
   test("shard_manifest digests equal MessageDigest md5 over the permutation order") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id").collect().map(_.getLong(0))

@@ -201,6 +201,36 @@ class MixtureSourceSpec extends SparkSuite {
     }
   }
 
+  test("recency_mix matches the half-life integer replay; decay and gate both bite") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val rows = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type",
+        "CAST(to_date(ts) AS STRING) AS d").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        LocalDate.parse(r.getAs[String]("d"))))
+    val horizon = rows.map(_._3).maxBy(_.toEpochDay)
+    val expected = rows.groupBy { case (_, t, d) =>
+      (t, math.min(ChronoUnit.DAYS.between(d, horizon) / 7, 20L))
+    }.map { case ((t, b), g) =>
+      val pct = 100L / (1L << b)
+      (t, b) -> (g.length.toLong, pct,
+        g.count { case (id, _, _) => hashBucket(id) < pct }.toLong)
+    }
+    val got = SparkEntry.queries("recency_mix")(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) -> (
+        r.getAs[Long]("n_events"), r.getAs[Long]("keep_pct"),
+        r.getAs[Long]("n_kept"))
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // decay is real on this fixture: several buckets, and in some
+    // partial-pct bucket the hash gate both keeps and drops
+    assert(expected.keySet.map(_._2).size >= 3, "fewer than 3 age buckets")
+    assert(expected.exists { case ((_, b), (n, pct, kept)) =>
+      pct < 100 && kept > 0 && kept < n
+    }, "no bucket where the gate splits — vacuous")
+  }
+
   test("source_overlap equals brute set intersection on a planted-leak fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString

@@ -174,8 +174,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("recency_mix binning rides the broadcast 1-row horizon") {
+    val p = plan("recency_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), "horizon frame must broadcast:\n" + p)
+  }
+
   test("fleiss_kappa and shard_manifest are single-pass, join-free plans") {
-    for (q <- Seq("fleiss_kappa", "shard_manifest")) {
+    for (q <- Seq("fleiss_kappa", "shard_manifest", "pass_at_k")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(p.toLowerCase.contains("hashaggregate") ||
