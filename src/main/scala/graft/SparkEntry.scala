@@ -2641,9 +2641,43 @@ object SparkEntry {
     // replacement, exactly BpeMergeStep's greedy walk ("aaa" under (a,a)
     // -> ["aa","a"]). The wrap chars make token boundaries unambiguous
     // and survive the pair's internal separator being consumed (the
-    // following token's own wrap stays intact). bpe_merges itself stays
-    // rows-only (its k-row merge TABLE output needs driver iteration),
-    // ground-truthed by BpeSpec's independent trainer.
+    // following token's own wrap stays intact). r14: bpe_merges GRADUATES
+    // from rows-only — the r13 ledger's "needs driver iteration" claim
+    // was wrong: the same recursive CTE can CARRY the chosen pair per
+    // round, so the merge table is one DISTINCT over the recursion.
+    "bpe_merges" ->
+      ("""WITH RECURSIVE
+        |wt AS (SELECT t.w AS w, count(*) AS n
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |            FROM documents) t
+        |      WHERE len(t.w) > 0 GROUP BY t.w),
+        |seg AS (SELECT w, n,
+        |          regexp_replace(w, '(.)', chr(31) || '""" + "\\" + """1' || chr(31), 'g') AS s
+        |        FROM wt),
+        |bpe(rnd, w, n, s, ml, mr, mc) AS (
+        |  SELECT 0 AS rnd, w, n, s, CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM seg
+        |  UNION ALL
+        |  (WITH prev AS (SELECT rnd, w, n, s FROM bpe),
+        |   toks AS (SELECT n, string_split(trim(s, chr(31)),
+        |                                   chr(31) || chr(31)) AS ts FROM prev),
+        |   pairs AS (SELECT t.n, t.ts[t.i] AS l, t.ts[t.i+1] AS r
+        |             FROM (SELECT n, ts,
+        |                     unnest(generate_series(1, len(ts)-1)) AS i
+        |                   FROM toks) t),
+        |   best AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+        |            FROM pairs GROUP BY l, r
+        |            ORDER BY sum(n) DESC, l, r LIMIT 1)
+        |   SELECT p.rnd + 1, p.w, p.n,
+        |          replace(p.s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+        |                       chr(31)||b.l||b.r||chr(31)) AS s,
+        |          b.l, b.r, b.cnt
+        |   FROM prev p, best b
+        |   WHERE p.rnd < 8)
+        |)
+        |SELECT DISTINCT CAST(rnd AS INTEGER) AS rank, ml AS "left",
+        |  mr AS "right", mc AS pair_count
+        |FROM bpe WHERE rnd >= 1""").stripMargin,
     "bpe_segment" ->
       ("""WITH RECURSIVE
         |wt AS (SELECT t.w AS w, count(*) AS n

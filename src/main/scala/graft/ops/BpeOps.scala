@@ -52,9 +52,13 @@ object BpeOps {
 
   /** The first `k` BPE merges learned from the corpus:
     * `(rank, left, right, pair_count)`, rank 1-based in merge order.
-    * Rows-only in the oracle (k-round iterated training is not
-    * expressible in one SQL pass); ground truth is BpeSpec's independent
-    * driver-side trainer.
+    * Fully oracle-checked since r14: the recursive-CTE training replay
+    * (see bpe_segment's oracle) CARRIES the argmax pair chosen each
+    * round, so the merge table is one DISTINCT over the recursion —
+    * the r13 ledger's "needs driver iteration" claim was wrong, and the
+    * hash match now proves the k-round argmax/tiebreak/merge sequence
+    * itself, not just the final segmentation. BpeSpec's independent
+    * driver-side trainer remains the ScalaTest ground truth.
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     var seg = wordSegs(spark, dir).localCheckpoint()
