@@ -54,6 +54,7 @@ object SparkEntry {
     "join_inner"        -> (RelationalOps.joinInner _),
     "bloom_prefilter_join" -> (RelationalOps.bloomPrefilterJoin _),
     "bpe_merges"        -> ((s, d) => BpeOps.bpeMerges(s, d)),
+    "bpe_fertility"     -> ((s, d) => BpeOps.bpeFertility(s, d)),
     "bpe_segment"       -> ((s, d) => BpeOps.bpeSegment(s, d)),
     "unigram_train"     -> ((s, d) => UnigramOps.unigramTrain(s, d)),
     "unigram_segment"   -> (UnigramOps.unigramSegment _),
@@ -2716,6 +2717,53 @@ object SparkEntry {
         |SELECT i.source AS source,
         |  CAST(sum(length(i.w)) AS BIGINT) AS n_chars,
         |  CAST(sum(f.ntok) AS BIGINT) AS n_tokens
+        |FROM inst i JOIN fin f ON f.w = i.w
+        |GROUP BY i.source""").stripMargin,
+    // fertility = pieces per word under the SAME training replay; the
+    // CTE body is bpe_segment's, only the final census differs
+    "bpe_fertility" ->
+      ("""WITH RECURSIVE
+        |wt AS (SELECT t.w AS w, count(*) AS n
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |            FROM documents) t
+        |      WHERE len(t.w) > 0 GROUP BY t.w),
+        |seg AS (SELECT w, n,
+        |          regexp_replace(w, '(.)', chr(31) || '""" + "\\" + """1' || chr(31), 'g') AS s
+        |        FROM wt),
+        |bpe(rnd, w, n, s) AS (
+        |  SELECT 0 AS rnd, w, n, s FROM seg
+        |  UNION ALL
+        |  (WITH prev AS (SELECT rnd, w, n, s FROM bpe),
+        |   toks AS (SELECT n, string_split(trim(s, chr(31)),
+        |                                   chr(31) || chr(31)) AS ts FROM prev),
+        |   pairs AS (SELECT t.n, t.ts[t.i] AS l, t.ts[t.i+1] AS r
+        |             FROM (SELECT n, ts,
+        |                     unnest(generate_series(1, len(ts)-1)) AS i
+        |                   FROM toks) t),
+        |   best AS (SELECT l, r FROM pairs GROUP BY l, r
+        |            ORDER BY sum(n) DESC, l, r LIMIT 1)
+        |   SELECT p.rnd + 1, p.w, p.n,
+        |          replace(p.s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+        |                       chr(31)||b.l||b.r||chr(31)) AS s
+        |   FROM prev p, best b
+        |   WHERE p.rnd < 8)
+        |),
+        |fin AS (SELECT w, len(string_split(trim(s, chr(31)),
+        |                                   chr(31)||chr(31))) AS ntok
+        |        FROM bpe WHERE rnd = (SELECT max(rnd) FROM bpe)),
+        |inst AS (SELECT t.source AS source, t.w AS w
+        |         FROM (SELECT source,
+        |                 unnest(string_split(lower(text), ' ')) AS w
+        |               FROM documents) t
+        |         WHERE len(t.w) > 0)
+        |SELECT i.source AS source,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(f.ntok) AS BIGINT) AS n_pieces,
+        |  CAST(sum(length(i.w)) AS BIGINT) AS n_chars,
+        |  CAST(CAST(sum(f.ntok) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS fertility,
+        |  CAST(CAST(sum(length(i.w)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(f.ntok) AS BIGINT) AS DOUBLE) AS chars_per_piece
         |FROM inst i JOIN fin f ON f.w = i.w
         |GROUP BY i.source""").stripMargin,
     // unigram_segment's oracle replays the per-word Viterbi DP as a

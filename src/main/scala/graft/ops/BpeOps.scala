@@ -108,7 +108,45 @@ object BpeOps {
     * literal leaks into the oracle, so the check covers training AND
     * segmentation end to end.
     */
-  def bpeSegment(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def bpeSegment(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    mergedWords(spark, dir, k)
+      .groupBy(col("source"))
+      .agg(
+        sum(expr("aggregate(seg, 0L, (a, t) -> a + length(t))")).as("n_chars"),
+        sum(size(col("seg")).cast("long")).as("n_tokens"))
+      .select(col("source"), col("n_chars"), col("n_tokens"))
+
+  /** Per-source tokenizer FERTILITY under the learned merges — pieces
+    * per word, THE standard tokenizer-quality metric for multilingual /
+    * multi-source corpora (a source whose fertility stays near its
+    * character count is one the vocabulary serves poorly; vocabulary
+    * sizing and mixture decisions read exactly this table). Same
+    * machinery as [[bpeSegment]] (ONE shared merged-word frame — the
+    * queryGramFrames discipline), aggregated to word instances, pieces,
+    * and chars per source with two boundary divisions. Fully
+    * oracle-checked by the same recursive-CTE training replay — no
+    * learned literal leaks into the oracle.
+    *
+    * Scale: identical to bpe_segment — the k codegen'd merge walks run
+    * map-side per word instance; one partial-aggregated census.
+    */
+  def bpeFertility(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    mergedWords(spark, dir, k)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("seg")).cast("long")).as("n_pieces"),
+        sum(expr("aggregate(seg, 0L, (a, t) -> a + length(t))")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+
+  /** (source, seg) word instances re-segmented under the first k learned
+    * merges — the one frame [[bpeSegment]] and [[bpeFertility]] share.
+    */
+  private def mergedWords(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val merges = bpeMerges(spark, dir, k).collect()
       .sortBy(_.getAs[Int]("rank"))
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
@@ -118,14 +156,8 @@ object BpeOps {
       .select(col("source"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("seg"))
-    val merged = merges.foldLeft(base) { case (df, (l, r)) =>
+    merges.foldLeft(base) { case (df, (l, r)) =>
       df.withColumn("seg", mergeCol(col("seg"), l, r))
     }
-    merged
-      .groupBy(col("source"))
-      .agg(
-        sum(expr("aggregate(seg, 0L, (a, t) -> a + length(t))")).as("n_chars"),
-        sum(size(col("seg")).cast("long")).as("n_tokens"))
-      .select(col("source"), col("n_chars"), col("n_tokens"))
   }
 }

@@ -126,4 +126,31 @@ class BpeSpec extends SparkSuite {
       assert(nToks < nChars, s"$src: $nToks tokens vs $nChars chars")
     }
   }
+
+  test("bpe_fertility is consistent with bpe_segment and the word census") {
+    import spark.implicits._
+    val seg = BpeOps.bpeSegment(spark, sf, k = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val words = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.toLowerCase.split(" ").filter(_.nonEmpty).map(_ => src)
+      }
+      .groupBy(identity).map { case (s, g) => s -> g.length.toLong }
+    val got = BpeOps.bpeFertility(spark, sf, k = 8).collect().map { r =>
+      r.getAs[String]("source") -> (
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("n_chars"), r.getAs[Double]("fertility"),
+        r.getAs[Double]("chars_per_piece"))
+    }.toMap
+    assert(got.keySet == seg.keySet)
+    for ((src, (nw, np, nc, f, cpp)) <- got) {
+      assert(nw == words(src), s"$src word census")
+      assert((nc, np) == seg(src), s"$src must share bpe_segment's counts")
+      assert(f == np.toDouble / nw.toDouble && cpp == nc.toDouble / np.toDouble)
+      // fertility strictly between 1 (every word one piece) and
+      // chars-per-word (no merge ever applied) — the metric is live
+      assert(f > 1.0 && f < nc.toDouble / nw.toDouble, s"$src fertility $f")
+    }
+  }
 }
