@@ -4841,18 +4841,23 @@ object SparkEntry {
     // sum_j n_ij^2 = 3 + 2*(agreeing pairs), and clearing denominators
     // gives kappa as one ratio of exact integers
     "fleiss_kappa" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT n_chars,
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
         |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
         |      AS nd
         |  FROM documents),
         |r AS (SELECT
-        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 380 THEN 1
+        |    CASE WHEN n_chars < ${QualityOps.FleissCharCuts._1} THEN 0
+        |      WHEN n_chars < ${QualityOps.FleissCharCuts._2} THEN 1
         |      ELSE 2 END AS ra,
-        |    CASE WHEN nt < 39 THEN 0 WHEN nt < 69 THEN 1 ELSE 2 END AS rb,
-        |    CASE WHEN nd * 100 < nt * 40 THEN 0
-        |      WHEN nd * 100 < nt * 55 THEN 1 ELSE 2 END AS rc
+        |    CASE WHEN nt < ${QualityOps.FleissTokCuts._1} THEN 0
+        |      WHEN nt < ${QualityOps.FleissTokCuts._2} THEN 1
+        |      ELSE 2 END AS rb,
+        |    CASE WHEN nd * 100 < nt * ${QualityOps.FleissRatioPctCuts._1}
+        |      THEN 0
+        |      WHEN nd * 100 < nt * ${QualityOps.FleissRatioPctCuts._2}
+        |      THEN 1 ELSE 2 END AS rc
         |  FROM q),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(3 + 2 * (CAST(ra = rb AS INT) + CAST(ra = rc AS INT)
@@ -4884,32 +4889,41 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // the Codex pass@k estimator as falling factorials — five explicit
     // integer factors per side, one boundary division
-    "pass_at_k" ->
-      """WITH t AS (
+    "pass_at_k" -> {
+      // factor lists GENERATED from StatsOps.PassK so k lives in exactly
+      // one place (the estJaccard-drift lesson applied preemptively)
+      val k = StatsOps.PassK
+      val num = (0 until k).map {
+        case 0 => "CAST(n - c AS HUGEINT)"
+        case i => s"(n - c - $i)"
+      }.mkString(" * ")
+      val den = (0 until k).map {
+        case 0 => "CAST(n AS HUGEINT)"
+        case i => s"(n - $i)"
+      }.mkString(" * ")
+      s"""WITH t AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS c
-        |  FROM events GROUP BY 1 HAVING count(*) >= 5)
+        |  FROM events GROUP BY 1 HAVING count(*) >= $k)
         |SELECT user_id, n AS n_attempts, c AS n_success,
-        |  CAST(5 AS INTEGER) AS k,
-        |  CAST(CASE WHEN n - c < 5 THEN 0 ELSE
-        |    CAST(n - c AS HUGEINT) * (n - c - 1) * (n - c - 2)
-        |      * (n - c - 3) * (n - c - 4) END AS BIGINT) AS fail_num,
-        |  CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3) * (n - 4)
-        |    AS BIGINT) AS fail_den,
-        |  1.0 - CAST(CAST(CASE WHEN n - c < 5 THEN 0 ELSE
-        |      CAST(n - c AS HUGEINT) * (n - c - 1) * (n - c - 2)
-        |        * (n - c - 3) * (n - c - 4) END AS BIGINT) AS DOUBLE)
-        |    / CAST(CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
-        |        * (n - 4) AS BIGINT) AS DOUBLE) AS pass_at_k
-        |FROM t""".stripMargin,
+        |  CAST($k AS INTEGER) AS k,
+        |  CAST(CASE WHEN n - c < $k THEN 0 ELSE $num END AS BIGINT)
+        |    AS fail_num,
+        |  CAST($den AS BIGINT) AS fail_den,
+        |  1.0 - CAST(CAST(CASE WHEN n - c < $k THEN 0 ELSE $num END
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST($den AS BIGINT) AS DOUBLE) AS pass_at_k
+        |FROM t""".stripMargin
+    },
     // dyadic half-life: keep_pct = 100 // 2^(age div 7) is exact per
     // bucket; the per-record gate is the shared multiplicative hash
     "recency_mix" ->
-      """WITH h AS (SELECT max(ts) AS horizon FROM events),
+      s"""WITH h AS (SELECT max(ts) AS horizon FROM events),
         |e AS (SELECT event_type,
         |        least(date_diff('day', CAST(ts AS DATE),
-        |          CAST(horizon AS DATE)) // 7, 20) AS bucket,
+        |          CAST(horizon AS DATE)) // ${PipelineOps.RecencyHalfLifeDays},
+        |          ${PipelineOps.RecencyMaxBucket}) AS bucket,
         |        (event_id % 1000000007) * 2654435761 % 1000000007 % 100
         |          AS hb
         |      FROM events, h)
@@ -4923,12 +4937,12 @@ object SparkEntry {
     // digest is md5 over doc ids in (perm_key, doc_id) order — DuckDB's
     // ordered string_agg equals Spark's sorted-array concat
     "shard_manifest" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, n_chars,
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
         |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS pk
         |  FROM documents)
-        |SELECT CAST(pk % 8 AS BIGINT) AS shard_id,
+        |SELECT CAST(pk % ${PipelineOps.ShardCount} AS BIGINT) AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,

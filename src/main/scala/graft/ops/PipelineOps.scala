@@ -1225,6 +1225,11 @@ object PipelineOps {
     */
   val RecencyHalfLifeDays = 7
 
+  /** Bucket clamp for [[recencyMix]] (shift guard; keep_pct is 0 well
+    * before it) — public for the same interpolation reason.
+    */
+  val RecencyMaxBucket = 20L
+
   /** Freshness-decay sampling plan — the recency weighting a training
     * pipeline applies to behavioral/event or crawl-snapshot data (recsys
     * training and news/crawl mixing both down-weight stale records):
@@ -1255,7 +1260,8 @@ object PipelineOps {
     e.crossJoin(broadcast(hz))
       .withColumn("age_days",
         datediff(to_date(col("horizon")), to_date(col("ts"))).cast(LongType))
-      .withColumn("bucket", least(expr(s"age_days div $h"), lit(20L)))
+      .withColumn("bucket",
+        least(expr(s"age_days div $h"), lit(RecencyMaxBucket)))
       .withColumn("keep_pct",
         expr("100L div shiftleft(1L, CAST(bucket AS INT))"))
       .withColumn("kept",

@@ -1084,6 +1084,15 @@ object QualityOps {
     * Scale: one corpus pass, map-side partial aggregation into a 1-row
     * summary. No joins, no shuffle wider than the aggregation.
     */
+  /** The three rule raters' category cuts — public so the oracle SQL
+    * interpolates THESE values (the MaxBucket discipline): char-length
+    * tertiles, token-count tertiles, distinct-token-ratio percent bands
+    * (cross-multiplied, never a float ratio).
+    */
+  val FleissCharCuts: (Long, Long) = (216L, 380L)
+  val FleissTokCuts: (Long, Long) = (39L, 69L)
+  val FleissRatioPctCuts: (Long, Long) = (40L, 55L)
+
   def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
     val rated = Tables.documents(spark, dir)
       .select(col("n_chars"),
@@ -1091,12 +1100,14 @@ object QualityOps {
         size(array_distinct(split(trim(col("text")), " ")))
           .cast(LongType).as("n_dis"))
       .select(
-        when(col("n_chars") < 216, 0L).when(col("n_chars") < 380, 1L)
+        when(col("n_chars") < FleissCharCuts._1, 0L)
+          .when(col("n_chars") < FleissCharCuts._2, 1L)
           .otherwise(2L).as("ra"),
-        when(col("n_tok") < 39, 0L).when(col("n_tok") < 69, 1L)
+        when(col("n_tok") < FleissTokCuts._1, 0L)
+          .when(col("n_tok") < FleissTokCuts._2, 1L)
           .otherwise(2L).as("rb"),
-        when(col("n_dis") * 100 < col("n_tok") * 40, 0L)
-          .when(col("n_dis") * 100 < col("n_tok") * 55, 1L)
+        when(col("n_dis") * 100 < col("n_tok") * FleissRatioPctCuts._1, 0L)
+          .when(col("n_dis") * 100 < col("n_tok") * FleissRatioPctCuts._2, 1L)
           .otherwise(2L).as("rc"))
     def catCount(j: Long): Column =
       (col("ra") === j).cast(LongType) + (col("rb") === j).cast(LongType) +
