@@ -250,6 +250,25 @@ object GraftProperties extends Properties("graft") {
           .samples.sameElements(clip.samples)
     }
 
+  property("GIF encode/decode round-trips any palette-bounded image") =
+    forAll(Gen.choose(1, 24), Gen.choose(1, 24), Gen.choose(1, 256), Gen.long) {
+      (w, h, nColors, seed) =>
+        val r = new scala.util.Random(seed)
+        // draw pixels from a bounded palette so the encoder's 256-color
+        // gate never fires; colors themselves are random RGB triples
+        val palette = Array.fill(nColors)(r.nextInt(1 << 24))
+        val rgb = new Array[Byte](3 * w * h)
+        for (i <- 0 until w * h) {
+          val c = palette(r.nextInt(nColors))
+          rgb(3 * i) = (c >> 16).toByte
+          rgb(3 * i + 1) = (c >> 8).toByte
+          rgb(3 * i + 2) = c.toByte
+        }
+        val img = graft.ops.ImageCodec.Image(w, h, rgb)
+        val back = graft.ops.ImageCodec.decodeGif(graft.ops.ImageCodec.encodeGif(img))
+        back.width == w && back.height == h && back.rgb.sameElements(rgb)
+    }
+
   // ---- round-7 op algebra ----
 
   /** macd_num = 26·Σ12 − 12·Σ26 over trailing windows (IndicatorOps.macd). */
