@@ -1290,11 +1290,15 @@ object PipelineOps {
     * oracle-checkable: both engines compute the identical ordered
     * digest (DuckDB string_agg ORDER BY == sorted-array concat here).
     *
-    * Scale: shard count scales with the corpus (fixed target shard
-    * SIZE), so the per-shard ordered id list is bounded by shard size,
-    * not corpus size; the sort is per-group over that bounded list and
-    * the shuffle carries (ids, counts) only. At 100 TB the same plan
-    * emits one manifest row per output file.
+    * Scale, stated honestly: AS SHIPPED [[ShardCount]] is a fixed 8, so
+    * each per-shard ordered id list grows O(corpus/8) through one
+    * `sort_array(collect_list(...))` — fine to the probed sf10x
+    * (~312 k ids/shard, 2.75 s, BASELINE r14) but NOT a 100 TB shape.
+    * A deployment derives S from a target shard SIZE (S = ⌈docs /
+    * target⌉ interpolated into both the op and its oracle, exactly like
+    * the constant today), which is what bounds the per-group list; the
+    * fixed 8 here keeps the fixture's shards non-trivially populated.
+    * The shuffle carries (ids, counts) only either way.
     */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -79,8 +79,12 @@ object DpCountStream {
     */
   private[graft] def step(st: BmState, src: String, x: Long): (BmState, Release) = {
     val t = st.t + 1
-    val alpha = st.alpha.clone()
-    val alphaHat = st.alphaHat.clone()
+    // copyOf, not clone: state restored from a pre-r14 checkpoint carries
+    // 32-length ladders (MaxLevels was 32 then) — pad with zero levels so
+    // the t = 2^32 boundary fix applies to RESUMED keys too, not only to
+    // state created under this build
+    val alpha = java.util.Arrays.copyOf(st.alpha, MaxLevels)
+    val alphaHat = java.util.Arrays.copyOf(st.alphaHat, MaxLevels)
     val i = java.lang.Long.numberOfTrailingZeros(t)
     var acc = x
     var j = 0

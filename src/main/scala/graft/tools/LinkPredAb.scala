@@ -9,7 +9,15 @@ import graft.model.Tables
 /** Throwaway A/B probe for link_prediction's wedge-leg plan (r14 task 1):
   * variant A re-derives the brand/degree-joined adjacency for both wedge
   * legs (the r13 shipped shape); variant B checkpoints it once. Interleaved
-  * timed passes in ONE JVM so box drift cancels. Usage: LinkPredAb <sfDir> [n]
+  * timed passes in ONE JVM so box drift cancels.
+  *
+  * DELIBERATELY a frozen inline snapshot of the two r13/r14 plan shapes,
+  * not a call into StatsOps.linkPrediction: the comparison is historical
+  * evidence for the r14 decision (BASELINE.md), and parameterizing the
+  * shipped op with a variant flag would put a measurement knob in
+  * production code. If linkPrediction's plan changes again, re-snapshot
+  * here — do NOT cite this tool's numbers for the new shape unchanged.
+  * Usage: LinkPredAb <sfDir> [n]
   */
 object LinkPredAb {
   def main(args: Array[String]): Unit = {

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * The deep probe's exp 1.18 second decade conflates corpus growth (100×)
   * with source-count growth (100× → 10⁴× pair matrix); production source
   * counts are dashboard-bounded, so this run isolates the corpus term.
-  * Usage: WinrateFixedSrc <sf10xDir> <scratchOut>
+  * Usage: WinrateFixedSrc <sf10xDir> <scratchOut> [baselineDir]
+  * (baseline defaults to /root/testdata/sf0.1 and the printed exponent
+  * assumes the 100× decade pair — pass the baseline explicitly on any
+  * other layout).
   */
 object WinrateFixedSrc {
   def main(args: Array[String]): Unit = {
@@ -34,7 +37,8 @@ object WinrateFixedSrc {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val t01 = run("/root/testdata/sf0.1")
+    val baseline = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val t01 = run(baseline)
     val t10 = run(out)
     println(f"[winrate] sf0.1 $t01%.2f s, sf10x-fixed-sources $t10%.2f s, exp ${math.log10(t10 / t01) / 2}%.2f")
     spark.stop()

@@ -139,4 +139,14 @@ class DpCountStreamSpec extends SparkSuite {
     assert((0 until 32).forall(st2.alpha(_) == 0L), "lower levels must reset")
     assert(st2.alpha(32) == 33L)
   }
+
+  test("state restored from a pre-r14 checkpoint (32-length ladders) is padded, not crashed") {
+    // old-build state: arrays of length 32, parked one step before the
+    // boundary — step() must pad to the widened ladder and complete
+    // level 32 exactly as with native 64-length state
+    val oldAlpha = Array.fill(32)(1L)
+    val st = DpCountStream.BmState((1L << 32) - 1, oldAlpha, oldAlpha.clone())
+    val (st2, rel) = DpCountStream.step(st, "edge", 1L)
+    assert(st2.alpha.length == 64 && st2.alpha(32) == 33L && rel.n_levels == 1)
+  }
 }
