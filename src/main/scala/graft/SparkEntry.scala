@@ -353,6 +353,7 @@ object SparkEntry {
     "partition_prune"   -> (StorageOps.partitionPrune _),
     "dpp_join"          -> (StorageOps.dppJoin _),
     "zorder_key"        -> (StorageOps.zorderKey _),
+    "hilbert_key"       -> (StorageOps.hilbertKey _),
     "zorder_scan"       -> (StorageOps.zorderScan _),
     "compaction_scan"   -> (StorageOps.compactionScan _),
     // ---- multimodal plumbing (north-star extensions) ----
@@ -1660,6 +1661,24 @@ object SparkEntry {
          |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
          |          - 28401120 AS m
          |      FROM events)""".stripMargin,
+    // the 16 Hilbert steps become 16 chained CTEs, each generated from
+    // the SAME hilbertStepExprs strings the Spark fold uses
+    "hilbert_key" -> {
+      val steps = (0 until StorageOps.HilbertBits).map { i =>
+        val s = 1L << (StorageOps.HilbertBits - 1 - i)
+        val (nx, ny, inc) = StorageOps.hilbertStepExprs(s, "hx", "hy")
+        s"h${i + 1} AS (SELECT event_id, user_id, m, $nx AS hx, $ny AS hy, hd + $inc AS hd FROM h$i)"
+      }
+      s"""WITH h0 AS (SELECT event_id, user_id, m, user_id AS hx, m AS hy,
+         |              CAST(0 AS BIGINT) AS hd
+         |            FROM (SELECT event_id, user_id,
+         |                    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
+         |                      - 28401120 AS m
+         |                  FROM events)),
+         |${steps.mkString(",\n")}
+         |SELECT event_id, user_id, m, hd AS hval
+         |FROM h${StorageOps.HilbertBits}""".stripMargin
+    },
     "zorder_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_events,
         |  min(event_id) AS min_event, max(event_id) AS max_event,

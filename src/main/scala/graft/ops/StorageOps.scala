@@ -350,6 +350,66 @@ object StorageOps {
     */
   private val minuteOrigin = 1704067200L / 60 // 2024-01-01T00:00:00Z
 
+  /** Bits per dimension for [[hilbertKey]] (grid side [[HilbertN]]). */
+  val HilbertBits = 16
+  val HilbertN: Long = 1L << HilbertBits
+
+  /** One Hilbert fold step at level `s`: the (next-x, next-y,
+    * d-increment) expression strings of the textbook xy2d walk (quadrant
+    * digit via the Gray decode (3·rx) xor ry — spelled arithmetically as
+    * 3rx + ry − 2·rx·ry because `^` is POWER in DuckDB — then the
+    * flip-and-swap rotation, flipping against the FULL grid N−1 so every
+    * intermediate stays in [0, N): the sub-square s−1 variant walks
+    * negatives through two's-complement `&`, which both engines happen to
+    * agree on but neither should be asked to). CASE/&/·/− only, shared
+    * VERBATIM by the Spark fold and the oracle's chained CTEs — the
+    * zvalueSql discipline, per step because Hilbert's rotation state,
+    * unlike Morton's independent bits, is sequential.
+    */
+  private[graft] def hilbertStepExprs(
+      s: Long, x: String, y: String): (String, String, String) = {
+    val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+    val inc = s"${s * s} * (3 * $rx + $ry - 2 * $rx * $ry)"
+    def flip(v: String) = s"(CASE WHEN $rx = 1 THEN ${HilbertN - 1} - $v ELSE $v END)"
+    val nx = s"(CASE WHEN $ry = 0 THEN ${flip(y)} ELSE $x END)"
+    val ny = s"(CASE WHEN $ry = 0 THEN ${flip(x)} ELSE $y END)"
+    (nx, ny, inc)
+  }
+
+  /** Hilbert-curve key over (user_id, minute) — the layout companion to
+    * [[zorderKey]]: at equal bit budget the Hilbert curve strictly beats
+    * Morton on locality (every consecutive pair of keys is an ADJACENT
+    * grid cell, so a file of contiguous keys covers a connected region —
+    * no Morton "seams" where the curve teleports across the box), which
+    * is why large lakehouses offer both and prefer Hilbert for
+    * multi-dimensional clustering at scale. The walk is [[HilbertBits]]
+    * chained integer steps (generated from ONE step definition, see
+    * [[hilbertStepExprs]]); fully oracle-checked, and HilbertSpec pins
+    * the two defining curve properties on a complete grid — bijectivity
+    * and unit-step adjacency — against a driver-side replay, plus the
+    * quantitative clustering win (Moon et al. 2001): 7.85 vs 13.96 mean
+    * contiguous-key clusters per 8×8 query box over the fixture's cells.
+    *
+    * Scale: per-row integer arithmetic, map-only, no exchange; the 16
+    * chained projections stay inside whole-stage codegen.
+    */
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id",
+        s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS m",
+        "user_id AS hx",
+        s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS hy",
+        "CAST(0 AS BIGINT) AS hd")
+    val folded = (0 until HilbertBits).foldLeft(base) { (df, i) =>
+      val s = 1L << (HilbertBits - 1 - i)
+      val (nx, ny, inc) = hilbertStepExprs(s, "hx", "hy")
+      df.selectExpr("event_id", "user_id", "m",
+        s"$nx AS hx", s"$ny AS hy", s"hd + $inc AS hd")
+    }
+    folded.selectExpr("event_id", "user_id", "m", "hd AS hval")
+  }
+
   /** The z-ordered events layout: (event_id, user_id, m, value, zval)
     * range-partitioned into 16 files by zval and sorted by zval within
     * each, so every file covers a tight box in (user_id, minute) space and

@@ -174,6 +174,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("hilbert_key is a map-only exchange-free walk") {
+    val p = plan("hilbert_key")
+    assert(!p.contains("Exchange"), "16 chained projections, no shuffle:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("recency_mix binning rides the broadcast 1-row horizon") {
     val p = plan("recency_mix")
     assert(!p.contains("CartesianProduct"), p)
