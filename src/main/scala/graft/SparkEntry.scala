@@ -1661,15 +1661,20 @@ object SparkEntry {
          |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
          |          - 28401120 AS m
          |      FROM events)""".stripMargin,
-    // the 16 Hilbert steps become 16 chained CTEs, each generated from
-    // the SAME hilbertStepExprs strings the Spark fold uses
+    // the 16 Hilbert steps become 16 chained CTEs generated from
+    // hilbertStepExprs — an INDEPENDENT relational derivation of the
+    // fused HilbertIndex kernel's walk; h0 masks both coordinates to the
+    // grid exactly like the kernel (out-of-range input would walk the
+    // N-1-x flip negative on both sides)
     "hilbert_key" -> {
       val steps = (0 until StorageOps.HilbertBits).map { i =>
         val s = 1L << (StorageOps.HilbertBits - 1 - i)
         val (nx, ny, inc) = StorageOps.hilbertStepExprs(s, "hx", "hy")
         s"h${i + 1} AS (SELECT event_id, user_id, m, $nx AS hx, $ny AS hy, hd + $inc AS hd FROM h$i)"
       }
-      s"""WITH h0 AS (SELECT event_id, user_id, m, user_id AS hx, m AS hy,
+      val mask = StorageOps.HilbertN - 1
+      s"""WITH h0 AS (SELECT event_id, user_id, m,
+         |              user_id & $mask AS hx, m & $mask AS hy,
          |              CAST(0 AS BIGINT) AS hd
          |            FROM (SELECT event_id, user_id,
          |                    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
@@ -4954,21 +4959,27 @@ object SparkEntry {
         |FROM e GROUP BY event_type, bucket""".stripMargin,
     // shard assignment by the shared multiplicative hash; the integrity
     // digest is md5 over doc ids in (perm_key, doc_id) order — DuckDB's
-    // ordered string_agg equals Spark's sorted-array concat
+    // ordered string_agg equals Spark's sorted-array concat. S is DERIVED
+    // from the corpus (ceil-div by the shared ShardTargetDocs val, pure
+    // BIGINT on both sides) so per-shard lists stay target-bounded.
     "shard_manifest" ->
-      s"""WITH d AS (
+      s"""WITH n AS (
+        |  SELECT GREATEST((count(*) + ${PipelineOps.ShardTargetDocs - 1})
+        |           // ${PipelineOps.ShardTargetDocs}, 1) AS s
+        |  FROM documents),
+        |d AS (
         |  SELECT doc_id, n_chars,
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
         |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS pk
         |  FROM documents)
-        |SELECT CAST(pk % ${PipelineOps.ShardCount} AS BIGINT) AS shard_id,
+        |SELECT CAST(pk % s AS BIGINT) AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
         |    ORDER BY pk, doc_id)) AS ids_md5
-        |FROM d GROUP BY 1""".stripMargin,
+        |FROM d, n GROUP BY 1""".stripMargin,
     // KM life table over order fulfillment: whole-day ship lead times,
     // administrative censoring at the order-date horizon, suffix-sum
     // at-risk counts over the duration summary; hazard is the single

@@ -1273,14 +1273,18 @@ object PipelineOps {
         sum(col("kept")).as("n_kept"))
   }
 
-  /** Shard count for [[shardManifest]] — public so the oracle SQL
-    * interpolates THIS value (the MaxBucket discipline).
+  /** Target docs per shard for [[shardManifest]] — the SIZE contract the
+    * shard count derives from (S = ⌈docs / target⌉), interpolated into
+    * both the op and its oracle from this one val. Small so the test
+    * fixtures populate several shards (sf0.01's 500 docs → 4 shards); a
+    * deployment would set it to its trainer's shard budget — the scale
+    * posture is independent of the value.
     */
-  val ShardCount = 8
+  val ShardTargetDocs = 128L
 
   /** Training-shard export manifest — the reproducibility record a
     * corpus build writes beside its shards: every doc assigned to one of
-    * [[ShardCount]] shards by the shared [[permKey]] multiplicative hash
+    * S shards by the shared [[permKey]] multiplicative hash
     * (deterministic, partitioning/rerun-stable — the trainTestSplit
     * discipline), and per shard the census a consumer validates against
     * (doc/token/char counts, id range) plus an ORDER-DEFINED integrity
@@ -1290,22 +1294,29 @@ object PipelineOps {
     * oracle-checkable: both engines compute the identical ordered
     * digest (DuckDB string_agg ORDER BY == sorted-array concat here).
     *
-    * Scale, stated honestly: AS SHIPPED [[ShardCount]] is a fixed 8, so
-    * each per-shard ordered id list grows O(corpus/8) through one
-    * `sort_array(collect_list(...))` — fine to the probed sf10x
-    * (~312 k ids/shard, 2.75 s, BASELINE r14) but NOT a 100 TB shape.
-    * A deployment derives S from a target shard SIZE (S = ⌈docs /
-    * target⌉ interpolated into both the op and its oracle, exactly like
-    * the constant today), which is what bounds the per-group list; the
-    * fixed 8 here keeps the fixture's shards non-trivially populated.
-    * The shuffle carries (ids, counts) only either way.
+    * Scale: S is DERIVED from the corpus — S = ⌈docs /
+    * [[ShardTargetDocs]]⌉ (one count() aggregate broadcast back over the
+    * scan; GREATEST(…, 1) guards the empty corpus) — so the per-shard
+    * `sort_array(collect_list(...))` ordered-id list is bounded by the
+    * target (× the multiplicative hash's small imbalance), NOT by
+    * corpus/S with a fixed S: at 100 TB the shard count grows and every
+    * group stays a few hundred ids. This replaces r14's fixed S = 8,
+    * whose O(corpus/8) lists were honest-but-prose at scale. The shuffle
+    * carries (ids, counts) only; the count pass is metadata-cheap on
+    * parquet.
     */
-  def shardManifest(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         size(split(trim(col("text")), " ")).cast(LongType).as("n_toks"),
         permKey(col("doc_id")).as("pk"))
-      .withColumn("shard_id", pmod(col("pk"), lit(ShardCount)))
+    // 1-row shard-count frame, broadcast into the scan: ceil-div via
+    // (n + T - 1) div T in pure BIGINT (no float CEIL on either side)
+    val nsh = d.agg(greatest(
+      expr(s"(count(1) + ${ShardTargetDocs - 1}) div $ShardTargetDocs"),
+      lit(1L)).as("n_shards"))
+    d.crossJoin(broadcast(nsh))
+      .withColumn("shard_id", pmod(col("pk"), col("n_shards")))
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1318,4 +1329,5 @@ object PipelineOps {
         col("n_chars"), col("min_doc_id"), col("max_doc_id"),
         md5(expr("CAST(concat_ws(',', transform(ord, x -> CAST(x.doc_id AS STRING))) AS BINARY)"))
           .as("ids_md5"))
+  }
 }

@@ -350,8 +350,11 @@ object StorageOps {
     */
   private val minuteOrigin = 1704067200L / 60 // 2024-01-01T00:00:00Z
 
-  /** Bits per dimension for [[hilbertKey]] (grid side [[HilbertN]]). */
-  val HilbertBits = 16
+  /** Bits per dimension for [[hilbertKey]] (grid side [[HilbertN]]) —
+    * single-sourced from the fused kernel so the oracle's CTE chain and
+    * the Spark expression can never disagree on the grid.
+    */
+  val HilbertBits: Int = graft.functions.HilbertIndex.Bits
   val HilbertN: Long = 1L << HilbertBits
 
   /** One Hilbert fold step at level `s`: the (next-x, next-y,
@@ -361,10 +364,12 @@ object StorageOps {
     * flip-and-swap rotation, flipping against the FULL grid N−1 so every
     * intermediate stays in [0, N): the sub-square s−1 variant walks
     * negatives through two's-complement `&`, which both engines happen to
-    * agree on but neither should be asked to). CASE/&/·/− only, shared
-    * VERBATIM by the Spark fold and the oracle's chained CTEs — the
-    * zvalueSql discipline, per step because Hilbert's rotation state,
-    * unlike Morton's independent bits, is sequential.
+    * agree on but neither should be asked to). CASE/&/·/− only. Since the
+    * Spark side moved to the fused [[graft.functions.HilbertIndex]]
+    * kernel these strings are the ORACLE's derivation only (16 chained
+    * CTEs over coordinates pre-masked to the grid at h0) — the hash match
+    * is now a cross-derivation proof: imperative loop vs per-level
+    * relational fold must agree bit for bit on every fixture row.
     */
   private[graft] def hilbertStepExprs(
       s: Long, x: String, y: String): (String, String, String) = {
@@ -383,32 +388,30 @@ object StorageOps {
     * grid cell, so a file of contiguous keys covers a connected region —
     * no Morton "seams" where the curve teleports across the box), which
     * is why large lakehouses offer both and prefer Hilbert for
-    * multi-dimensional clustering at scale. The walk is [[HilbertBits]]
-    * chained integer steps (generated from ONE step definition, see
-    * [[hilbertStepExprs]]); fully oracle-checked, and HilbertSpec pins
-    * the two defining curve properties on a complete grid — bijectivity
-    * and unit-step adjacency — against a driver-side replay, plus the
-    * quantitative clustering win (Moon et al. 2001): 7.85 vs 13.96 mean
+    * multi-dimensional clustering at scale. The walk is the fused
+    * [[graft.functions.HilbertIndex]] kernel — one codegen'd loop per
+    * row, coordinates masked to the grid's low [[HilbertBits]] bits
+    * exactly like [[zvalueSql]]'s Morton truncation (unmasked input used
+    * to walk the N−1−x flip negative at coordinates ≥ 2^16 and silently
+    * stop being a Hilbert index). Fully oracle-checked against an
+    * INDEPENDENT derivation (the [[hilbertStepExprs]] CTE chain), and
+    * HilbertSpec pins the two defining curve properties on a complete
+    * grid — bijectivity and unit-step adjacency — against a driver-side
+    * replay, the masking contract out-of-range, plus the quantitative
+    * clustering win (Moon et al. 2001): 7.85 vs 13.96 mean
     * contiguous-key clusters per 8×8 query box over the fixture's cells.
     *
-    * Scale: per-row integer arithmetic, map-only, no exchange; the 16
-    * chained projections stay inside whole-stage codegen.
+    * Scale: per-row integer arithmetic, map-only, no exchange, one
+    * whole-stage-codegen'd loop (~Bits iterations) per row.
     */
-  def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(spark, dir)
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .selectExpr("event_id", "user_id",
-        s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS m",
-        "user_id AS hx",
-        s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS hy",
-        "CAST(0 AS BIGINT) AS hd")
-    val folded = (0 until HilbertBits).foldLeft(base) { (df, i) =>
-      val s = 1L << (HilbertBits - 1 - i)
-      val (nx, ny, inc) = hilbertStepExprs(s, "hx", "hy")
-      df.selectExpr("event_id", "user_id", "m",
-        s"$nx AS hx", s"$ny AS hy", s"hd + $inc AS hd")
-    }
-    folded.selectExpr("event_id", "user_id", "m", "hd AS hval")
-  }
+        s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS m")
+      .withColumn("hval", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HilbertIndex(
+          org.apache.spark.sql.GraftBridge.expression(col("user_id")),
+          org.apache.spark.sql.GraftBridge.expression(col("m")))))
 
   /** The z-ordered events layout: (event_id, user_id, m, value, zval)
     * range-partitioned into 16 files by zval and sorted by zval within

@@ -114,11 +114,17 @@ class AgreementOpsSpec extends SparkSuite {
       .selectExpr("doc_id").collect().map(_.getLong(0))
     val p = 1000000007L
     def pk(id: Long) = Math.floorMod(Math.floorMod(id, p) * 2654435761L, p)
-    val byShard = docs.groupBy(id => pk(id) % 8)
-    assert(byShard.size == 8, s"only ${byShard.size} shards populated")
+    // the SIZE contract: S derives from the corpus, so the per-shard
+    // ordered-id list is bounded by the target regardless of corpus size
+    val t = graft.ops.PipelineOps.ShardTargetDocs
+    val s = math.max((docs.length + t - 1) / t, 1L)
+    assert(s > 1, "fixture must populate several shards (target too big?)")
+    val byShard = docs.groupBy(id => pk(id) % s)
+    assert(byShard.size == s, s"only ${byShard.size} of $s shards populated")
     val got = SparkEntry.queries("shard_manifest")(spark, sf).collect()
       .map(r => r.getAs[Long]("shard_id") ->
         (r.getAs[Long]("n_docs"), r.getAs[String]("ids_md5"))).toMap
+    assert(got.size == s, s"engine produced ${got.size} shards, want $s")
     for ((shard, ids) <- byShard) {
       val ordered = ids.sortBy(id => (pk(id), id)).mkString(",")
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -126,5 +132,9 @@ class AgreementOpsSpec extends SparkSuite {
         .map(b => f"${b & 0xff}%02x").mkString
       assert(got(shard) == ((ids.length.toLong, hex)), s"shard $shard")
     }
+    // the bound the derived S exists to enforce: no shard's list grows
+    // with the corpus — target x a small hash-imbalance factor only
+    val maxDocs = got.values.map(_._1).max
+    assert(maxDocs <= 2 * t, s"shard of $maxDocs docs exceeds 2x target $t")
   }
 }

@@ -39,8 +39,40 @@ class HilbertSpec extends SparkSuite {
     for (r <- rows) {
       val (u, m, h) = (r.getAs[Long]("user_id"), r.getAs[Long]("m"),
         r.getAs[Long]("hval"))
-      assert(h == xy2d(u, m), s"(u=$u, m=$m)")
+      assert(h == xy2d(u & (N - 1), m & (N - 1)), s"(u=$u, m=$m)")
     }
+  }
+
+  test("out-of-range coordinates are masked to the grid, never walked negative") {
+    // the r14 form walked the N-1-x flip NEGATIVE for coordinates >= 2^16
+    // (reachable: fixture user_id grows ~linearly with SF, ~150k at the
+    // benched sf10x) and later steps ran two's-complement & on negatives —
+    // keys silently stopped being Hilbert indices. The fused kernel masks
+    // both coordinates to the grid's low 16 bits, so an out-of-range
+    // coordinate keys identically to its masked twin and every key stays
+    // a true curve index in [0, N^2).
+    import graft.functions.HilbertIndex
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (65536L, 0L), (65541L, 70000L), (150000L, 1L << 40),
+      (N - 1, N - 1), (N, N), (2 * N + 17, 3 * N + 4), (-1L, -65536L))
+    // interpreted path: compute() masks
+    for ((x, y) <- cases) {
+      val got = HilbertIndex.compute(x, y)
+      val want = xy2d(x & (N - 1), y & (N - 1))
+      assert(got == want, s"compute($x, $y)")
+      assert(got >= 0 && got < N * N, s"key out of curve range for ($x, $y)")
+    }
+    // codegen path: the same contract through a real plan
+    import spark.implicits._
+    val got = cases.toDF("x", "y")
+      .withColumn("hval", GraftBridge.column(HilbertIndex(
+        GraftBridge.expression(col("x")), GraftBridge.expression(col("y")))))
+      .collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("hval")))
+    for ((x, y, h) <- got)
+      assert(h == xy2d(x & (N - 1), y & (N - 1)), s"codegen ($x, $y)")
   }
 
   test("the replay is a true Hilbert curve: bijective and unit-adjacent on a full grid") {

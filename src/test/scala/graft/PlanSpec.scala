@@ -174,10 +174,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("hilbert_key is a map-only exchange-free walk") {
+  test("hilbert_key is one fused map-only exchange-free kernel") {
     val p = plan("hilbert_key")
-    assert(!p.contains("Exchange"), "16 chained projections, no shuffle:\n" + p)
+    assert(!p.contains("Exchange"), "fused walk, no shuffle:\n" + p)
     assert(!p.contains("Join"), p)
+    // the r14 shape was 16 chained CASE-tree projections (~7x zorder_key
+    // from expression overhead alone); the fused kernel is ONE expression
+    assert(p.contains("hilbert_index"), "fused kernel expected:\n" + p)
+    assert(!p.contains("CASE WHEN"), "no per-level CASE trees:\n" + p)
   }
 
   test("recency_mix binning rides the broadcast 1-row horizon") {
@@ -187,13 +191,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Broadcast"), "horizon frame must broadcast:\n" + p)
   }
 
-  test("fleiss_kappa and shard_manifest are single-pass, join-free plans") {
-    for (q <- Seq("fleiss_kappa", "shard_manifest", "pass_at_k")) {
+  test("fleiss_kappa and pass_at_k are single-pass, join-free plans") {
+    for (q <- Seq("fleiss_kappa", "pass_at_k")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(p.toLowerCase.contains("hashaggregate") ||
         p.contains("SortAggregate"), s"$q aggregates:\n$p")
     }
+  }
+
+  test("shard_manifest's derived shard count rides a broadcast 1-row frame") {
+    // S = ceil(docs/target) is one count() aggregate broadcast back over
+    // the scan (the recency_mix horizon shape) — never a shuffle join,
+    // never a cartesian over data-sized sides
+    val p = plan("shard_manifest")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), "count frame must broadcast:\n" + p)
+    assert(p.toLowerCase.contains("hashaggregate") ||
+      p.contains("SortAggregate"), s"shard_manifest aggregates:\n$p")
   }
 
   test("ece_eval binning rides the broadcast 1-row max, like calibration_bins") {
