@@ -210,9 +210,10 @@ object ImageCodec {
   /** GIF87a encoder — closes the last decode-only asymmetry (every
     * other format here is bidirectional). A REAL adaptive
     * variable-width LZW compressor, not a literal-spam shortcut: the
-    * dictionary grows to the 12-bit cap and stops (no mid-stream CLEAR
-    * — valid per the spec; [[lzwDecode]] mirrors with `if (next <
-    * maxCodes)`), code widths bump exactly when the DECODER's will
+    * dictionary grows to the 12-bit cap, then a CLEAR code resets it
+    * (the interop-safe choice: deferred-clear streams are valid GIF87a
+    * but some strict legacy decoders mishandle a full table with no
+    * reset), code widths bump exactly when the DECODER's will
     * (encoder tracks next = decoder_next + 1, so its bump test is
     * `next == (1 << width) + 1` where the decoder's is `next == 1 <<
     * width` — including the virtual tail add that mirrors the
@@ -292,8 +293,25 @@ object ImageCodec {
       if (e != null) cur = e.intValue()
       else {
         put(cur)
-        if (next < (1 << 12)) dict.put(key, next)
-        addEntry()
+        if (next < (1 << 12)) {
+          dict.put(key, next)
+          addEntry()
+        } else {
+          // table full: emit CLEAR (at the current 12-bit width — the
+          // decoder's width is still 12 when it reads it) and reset
+          // dictionary/width on both sides, instead of the r14
+          // deferred-clear stream (valid GIF87a and round-tripped our
+          // decoder, but some strict legacy decoders mishandle
+          // full-table no-clear streams). The decoder's clear branch
+          // resets next/width/prev identically; the first code emitted
+          // after the reset is necessarily a literal (cur can only be a
+          // dictionary code via a dict hit, and the dict is now empty),
+          // which is exactly what the decoder requires post-clear.
+          put(clear)
+          dict.clear()
+          width = minCode + 1
+          next = eoi + 1
+        }
         cur = idx(i)
       }
       i += 1

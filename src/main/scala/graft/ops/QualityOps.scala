@@ -1136,8 +1136,13 @@ object QualityOps {
       .withColumn("t2s_dec", t2sum)
       .withColumn("num_dec", numDec)
       .withColumn("den_dec", denDec)
-      .withColumn("kappa_num",
-        when(boundGuard.isNull, col("num_dec").cast(LongType)))
+      // the guard is a FILTER stage, not a when() riding one output
+      // column: a projection selecting only the sibling (kappa_den)
+      // would prune a column-borne assert away and the DECIMAL→BIGINT
+      // cast would overflow silently — a Filter survives any projection
+      // (PlanSpec pins it through a pruned select)
+      .filter(boundGuard.isNull)
+      .withColumn("kappa_num", col("num_dec").cast(LongType))
       .withColumn("kappa_den", col("den_dec").cast(LongType))
       .select(col("n"), col("s_sum"), col("t0"), col("t1"), col("t2"),
         col("kappa_num"), col("kappa_den"),

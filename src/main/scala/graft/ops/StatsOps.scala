@@ -1911,8 +1911,11 @@ object StatsOps {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_b"), sum(col("pos")).as("pos_b"),
         sum(col("vc")).as("sum_vc"), min(col("mxc")).as("mxc"))
+      // filter-stage guard: column pruning cannot eliminate it, unlike a
+      // when() carried by one output column (fleiss_kappa discipline)
       .withColumn("gap_dec", gapDec)
-      .withColumn("gap", when(gapGuard.isNull, col("gap_dec").cast(LongType)))
+      .filter(gapGuard.isNull)
+      .withColumn("gap", col("gap_dec").cast(LongType))
       .agg(
         sum(col("n_b")).as("n"),
         min(col("mxc")).as("mxc"),
@@ -1962,11 +1965,13 @@ object StatsOps {
       // pass@k is defined for n ≥ k (C(n,k) = 0 below); tasks with fewer
       // samples are excluded, the standard eval-harness behavior
       .filter(col("n_attempts") >= k)
+      // filter-stage guard: riding fail_num alone let a projection that
+      // selects only fail_den prune the assert and overflow silently
+      .filter(nGuard.isNull)
       .withColumn("fail_num",
-        when(nGuard.isNull,
-          when(col("n_attempts") - col("n_success") < k, lit(0L))
-            .otherwise(fall(col("n_attempts") - col("n_success"))
-              .cast(LongType))))
+        when(col("n_attempts") - col("n_success") < k, lit(0L))
+          .otherwise(fall(col("n_attempts") - col("n_success"))
+            .cast(LongType)))
       .withColumn("fail_den", fall(col("n_attempts")).cast(LongType))
       .select(col("user_id"), col("n_attempts"), col("n_success"),
         lit(k).as("k"), col("fail_num"), col("fail_den"),

@@ -221,7 +221,7 @@ class ImageCodecSpec extends AnyFunSuite {
       gray(Array.tabulate(256)(identity), 16, 16),         // 256 colors
       gray(Array.tabulate(333)(i => (i * i) % 5), 3, 111), // bump boundaries
       gray(Array.tabulate(16384)(i => (i * 2654435761L % 1000003L % 256).toInt),
-        128, 128))                                         // dict cap
+        128, 128))                // dict cap -> mid-stream CLEAR + rebuild
     for (img <- shapes) {
       val bytes = ImageCodec.encodeGif(img)
       assert(ImageCodec.sniff(bytes).contains("gif"))

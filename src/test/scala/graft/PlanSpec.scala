@@ -200,6 +200,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("int64-boundary guards survive a projection of the unguarded sibling") {
+    // the r14 shape rode each assert on ONE output column (pass_at_k's
+    // nGuard in fail_num, fleiss_kappa's in kappa_num, ece_eval's in
+    // gap) — selecting just the sibling pruned the assert away and the
+    // DECIMAL→BIGINT cast overflowed silently. As filter stages the
+    // asserts survive any downstream projection.
+    for ((q, sibling) <- Seq("pass_at_k" -> "fail_den",
+        "fleiss_kappa" -> "kappa_den", "ece_eval" -> "n")) {
+      val df = SparkEntry.queries(q)(spark, sf).select(sibling)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("assert_true") || p.contains("raise_error"),
+        s"$q guard pruned away under .select($sibling):\n$p")
+    }
+  }
+
   test("shard_manifest's derived shard count rides a broadcast 1-row frame") {
     // S = ceil(docs/target) is one count() aggregate broadcast back over
     // the scan (the recency_mix horizon shape) — never a shuffle join,
