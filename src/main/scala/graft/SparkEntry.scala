@@ -184,7 +184,7 @@ object SparkEntry {
     "interval_merge"    -> (StatsOps.intervalMerge _),
     "interval_overlap_join" -> (StatsOps.intervalOverlapJoin _),
     "cdc_apply"         -> (PipelineOps.cdcApply _),
-    "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _), // rows-only: sketch bounds
+    "freq_topk_sketch"  -> (StatsOps.freqTopkSketch _),
     "pagerank"          -> (StatsOps.pagerank _),
     "kcore_nodes"       -> (StatsOps.kcoreNodes _),
     "community_labels"  -> ((s, d) => StatsOps.communityLabels(s, d)),
@@ -4980,6 +4980,32 @@ object SparkEntry {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
         |    ORDER BY pk, doc_id)) AS ids_md5
         |FROM d, n GROUP BY 1""".stripMargin,
+    // the sketches run in their EXACT regime at fixture scale (31 distinct
+    // terms vs an 8192-slot Misra-Gries map that never purges; 1.5k
+    // distinct users vs Theta's k=4096 exact mode), so the oracle is the
+    // exact count the sketch provably equals — graduated from rows-only
+    // in r15 (the bpe_merges precedent). A corpus past the exact regime
+    // would move these back to spec-bounded rows-only checks.
+    "freq_topk_sketch" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS est FROM t
+        |      WHERE term <> '' GROUP BY 1)
+        |SELECT term, est, est AS lb, est AS ub FROM c
+        |ORDER BY est DESC, term LIMIT 20""".stripMargin,
+    "theta_overlap" ->
+      """WITH s AS (SELECT count(DISTINCT user_id) AS c FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT count(DISTINCT user_id) AS c FROM events
+        |      WHERE event_type = 'purchase'),
+        |o AS (SELECT count(*) AS c FROM (
+        |        SELECT user_id FROM events WHERE event_type = 'signup'
+        |        INTERSECT
+        |        SELECT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT CAST(s.c AS DOUBLE) AS est_signup,
+        |  CAST(p.c AS DOUBLE) AS est_purchase,
+        |  CAST(o.c AS DOUBLE) AS est_overlap
+        |FROM s, p, o""".stripMargin,
     // KM life table over order fulfillment: whole-day ship lead times,
     // administrative censoring at the order-date horizon, suffix-sum
     // at-risk counts over the duration summary; hazard is the single

@@ -1155,9 +1155,14 @@ object StatsOps {
     * sketches travel), merged associatively by [[FreqUnionAgg]]. The
     * NO_FALSE_NEGATIVES read-out guarantees every true heavy hitter is
     * reported with bounds lb ≤ true ≤ ub; with maxMapSize 8192 the test
-    * corpora never purge, so estimates there are exact (spec-checked
-    * against brute-force counts). Rows-only gate: the reported set below
-    * the error threshold is sketch-internal, no SQL twin.
+    * corpora never purge (31 distinct terms), so the maximum error is 0,
+    * every term is reported, and lb = est = ub = the exact count —
+    * which makes the op fully ORACLE-checked (r15; the bpe_merges
+    * precedent): DuckDB computes the exact grouped counts with the same
+    * (est desc, term) top-20 cut and the hash must match. A corpus big
+    * enough to purge would return engine-defined bounds and move this
+    * back to the spec-bounded rows-only gate (ApproxOpsSpec still pins
+    * bounds-containment independent of regime).
     */
   def freqTopkSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1275,9 +1280,14 @@ object StatsOps {
     * is the quantity of interest. Per-partition UpdateSketches of the
     * type-pruned user ids (one sketch per partition travels, never ids),
     * unioned by [[ThetaUnionAgg]], intersected once at the 1×1-row
-    * boundary. Below k=4096 distinct ids the sketch is in exact mode, so
-    * at test SFs the estimates are exact; the spec still bounds at ±5%.
-    * Rows-only gate (sketch internals have no SQL twin).
+    * boundary. Below k=4096 distinct ids the sketch is in EXACT mode
+    * (theta = 1.0, getEstimate = the retained count), and the fixture
+    * tops out at ~1.5k distinct users per type — so the op is fully
+    * ORACLE-checked (r15): DuckDB computes the exact distinct counts and
+    * set intersection, cast to DOUBLE at the boundary, and the hash must
+    * match. Past 4096 distinct ids the sketch starts sampling and the op
+    * would move back to the spec-bounded rows-only gate (ApproxOpsSpec
+    * still bounds at ±5% independent of regime).
     */
   def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
