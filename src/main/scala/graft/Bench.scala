@@ -31,9 +31,16 @@ import org.apache.spark.sql.SparkSession
   * measured 15.45/16.99/14.91 s on the driver box vs 0.32 s on the same
   * commit minutes later — every spread-based flag self-reported clean). So
   * Bench also reads the committed prior-round per-query medians
-  * (`bench_prior.json`, refreshed each round from the last clean run;
-  * override: SPARK_GRAFT_BENCH_PRIOR) and emits `regressed_vs_prev`
-  * (queries whose median exceeds 1.8x their prior median) plus
+  * (`bench_prior.json`; override: SPARK_GRAFT_BENCH_PRIOR) and emits
+  * `regressed_vs_prev` (queries whose median exceeds 1.8x their prior
+  * median) plus `prior_n` (entries parsed — far below the registry size
+  * means the prior is STALE and this sentinel part-blind, the r14
+  * ndcg_eval escape: the committed prior was 318 r12-era entries with
+  * ndcg_eval itself recorded loaded at 3.94 s, so a uniformly-inflated
+  * 2.75 s cleared the bar). REFRESH DISCIPLINE: rebuild bench_prior.json
+  * every round as the per-query MIN of the quiet runs' medians
+  * (tools/make_bench_prior.py); a prior carrying loaded values raises
+  * the flag bar exactly where it must not. Also emitted:
   * `total_excl_flagged` — the total with every drift- or
   * regression-flagged query counted at its MIN sample instead of its
   * median (excluding-at-min keeps the denominator constant so totals stay
@@ -66,9 +73,31 @@ object BenchLogic {
     Re.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** Intra-run spread flag: max/min > 2.5 or median/min > 1.8 over the
+    * successful samples. This catches a load spike that hits SOME passes;
+    * it is STRUCTURALLY BLIND to uniform inflation (all passes equally
+    * slow — r14: ndcg_eval 2.75/2.75/2.15 s under sustained box load vs
+    * quiet ~1.1 s, in-run spread 1.28, unflagged). The cross-run sentinel
+    * ([[regressedVsPrev]] against the committed quiet prior) is the
+    * designed cover for exactly that case — which is why bench_prior.json
+    * MUST be refreshed every round from the quietest run's details file
+    * (r14's prior was stale at 318 r12-era entries with ndcg_eval itself
+    * recorded loaded at 3.94 s, so 2.75 cleared the 1.8x bar).
+    */
+  def spreadFlagged(samples: Seq[Double]): Boolean = {
+    val ok = samples.filter(_ >= 0)
+    ok.nonEmpty && ok.min > 0 && {
+      val sorted = ok.sorted
+      val med = sorted(sorted.length / 2)
+      ok.max / ok.min > 2.5 || med / ok.min > 1.8
+    }
+  }
+
   /** Queries whose current median exceeds `ratio` x their prior median.
-    * Queries absent from the prior file (new this round) or with
-    * non-positive medians on either side are never flagged.
+    * Queries absent from the prior file — new or RENAMED this round — are
+    * never flagged (one round blind until the prior refresh picks them
+    * up; the spread flag still covers them), as are queries with
+    * non-positive medians on either side.
     */
   def regressedVsPrev(cur: Map[String, Double], prior: Map[String, Double],
                       ratio: Double = 1.8): Map[String, Double] =
@@ -196,8 +225,7 @@ object Bench {
     // worse case where TWO of three passes are inflated and the median
     // itself is the lie.
     val perQueryDrift = samples.collect {
-      case (k, v) if ok(v).nonEmpty && ok(v).min > 0 &&
-          (ok(v).max / ok(v).min > 2.5 || median(v) / ok(v).min > 1.8) =>
+      case (k, v) if BenchLogic.spreadFlagged(v) =>
         k -> math.rint(ok(v).max / ok(v).min * 100) / 100
     }
     // the drift map is capped at the 10 worst ratios so a fully-noisy run
@@ -297,6 +325,7 @@ object Bench {
       s""""n_queries":${samples.size},"queries_file":"$detailsPath",""" +
       s""""queries_top10":$top10Str,""" +
       s""""per_query_drift":$pqDriftStr,"regressed_vs_prev":$regressedStr,""" +
+      s""""prior_n":${prior.size},""" +
       s""""re_measured":$reMeasStr,""" +
       s""""total_excl_flagged":${r3(totalExcl)},""" +
       s""""total_remeasured":${r3(totalRemeas)},"n_flagged":${flaggedSet.size},""" +

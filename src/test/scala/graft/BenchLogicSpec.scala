@@ -47,6 +47,31 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(r == Map("phantom" -> 48.28))
   }
 
+  test("uniform inflation evades the spread flag; the quiet prior catches it") {
+    // r14's flagger escape, pinned end to end in logic: ndcg_eval ran
+    // 2.75/2.75/2.15 s under sustained box load (every pass equally slow
+    // -> in-run spread 1.28, BELOW both spread thresholds), while the
+    // quiet reference was ~1.05 s. The spread flag is structurally blind
+    // here; regressedVsPrev against a FRESH quiet prior is the cover.
+    val uniform = Seq(2.75, 2.75, 2.15)
+    assert(!BenchLogic.spreadFlagged(uniform), "spread flag cannot see uniform load")
+    val r = BenchLogic.regressedVsPrev(Map("ndcg_eval" -> 2.75),
+      Map("ndcg_eval" -> 1.045))
+    assert(r.contains("ndcg_eval"), "quiet prior must flag the uniform phantom")
+    // ...but ONLY with a fresh prior: the stale r12-era prior recorded
+    // ndcg_eval itself loaded at 3.94 s, and 2.75/3.94 < 1.8 sailed
+    // through — the failure mode the per-round refresh discipline closes
+    assert(BenchLogic.regressedVsPrev(Map("ndcg_eval" -> 2.75),
+      Map("ndcg_eval" -> 3.943)).isEmpty)
+    // the spread flag still catches its own class: a spike on SOME passes
+    assert(BenchLogic.spreadFlagged(Seq(0.95, 0.97, 13.2)))
+    // median/min arm: two of three passes inflated, median is the lie
+    assert(BenchLogic.spreadFlagged(Seq(2.94, 6.83, 7.91)))
+    // failed passes are ignored; all-failed never flags
+    assert(!BenchLogic.spreadFlagged(Seq(-1.0, -1.0, -1.0)))
+    assert(!BenchLogic.spreadFlagged(Seq(-1.0, 1.0, 1.1)))
+  }
+
   test("totalExclFlagged counts flagged queries at their min, keeps denominator") {
     val med = Map("a" -> 10.0, "b" -> 2.0, "c" -> -1.0)
     val mins = Map("a" -> 0.5, "b" -> 1.9, "c" -> -1.0)
