@@ -63,6 +63,7 @@ object ScaleProbe {
       buildLineitemCopies(spark, "/root/testdata/sf0.1", sf10, 100)
       buildCorpusCopies(spark, "/root/testdata/sf0.1", sf10, 100)
       buildDimCopies(spark, "/root/testdata/sf0.1", sf10, 100)
+      buildEventsCopies(spark, "/root/testdata/sf0.1", sf10, 100)
     }
 
     def time(op: String, dir: String): Double = {
@@ -151,6 +152,27 @@ object ScaleProbe {
         .drop("i")
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
+  }
+
+  /** Derive an N× events table for the second decade of the events-lane
+    * ops (r15: hilbert_key) — the same per-copy remapping as
+    * [[buildSf1]]'s events block: disjoint time epochs (+40 days per
+    * copy) and disjoint user/event ids, so sessions and layout-key
+    * domains scale honestly instead of multiplying concurrency.
+    */
+  def buildEventsCopies(
+      spark: SparkSession, from: String, out: String, n: Int): Unit = {
+    if (new java.io.File(s"$out/events.parquet/_SUCCESS").exists()) return
+    val copies = spark.range(0, n).select(col("id").cast("int").as("i"))
+    val ev = graft.model.Tables.events(spark, from)
+    val maxes = ev.agg(max("user_id").as("mu"), max("event_id").as("me")).head()
+    val (mu, me) = (maxes.getLong(0), maxes.getLong(1))
+    ev.crossJoin(broadcast(copies))
+      .withColumn("ts", col("ts") + expr("make_interval(0, 0, 0, 40, 0, 0, 0) * i"))
+      .withColumn("user_id", col("user_id") + col("i") * (mu + 1))
+      .withColumn("event_id", col("event_id") + col("i") * (me + 1))
+      .drop("i")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** Derive the 10× corpus (idempotent: skips tables already written). */
