@@ -192,12 +192,14 @@ object SparkEntry {
     "ab_ttest"          -> (StatsOps.abTtest _),
     "ks_test"           -> (StatsOps.ksTest _),
     "roc_auc"           -> (StatsOps.rocAuc _),
+    "pr_curve"          -> (StatsOps.prCurve _),
     "calibration_bins"  -> (StatsOps.calibrationBins _),
     "ece_eval"          -> (StatsOps.eceEval _),
     "fleiss_kappa"      -> (QualityOps.fleissKappa _),
     "pass_at_k"         -> (StatsOps.passAtK _),
     "recency_mix"       -> (PipelineOps.recencyMix _),
     "shard_manifest"    -> (PipelineOps.shardManifest _),
+    "curriculum_plan"   -> (PipelineOps.curriculumPlan _),
     "survival_curve"    -> (StatsOps.survivalCurve _),
     "mutual_info"       -> (StatsOps.mutualInfo _),
     "chi_square"        -> (StatsOps.chiSquare _),
@@ -216,6 +218,7 @@ object SparkEntry {
     "triangle_count"    -> (StatsOps.triangleCount _),
     "triangle_count_copart" -> (StatsOps.triangleCountCopart _),
     "skew_report"       -> (QualityOps.skewReport _),
+    "salt_plan"         -> (QualityOps.saltPlan _),
     "fuzzy_join"        -> (TextOps.fuzzyJoin _),
     "decile_drift"      -> (QualityOps.decileDrift _),
     "json_lines_scan"   -> (StorageOps.jsonLinesScan _),
@@ -356,6 +359,7 @@ object SparkEntry {
     "hilbert_key"       -> (StorageOps.hilbertKey _),
     "zorder_scan"       -> (StorageOps.zorderScan _),
     "compaction_scan"   -> (StorageOps.compactionScan _),
+    "compaction_plan"   -> (StorageOps.compactionPlan _),
     // ---- multimodal plumbing (north-star extensions) ----
     "multimodal_meta"   -> (MultimodalOps.multimodalMeta _),
     "video_meta"        -> (MultimodalOps.videoMeta _),
@@ -4802,6 +4806,26 @@ object SparkEntry {
     // AUC via the tie-adjusted rank-sum identity — the mannwhitney
     // machinery re-read as P(s+ > s-) + P(s+ = s-)/2; exact integers to
     // the final two (correctly rounded) divisions
+    // PR curve on roc_auc's value-group frame: suffix cumsums over the
+    // descending score order, exact-integer tp/fp/fn, two IEEE divisions
+    "pr_curve" ->
+      """WITH g AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS cn
+        |  FROM events WHERE value IS NOT NULL GROUP BY v),
+        |c AS (SELECT v,
+        |    CAST(sum(cp) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(cn) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+        |    CAST(sum(cp) OVER () AS BIGINT) AS n_pos
+        |  FROM g)
+        |SELECT CAST(v AS DOUBLE) AS threshold, tp, fp, n_pos - tp AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+        |  CASE WHEN n_pos <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall
+        |FROM c""".stripMargin,
     "roc_auc" ->
       """WITH g AS (
         |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
@@ -4962,6 +4986,36 @@ object SparkEntry {
     // ordered string_agg equals Spark's sorted-array concat. S is DERIVED
     // from the corpus (ceil-div by the shared ShardTargetDocs val, pure
     // BIGINT on both sides) so per-shard lists stay target-bounded.
+    // streaming first-fit bin pack per source partition: bin = floor of
+    // the running-bytes-before over the shared byte target
+    "compaction_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, doc_id, n_chars AS b,
+         |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM documents)
+         |SELECT source, cb // ${StorageOps.CompactTargetBytes} AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(b) AS BIGINT) AS bytes,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    // per-source equal-population length bands by exact integer rank
+    "curriculum_plan" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |r AS (SELECT source, toks,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY toks, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM t)
+         |SELECT source,
+         |  (rn - 1) * ${PipelineOps.CurriculumPhases} // n AS phase,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_toks,
+         |  min(toks) AS tok_min, max(toks) AS tok_max
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "shard_manifest" ->
       s"""WITH n AS (
         |  SELECT GREATEST((count(*) + ${PipelineOps.ShardTargetDocs - 1})
@@ -5659,6 +5713,17 @@ object SparkEntry {
         |SELECT u AS node, CAST(d AS INTEGER) AS dist, seed AS nearest_seed
         |FROM d${graft.ops.StatsOps.BfsMaxHops}""".stripMargin
     },
+    // salting plan: pure BIGINT ceil-divisions from the shared target val
+    "salt_plan" ->
+      s"""WITH k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY 1),
+         |s AS (SELECT event_type, cnt,
+         |        (cnt + ${QualityOps.SaltTargetRows - 1})
+         |          // ${QualityOps.SaltTargetRows} AS n_salts
+         |      FROM k)
+         |SELECT event_type, cnt, n_salts,
+         |  (cnt + n_salts - 1) // n_salts AS post_rows_max
+         |FROM s""".stripMargin,
     "skew_report" ->
       """WITH k AS (SELECT user_id, count(*) AS cnt
         |           FROM events GROUP BY user_id)

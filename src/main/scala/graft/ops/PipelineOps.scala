@@ -1330,4 +1330,46 @@ object PipelineOps {
         md5(expr("CAST(concat_ws(',', transform(ord, x -> CAST(x.doc_id AS STRING))) AS BINARY)"))
           .as("ids_md5"))
   }
+
+  /** Phase count for [[curriculumPlan]] — public so the oracle SQL
+    * interpolates THIS value.
+    */
+  val CurriculumPhases = 4L
+
+  /** Length-curriculum schedule — the classic short→long training
+    * curriculum (sequence-length warmup: early phases train on short
+    * documents, both a stability technique and a throughput lever since
+    * packed short sequences waste less padding), planned as a census the
+    * data loader executes from. Difficulty = whitespace token count
+    * (shard_manifest's convention); phases are [[CurriculumPhases]]
+    * equal-population bands assigned PER SOURCE by exact integer rank —
+    * phase = (rank−1)·P div n over the (toks, doc_id) total order, the
+    * revenue_concentration band arithmetic — so every phase preserves
+    * the corpus's source MIX (a global sort by length would skew early
+    * phases toward the shortest-document sources and silently change
+    * the mixture temperature_mix fixed). Per (source, phase): doc/token
+    * census and the length band. Integer arithmetic end to end — fully
+    * oracle-checked; ties break on doc_id, deterministic.
+    *
+    * Scale: one ordered window per source partition (the mixture lane's
+    * per-source discipline — ranks never cross sources, so the window
+    * parallelizes across the dashboard-bounded source dimension); the
+    * output is |sources|·P rows. rank cast to BIGINT before the ·P
+    * multiply — int row_number overflows at ~536 M docs/source under
+    * ANSI.
+    */
+  def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("toks"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("phase", expr(s"((rn - 1) * $CurriculumPhases) div n"))
+      .groupBy(col("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        min(col("toks")).as("tok_min"), max(col("toks")).as("tok_max"))
+  }
 }

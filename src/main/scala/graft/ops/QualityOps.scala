@@ -143,6 +143,39 @@ object QualityOps {
         explode(filter(fired, x => x.isNotNull)).as("rule"))
   }
 
+  /** Target rows per post-salt shuffle task for [[saltPlan]] — public so
+    * the oracle SQL interpolates THIS value. Small so the fixture's key
+    * counts exercise both plan branches (n_salts = 1 at sf0.001 where
+    * per-type counts sit near 200; 4-5 at sf0.01; ~40 at sf0.1); a
+    * deployment sets it from executor task sizing.
+    */
+  val SaltTargetRows = 500L
+
+  /** Per-key salting PLAN — the remediation table between
+    * [[skewReport]]'s diagnosis and `join_skew_salted`'s mechanism: for
+    * every join/group key, the salt fan-out a pipeline should apply so no
+    * single post-shuffle task exceeds [[SaltTargetRows]] rows. n_salts =
+    * ⌈cnt / target⌉ in pure BIGINT ceil-division (1 for cold keys — the
+    * no-op salt), and post_rows_max = ⌈cnt / n_salts⌉ is the guaranteed
+    * per-task bound the plan promises (a uniform hash salt splits a key's
+    * rows into n_salts near-equal slices; the ceiling is exact worst
+    * case for the deterministic mod-salt `join_skew_salted` applies).
+    * Keyed here on event_type — the fixture's genuinely hot dimension
+    * (5 keys × ~20 k rows each at sf0.1, every one needing a fan-out of
+    * ~40) — where user_id's ~66-row keys all plan n_salts = 1.
+    *
+    * Scale: one map-side-combined count per key; the plan frame is
+    * key-cardinality-sized, broadcastable back into the salted join.
+    * Fully oracle-checked (integer arithmetic end to end).
+    */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_salts",
+        expr(s"(cnt + ${SaltTargetRows - 1}) div $SaltTargetRows"))
+      .withColumn("post_rows_max", expr("(cnt + n_salts - 1) div n_salts"))
+
   /** Join-key skew report — the diagnostic a pipeline runs BEFORE a big
     * join to decide whether it needs salting/AQE skew handling (the
     * engine's own `join_skew_salted` is the remedy; this is the detector).

@@ -1847,6 +1847,52 @@ object StatsOps {
       (lit(2.0) * auc - lit(1.0)).as("gini"))
   }
 
+  /** Precision–recall curve for `value` as a purchase-predicting score —
+    * the threshold sweep beside [[rocAuc]]: AUC summarizes RANKING, the
+    * PR curve is what a scored-filter OPERATOR actually reads to set its
+    * threshold, and the honest diagnostic under class imbalance (ROC
+    * flatters when negatives dominate — exactly a pretraining-quality
+    * filter's regime). One row per DISTINCT score on the value-group
+    * frame (bounded by the price range, never by event volume):
+    * threshold t = that score, classifier "positive iff score ≥ t", so
+    * tp/fp are suffix-cumulative sums over the DESCENDING score order,
+    * fn = n_pos − tp, and precision/recall are single correctly-rounded
+    * divisions of exact BIGINTs (prec's denominator tp+fp ≥ 1 on every
+    * group row by construction; recall's n_pos guarded). The
+    * average-precision SCALAR is deliberately left to callers — a float
+    * Σ ΔR·P is summation-order defined (the survival_curve discipline).
+    *
+    * Scale: one map-side-combined group collapse; the lone window runs
+    * over the range-bounded summary (the mannwhitney_u/ks_test shape,
+    * PlanSpec-pinned).
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(dec2(col("value")).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("v"))
+      .agg(sum(col("pos")).as("cp"), sum(lit(1L) - col("pos")).as("cn"))
+    val wDesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tp", sum(col("cp")).over(wDesc))
+      .withColumn("fp", sum(col("cn")).over(wDesc))
+      .withColumn("n_pos", sum(col("cp")).over(wAll))
+      // threshold surfaces as DOUBLE: a DECIMAL output column compares as
+      // Decimal-vs-float at the gate's pandas boundary (the aqp_estimate
+      // class of trap); DECIMAL(18,2) -> DOUBLE is the same
+      // nearest-double rounding in both engines
+      .select(col("v").cast(DoubleType).as("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("tp").cast(DoubleType)
+          / (col("tp") + col("fp")).cast(DoubleType)).as("prec"),
+        when(col("n_pos") =!= 0,
+          col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType))
+          .as("recall"))
+  }
+
   /** Reliability diagram (calibration bins) for `value` as a purchase
     * score — the companion diagnostic to [[rocAuc]]: AUC says the score
     * RANKS well, the calibration table says whether the score's level

@@ -202,6 +202,46 @@ object StorageOps {
     formatProbe(spark.table(compacted))
   }
 
+  /** Target bytes per compacted output group for [[compactionPlan]] —
+    * public so the oracle SQL interpolates THIS value. 4 KiB keeps the
+    * fixture's per-source corpora (~7.5 KB at sf0.01) spanning several
+    * bins; a deployment sets ~128 MB.
+    */
+  val CompactTargetBytes = 4096L
+
+  /** Compaction PLAN — the sizing table [[compactionScan]]'s rewrite
+    * executes from: which small files coalesce into which output group.
+    * Files are modeled by the documents table (doc_id = file id, n_chars
+    * = bytes — a manifest scan in production); within each source
+    * partition, files pack in id order by STREAMING first-fit: bin_id =
+    * ⌊running-bytes-before / [[CompactTargetBytes]]⌋, the bin-packing
+    * every LSM/lakehouse compactor (Delta OPTIMIZE, Iceberg rewrite)
+    * runs per table partition. A bin can exceed target by less than one
+    * file — the standard streaming-pack guarantee; per (source, bin):
+    * file count, exact byte total, id range. Integer arithmetic end to
+    * end — fully oracle-checked.
+    *
+    * Scale: the cumulative sum is per-SOURCE sequential (one ordered
+    * window per partition key) — exactly how production compactors
+    * schedule it, because a lake's physical partitions (source × date)
+    * bound the per-partition file count; the window never sees more
+    * than one partition's manifest. The plan frame is
+    * manifest-sized, not data-sized: at 100 TB the input is the file
+    * listing (~10⁶ rows), never the rows inside the files.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("b"))
+      .withColumn("cum_before", coalesce(sum(col("b")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $CompactTargetBytes"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("b")).as("bytes"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+  }
+
   /** Shared probe aggregate for the format round-trip sources: identical
     * to [[compactionScan]]'s — a format change must never change query
     * results, so all three text/columnar sources share ONE oracle (the

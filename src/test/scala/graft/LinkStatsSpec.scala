@@ -73,6 +73,35 @@ class LinkStatsSpec extends SparkSuite {
     assert(ties > 0, "no tied scores across classes — tie path vacuous")
   }
 
+  test("pr_curve: suffix tp/fp over descending thresholds matches a driver sweep") {
+    val rows = Tables.events(spark, sfTies)
+      .filter(col("value").isNotNull)
+      .selectExpr("CAST(value AS DECIMAL(18,2)) AS v",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos")
+      .collect()
+      .map(r => (r.getDecimal(0), r.getInt(1)))
+    val nPos = rows.count(_._2 == 1).toLong
+    assert(nPos > 0)
+    var tp = 0L; var fp = 0L
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).reverse.map {
+      case (v, grp) =>
+        tp += grp.count(_._2 == 1)
+        fp += grp.count(_._2 == 0)
+        v.doubleValue -> ((tp, fp, nPos - tp,
+          tp.toDouble / (tp + fp).toDouble, tp.toDouble / nPos.toDouble))
+    }.toMap
+    val got = SparkEntry.queries("pr_curve")(spark, sfTies).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Double]("prec"), r.getAs[Double]("recall")))).toMap
+    assert(got == exp)
+    // non-vacuity: the sweep is a real curve — interior points with
+    // precision and recall both strictly inside (0, 1), and the lowest
+    // threshold recalls everything
+    assert(got.values.exists(v => v._4 > 0 && v._4 < 1 && v._5 > 0 && v._5 < 1))
+    assert(got.values.exists(_._5 == 1.0), "no full-recall endpoint")
+  }
+
   test("mutual_info: pmi_q9 matches a driver recompute with identical IEEE steps") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_linestatus"))

@@ -683,6 +683,34 @@ class PlanSpec extends SparkSuite {
     assert(k.contains("BroadcastExchange"), k)
   }
 
+  test("pr_curve rides roc_auc's one-exchange value-group shape") {
+    // same contract as mannwhitney/roc_auc: one scan, one corpus-keyed
+    // exchange into the value groups, windows touch the range-bounded
+    // summary only, no join
+    val p = plan("pr_curve")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("the r15 planning ops shuffle once on their partition key, never to one partition") {
+    // salt_plan: a bare map-side-combined count, no join, no window
+    val s = plan("salt_plan")
+    assert(!s.contains("Join") && !s.contains("Window"), s)
+    // compaction/curriculum: the ordered window rides ONE source-keyed
+    // exchange which the (source, bin/phase) aggregate then reuses
+    // (hashpartitioning(source) satisfies the superset clustering) —
+    // a SinglePartition window here would serialize the whole corpus
+    for (q <- Seq("compaction_plan", "curriculum_plan")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q window must ride the source partitioning:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$q should shuffle exactly once:\n$p")
+    }
+  }
+
   test("bm25_topk: broadcast query grams gate the explosion; no cartesian anywhere") {
     val p = plan("bm25_topk")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
