@@ -248,6 +248,7 @@ object SparkEntry {
     "explode_tokens"    -> (CustomOps.explodeTokens _),
     "json_map_keys"     -> (CustomOps.jsonMapKeys _),
     "typed_max_gap"     -> (CustomOps.typedMaxGap _),
+    "typed_cogroup"     -> (CustomOps.typedCogroup _),
     // ---- text analysis (north-star extensions) ----
     "text_stats"        -> (TextOps.textStats _),
     "token_count"       -> (TextOps.tokenCount _),
@@ -3158,6 +3159,23 @@ object SparkEntry {
         |GROUP BY day""".stripMargin,
     // the relational twin of the typed mapGroups form — the gate proves
     // the two agree
+    // the typed cogroup must agree with its unbounded-safe relational
+    // twin: a full outer join of the two grouped aggregates
+    "typed_cogroup" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+        |             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |               AS total_price
+        |           FROM orders GROUP BY 1),
+        |i AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_items,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |          * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS items_gross
+        |      FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.k, i.k) AS o_orderkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_items, 0) AS n_items,
+        |  total_price, items_gross
+        |FROM o FULL OUTER JOIN i ON o.k = i.k""".stripMargin,
     "typed_max_gap" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -125,4 +125,56 @@ object CustomOps {
       }
       .toDF("event_type", "n_events", "max_gap_s")
   }
+
+  /** Typed `KeyValueGroupedDataset.cogroup` proof point — the one typed
+    * extension mechanism [[typedMaxGap]]'s mapGroups doesn't cover:
+    * arbitrary JVM logic over BOTH sides of a key at once, the typed
+    * analogue of a full-outer grouped join. Reconciles orders against
+    * their lineitems per orderkey: side cardinalities, the order's
+    * total, and the items' exact decimal gross Σ extprice·(1−disc)·
+    * (1+tax) — orphan keys on either side surface with a 0 count and a
+    * NULL for the absent side's value (the orphan_fk_check shape, typed).
+    * Exactness: the gross is SQL-side exact DECIMAL(24,6) per item;
+    * the typed fold adds BigDecimals (exact, order-independent) and
+    * converts once at the DOUBLE boundary — the same nearest-double the
+    * oracle's decimal sum produces.
+    *
+    * Scale contract, stated honestly: cogroup shuffles both sides on the
+    * key and MATERIALIZES both groups per key on one task — safe here
+    * (≤1 order, ≤7 items per key) and generally only when per-key
+    * volume is bounded; the relational twin (full outer join of two
+    * grouped aggregates) is the unbounded-safe shape and is exactly
+    * what the oracle runs, so the gate proves the two forms agree.
+    */
+  def typedCogroup(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("tp"))
+      .as[(Long, java.math.BigDecimal)]
+      .groupByKey(_._1)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+          * (lit(1) + col("l_tax").cast(DecimalType(4, 2)))).as("gross"))
+      .as[(Long, java.math.BigDecimal)]
+      .groupByKey(_._1)
+    orders.cogroup(items) { (k, os, is) =>
+      val oArr = os.toArray
+      val iArr = is.toArray
+      // defensive min (orderkey is unique in the fixture, but the typed
+      // side must not depend on group iteration order)
+      val tp = oArr.map(_._2)
+        .reduceOption((a, b) => if (a.compareTo(b) <= 0) a else b)
+      val gross =
+        if (iArr.isEmpty) None
+        else Some(iArr.map(_._2)
+          .foldLeft(java.math.BigDecimal.ZERO)(_ add _))
+      Iterator.single((k, oArr.length.toLong, iArr.length.toLong,
+        tp.map(d => java.lang.Double.valueOf(d.doubleValue)).orNull,
+        gross.map(d => java.lang.Double.valueOf(d.doubleValue)).orNull))
+    }.toDF("o_orderkey", "n_orders", "n_items", "total_price", "items_gross")
+  }
 }
