@@ -359,6 +359,7 @@ object SparkEntry {
     "zorder_key"        -> (StorageOps.zorderKey _),
     "hilbert_key"       -> (StorageOps.hilbertKey _),
     "zorder_scan"       -> (StorageOps.zorderScan _),
+    "hilbert_scan"      -> (StorageOps.hilbertScan _),
     "compaction_scan"   -> (StorageOps.compactionScan _),
     "compaction_plan"   -> (StorageOps.compactionPlan _),
     // ---- multimodal plumbing (north-star extensions) ----
@@ -1690,6 +1691,18 @@ object SparkEntry {
          |FROM h${StorageOps.HilbertBits}""".stripMargin
     },
     "zorder_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_id, user_id, value,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 60
+        |          - 28401120 AS m
+        |      FROM events)
+        |WHERE user_id >= 40 AND user_id < 80
+        |  AND m >= 10000 AND m < 20000""".stripMargin,
+    // hilbert_scan answers the SAME box through the Hilbert layout — one
+    // oracle text for both layouts: layout must never change results
+    "hilbert_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_events,
         |  min(event_id) AS min_event, max(event_id) AS max_event,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

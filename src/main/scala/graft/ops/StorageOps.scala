@@ -500,6 +500,51 @@ object StorageOps {
         max(col("event_id")).as("max_event"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
 
+  /** The Hilbert-ordered events layout — [[zorderedEvents]]' twin keyed
+    * by the fused [[graft.functions.HilbertIndex]] key: range-partitioned
+    * into 16 files by hval and sorted within, so every file covers a
+    * CONNECTED region of (user_id, minute) space (the curve's defining
+    * adjacency — Morton files cover a region with seams) and carries
+    * parquet min/max stats for both columns.
+    */
+  private def hilbertEvents(spark: SparkSession, dir: String): String =
+    ensure(spark, dir, "events", "graft_events_hilbert") { tbl =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          expr(s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin").as("m"))
+        .withColumn("hval", org.apache.spark.sql.GraftBridge.column(
+          graft.functions.HilbertIndex(
+            org.apache.spark.sql.GraftBridge.expression(col("user_id")),
+            org.apache.spark.sql.GraftBridge.expression(col("m")))))
+        .repartitionByRange(16, col("hval"))
+        .sortWithinPartitions(col("hval"))
+        .write.format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+
+  /** The [[zorderScan]] box query answered through the HILBERT layout —
+    * the pair that makes the locality claim operational: same predicate
+    * box, same oracle (the box on RAW events — layout must never change
+    * results), different curve under the files. Both predicates push to
+    * parquet and row-group stats prune files whose (user_id, m) box
+    * misses. On THIS single box at 16-file granularity the two curves
+    * skip within 1% of each other (measured: 3180 vs 3145 of 10k rows —
+    * PlanSpec pins both >50% and within 25%); Hilbert's strict advantage
+    * is a MEAN over query boxes at finer file granularity, pinned
+    * quantitatively by HilbertSpec's clusters-per-box measurement
+    * (7.85 vs 13.96) — fewer contiguous key runs = fewer file ranges a
+    * box touches as files shrink toward run length.
+    */
+  def hilbertScan(spark: SparkSession, dir: String): DataFrame =
+    spark.table(hilbertEvents(spark, dir))
+      .filter(col("user_id") >= 40 && col("user_id") < 80 &&
+              col("m") >= 10000L && col("m") < 20000L)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+
   /** Dynamic partition overwrite — the idempotent-backfill primitive of a
     * partitioned lake: rewriting ONE partition's contents replaces exactly
     * the partitions the incoming frame touches and leaves every sibling

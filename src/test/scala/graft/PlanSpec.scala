@@ -423,9 +423,19 @@ class PlanSpec extends SparkSuite {
                 col("m") >= 10000L && col("m") < 20000L)
         .agg(count(lit(1)))
       val baseRows = scanRows(base)
-      info(s"scan rows after skipping: zorder=$zRows random=$baseRows")
+      // the Hilbert layout answers the SAME box and must skip comparably
+      // (r15). On ONE box at 16-file granularity either curve can edge
+      // the other (measured: 3180 vs 3145 rows — 1% apart); Hilbert's
+      // strict advantage is a MEAN over boxes at finer granularity,
+      // which HilbertSpec pins via clusters-per-box (7.85 vs 13.96) —
+      // here we pin that both layouts skip >half and stay within 25%.
+      val hRows = scanRows(SparkEntry.queries("hilbert_scan")(spark, sf01))
+      info(s"scan rows after skipping: zorder=$zRows hilbert=$hRows random=$baseRows")
       assert(baseRows == 10000L, s"random layout must skip nothing, got $baseRows")
       assert(zRows * 2 < baseRows, s"z-order must skip >half the scan: $zRows vs $baseRows")
+      assert(hRows * 2 < baseRows, s"hilbert must skip >half the scan: $hRows vs $baseRows")
+      assert(hRows <= zRows * 5 / 4 && zRows <= hRows * 5 / 4,
+        s"layouts should skip comparably on this box: $hRows vs $zRows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
