@@ -172,7 +172,10 @@ object GraftFunctions {
         })),
     (FunctionIdentifier("lcs_length"),
       new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
-      (children: Seq[Expression]) => LcsLength(children(0), children(1))))
+      (children: Seq[Expression]) => LcsLength(children(0), children(1))),
+    (FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertIndex(children(0), children(1))))
 
   /** Per-corpus `pq_encode` column, the codebook captured in the
     * expression — the codebook is DATA (trained per corpus), so unlike the
