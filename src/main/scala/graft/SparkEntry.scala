@@ -81,6 +81,7 @@ object SparkEntry {
     "window_first_last" -> (RelationalOps.windowFirstLast _),
     "join_full"         -> (RelationalOps.joinFull _),
     "join_skew_salted"  -> (RelationalOps.joinSkewSalted _),
+    "join_size_estimate" -> (RelationalOps.joinSizeEstimate _),
     "cross_join_dims"   -> (RelationalOps.crossJoinDims _),
     "exists_subquery"   -> (RelationalOps.existsSubquery _),
     "not_in_subquery"   -> (RelationalOps.notInSubquery _),
@@ -859,6 +860,24 @@ object SparkEntry {
         |      FROM lineitem WHERE l_quantity > 45 GROUP BY 1)
         |SELECT o.o_orderkey, o.o_totalprice, l.l_orderkey, l.n_big_items
         |FROM o FULL JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    // key-cluster sampled join-size estimator: sampled keys from the
+    // shared multiplicative hash, HT scale-up 100/p, exact twin beside it
+    "join_size_estimate" ->
+      s"""WITH o AS (SELECT o_orderkey AS k FROM orders),
+         |l AS (SELECT l_orderkey AS k FROM lineitem),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         |      FROM o JOIN l USING (k)),
+         |sm AS (SELECT CAST(count(*) AS BIGINT) AS sample_rows
+         |      FROM o JOIN l USING (k)
+         |      WHERE (k % 1000000007) * 2654435761 % 1000000007 % 100
+         |        < ${RelationalOps.JoinSamplePct})
+         |SELECT actual_rows, sample_rows,
+         |  sample_rows * ${100L / RelationalOps.JoinSamplePct} AS est_rows,
+         |  CASE WHEN actual_rows <> 0
+         |    THEN CAST(sample_rows * ${100L / RelationalOps.JoinSamplePct}
+         |           AS DOUBLE) / CAST(actual_rows AS DOUBLE)
+         |  END AS est_over_actual
+         |FROM a, sm""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

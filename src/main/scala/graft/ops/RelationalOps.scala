@@ -1325,4 +1325,46 @@ object RelationalOps {
         count_distinct(collate(col("nm"), "UTF8_LCASE")).as("n_names_ci"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Sampled-key percentage for [[joinSizeEstimate]] — public so the
+    * oracle SQL interpolates THIS value (must divide 100 so the
+    * Horvitz-Thompson scale-up 100/p stays an exact integer).
+    */
+  val JoinSamplePct = 10L
+
+  /** Equi-join cardinality estimation by KEY-CLUSTER sampling — the
+    * cost-model number an optimizer wants BEFORE committing to a join
+    * strategy, and the planning-lane companion to `salt_plan` /
+    * `compaction_plan`: |orders ⋈ lineitem| estimated from the join
+    * restricted to the ~[[JoinSamplePct]]% of orderkeys selected by the
+    * shared [[PipelineOps.permKey]] multiplicative hash, scaled by
+    * 100/p. Sampling KEYS (keeping every row of a sampled key on both
+    * sides) is what makes the estimator unbiased with one join: each
+    * key's contribution cnt_o(k)·cnt_l(k) enters Bernoulli(p) whole, so
+    * E[sample·(100/p)] = Σ_k cnt_o·cnt_l exactly; independent ROW
+    * sampling on both sides would estimate p²·Σ and square the variance.
+    * Deterministic hash → the "sample" is replayable, so estimate AND
+    * ground truth are both oracle-exact; est_over_actual is the single
+    * IEEE division. The exact leg exists to VALIDATE the estimator
+    * (this is the calibration op); a deployment runs only the sampled
+    * leg — its filters evaluate map-side on both scans, so only p% of
+    * either table ever shuffles.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 100L / JoinSamplePct
+    def keyHit(c: Column) =
+      pmod(PipelineOps.permKey(c), lit(100L)) < lit(JoinSamplePct)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+    val actual = o.join(l, "k").agg(count(lit(1)).as("actual_rows"))
+    val sampled = o.filter(keyHit(col("k")))
+      .join(l.filter(keyHit(col("k"))), "k")
+      .agg(count(lit(1)).as("sample_rows"))
+    actual.crossJoin(sampled)
+      .select(col("actual_rows"), col("sample_rows"),
+        (col("sample_rows") * lit(scale)).as("est_rows"),
+        when(col("actual_rows") =!= 0,
+          (col("sample_rows") * lit(scale)).cast(DoubleType)
+            / col("actual_rows").cast(DoubleType)).as("est_over_actual"))
+  }
 }

@@ -71,6 +71,52 @@ class PlanningOpsSpec extends SparkSuite {
       "fixture too small to cross a bin boundary")
   }
 
+  test("join_size_estimate: key-cluster HT estimator matches a replay and calibrates") {
+    val p = 1000000007L
+    def hit(k: Long) =
+      Math.floorMod(Math.floorMod(k, p) * 2654435761L, p) % 100 <
+        graft.ops.RelationalOps.JoinSamplePct
+    val oKeys = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+    val lKeys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getLong(0))
+    val oCnt = oKeys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lCnt = lKeys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val actual = oCnt.map { case (k, c) => c * lCnt.getOrElse(k, 0L) }.sum
+    val sample = oCnt.collect {
+      case (k, c) if hit(k) => c * lCnt.getOrElse(k, 0L)
+    }.sum
+    val scale = 100L / graft.ops.RelationalOps.JoinSamplePct
+    val r = SparkEntry.queries("join_size_estimate")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("actual_rows") == actual)
+    assert(r.getAs[Long]("sample_rows") == sample)
+    assert(r.getAs[Long]("est_rows") == sample * scale)
+    assert(r.getAs[Double]("est_over_actual") ==
+      (sample * scale).toDouble / actual.toDouble)
+    // non-vacuity + the estimator's reason to exist: the sample is a
+    // strict subset (not empty, not everything) and the key-cluster
+    // scale-up lands near truth on the fixture (±30%; sf0.1 measured
+    // within 0.2%)
+    assert(sample > 0 && sample < actual)
+    val ratio = (sample * scale).toDouble / actual.toDouble
+    assert(ratio > 0.7 && ratio < 1.3, s"estimator badly calibrated: $ratio")
+  }
+
+  test("hilbert_index resolves as a SQL function through GraftExtensions' registry list") {
+    // the fused kernel is registered alongside dot_product/minhash_sig
+    // etc. — a SQL user gets the layout key without the Scala API
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      "SELECT hilbert_index(CAST(3 AS BIGINT), CAST(4 AS BIGINT)) AS h," +
+        " hilbert_index(CAST(65536 AS BIGINT), CAST(0 AS BIGINT)) AS hm")
+      .collect()(0)
+    assert(rows.getAs[Long]("h") ==
+      graft.functions.HilbertIndex.compute(3L, 4L))
+    // the mask contract holds through the SQL path too
+    assert(rows.getAs[Long]("hm") ==
+      graft.functions.HilbertIndex.compute(0L, 0L))
+  }
+
   test("curriculum_plan: per-source equal-population length bands match a replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("source", "doc_id", "text").collect()
