@@ -3189,8 +3189,6 @@ object SparkEntry {
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
         |FROM days JOIN pairs ON pairs.d BETWEEN day - 6 AND day
         |GROUP BY day""".stripMargin,
-    // the relational twin of the typed mapGroups form — the gate proves
-    // the two agree
     // the typed cogroup must agree with its unbounded-safe relational
     // twin: a full outer join of the two grouped aggregates
     "typed_cogroup" ->
@@ -3208,6 +3206,8 @@ object SparkEntry {
         |  COALESCE(n_items, 0) AS n_items,
         |  total_price, items_gross
         |FROM o FULL OUTER JOIN i ON o.k = i.k""".stripMargin,
+    // the relational twin of the typed mapGroups form — the gate proves
+    // the two agree
     "typed_max_gap" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -5054,7 +5054,7 @@ object SparkEntry {
       s"""WITH t AS (
          |  SELECT source, doc_id,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r AS (SELECT source, toks,
          |        row_number() OVER (PARTITION BY source
          |          ORDER BY toks, doc_id) AS rn,

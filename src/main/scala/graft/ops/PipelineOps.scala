@@ -1363,6 +1363,11 @@ object PipelineOps {
     val w = Window.partitionBy(col("source")).orderBy(col("toks"), col("doc_id"))
     val wc = Window.partitionBy(col("source"))
     Tables.documents(spark, dir)
+      // NULL text must not reach the rank: a NULL toks would sort NULLS
+      // FIRST here but NULLS LAST in the oracle's row_number, shifting
+      // every phase in that source (latent — fixtures carry no NULL
+      // text, but one fixture edit away from a parity failure)
+      .filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"),
         size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
       .withColumn("rn", row_number().over(w).cast(LongType))

@@ -1352,8 +1352,9 @@ object RelationalOps {
     */
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     val scale = 100L / JoinSamplePct
-    def keyHit(c: Column) =
-      pmod(PipelineOps.permKey(c), lit(100L)) < lit(JoinSamplePct)
+    // the ONE family bucketing (permKey mod 100) — sharing hashBucket
+    // keeps this op's sample aligned with the split/pps/cv family
+    def keyHit(c: Column) = PipelineOps.hashBucket(c) < lit(JoinSamplePct)
     val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
     val actual = o.join(l, "k").agg(count(lit(1)).as("actual_rows"))

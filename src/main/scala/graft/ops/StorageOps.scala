@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -390,6 +390,17 @@ object StorageOps {
     */
   private val minuteOrigin = 1704067200L / 60 // 2024-01-01T00:00:00Z
 
+  /** The fused Hilbert kernel as a Column — ONE construction site for
+    * both [[hilbertKey]] and the [[hilbertScan]] layout, so the key an
+    * op surfaces and the key the files are laid out on can never be
+    * built over different coordinates.
+    */
+  private def hilbertCol(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HilbertIndex(
+        org.apache.spark.sql.GraftBridge.expression(x),
+        org.apache.spark.sql.GraftBridge.expression(y)))
+
   /** Bits per dimension for [[hilbertKey]] (grid side [[HilbertN]]) —
     * single-sourced from the fused kernel so the oracle's CTE chain and
     * the Spark expression can never disagree on the grid.
@@ -448,10 +459,7 @@ object StorageOps {
     Tables.events(spark, dir)
       .selectExpr("event_id", "user_id",
         s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin AS m")
-      .withColumn("hval", org.apache.spark.sql.GraftBridge.column(
-        graft.functions.HilbertIndex(
-          org.apache.spark.sql.GraftBridge.expression(col("user_id")),
-          org.apache.spark.sql.GraftBridge.expression(col("m")))))
+      .withColumn("hval", hilbertCol(col("user_id"), col("m")))
 
   /** The z-ordered events layout: (event_id, user_id, m, value, zval)
     * range-partitioned into 16 files by zval and sorted by zval within
@@ -513,10 +521,7 @@ object StorageOps {
         .select(
           col("event_id"), col("user_id"), col("value"),
           expr(s"unix_micros(ts) div 1000000 div 60 - $minuteOrigin").as("m"))
-        .withColumn("hval", org.apache.spark.sql.GraftBridge.column(
-          graft.functions.HilbertIndex(
-            org.apache.spark.sql.GraftBridge.expression(col("user_id")),
-            org.apache.spark.sql.GraftBridge.expression(col("m")))))
+        .withColumn("hval", hilbertCol(col("user_id"), col("m")))
         .repartitionByRange(16, col("hval"))
         .sortWithinPartitions(col("hval"))
         .write.format("parquet").mode("overwrite").saveAsTable(tbl)

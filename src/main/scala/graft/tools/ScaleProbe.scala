@@ -219,22 +219,13 @@ object ScaleProbe {
         .drop("i")
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
-    if (!done("events")) {
-      // per-copy TIME shift past the 30-day span (+40 days) and disjoint
-      // user/event ids: sessions replicate as disjoint epochs, so
-      // interval/sessionization outputs scale exactly 10× (verbatim
-      // replication would multiply CONCURRENT users and square the
-      // overlap-pair output — a workload change, not a scale-up)
-      val ev = graft.model.Tables.events(spark, from)
-      val maxes = ev.agg(max("user_id").as("mu"), max("event_id").as("me")).head()
-      val (mu, me) = (maxes.getLong(0), maxes.getLong(1))
-      ev.crossJoin(broadcast(copies))
-        .withColumn("ts", col("ts") + expr("make_interval(0, 0, 0, 40, 0, 0, 0) * i"))
-        .withColumn("user_id", col("user_id") + col("i") * (mu + 1))
-        .withColumn("event_id", col("event_id") + col("i") * (me + 1))
-        .drop("i")
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
-    }
+    // per-copy TIME shift past the 30-day span (+40 days) and disjoint
+    // user/event ids: sessions replicate as disjoint epochs, so
+    // interval/sessionization outputs scale exactly 10× (verbatim
+    // replication would multiply CONCURRENT users and square the
+    // overlap-pair output — a workload change, not a scale-up). ONE
+    // remapping definition for both decades (buildEventsCopies).
+    buildEventsCopies(spark, from, out, 10)
     if (!done("orders")) {
       // offsets MUST match the lineitem/customer replication bases so FK
       // joins stay consistent across copies (fixture invariant: orders
