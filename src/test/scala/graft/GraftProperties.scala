@@ -454,4 +454,28 @@ object GraftProperties extends Properties("graft") {
         MultimodalOps.phash64(graft.ops.ImageCodec.encodeBmp(img))
     }
   }
+
+  property("HilbertIndex.compute masks, stays on-curve, and is unit-adjacent") = {
+    import graft.functions.HilbertIndex
+    val n2 = (1L << HilbertIndex.Bits) * (1L << HilbertIndex.Bits)
+    val genCoord = Gen.choose(Long.MinValue, Long.MaxValue)
+    val genSmall = Gen.choose(0L, (1L << HilbertIndex.Bits) - 2)
+    Prop.all(
+      // masking contract: any coordinate keys as its low-Bits twin, and
+      // every key is a genuine curve index in [0, N^2)
+      forAll(genCoord, genCoord) { (x, y) =>
+        val d = HilbertIndex.compute(x, y)
+        d == HilbertIndex.compute(x & HilbertIndex.Mask, y & HilbertIndex.Mask) &&
+          d >= 0 && d < n2
+      },
+      // local injectivity: the four in-grid neighbors of a cell never
+      // collide with it (bijectivity probed pointwise at full 16-bit
+      // scale, where the exhaustive check lives at 5 bits in HilbertSpec)
+      forAll(genSmall, genSmall) { (x, y) =>
+        val d = HilbertIndex.compute(x, y)
+        Seq((x + 1, y), (x, y + 1)).forall { case (a, b) =>
+          HilbertIndex.compute(a, b) != d
+        }
+      })
+  }
 }
