@@ -86,11 +86,14 @@ object BenchLogic {
     */
   def spreadFlagged(samples: Seq[Double]): Boolean = {
     val ok = samples.filter(_ >= 0)
-    ok.nonEmpty && ok.min > 0 && {
+    // A 0.0 sample is a degenerate timer reading — flag it as its own
+    // anomaly rather than letting a zero min silently disable both
+    // ratio arms for the query.
+    ok.nonEmpty && (ok.min == 0.0 || {
       val sorted = ok.sorted
       val med = sorted(sorted.length / 2)
       ok.max / ok.min > 2.5 || med / ok.min > 1.8
-    }
+    })
   }
 
   /** Queries whose current median exceeds `ratio` x their prior median.

@@ -5044,7 +5044,8 @@ object SparkEntry {
          |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM documents)
-         |SELECT source, cb // ${StorageOps.CompactTargetBytes} AS bin_id,
+         |SELECT source,
+         |  CAST(cb // ${StorageOps.CompactTargetBytes} AS BIGINT) AS bin_id,
          |  CAST(count(*) AS BIGINT) AS n_files,
          |  CAST(sum(b) AS BIGINT) AS bytes,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

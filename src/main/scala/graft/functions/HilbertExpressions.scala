@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** `hilbert_index(x, y)`: the d-index of cell (x, y) on the
@@ -34,19 +33,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * out-of-range masking contract.
   */
 case class HilbertIndex(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two bigint arguments, got " +
-            s"${left.dataType.sql} and ${right.dataType.sql}")
-    }
+  /** Integral arguments (INT columns, integer literals) widen to BIGINT
+    * automatically, matching built-in function ergonomics; non-integral
+    * types still fail analysis with the standard type-check message.
+    * (Return type left inferred: `AbstractDataType` is `private[sql]`.)
+    */
+  override def inputTypes = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     HilbertIndex.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])

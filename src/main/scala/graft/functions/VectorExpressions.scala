@@ -124,58 +124,71 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * After registration the functions resolve in SQL and `expr(...)`.
   */
 object GraftFunctions {
+  /** Fixed-arity builder guard: a wrong-arity SQL call fails analysis with
+    * the standard WRONG_NUM_ARGS error naming the function, instead of an
+    * IndexOutOfBoundsException from `children(i)` inside the builder.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): FunctionBuilder =
+    (children: Seq[Expression]) => {
+      if (children.length != n) {
+        throw org.apache.spark.sql.GraftBridge.wrongNumArgs(name, n, children.length)
+      }
+      build(children)
+    }
+
   private[functions] def fns: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      arity("dot_product", 2)(c => DotProduct(c(0), c(1)))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+      arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1)))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSignature(children(0), 64)),
+      arity("minhash_sig", 1)(c => MinHashSignature(c(0), 64))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children(0))),
+      arity("simhash64", 1)(c => SimHash64(c(0)))),
     (FunctionIdentifier("signlsh_buckets"),
       new ExpressionInfo(classOf[SignLshBuckets].getName, "signlsh_buckets"),
-      (children: Seq[Expression]) => SignLshBuckets(children(0), 8, 4)),
+      arity("signlsh_buckets", 1)(c => SignLshBuckets(c(0), 8, 4))),
     (FunctionIdentifier("char_ngrams3"),
       new ExpressionInfo(classOf[CharNgrams3].getName, "char_ngrams3"),
-      (children: Seq[Expression]) => CharNgrams3(children(0))),
+      arity("char_ngrams3", 1)(c => CharNgrams3(c(0)))),
     (FunctionIdentifier("word3gram_hashes"),
       new ExpressionInfo(classOf[Word3GramHashes].getName, "word3gram_hashes"),
-      (children: Seq[Expression]) => Word3GramHashes(children(0))),
+      arity("word3gram_hashes", 1)(c => Word3GramHashes(c(0)))),
     (FunctionIdentifier("word_window_hashes"),
       new ExpressionInfo(classOf[WordWindowHashes].getName, "word_window_hashes"),
-      (children: Seq[Expression]) => WordWindowHashes(children(0),
+      arity("word_window_hashes", 2)(c => WordWindowHashes(c(0),
         // width must be a literal: it is baked into codegen
-        children(1).eval(null) match {
+        c(1).eval(null) match {
           case i: Int => i
           case other => throw new IllegalArgumentException(
             s"word_window_hashes width must be an integer literal, got $other")
-        })),
+        }))),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1))),
+      arity("pq_adc", 2)(c => PqAdc(c(0), c(1)))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+      arity("sorted_intersect_count", 2)(c => SortedIntersectCount(c(0), c(1)))),
     (FunctionIdentifier("clipped_ngram_overlaps"),
       new ExpressionInfo(classOf[ClippedNgramOverlaps].getName, "clipped_ngram_overlaps"),
-      (children: Seq[Expression]) => ClippedNgramOverlaps(children(0), children(1),
+      arity("clipped_ngram_overlaps", 3)(c => ClippedNgramOverlaps(c(0), c(1),
         // maxOrder must be a literal: it is baked into codegen
-        children(2).eval(null) match {
+        c(2).eval(null) match {
           case i: Int => i
           case other => throw new IllegalArgumentException(
             s"clipped_ngram_overlaps maxOrder must be an integer literal, got $other")
-        })),
+        }))),
     (FunctionIdentifier("lcs_length"),
       new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
-      (children: Seq[Expression]) => LcsLength(children(0), children(1))),
+      arity("lcs_length", 2)(c => LcsLength(c(0), c(1)))),
     (FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
-      (children: Seq[Expression]) => HilbertIndex(children(0), children(1))))
+      arity("hilbert_index", 2)(c => HilbertIndex(c(0), c(1)))))
 
   /** Per-corpus `pq_encode` column, the codebook captured in the
     * expression — the codebook is DATA (trained per corpus), so unlike the

@@ -21,6 +21,10 @@ import graft.model.Tables
   */
 object EceGuardAb {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: EceGuardAb <sfDir> [n]")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -24,4 +24,12 @@ object GraftBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The standard WRONG_NUM_ARGS analysis error for a fixed-arity function
+    * builder — `QueryCompilationErrors` is `private[sql]`, so the guard
+    * in [[graft.functions.GraftFunctions]] raises it through this shim.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
 }

@@ -70,6 +70,10 @@ class BenchLogicSpec extends AnyFunSuite {
     // failed passes are ignored; all-failed never flags
     assert(!BenchLogic.spreadFlagged(Seq(-1.0, -1.0, -1.0)))
     assert(!BenchLogic.spreadFlagged(Seq(-1.0, 1.0, 1.1)))
+    // a 0.0 sample is a degenerate timer reading: it must FLAG as its own
+    // anomaly, never silently disable both ratio arms via a zero min
+    assert(BenchLogic.spreadFlagged(Seq(0.0, 1.0, 1.1)))
+    assert(BenchLogic.spreadFlagged(Seq(0.0, 0.0, 0.0)))
   }
 
   test("totalExclFlagged counts flagged queries at their min, keeps denominator") {

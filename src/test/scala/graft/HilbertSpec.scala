@@ -75,6 +75,29 @@ class HilbertSpec extends SparkSuite {
       assert(h == xy2d(x & (N - 1), y & (N - 1)), s"codegen ($x, $y)")
   }
 
+  test("SQL ergonomics: integral args widen implicitly; wrong arity fails analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // INT literals (and by extension INT columns) widen to BIGINT via
+    // ImplicitCastInputTypes — no manual CAST required (r15 ADVICE)
+    val h = spark.sql("SELECT hilbert_index(3, 7) AS h").collect()(0).getLong(0)
+    assert(h == xy2d(3L, 7L))
+    // a non-castable argument still fails analysis, not silently truncates
+    // (strings DO implicit-cast and trap at runtime under ANSI — by design)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_index(array(1L), 1L)").collect()
+    }
+    // wrong arity is a clean WRONG_NUM_ARGS analysis error naming the
+    // function, not an IndexOutOfBoundsException from the builder
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_index(1L)").collect()
+    }
+    assert(e.getMessage.contains("hilbert_index"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0d), array(1.0d), array(1.0d))").collect()
+    }
+    assert(e3.getMessage.contains("cosine_sim"))
+  }
+
   test("the replay is a true Hilbert curve: bijective and unit-adjacent on a full grid") {
     // full 32x32 sub-grid at the origin: its image under the 2^16-grid
     // curve is not 0..1023, so check bijectivity+adjacency by SORTING

@@ -12,10 +12,11 @@ and per-cell values after a stable sort over all columns.
 
 This is builder-side tooling only — the engine itself is the Scala library.
 """
-import json, math, subprocess, sys
+import decimal, json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -29,6 +30,21 @@ def norm_cell(v):
             return "NaN"
         return v
     return v
+
+
+def type_class(v):
+    """Coarse type class for driver-strict comparison: the driver hashes
+    typed values, so int 5 vs float 5.0 (e.g. an uncast DuckDB HUGEINT
+    surfacing as float64) must FAIL here too, not pass via Python ==."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    return "other"
 
 
 def compare(name, spark_df, duck_df):
@@ -50,9 +66,9 @@ def compare(name, spark_df, duck_df):
     first = None
     for i, (x, y) in enumerate(zip(ar, br)):
         for j, (xv, yv) in enumerate(zip(x, y)):
-            eq = xv == yv
-            if not eq and isinstance(xv, float) and isinstance(yv, float):
-                eq = xv == yv  # exact — the driver hashes, so we demand exact
+            eq = xv == yv  # exact — the driver hashes, so we demand exact
+            if eq and type_class(xv) != type_class(yv):
+                eq = False  # int 5 vs float 5.0: driver hashes these apart
             if not eq:
                 bad += 1
                 if first is None:
