@@ -135,7 +135,7 @@ object SparkEntry {
     "drawdown_duration" -> (IndicatorOps.drawdownDuration _),
     // ---- data-quality layer (freshness gate generalized) ----
     "profile_columns"   -> (QualityOps.profileColumns _),
-    "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // rows-only: HLL++ estimates
+    "profile_columns_approx" -> (QualityOps.profileColumnsApprox _), // KMV: hash-checked since r16
     "dq_checks"         -> (QualityOps.dqChecks _),
     "dq_quarantine"     -> (QualityOps.dqQuarantine _),
     "benford_check"     -> (QualityOps.benfordCheck _),
@@ -233,6 +233,7 @@ object SparkEntry {
     "seasonal_backtest" -> (StatsOps.seasonalBacktest _),
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
+    "kmv_distinct"      -> (StatsOps.kmvDistinct _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
     "theta_overlap"     -> (StatsOps.thetaOverlap _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
@@ -4298,6 +4299,70 @@ object SparkEntry {
         |  CAST(count(DISTINCT props) AS BIGINT),
         |  min(props), max(props)
         |FROM events""".stripMargin,
+    // KMV replay (graduated from rows-only in r16): per column, the
+    // estimate is the k-th smallest distinct md5-derived 60-bit hash fed
+    // into the closed-form (k-1)*2^60/h_k estimator — identical sorted-set
+    // state and IEEE ops on both engines, so the double hash-matches.
+    // Below k distinct hashes the sketch is EXACT (count of distinct
+    // hashes). k, the hash rendering, and the 2^60 numerator all
+    // interpolate from their single public vals.
+    "profile_columns_approx" -> QualityOps.ProfiledCols.map { case (n, dt) =>
+      val rend = QualityOps.duckHashRendering(n, dt)
+      val k = QualityOps.ProfileKmvK
+      val hashes =
+        s"SELECT DISTINCT ('0x' || substr(md5($rend), 1, 15))::BIGINT AS h" +
+          s" FROM events WHERE $n IS NOT NULL"
+      val (mn, mx) = dt match {
+        case "ts" => (s"strftime(min($n), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(max($n), '%Y-%m-%d %H:%M:%S')")
+        case "dbl" => (s"CAST(CAST(min($n) AS DECIMAL(18,2)) AS VARCHAR)",
+          s"CAST(CAST(max($n) AS DECIMAL(18,2)) AS VARCHAR)")
+        case "str" => (s"min($n)", s"max($n)")
+        case _ => (s"CAST(min($n) AS VARCHAR)", s"CAST(max($n) AS VARCHAR)")
+      }
+      s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |          ELSE ${graft.functions.KmvSketch.EstNumerator} * ${k - 1}e0
+         |            / (SELECT CAST(h AS DOUBLE) FROM ($hashes)
+         |               ORDER BY h LIMIT 1 OFFSET ${k - 1})
+         |          END FROM ($hashes)) AS n_distinct_est,
+         |  $mn AS min_value, $mx AS max_value
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    // grouped KMV replay: per event_type, distinct hashes ranked by
+    // row_number; the k-th smallest feeds the same closed-form estimator,
+    // below-k groups report the exact distinct-hash count (n_days here)
+    "kmv_distinct" -> {
+      val k = StatsOps.KmvDistinctK
+      val num = graft.functions.KmvSketch.EstNumerator
+      def estCte(src: String, rend: String, alias: String) =
+        s"""h_$alias AS (
+           |  SELECT DISTINCT event_type,
+           |    ('0x' || substr(md5($rend), 1, 15))::BIGINT AS h
+           |  FROM events WHERE $src IS NOT NULL),
+           |r_$alias AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+           |    count(*) OVER (PARTITION BY event_type) AS nd
+           |  FROM h_$alias),
+           |e_$alias AS (
+           |  SELECT event_type,
+           |    CASE WHEN max(nd) < $k THEN CAST(max(nd) AS DOUBLE)
+           |         ELSE $num * ${k - 1}e0
+           |           / CAST(max(CASE WHEN rk = $k THEN h END) AS DOUBLE) END
+           |      AS $alias
+           |  FROM r_$alias GROUP BY 1)""".stripMargin
+      s"""WITH ${estCte("user_id", "CAST(user_id AS VARCHAR)", "n_users_est")},
+         |${estCte("ts", "strftime(ts, '%Y-%m-%d')", "n_days_est")},
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+         |      FROM events GROUP BY 1)
+         |SELECT g.event_type, g.n_events,
+         |  e_n_users_est.n_users_est, e_n_days_est.n_days_est
+         |FROM g
+         |JOIN e_n_users_est USING (event_type)
+         |JOIN e_n_days_est USING (event_type)""".stripMargin
+    },
     "benford_check" ->
       """WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.StringType
+
+/** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002; Beyer
+  * et al. SIGMOD'07) as a typed [[Aggregator]] — the DETERMINISTIC,
+  * cross-engine-reproducible alternative to HLL++ for the approx-distinct
+  * lane. The state is the k smallest DISTINCT hash values of the input,
+  * and "k smallest of a multiset" is a pure function of the value SET:
+  * partial states merge associatively, commutatively, and idempotently,
+  * so the result is identical under ANY partitioning / merge order —
+  * unlike GK percentile summaries (merge-order defined) and unlike
+  * engine-private HLL buffers. That determinism is what lets the estimate
+  * be hash-checked against a DuckDB SQL replay (take the k-th smallest
+  * distinct hash, apply the same closed-form estimator) instead of living
+  * rows-only behind an envelope spec.
+  *
+  * Hash: the low 60 bits (15 hex digits) of md5 over an engine-stable
+  * string rendering — md5 is bit-identical everywhere, and both Spark
+  * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,15))::BIGINT`) expose the same hex→int path.
+  * Uniform on [0, 2^60); for n distinct values the expected k-th smallest
+  * is k·2^60/(n+1), giving the unbiased estimator (k−1)·2^60 / h_(k).
+  *
+  * Exact regime: with fewer than k distinct inputs the sketch holds ALL
+  * of them and reports the exact count — the estimator only engages at
+  * ≥ k, where its relative error is ~1/√(k−2) (k=1024 → ~3.1%).
+  *
+  * IEEE parity of the estimate: (k−1)·2^60 is exactly representable (the
+  * mantissa is k−1, ≤ 11 bits), long→double conversion of h_(k) is
+  * round-to-nearest-even in both JVM and C++, and one division is
+  * correctly rounded — both engines emit the identical double.
+  *
+  * Scale posture (100 TB): one pass, map-side partials, 8·(k+1) bytes of
+  * state per (group × partition) — the shuffle carries sketches, never
+  * values; md5 per row is compute-bounded and pipelines inside the scan.
+  * Buffer is a sorted Array[Long] with a binary-search insert: once the
+  * buffer fills, rows hashing above the current k-th minimum are rejected
+  * by ONE comparison, so expected post-fill inserts are k·ln(n/k), not n.
+  */
+class KmvSketch(val k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Double] {
+  require(k >= 2, "KMV needs k >= 2")
+
+  /** buf(0) = live count c; buf(1..c) = the c smallest distinct hashes,
+    * ascending. Mutated in place (TypedImperativeAggregate keeps the
+    * buffer live between rows; serialization only at shuffle).
+    */
+  override def zero: Array[Long] = new Array[Long](k + 1)
+
+  override def reduce(b: Array[Long], a: java.lang.Long): Array[Long] = {
+    if (a == null) return b
+    val h = a.longValue
+    val c = b(0).toInt
+    if (c == k && h >= b(k)) return b // above the k-th minimum: reject
+    // binary search in b[1..c]
+    var lo = 1; var hi = c
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(mid) < h) lo = mid + 1
+      else if (b(mid) > h) hi = mid - 1
+      else return b // duplicate hash: state is a SET
+    }
+    val insertAt = lo
+    val newC = if (c == k) k else c + 1
+    // shift right, dropping the last entry when full
+    System.arraycopy(b, insertAt, b, insertAt + 1, newC - insertAt)
+    b(insertAt) = h
+    b(0) = newC
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val (c1, c2) = (b1(0).toInt, b2(0).toInt)
+    if (c2 == 0) return b1
+    if (c1 == 0) return b2
+    val out = new Array[Long](k + 1)
+    var (i, j, o) = (1, 1, 0)
+    while (o < k && (i <= c1 || j <= c2)) {
+      val take =
+        if (i > c1) { val v = b2(j); j += 1; v }
+        else if (j > c2) { val v = b1(i); i += 1; v }
+        else if (b1(i) < b2(j)) { val v = b1(i); i += 1; v }
+        else if (b1(i) > b2(j)) { val v = b2(j); j += 1; v }
+        else { val v = b1(i); i += 1; j += 1; v } // shared hash: once
+      o += 1
+      out(o) = take
+    }
+    out(0) = o
+    out
+  }
+
+  override def finish(b: Array[Long]): Double = {
+    val c = b(0).toInt
+    if (c < k) c.toDouble // exact regime: sketch holds every distinct hash
+    else KmvSketch.EstNumerator * (k - 1).toDouble / b(k).toDouble
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+}
+
+object KmvSketch {
+  /** 2^60 — the hash domain size; exactly representable as a double. */
+  val EstNumerator: Double = 1152921504606846976.0
+
+  /** The shared hash column: top 60 bits of md5 over an engine-stable
+    * rendering, via the native [[Md5Prefix60]] kernel (bit-identical to
+    * `conv(substr(md5(x),1,15),16,10)`, ~2.6× cheaper — ApproxOpsSpec
+    * pins the equivalence). NULL in → NULL out (the aggregator skips NULLs,
+    * matching COUNT(DISTINCT) semantics). The DuckDB twin is
+    * `('0x' || substr(md5(rendered), 1, 15))::BIGINT`.
+    */
+  def hash60(rendered: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(Md5Prefix60(
+      org.apache.spark.sql.GraftBridge.expression(rendered.cast(StringType))))
+}

@@ -188,7 +188,10 @@ object GraftFunctions {
       arity("lcs_length", 2)(c => LcsLength(c(0), c(1)))),
     (FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
-      arity("hilbert_index", 2)(c => HilbertIndex(c(0), c(1)))))
+      arity("hilbert_index", 2)(c => HilbertIndex(c(0), c(1)))),
+    (FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      arity("md5_prefix60", 1)(c => Md5Prefix60(c(0)))))
 
   /** Per-corpus `pq_encode` column, the codebook captured in the
     * expression — the codebook is DATA (trained per corpus), so unlike the

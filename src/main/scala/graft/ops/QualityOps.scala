@@ -34,21 +34,33 @@ object QualityOps {
     case _     => c.cast(StringType)
   }
 
-  /** (name, datatype tag) of every profiled column. */
-  private val ProfiledCols = Seq(
+  /** (name, datatype tag) of every profiled column — public: the approx
+    * profiler's oracle SQL generates one UNION arm per entry.
+    */
+  val ProfiledCols = Seq(
     ("event_id", "long"), ("ts", "ts"), ("user_id", "long"),
     ("event_type", "str"), ("value", "dbl"), ("props", "str"))
 
+  /** DuckDB twin of [[hashRendering]] — kept adjacent so the two sides of
+    * the KMV hash input can never drift.
+    */
+  def duckHashRendering(n: String, dt: String): String = dt match {
+    case "ts"  => s"CAST(epoch_us($n) AS VARCHAR)"
+    case "dbl" => s"CAST(CAST($n AS DECIMAL(18,2)) AS VARCHAR)"
+    case _     => s"CAST($n AS VARCHAR)"
+  }
+
   /** Shared profiler body — the exact and approx profilers differ only in
-    * the distinct aggregate and its output alias.
+    * the distinct aggregate (which also sees the column's datatype tag)
+    * and its output alias.
     */
   private def profile(spark: SparkSession, dir: String,
-                      distinctAgg: Column => Column,
+                      distinctAgg: (Column, String) => Column,
                       distinctAlias: String): DataFrame = {
-    val aggs = ProfiledCols.flatMap { case (n, _) =>
+    val aggs = ProfiledCols.flatMap { case (n, dt) =>
       Seq(
         sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"),
-        distinctAgg(col(n)).as(s"${n}_distinct"),
+        distinctAgg(col(n), dt).as(s"${n}_distinct"),
         min(col(n)).as(s"${n}_min"),
         max(col(n)).as(s"${n}_max"))
     }
@@ -71,18 +83,46 @@ object QualityOps {
     * (see [[asStr]] for the engine-stable rendering rules).
     */
   def profileColumns(spark: SparkSession, dir: String): DataFrame =
-    profile(spark, dir, countDistinct(_), "n_distinct")
+    profile(spark, dir, (c, _) => countDistinct(c), "n_distinct")
+
+  /** KMV sketch size for the approx profiler — public: the oracle SQL
+    * interpolates it (k-th smallest OFFSET, estimator factor k−1, and the
+    * exact-regime boundary all derive from this one val).
+    */
+  val ProfileKmvK = 1024
+
+  /** The engine-stable rendering each column is HASHED under for the KMV
+    * distinct sketch. Longs/strings verbatim; timestamps as epoch MICROS
+    * (lossless — the display rendering truncates to seconds and would
+    * merge distinct values); doubles through DECIMAL(18,2) (lossless on
+    * this data — the fixture's values are 2-decimal — and the only
+    * cross-engine-stable double rendering).
+    */
+  private def hashRendering(c: Column, dt: String): Column = dt match {
+    case "ts"  => unix_micros(c).cast(StringType)
+    case "dbl" => c.cast(DecimalType(18, 2)).cast(StringType)
+    case _     => c.cast(StringType)
+  }
 
   /** The 100 TB profiler: same long-form output as [[profileColumns]] but
-    * distinct counts come from HLL++ (`approx_count_distinct`, default 5%
-    * rsd) — no multi-distinct Expand, so the single scan shuffles one
-    * constant-size sketch per column instead of re-keying the data k ways.
-    * Sketch estimates are engine-specific → rows-only in the registry; the
-    * spec bounds every estimate against the exact profiler. Min/max/null
-    * columns are identical to the exact form.
+    * distinct counts come from a KMV sketch
+    * ([[graft.functions.KmvSketch]], k = [[ProfileKmvK]]) — no
+    * multi-distinct Expand, so the single scan shuffles one 8 KB sketch
+    * per column instead of re-keying the data k ways. Unlike the HLL++
+    * form this op previously used, KMV state (the k smallest distinct
+    * md5-hashes) is merge-order independent and SQL-replayable, so
+    * `n_distinct_est` is hash-checked against a DuckDB replay of the same
+    * estimator — graduated from rows-only in r16. Estimates are EXACT for
+    * columns with fewer than k distinct values (event_type here) and
+    * carry ~1/√(k−2) ≈ 3.1% relative error above that.
+    * Min/max/null columns are identical to the exact form.
     */
-  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame =
-    profile(spark, dir, approx_count_distinct(_), "n_distinct_est")
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(ProfileKmvK))
+    profile(spark, dir,
+      (c, dt) => kmv(graft.functions.KmvSketch.hash60(hashRendering(c, dt))),
+      "n_distinct_est")
+  }
 
   /** The shared CHECK-rule catalog: (rule name, VIOLATION predicate).
     * [[dqChecks]] counts violations per rule; [[dqQuarantine]] emits the

@@ -522,6 +522,37 @@ object StatsOps {
         expr("max(us) div 1000000").as("max_sec"))
   }
 
+  /** KMV sketch size for [[kmvDistinct]] — public: the oracle SQL
+    * interpolates it. 64 puts the per-group user counts at the gate SFs
+    * (150 at sf0.01, 1500 at sf0.1) in the ESTIMATOR regime while the
+    * per-group day counts (31) stay in the EXACT regime, so both branches
+    * of the sketch's finish() are driver-verified in one op.
+    */
+  val KmvDistinctK = 64
+
+  /** Grouped distinct-count estimation via the deterministic KMV sketch
+    * ([[graft.functions.KmvSketch]]) — the hash-checkable counterpart to
+    * [[hllPartialUnion]]'s HLL lane: per event type, the estimated
+    * distinct users and distinct active days. KMV state (k smallest
+    * distinct md5-hashes) is merge-order independent, so unlike HLL++ the
+    * estimate is a pure function of the value set and the DuckDB oracle
+    * replays it exactly (row_number over distinct hashes → k-th smallest
+    * → same closed form). Scale: one pass, 8·(k+1)-byte partials per
+    * (group × partition); the shuffle carries sketches, not users.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val kmv = udaf(new KmvSketch(KmvDistinctK))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        kmv(KmvSketch.hash60(col("user_id").cast(StringType)))
+          .as("n_users_est"),
+        kmv(KmvSketch.hash60(date_format(col("ts"), "yyyy-MM-dd")))
+          .as("n_days_est"))
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
     * 4's `hll_sketch_agg`/`hll_union_agg`): per-DAY user sketches built
     * once, then UNIONED per week — the incremental-distinct architecture.

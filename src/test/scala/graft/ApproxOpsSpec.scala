@@ -458,13 +458,47 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
-  test("profile_columns_approx matches the exact profiler except bounded distinct estimates") {
+  test("profile_columns_approx: KMV estimates equal a straight-line replay; both regimes fire") {
+    // sf0.01 deliberately: event_id/ts/user_id exceed k=1024 distinct (the
+    // ESTIMATOR branch), event_type has 5 (the EXACT-regime branch) — both
+    // sides of the finish() gate are non-vacuous here.
+    val sf01 = "/root/testdata/sf0.01"
+    val K = graft.ops.QualityOps.ProfileKmvK
     def key(r: org.apache.spark.sql.Row) = r.getAs[String]("col_name")
-    val exact = SparkEntry.queries("profile_columns")(spark, sf).collect()
+    val exact = SparkEntry.queries("profile_columns")(spark, sf01).collect()
       .map(r => key(r) -> r).toMap
-    val approx = SparkEntry.queries("profile_columns_approx")(spark, sf).collect()
+    val approx = SparkEntry.queries("profile_columns_approx")(spark, sf01).collect()
       .map(r => key(r) -> r).toMap
     assert(approx.keySet == exact.keySet)
+
+    // straight-line KMV replay: md5 via MessageDigest over the SAME
+    // renderings, k smallest distinct 60-bit prefixes, same closed form
+    val rows = graft.model.Tables.events(spark, sf01)
+      .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id",
+        "event_type", "CAST(CAST(value AS DECIMAL(18,2)) AS STRING) AS value_s",
+        "props")
+      .collect()
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def replay(rendered: Seq[String]): Double = {
+      val hs = rendered.filter(_ != null).map(md5h60).distinct.sorted
+      if (hs.length < K) hs.length.toDouble
+      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
+        hs(K - 1).toDouble
+    }
+    val rendered: Map[String, Seq[String]] = Map(
+      "event_id" -> rows.map(r => Option(r.get(0)).map(_.toString).orNull),
+      "ts" -> rows.map(r => Option(r.get(1)).map(_.toString).orNull),
+      "user_id" -> rows.map(r => Option(r.get(2)).map(_.toString).orNull),
+      "event_type" -> rows.map(_.getAs[String]("event_type")),
+      "value" -> rows.map(_.getAs[String]("value_s")),
+      "props" -> rows.map(_.getAs[String]("props"))).view.mapValues(_.toSeq).toMap
+
+    var exactRegime = 0; var estRegime = 0
     exact.foreach { case (k, e) =>
       val a = approx(k)
       // non-sketch columns are bit-identical to the exact profiler
@@ -472,13 +506,112 @@ class ApproxOpsSpec extends SparkSuite {
       assert(a.getAs[Long]("n_nulls") == e.getAs[Long]("n_nulls"), k)
       assert(a.getAs[String]("min_value") == e.getAs[String]("min_value"), k)
       assert(a.getAs[String]("max_value") == e.getAs[String]("max_value"), k)
-      // HLL++ estimate within 10% of the exact distinct count (2x the
-      // default 5% rsd — a deterministic bound for this fixed corpus)
       val n = e.getAs[Long]("n_distinct")
-      val est = a.getAs[Long]("n_distinct_est")
-      assert(math.abs(est - n) <= math.max(1L, (0.10 * n).toLong),
-        s"$k: estimate $est vs exact $n (>10%)")
+      val est = a.getAs[Double]("n_distinct_est")
+      // DETERMINISTIC ground truth: bit-identical to the replay
+      assert(est == replay(rendered(k)), s"$k: engine $est != replay")
+      if (n < K) {
+        exactRegime += 1
+        assert(est == n.toDouble, s"$k: exact regime must report $n, got $est")
+      } else {
+        estRegime += 1
+        assert(math.abs(est - n) <= math.max(1.0, 0.10 * n),
+          s"$k: estimate $est vs exact $n (>10%)")
+      }
     }
+    assert(exactRegime > 0 && estRegime > 0,
+      s"both regimes must fire (exact=$exactRegime est=$estRegime)")
+  }
+
+  test("kmv_distinct: engine equals straight-line replay; estimator and exact regimes both fire") {
+    val sf01 = "/root/testdata/sf0.01"
+    val K = graft.ops.StatsOps.KmvDistinctK
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def replay(rendered: Seq[String]): Double = {
+      val hs = rendered.filter(_ != null).map(md5h60).distinct.sorted
+      if (hs.length < K) hs.length.toDouble
+      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
+        hs(K - 1).toDouble
+    }
+    val base = graft.model.Tables.events(spark, sf01)
+      .selectExpr("event_type", "CAST(user_id AS STRING) AS u",
+        "date_format(ts, 'yyyy-MM-dd') AS d")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val rows = SparkEntry.queries("kmv_distinct")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    var estRegime = 0; var exactRegime = 0
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val grp = base.filter(_._1 == et)
+      assert(r.getAs[Long]("n_events") == grp.length.toLong, et)
+      val uest = r.getAs[Double]("n_users_est")
+      val dest = r.getAs[Double]("n_days_est")
+      assert(uest == replay(grp.map(_._2).toSeq), s"$et users")
+      assert(dest == replay(grp.map(_._3).toSeq), s"$et days")
+      val trueUsers = grp.map(_._2).distinct.length
+      val trueDays = grp.map(_._3).distinct.length
+      if (trueUsers >= K) { // estimator regime: sanity envelope only
+        estRegime += 1
+        assert(math.abs(uest - trueUsers) <= math.max(2.0, 0.5 * trueUsers),
+          s"$et: $uest vs $trueUsers")
+      }
+      if (trueDays < K) { // exact regime: must equal the true count
+        exactRegime += 1
+        assert(dest == trueDays.toDouble, s"$et: days $dest != $trueDays")
+      }
+    }
+    assert(estRegime > 0 && exactRegime > 0,
+      s"both regimes must fire (est=$estRegime exact=$exactRegime)")
+  }
+
+  test("md5_prefix60 kernel == conv(substr(md5)) composed form, on real fixture strings") {
+    graft.functions.GraftFunctions.register(spark)
+    // every props/event_type string at sf0.001, plus edge literals, through
+    // BOTH derivations in one plan — any divergence fails the equality
+    val bad = graft.model.Tables.events(spark, sf)
+      .selectExpr("props AS s")
+      .union(spark.sql("SELECT '' AS s UNION ALL SELECT ' ' UNION ALL " +
+        "SELECT 'héllo→🚀' UNION ALL SELECT repeat('x', 10000)"))
+      .filter("s IS NOT NULL")
+      .selectExpr("s", "md5_prefix60(s) AS fast",
+        "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS composed")
+      .filter("fast != composed OR fast IS NULL OR fast < 0")
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+  }
+
+  test("KmvSketch state is merge-order and partitioning independent") {
+    val agg = new graft.functions.KmvSketch(16)
+    val rnd = new scala.util.Random(42)
+    // 200 values with duplicates, > k distinct
+    val vals = Array.fill(200)(java.lang.Long.valueOf(rnd.nextLong(50) * 7919L))
+    def run(groups: Seq[Seq[java.lang.Long]], mergeOrder: Seq[Int]): Double = {
+      val partials = groups.map(g => g.foldLeft(agg.zero)(agg.reduce))
+      val merged = mergeOrder.map(partials).reduce(agg.merge)
+      agg.finish(merged)
+    }
+    val single = run(Seq(vals.toSeq), Seq(0))
+    // different partitionings and merge orders all agree
+    for (nParts <- Seq(2, 3, 7); seed <- Seq(1, 9)) {
+      val shuffled = new scala.util.Random(seed).shuffle(vals.toSeq)
+      val groups = shuffled.grouped((vals.length + nParts - 1) / nParts).toSeq
+      val fwd = run(groups, groups.indices)
+      val rev = run(groups, groups.indices.reverse)
+      assert(fwd == single && rev == single,
+        s"nParts=$nParts seed=$seed: $fwd / $rev != $single")
+    }
+    // exact regime boundary: k-1 distinct values report exactly k-1
+    val few = (1L to 15L).map(java.lang.Long.valueOf)
+    assert(agg.finish(few.foldLeft(agg.zero)(agg.reduce)) == 15.0)
+    // nulls are skipped, matching COUNT(DISTINCT)
+    val withNull = agg.reduce(few.foldLeft(agg.zero)(agg.reduce), null)
+    assert(agg.finish(withNull) == 15.0)
   }
 
   test("freq_topk_sketch bounds contain exact counts; top exact tokens all reported") {

@@ -475,6 +475,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("KMV sketch ops are one scan, no multi-distinct Expand, sketch partials map-side") {
+    Seq("profile_columns_approx", "kmv_distinct").foreach { q =>
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must sketch in ONE pass, found $scans scans:\n$p")
+      assert(!p.contains("Expand"), s"$q must not expand the scan k ways:\n$p")
+      // typed KMV aggregator rides ObjectHashAggregate with a partial
+      // stage — the shuffle carries 8(k+1)-byte sketches, not values
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n$p")
+      assert(p.contains("partial"), s"$q must combine map-side:\n$p")
+    }
+  }
+
   test("dq_quarantine is one scan — every rule evaluates in a single projection") {
     val p = plan("dq_quarantine")
     val scans = "Scan parquet".r.findAllIn(p).length
