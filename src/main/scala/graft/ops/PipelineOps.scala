@@ -40,7 +40,7 @@ object PipelineOps {
   private[ops] def permKey(c: org.apache.spark.sql.Column) =
     pmod(pmod(c, lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
 
-  private[ops] def hashBucket(c: org.apache.spark.sql.Column) =
+  private[graft] def hashBucket(c: org.apache.spark.sql.Column) =
     pmod(permKey(c), lit(100))
 
   /** Fold count for [[cvFolds]] — public so the oracle SQL interpolates

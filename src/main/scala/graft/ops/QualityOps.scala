@@ -209,9 +209,18 @@ object QualityOps {
     * Fully oracle-checked (integer arithmetic end to end).
     */
   def saltPlan(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+    saltAdvisory(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The salt arithmetic alone, over ANY per-key `cnt` frame — shared by
+    * the batch [[saltPlan]] and the streaming
+    * [[graft.streaming.SkewAdvisorStream]] twin so the two can never
+    * drift (the dqRules single-catalog discipline).
+    */
+  def saltAdvisory(counts: DataFrame): DataFrame =
+    counts
       .withColumn("n_salts",
         expr(s"(cnt + ${SaltTargetRows - 1}) div $SaltTargetRows"))
       .withColumn("post_rows_max", expr("(cnt + n_salts - 1) div n_salts"))
