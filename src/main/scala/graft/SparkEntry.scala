@@ -234,6 +234,8 @@ object SparkEntry {
     "rolling_active_users" -> (StatsOps.rollingActiveUsers _),
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kmv_distinct"      -> (StatsOps.kmvDistinct _),
+    "kmv_partial_union" -> (StatsOps.kmvPartialUnion _),
+    "kmv_overlap"       -> (StatsOps.kmvOverlap _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
     "theta_overlap"     -> (StatsOps.thetaOverlap _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
@@ -4362,6 +4364,74 @@ object SparkEntry {
          |FROM g
          |JOIN e_n_users_est USING (event_type)
          |JOIN e_n_days_est USING (event_type)""".stripMargin
+    },
+    // two-level KMV rollup replay: the k-min-of-union identity means the
+    // merged weekly state equals the direct weekly sketch, so the oracle
+    // replays straight from raw events — per week, distinct user hashes,
+    // k-th smallest, same closed form
+    "kmv_partial_union" -> {
+      val k = StatsOps.KmvDistinctK
+      val num = graft.functions.KmvSketch.EstNumerator
+      s"""WITH h AS (
+         |  SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT week, h,
+         |        row_number() OVER (PARTITION BY week ORDER BY h) AS rk,
+         |        count(*) OVER (PARTITION BY week) AS nd
+         |      FROM h),
+         |e AS (SELECT week,
+         |        CASE WHEN max(nd) < $k THEN CAST(max(nd) AS DOUBLE)
+         |             ELSE $num * ${k - 1}e0
+         |               / CAST(max(CASE WHEN rk = $k THEN h END) AS DOUBLE) END
+         |          AS est_users
+         |      FROM r GROUP BY 1),
+         |d AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |        CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+         |      FROM events GROUP BY 1)
+         |SELECT d.week, d.n_days, e.est_users FROM d JOIN e USING (week)""".stripMargin
+    },
+    // KMV overlap replay: k smallest distinct hashes per side, union
+    // sketch = k smallest of the raw union (k-min-of-union identity),
+    // shared counted by membership in BOTH side sketches, Jaccard and
+    // overlap in the same IEEE order as KmvSketch.overlap
+    "kmv_overlap" -> {
+      val k = StatsOps.KmvDistinctK
+      val num = graft.functions.KmvSketch.EstNumerator
+      def side(cond: String, n: String) =
+        s"""s$n AS (
+           |  SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM events WHERE event_type = 'purchase' AND $cond
+           |    AND user_id IS NOT NULL),
+           |k$n AS (SELECT h FROM s$n ORDER BY h LIMIT $k),
+           |e$n AS (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+           |               ELSE $num * ${k - 1}e0 / CAST(
+           |                 (SELECT h FROM s$n ORDER BY h LIMIT 1 OFFSET ${k - 1})
+           |                 AS DOUBLE) END AS est
+           |        FROM s$n)""".stripMargin
+      s"""WITH ${side(s"ts < TIMESTAMP '${StatsOps.KmvOverlapEarlyEnd}'", "a")},
+         |${side(s"ts >= TIMESTAMP '${StatsOps.KmvOverlapLateStart}'", "b")},
+         |su AS (SELECT h FROM sa UNION SELECT h FROM sb),
+         |ku AS (SELECT h FROM su ORDER BY h LIMIT $k),
+         |eu AS (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |              ELSE $num * ${k - 1}e0 / CAST(
+         |                (SELECT h FROM su ORDER BY h LIMIT 1 OFFSET ${k - 1})
+         |                AS DOUBLE) END AS est
+         |       FROM su),
+         |sh AS (SELECT CAST(count(*) AS BIGINT) AS shared,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM ku) AS cu
+         |       FROM ku
+         |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+         |SELECT ea.est AS est_early, eb.est AS est_late,
+         |  eu.est AS est_union, sh.shared AS shared_k,
+         |  CASE WHEN sh.cu = 0 THEN 0e0
+         |       ELSE CAST(sh.shared AS DOUBLE) / CAST(sh.cu AS DOUBLE) END
+         |    AS jaccard_est,
+         |  (CASE WHEN sh.cu = 0 THEN 0e0
+         |        ELSE CAST(sh.shared AS DOUBLE) / CAST(sh.cu AS DOUBLE) END)
+         |    * eu.est AS est_overlap
+         |FROM ea, eb, eu, sh""".stripMargin
     },
     "benford_check" ->
       """WITH d AS (

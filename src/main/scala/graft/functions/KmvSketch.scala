@@ -103,9 +103,102 @@ class KmvSketch(val k: Int)
   override def outputEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** The KMV state itself as the aggregate output — the PARTIAL form for
+  * two-level rollups ([[KmvMergeAgg]] consumes these): per-group sorted
+  * arrays of the ≤k smallest distinct hashes, trimmed to occupancy so the
+  * shuffle carries only live entries. The k-min-of-union identity (any
+  * hash among a union's k smallest is among its part's k smallest) makes
+  * merged partials EQUAL the direct sketch of the union — which is what
+  * lets a rollup over these be hash-checked against raw data.
+  */
+class KmvStateAgg(val k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  private val inner = new KmvSketch(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], a: java.lang.Long): Array[Long] =
+    inner.reduce(b, a)
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    inner.merge(b1, b2)
+  override def finish(b: Array[Long]): Array[Long] =
+    java.util.Arrays.copyOf(b, b(0).toInt + 1)
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Union of [[KmvStateAgg]] partials → the distinct-count estimate of the
+  * merged set. Rows are SKETCHES (one per upstream group), so a rollup
+  * merge touches O(groups) arrays, never the raw values — the
+  * [[graft.ops.StatsOps.hllPartialUnion]] architecture, but with a state
+  * that is a pure function of the underlying value set, hence
+  * hash-checkable.
+  */
+class KmvMergeAgg(val k: Int)
+    extends Aggregator[Array[Long], Array[Long], Double] {
+  private val inner = new KmvSketch(k)
+  private def pad(a: Array[Long]): Array[Long] =
+    if (a.length >= k + 1) a else java.util.Arrays.copyOf(a, k + 1)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+    if (a == null) b else inner.merge(b, pad(a))
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    inner.merge(b1, b2)
+  override def finish(b: Array[Long]): Double = KmvSketch.estimate(b, k)
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+}
+
 object KmvSketch {
   /** 2^60 — the hash domain size; exactly representable as a double. */
   val EstNumerator: Double = 1152921504606846976.0
+
+  /** The estimator over a (possibly trimmed) state array: exact count
+    * below k, (k−1)·2^60/h_(k) at k. One shared definition for
+    * [[KmvSketch.finish]], [[KmvMergeAgg.finish]], and [[overlap]].
+    */
+  def estimate(state: Array[Long], k: Int): Double = {
+    val c = state(0).toInt
+    if (c < k) c.toDouble
+    else EstNumerator * (k - 1).toDouble / state(k).toDouble
+  }
+
+  /** Set-overlap estimates from two [[KmvStateAgg]] states (Beyer et al.
+    * SIGMOD'07 §4): union the sketches (k-min-of-union identity ⇒ this IS
+    * the union's sketch), estimate the union, count the union-sketch
+    * hashes present in BOTH sides — membership in the side's RAW set and
+    * in its sketch coincide for hashes ≤ the union's k-th minimum — and
+    * Jaccard = shared/|union sketch|, intersection = Jaccard × union
+    * estimate (one IEEE multiply of engine-identical doubles). Exact when
+    * the union has < k distinct hashes. Returns
+    * (n_a_est, n_b_est, union_est, shared, jaccard_est, intersect_est).
+    */
+  def overlap(a0: Array[Long], b0: Array[Long], k: Int):
+      (Double, Double, Double, Long, Double, Double) = {
+    val sk = new KmvSketch(k)
+    def pad(x: Array[Long]) =
+      if (x.length >= k + 1) x else java.util.Arrays.copyOf(x, k + 1)
+    val a = pad(a0); val b = pad(b0)
+    val u = sk.merge(a.clone(), b)
+    val cu = u(0).toInt
+    def has(s: Array[Long], h: Long): Boolean = {
+      var lo = 1; var hi = s(0).toInt
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (s(mid) < h) lo = mid + 1
+        else if (s(mid) > h) hi = mid - 1
+        else return true
+      }
+      false
+    }
+    var shared = 0L
+    var i = 1
+    while (i <= cu) {
+      if (has(a, u(i)) && has(b, u(i))) shared += 1
+      i += 1
+    }
+    val unionEst = estimate(u, k)
+    val jac = if (cu == 0) 0.0 else shared.toDouble / cu.toDouble
+    (estimate(a, k), estimate(b, k), unionEst, shared, jac, jac * unionEst)
+  }
 
   /** The shared hash column: top 60 bits of md5 over an engine-stable
     * rendering, via the native [[Md5Prefix60]] kernel (bit-identical to

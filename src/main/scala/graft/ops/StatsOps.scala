@@ -553,6 +553,77 @@ object StatsOps {
           .as("n_days_est"))
   }
 
+  /** The [[hllPartialUnion]] two-level rollup architecture with the
+    * DETERMINISTIC KMV sketch: per-day [[graft.functions.KmvStateAgg]]
+    * partials (8·(k+1)-byte sorted arrays — rows are sketches, the weekly
+    * merge touches O(days) arrays and never re-scans events), unioned per
+    * week by [[graft.functions.KmvMergeAgg]]. The k-min-of-union identity
+    * makes the merged weekly state EQUAL the direct weekly sketch, so
+    * unlike HLL's engine-private buffers the estimate is hash-checked
+    * against a DuckDB replay over raw data — the rollup's correctness
+    * (merge == recompute) is driver-verified, not just spec-bounded.
+    * Exact below k = [[KmvDistinctK]] distinct users per week; the gate
+    * SFs exercise the estimator regime (weekly actives ≫ 64).
+    */
+  def kmvPartialUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvMergeAgg, KmvSketch, KmvStateAgg}
+    val state = udaf(new KmvStateAgg(KmvDistinctK))
+    val merge = udaf(new KmvMergeAgg(KmvDistinctK))
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(state(KmvSketch.hash60(col("user_id").cast(StringType))).as("sk"))
+      .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(count(lit(1)).as("n_days"), merge(col("sk")).as("est_users"))
+  }
+
+  /** Audience windows for [[kmvOverlap]] — public so the oracle SQL
+    * interpolates them. Early/late purchaser cohorts were chosen over the
+    * signup∩purchase audiences [[hllOverlap]] uses because every fixture
+    * user does every event type (that intersection is the DEGENERATE
+    * Jaccard-1 case), while week-1 vs week-4+ purchasers overlap
+    * partially at every SF (sf0.01: 143 ∩ 146 = 139 of 150) — so the
+    * shared-count logic is non-vacuous under the driver gate. A
+    * deployment sets its own windows (they're the retention question).
+    */
+  val KmvOverlapEarlyEnd = "2024-01-08 00:00:00"
+  val KmvOverlapLateStart = "2024-01-22 00:00:00"
+
+  /** The [[hllOverlap]] audience-intersection question answered by KMV
+    * (Beyer et al. SIGMOD'07 §4) — and hash-checked, which no HLL form
+    * can be: early-window and late-window purchaser sketches (the
+    * retention overlap), union by the k-min-of-union identity, Jaccard =
+    * |union-sketch hashes present in BOTH sides| / |union sketch|
+    * (membership in a side's raw set and its sketch coincide below the
+    * union's k-th minimum), overlap = Jaccard × union estimate. DIRECT
+    * intersection estimation — no inclusion–exclusion error compounding —
+    * and exact when the union holds < k distinct users. The final combine
+    * is one bounded 1×1-row cross join; each side is one pass with
+    * 8·(k+1)-byte partials.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, KmvStateAgg}
+    val state = udaf(new KmvStateAgg(KmvDistinctK))
+    val ev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    def sk(cond: Column, n: String) = ev.filter(cond)
+      .agg(state(KmvSketch.hash60(col("user_id").cast(StringType)))
+        .as(s"sk_$n"))
+    val early = sk(col("ts") < lit(KmvOverlapEarlyEnd).cast(TimestampType), "early")
+    val late = sk(col("ts") >= lit(KmvOverlapLateStart).cast(TimestampType), "late")
+    val k = KmvDistinctK
+    val ov = udf((a: Seq[Long], b: Seq[Long]) =>
+      KmvSketch.overlap(a.toArray, b.toArray, k))
+    early.crossJoin(late)
+      .select(ov(col("sk_early"), col("sk_late")).as("o"))
+      .select(
+        col("o._1").as("est_early"),
+        col("o._2").as("est_late"),
+        col("o._3").as("est_union"),
+        col("o._4").as("shared_k"),
+        col("o._5").as("jaccard_est"),
+        col("o._6").as("est_overlap"))
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
     * 4's `hll_sketch_agg`/`hll_union_agg`): per-DAY user sketches built
     * once, then UNIONED per week — the incremental-distinct architecture.

@@ -586,6 +586,91 @@ class ApproxOpsSpec extends SparkSuite {
     assert(bad.isEmpty, bad.take(3).mkString(", "))
   }
 
+  test("kmv_partial_union: day-merged sketches equal the raw weekly replay at both SFs") {
+    val K = graft.ops.StatsOps.KmvDistinctK
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def replay(users: Seq[String]): Double = {
+      val hs = users.map(md5h60).distinct.sorted
+      if (hs.length < K) hs.length.toDouble
+      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
+        hs(K - 1).toDouble
+    }
+    var estRegime = 0; var exactRegime = 0
+    for (fix <- Seq(sf, "/root/testdata/sf0.01")) {
+      val base = graft.model.Tables.events(spark, fix)
+        .selectExpr("date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS w",
+          "CAST(user_id AS STRING) AS u", "date_trunc('DAY', ts) AS d")
+        .collect().map(r => (r.getString(0), r.getString(1), r.get(2).toString))
+      val rows = SparkEntry.queries("kmv_partial_union")(spark, fix).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val w = r.getAs[String]("week")
+        val grp = base.filter(_._1 == w)
+        assert(r.getAs[Long]("n_days") == grp.map(_._3).distinct.length.toLong, w)
+        // the engine went DAY partials -> weekly merge; the replay goes
+        // straight from raw weekly users — equality IS merge==recompute
+        val est = r.getAs[Double]("est_users")
+        assert(est == replay(grp.map(_._2).toSeq), s"$fix $w")
+        val nd = grp.map(_._2).distinct.length
+        if (nd < K) { exactRegime += 1; assert(est == nd.toDouble, w) }
+        else estRegime += 1
+      }
+    }
+    assert(estRegime > 0 && exactRegime > 0,
+      s"both regimes must fire across fixtures (est=$estRegime exact=$exactRegime)")
+  }
+
+  test("kmv_overlap: engine equals the straight-line overlap; partial overlap non-vacuous") {
+    import graft.ops.StatsOps
+    val K = StatsOps.KmvDistinctK
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def kminState(users: Seq[String]): Array[Long] = {
+      val hs = users.map(md5h60).distinct.sorted.take(K)
+      val b = new Array[Long](hs.length + 1)
+      b(0) = hs.length
+      hs.zipWithIndex.foreach { case (h, i) => b(i + 1) = h }
+      b
+    }
+    var estRegime = 0; var exactRegime = 0; var partial = 0
+    for (fix <- Seq(sf, "/root/testdata/sf0.01")) {
+      val p = graft.model.Tables.events(spark, fix)
+        .filter(s"event_type = 'purchase'")
+        .selectExpr("CAST(user_id AS STRING) AS u", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+      val earlyEnd = java.sql.Timestamp.valueOf(StatsOps.KmvOverlapEarlyEnd)
+      val lateStart = java.sql.Timestamp.valueOf(StatsOps.KmvOverlapLateStart)
+      val ea = p.filter(_._2.before(earlyEnd)).map(_._1).toSeq
+      val la = p.filter(x => !x._2.before(lateStart)).map(_._1).toSeq
+      val (na, nb, nu, sh, j, inter) =
+        graft.functions.KmvSketch.overlap(kminState(ea), kminState(la), K)
+      val r = SparkEntry.queries("kmv_overlap")(spark, fix).collect()(0)
+      assert(r.getAs[Double]("est_early") == na, fix)
+      assert(r.getAs[Double]("est_late") == nb, fix)
+      assert(r.getAs[Double]("est_union") == nu, fix)
+      assert(r.getAs[Long]("shared_k") == sh, fix)
+      assert(r.getAs[Double]("jaccard_est") == j, fix)
+      assert(r.getAs[Double]("est_overlap") == inter, fix)
+      // ground truth sanity: estimate within 25% of the true intersection
+      val trueInter = (ea.toSet intersect la.toSet).size
+      assert(math.abs(inter - trueInter) <= math.max(2.0, 0.25 * trueInter),
+        s"$fix: $inter vs true $trueInter")
+      val unionTrue = (ea.toSet union la.toSet).size
+      if (unionTrue < K) { exactRegime += 1; assert(inter == trueInter.toDouble, fix) }
+      else estRegime += 1
+      if (j < 1.0 && sh > 0) partial += 1
+    }
+    assert(estRegime > 0 && exactRegime > 0 && partial > 0,
+      s"regimes est=$estRegime exact=$exactRegime partial=$partial — spec vacuous")
+  }
+
   test("KmvSketch state is merge-order and partitioning independent") {
     val agg = new graft.functions.KmvSketch(16)
     val rnd = new scala.util.Random(42)

@@ -488,6 +488,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("kmv_partial_union: one scan, two sketch-aggregation levels, no Expand") {
+    val p = plan("kmv_partial_union")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Expand"), p)
+    // day-level state agg + week-level merge agg: rows between the two
+    // levels are 8(k+1)-byte sketches, never raw users
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4, // partial+final x2
+      s"expected two typed-aggregate levels:\n$p")
+  }
+
+  test("kmv_overlap: two bounded side scans, sketch partials, 1x1 combine only") {
+    val p = plan("kmv_overlap")
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"1x1 combine must not shuffle:\n$p")
+  }
+
   test("dq_quarantine is one scan — every rule evaluates in a single projection") {
     val p = plan("dq_quarantine")
     val scans = "Scan parquet".r.findAllIn(p).length
