@@ -302,6 +302,7 @@ object SparkEntry {
     "semantic_outliers" -> (SimilarityOps.semanticOutliers _),
     "centroid_confusion" -> (SimilarityOps.centroidConfusion _),
     "kmeans_embed"      -> ((s, d) => SimilarityOps.kmeansEmbed(s, d)),
+    "ann_ivf_flat"      -> (SimilarityOps.annIvfFlat _),
     "cluster_balanced_sample" -> ((s, d) => SimilarityOps.clusterBalancedSample(s, d)),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "shuffle_audit"     -> (PipelineOps.shuffleAudit _),
@@ -2604,6 +2605,34 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS DOUBLE)/count(*)/1e6
         |    AS mean_d2
         |FROM af GROUP BY cid""".stripMargin),
+    // IVF-Flat over the SAME replayed quantizer: the kmeans CTE prefix
+    // yields converged centroids (c3) and assignments (af); probes are
+    // the nProbe nearest cells per query (row_number over the same
+    // distance fold), candidates are probed-cell members, cosine is the
+    // knn_cosine parity fragment — the whole ANN search hash-checks
+    "ann_ivf_flat" ->
+      (KmeansCteSql +
+        s""", nr AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |corp AS (SELECT nr.vec_id, nr.v, nr.nrm, af.cid AS cell
+        |         FROM nr JOIN af USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm
+        |      FROM corp WHERE vec_id < 10),
+        |pr AS (SELECT q_id, cid FROM (
+        |    SELECT q.q_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+        |    FROM q, c3 c) t WHERE rn <= ${SimilarityOps.AnnIvfFlatProbe}),
+        |cand AS (SELECT q.q_id, corp.vec_id,
+        |    list_sum(list_transform(list_zip(corp.v, q.qv), z -> z[1] * z[2]))
+        |      / (corp.nrm * q.q_nrm) AS cosine
+        |  FROM q JOIN pr USING (q_id)
+        |  JOIN corp ON corp.cell = pr.cid AND corp.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM cand) t WHERE rk <= 3""".stripMargin),
     // equal quota per kmeans cluster, ranked by the multiplicative-hash
     // permutation of vec_id — same CTE prefix, same hash as corpus_shuffle
     "cluster_balanced_sample" ->

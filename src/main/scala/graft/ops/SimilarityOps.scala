@@ -1296,45 +1296,55 @@ object SimilarityOps {
     * distance) after [[kmeansEmbed]]'s training loop — the frame both the
     * cluster summary and [[clusterBalancedSample]] consume.
     */
-  private[ops] def kmeansAssign(spark: SparkSession, dir: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
-    val e = Tables.ckpt(Tables.embeddings(spark, dir)
+  private def kmeansFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.ckpt(Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v")))
+
+  /** Per-row argmin over the literal centroid matrix: the distance
+    * vector is computed ONCE (HOFs run interpreted — the k·d fold is
+    * the per-row cost, so never evaluate it twice), then a (bd, bi)
+    * fold where strict < keeps the earlier (smaller-cid) centroid on a
+    * tie.
+    */
+  private def kmeansBest(df: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val m = cents.length
+    df
+      .withColumn("cmat", typedLit(cents.map(_._2)))
+      .withColumn("cids", typedLit(cents.map(_._1)))
+      .withColumn("d2s", expr(
+        s"""transform(sequence(0, ${m - 1}), i ->
+           |  aggregate(zip_with(v, element_at(cmat, i + 1),
+           |    (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x))""".stripMargin))
+      .withColumn("best", expr(
+        s"""aggregate(sequence(0, ${m - 1}),
+           |  named_struct('bd', cast('Infinity' as double), 'bi', -1),
+           |  (acc, i) -> if(element_at(d2s, i + 1) < acc.bd,
+           |    named_struct('bd', element_at(d2s, i + 1), 'bi', i),
+           |    acc))""".stripMargin))
+      .withColumn("cid", expr("element_at(cids, best.bi + 1)"))
+  }
+
+  /** The deterministic integer-quantized Lloyd loop over a prepared
+    * (vec_id, v) frame — seeds are the k smallest vec_ids, means are
+    * exact floor(x·1e6) integer sums divided once. Returns the converged
+    * (cid, centroid) pairs; shared by [[kmeansAssign]] and
+    * [[annIvfFlat]] so the quantizer the IVF search probes is the SAME
+    * oracle-replayable one `kmeans_embed` hash-proves.
+    */
+  private[ops] def kmeansTrainOn(e: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     // seeds: k smallest vec_ids, cid 0..k-1 in id order — an O(k) collect
     var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) =>
         i -> r.getAs[scala.collection.Seq[Double]]("v").toSeq
       }.toSeq
-
-    // per-row argmin over the literal centroid matrix: the distance
-    // vector is computed ONCE (HOFs run interpreted — the k·d fold is
-    // the per-row cost, so never evaluate it twice), then a (bd, bi)
-    // fold where strict < keeps the earlier (smaller-cid) centroid on a
-    // tie
-    def withBest(df: DataFrame): DataFrame = {
-      val m = cents.length
-      df
-        .withColumn("cmat", typedLit(cents.map(_._2)))
-        .withColumn("cids", typedLit(cents.map(_._1)))
-        .withColumn("d2s", expr(
-          s"""transform(sequence(0, ${m - 1}), i ->
-             |  aggregate(zip_with(v, element_at(cmat, i + 1),
-             |    (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x))""".stripMargin))
-        .withColumn("best", expr(
-          s"""aggregate(sequence(0, ${m - 1}),
-             |  named_struct('bd', cast('Infinity' as double), 'bi', -1),
-             |  (acc, i) -> if(element_at(d2s, i + 1) < acc.bd,
-             |    named_struct('bd', element_at(d2s, i + 1), 'bi', i),
-             |    acc))""".stripMargin))
-        .withColumn("cid", expr("element_at(cids, best.bi + 1)"))
-    }
-
     for (_ <- 1 to iters) {
       // ONE job: shuffle-free assignment, explode to (cid, dim, xq),
       // one (cid, dim) exchange with map-side combine, O(k·d) collect
-      val rows = withBest(e)
+      val rows = kmeansBest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .withColumn("xq", floor(col("x") * lit(1000000.0)).cast(LongType))
         .groupBy(col("cid"), col("dim"))
@@ -1347,8 +1357,68 @@ object SimilarityOps {
         }
         .sortBy(_._1)
     }
+    cents
+  }
+
+  private[ops] def kmeansAssign(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = kmeansFrame(spark, dir)
     // final assignment under the converged centroids
-    withBest(e).select(col("vec_id"), col("cid"), col("best.bd").as("d2"))
+    kmeansBest(e, kmeansTrainOn(e, k, iters))
+      .select(col("vec_id"), col("cid"), col("best.bd").as("d2"))
+  }
+
+  /** IVF probe width for [[annIvfFlat]] — public: the oracle SQL
+    * interpolates it. 2 of 8 cells = the same 25% probe fraction the
+    * float-quantizer `ann_ivf` runs (4 of 16).
+    */
+  val AnnIvfFlatProbe = 2
+
+  /** IVF-Flat ANN over the DETERMINISTIC quantizer — the first
+    * fully ORACLE-CHECKED member of the ANN family: where `ann_ivf`'s
+    * MLlib-trained float centroids are assignment-order defined (hence
+    * rows-only forever), this op probes the integer-quantized Lloyd
+    * quantizer that `kmeans_embed` already hash-proves, so the ENTIRE
+    * search — training, cell assignment, probe selection, candidate
+    * cosines, final ranks — replays in DuckDB as chained CTEs and the
+    * driver hash-verifies it end to end. Same search shape as ann_ivf:
+    * per-row shuffle-free cell assignment over the centroid literal,
+    * nProbe nearest cells per query via a broadcast k-row centroid
+    * table, candidates equi-joined on cell (never all pairs), exact
+    * cosine re-rank through the codegen'd dot_product. At deployment
+    * scale nList grows ~√N and the probed fraction shrinks; the exact
+    * cosine tail touches only probed-cell candidates.
+    */
+  def annIvfFlat(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = kmeansFrame(spark, dir)
+    val cents = kmeansTrainOn(e, 8, 3)
+    val corpus = kmeansBest(e, cents)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, a -> a * a), 0D, (acc, x) -> acc + x))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val q = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm"))
+    val centDf = spark.createDataFrame(cents.map { case (i, c) => (i, c) })
+      .toDF("c_id", "c_vec")
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dist"), col("c_id"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("c_dist", expr(
+        "aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= AnnIvfFlatProbe)
+      .select(col("q_id"), col("qv"), col("q_nrm"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(probes),
+        col("cell") === col("c_id") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dotVQ / (nrm * q_nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cosine"),
+        col("rk").cast(IntegerType).as("rk"))
   }
 
   def kmeansEmbed(spark: SparkSession, dir: String,

@@ -505,6 +505,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"1x1 combine must not shuffle:\n$p")
   }
 
+  test("ann_ivf_flat: candidates ride a broadcast probe join, never all pairs") {
+    val p = plan("ann_ivf_flat")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"cell equi-join must broadcast probes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dq_quarantine is one scan — every rule evaluates in a single projection") {
     val p = plan("dq_quarantine")
     val scans = "Scan parquet".r.findAllIn(p).length

@@ -98,4 +98,74 @@ class SemDedupSpec extends SparkSuite {
     assert(got == expected, s"clusters diverge: got $got want $expected")
     assert(got.size > 1, "k-means collapsed to one cluster — spec vacuous")
   }
+
+  test("ann_ivf_flat matches a straight-line train->probe->search replay; approximation is real") {
+    val vs = graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val k = 8
+    val nProbe = graft.ops.SimilarityOps.AnnIvfFlatProbe
+    var cents: Seq[Array[Double]] = vs.take(k).map(_._2.clone).toSeq
+    var cids: Seq[Int] = (0 until k)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(v: Array[Double]): Int = {
+      var bi = -1; var bd = Double.PositiveInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val d = d2(v, c); if (d < bd) { bd = d; bi = i }
+      }
+      cids(bi)
+    }
+    for (_ <- 1 to 3) {
+      val byC = vs.groupBy { case (_, v) => assign(v) }
+      val alive = byC.keys.toSeq.sorted
+      cents = alive.map { c =>
+        val ms = byC(c).map(_._2)
+        Array.tabulate(ms.head.length) { d =>
+          val sq = ms.map(v => math.floor(v(d) * 1e6).toLong).sum
+          sq.toDouble / ms.size / 1e6
+        }
+      }
+      cids = alive
+    }
+    val cells = vs.map { case (id, v) => id -> assign(v) }.toMap
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (nrm(a) * nrm(b))
+    }
+    val expected = vs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val probed = cids.sortBy(c => (d2(qv, cents(cids.indexOf(c))), c))
+        .take(nProbe).toSet
+      vs.filter { case (id, _) => id != qid && probed(cells(id)) }
+        .map { case (id, v) => (qid, id, cos(v, qv)) }
+        .sortBy { case (_, id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((q, id, c), i) => (q, id) -> ((c, i + 1)) }
+    }.toMap
+    val got = SparkEntry.queries("ann_ivf_flat")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Double]("cosine"), r.getAs[Int]("rk")))).toMap
+    assert(got == expected,
+      s"IVF search diverges: missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    assert(got.nonEmpty)
+    // the approximation is REAL on this fixture: the probed 2/8 cells
+    // miss some exact top-3 neighbors (else the op is exhaustive search
+    // in disguise), but recall stays useful
+    val exact = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+      .filter(_.getAs[Int]("rk") <= 3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = exact.count(got.keySet)
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.05 && recall < 1.0,
+      s"recall@3 $recall — approximation vacuous or broken")
+    info(f"ann_ivf_flat recall@3 vs exact: $recall%.2f ($hits/${exact.size})")
+  }
 }
