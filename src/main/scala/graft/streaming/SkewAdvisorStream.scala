@@ -67,6 +67,26 @@ object SkewAdvisorStream {
         (col("sample_rows") * lit(100L / pct)).as("est_rows"))
   }
 
+  /** Running per-key DISTINCT-cardinality advisory via the deterministic
+    * KMV sketch ([[graft.functions.KmvSketch]], same k as the batch
+    * `kmv_distinct`): an update-mode streaming aggregation whose state
+    * per key is the 8·(k+1)-byte sketch buffer, re-emitting the refined
+    * estimate for changed keys each micro-batch. Because KMV state is
+    * merge-order independent, the converged stream state EQUALS the
+    * batch op on the same data — the spec pins it row-for-row, the
+    * property no HLL stream twin could offer.
+    */
+  def distinctCounts(events: DataFrame, keyCol: String = "event_type",
+                     valueCol: String = "user_id"): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvSketch(graft.ops.StatsOps.KmvDistinctK))
+    events.groupBy(col(keyCol).as("key"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        kmv(graft.functions.KmvSketch.hash60(col(valueCol).cast("string")))
+          .as("n_distinct_est"))
+  }
+
   /** Drive [[keyCounts]] through `foreachBatch`, handing every refresh the
     * SALT ADVISORY rows for the keys that changed in that micro-batch.
     * The caller upserts them (JDBC in production; the spec accumulates

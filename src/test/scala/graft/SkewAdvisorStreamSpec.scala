@@ -78,6 +78,51 @@ class SkewAdvisorStreamSpec extends SparkSuite {
     assert(refreshes >= 2)
   }
 
+  test("streaming KMV distinct advisory converges to the batch kmv_distinct estimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type", "CAST(user_id AS STRING) AS user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val mid = evs(evs.length / 2)._1
+
+    val input = MemoryStream[(Long, String, String)]
+    val counts = graft.streaming.SkewAdvisorStream.distinctCounts(
+      input.toDF().toDF("event_id", "event_type", "user_id"))
+    val ck = java.nio.file.Files.createTempDirectory("kmvstream_ckpt").toString
+    val table = mutable.Map[String, (Long, Double)]()
+    def drain(): Unit = {
+      val q = counts.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            table(r.getAs[String]("key")) =
+              (r.getAs[Long]("cnt"), r.getAs[Double]("n_distinct_est"))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    input.addData(evs.filter(_._1 < mid).toSeq)
+    drain()
+    val after1 = table.toMap
+    input.addData(evs.filter(_._1 >= mid).toSeq)
+    drain() // resumes from checkpoint: sketch state must merge, not reset
+
+    // batch twin on the same corpus: (event_type, n_events, n_users_est)
+    val batch = SparkEntry.queries("kmv_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("n_users_est")))).toMap
+    assert(table.toMap == batch,
+      s"converged stream != batch kmv_distinct\nstream=$table\nbatch=$batch")
+    assert(after1 != batch, "split degenerate — batch 1 already converged")
+  }
+
   test("streamed join-size advisory equals the batch sampled estimate arithmetic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
