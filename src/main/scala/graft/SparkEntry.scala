@@ -4389,10 +4389,11 @@ object SparkEntry {
          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
          |      FROM events GROUP BY 1)
          |SELECT g.event_type, g.n_events,
-         |  e_n_users_est.n_users_est, e_n_days_est.n_days_est
+         |  COALESCE(e_n_users_est.n_users_est, CAST(0 AS DOUBLE)) AS n_users_est,
+         |  COALESCE(e_n_days_est.n_days_est, CAST(0 AS DOUBLE)) AS n_days_est
          |FROM g
-         |JOIN e_n_users_est USING (event_type)
-         |JOIN e_n_days_est USING (event_type)""".stripMargin
+         |LEFT JOIN e_n_users_est USING (event_type)
+         |LEFT JOIN e_n_days_est USING (event_type)""".stripMargin
     },
     // two-level KMV rollup replay: the k-min-of-union identity means the
     // merged weekly state equals the direct weekly sketch, so the oracle
@@ -4418,7 +4419,9 @@ object SparkEntry {
          |d AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
          |        CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
          |      FROM events GROUP BY 1)
-         |SELECT d.week, d.n_days, e.est_users FROM d JOIN e USING (week)""".stripMargin
+         |SELECT d.week, d.n_days,
+         |  COALESCE(e.est_users, CAST(0 AS DOUBLE)) AS est_users
+         |FROM d LEFT JOIN e USING (week)""".stripMargin
     },
     // KMV overlap replay: k smallest distinct hashes per side, union
     // sketch = k smallest of the raw union (k-min-of-union identity),

@@ -39,8 +39,10 @@ case class HilbertIndex(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   /** Integral arguments (INT columns, integer literals) widen to BIGINT
-    * automatically, matching built-in function ergonomics; non-integral
-    * types still fail analysis with the standard type-check message.
+    * automatically, matching built-in function ergonomics. Like the
+    * built-ins, this also admits the standard STRING→BIGINT implicit
+    * cast (trapping at runtime under ANSI, NULL otherwise); only
+    * non-castable types (arrays, structs, …) fail analysis.
     * (Return type left inferred: `AbstractDataType` is `private[sql]`.)
     */
   override def inputTypes = Seq(LongType, LongType)

@@ -93,11 +93,9 @@ class KmvSketch(val k: Int)
     out
   }
 
-  override def finish(b: Array[Long]): Double = {
-    val c = b(0).toInt
-    if (c < k) c.toDouble // exact regime: sketch holds every distinct hash
-    else KmvSketch.EstNumerator * (k - 1).toDouble / b(k).toDouble
-  }
+  // exact below k (sketch holds every distinct hash), closed form at k —
+  // the ONE shared estimator definition
+  override def finish(b: Array[Long]): Double = KmvSketch.estimate(b, k)
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble

@@ -15,8 +15,9 @@ import graft.model.Tables
   * partial aggregation — profiling 100 TB costs one scan, never a scan per
   * column or per rule. The EXACT profiler's distinct counts expand the scan
   * k-ways (Spark's multi-distinct Expand); the approx profiler replaces
-  * them with HLL++ sketches (no expansion, one constant-size sketch per
-  * column); the rule counter is a pure conditional aggregate (zero
+  * them with deterministic KMV sketches (no expansion, one 8 KB sketch
+  * per column, hash-checked since r16 — see [[profileColumnsApprox]]);
+  * the rule counter is a pure conditional aggregate (zero
   * expansion). Output is long-form (one row per column / per rule) so
   * downstream gates can join or alert on it relationally — the monitor-DAG
   * pattern, made data.

@@ -696,13 +696,18 @@ object SimilarityOps {
   }
 
   /** Per-query nProbe nearest cells: q's columns + `c_id`, via a broadcast
-    * nList-row centroid table. Shared by [[annIvf]] and [[annIvfPq]].
+    * nList-row centroid table. Shared by [[annIvf]], [[annIvfPq]], and
+    * [[annIvfFlat]] (the id-carrying overload) so the probe arithmetic
+    * can never drift between the ANN paths.
     */
   private def cellProbes(spark: SparkSession, q: DataFrame,
-                         cents: Array[Array[Double]], nProbe: Int): DataFrame = {
-    val centroids = spark.createDataFrame(
-      cents.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("c_id", "c_vec")
+                         cents: Array[Array[Double]], nProbe: Int): DataFrame =
+    cellProbesIds(spark, q,
+      cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toSeq, nProbe)
+
+  private def cellProbesIds(spark: SparkSession, q: DataFrame,
+                            cents: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    val centroids = spark.createDataFrame(cents).toDF("c_id", "c_vec")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_dist"), col("c_id"))
     q.crossJoin(broadcast(centroids))
@@ -1400,16 +1405,7 @@ object SimilarityOps {
     val q = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"))
-    val centDf = spark.createDataFrame(cents.map { case (i, c) => (i, c) })
-      .toDF("c_id", "c_vec")
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_dist"), col("c_id"))
-    val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("c_dist", expr(
-        "aggregate(zip_with(qv, c_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= AnnIvfFlatProbe)
-      .select(col("q_id"), col("qv"), col("q_nrm"), col("c_id"))
+    val probes = cellProbesIds(spark, q, cents, AnnIvfFlatProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(probes),

@@ -60,6 +60,10 @@ object SkewAdvisorStream {
     */
   def joinSizeAdvisory(streamSample: DataFrame, dimSample: DataFrame,
                        pct: Long = RelationalOps.JoinSamplePct): DataFrame = {
+    // integer scale-up: a pct that does not divide 100 would silently
+    // truncate 100/pct and bias the estimate — fail loudly instead
+    require(pct > 0 && 100 % pct == 0,
+      s"pct must be a positive divisor of 100, got $pct")
     val d = dimSample.select(col("key"), col("cnt").as("dim_cnt"))
     streamSample.join(d, "key")
       .agg(coalesce(sum(col("cnt") * col("dim_cnt")), lit(0L)).as("sample_rows"))
@@ -92,11 +96,14 @@ object SkewAdvisorStream {
     * The caller upserts them (JDBC in production; the spec accumulates
     * into a map and pins the final table against batch `salt_plan`).
     */
-  def advisories(counts: DataFrame, checkpoint: String)
+  def advisories(counts: DataFrame, checkpoint: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
                 (onRefresh: (Array[org.apache.spark.sql.Row], Long) => Unit): StreamingQuery =
     counts.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // collect is bounded: update-mode deltas over a key-cardinality
         // state — at most |keys| rows per refresh

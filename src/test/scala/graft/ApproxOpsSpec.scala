@@ -9,6 +9,25 @@ class ApproxOpsSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Straight-line twin of [[graft.functions.Md5Prefix60]]: top 60 bits
+    * of md5 — the ONE replay definition every KMV ground-truth test uses.
+    */
+  private def md5h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Straight-line KMV estimate over rendered values (nulls skipped):
+    * exact below k distinct hashes, (k−1)·2^60/h_(k) at k.
+    */
+  private def kmvReplay(rendered: Seq[String], k: Int): Double = {
+    val hs = rendered.filter(_ != null).map(md5h60).distinct.sorted
+    if (hs.length < k) hs.length.toDouble
+    else graft.functions.KmvSketch.EstNumerator * (k - 1).toDouble /
+      hs(k - 1).toDouble
+  }
+
   /** Word-3-gram shingle sets per document, computed independently of the
     * engine (plain Scala over collected rows) so the engine's own shingling
     * is part of what's being verified.
@@ -478,18 +497,6 @@ class ApproxOpsSpec extends SparkSuite {
         "event_type", "CAST(CAST(value AS DECIMAL(18,2)) AS STRING) AS value_s",
         "props")
       .collect()
-    def md5h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(
-        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
-    def replay(rendered: Seq[String]): Double = {
-      val hs = rendered.filter(_ != null).map(md5h60).distinct.sorted
-      if (hs.length < K) hs.length.toDouble
-      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
-        hs(K - 1).toDouble
-    }
     val rendered: Map[String, Seq[String]] = Map(
       "event_id" -> rows.map(r => Option(r.get(0)).map(_.toString).orNull),
       "ts" -> rows.map(r => Option(r.get(1)).map(_.toString).orNull),
@@ -509,7 +516,7 @@ class ApproxOpsSpec extends SparkSuite {
       val n = e.getAs[Long]("n_distinct")
       val est = a.getAs[Double]("n_distinct_est")
       // DETERMINISTIC ground truth: bit-identical to the replay
-      assert(est == replay(rendered(k)), s"$k: engine $est != replay")
+      assert(est == kmvReplay(rendered(k), K), s"$k: engine $est != replay")
       if (n < K) {
         exactRegime += 1
         assert(est == n.toDouble, s"$k: exact regime must report $n, got $est")
@@ -526,18 +533,6 @@ class ApproxOpsSpec extends SparkSuite {
   test("kmv_distinct: engine equals straight-line replay; estimator and exact regimes both fire") {
     val sf01 = "/root/testdata/sf0.01"
     val K = graft.ops.StatsOps.KmvDistinctK
-    def md5h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(
-        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
-    def replay(rendered: Seq[String]): Double = {
-      val hs = rendered.filter(_ != null).map(md5h60).distinct.sorted
-      if (hs.length < K) hs.length.toDouble
-      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
-        hs(K - 1).toDouble
-    }
     val base = graft.model.Tables.events(spark, sf01)
       .selectExpr("event_type", "CAST(user_id AS STRING) AS u",
         "date_format(ts, 'yyyy-MM-dd') AS d")
@@ -552,8 +547,8 @@ class ApproxOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("n_events") == grp.length.toLong, et)
       val uest = r.getAs[Double]("n_users_est")
       val dest = r.getAs[Double]("n_days_est")
-      assert(uest == replay(grp.map(_._2).toSeq), s"$et users")
-      assert(dest == replay(grp.map(_._3).toSeq), s"$et days")
+      assert(uest == kmvReplay(grp.map(_._2).toSeq, K), s"$et users")
+      assert(dest == kmvReplay(grp.map(_._3).toSeq, K), s"$et days")
       val trueUsers = grp.map(_._2).distinct.length
       val trueDays = grp.map(_._3).distinct.length
       if (trueUsers >= K) { // estimator regime: sanity envelope only
@@ -588,17 +583,6 @@ class ApproxOpsSpec extends SparkSuite {
 
   test("kmv_partial_union: day-merged sketches equal the raw weekly replay at both SFs") {
     val K = graft.ops.StatsOps.KmvDistinctK
-    def md5h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
-    def replay(users: Seq[String]): Double = {
-      val hs = users.map(md5h60).distinct.sorted
-      if (hs.length < K) hs.length.toDouble
-      else graft.functions.KmvSketch.EstNumerator * (K - 1).toDouble /
-        hs(K - 1).toDouble
-    }
     var estRegime = 0; var exactRegime = 0
     for (fix <- Seq(sf, "/root/testdata/sf0.01")) {
       val base = graft.model.Tables.events(spark, fix)
@@ -614,7 +598,7 @@ class ApproxOpsSpec extends SparkSuite {
         // the engine went DAY partials -> weekly merge; the replay goes
         // straight from raw weekly users — equality IS merge==recompute
         val est = r.getAs[Double]("est_users")
-        assert(est == replay(grp.map(_._2).toSeq), s"$fix $w")
+        assert(est == kmvReplay(grp.map(_._2).toSeq, K), s"$fix $w")
         val nd = grp.map(_._2).distinct.length
         if (nd < K) { exactRegime += 1; assert(est == nd.toDouble, w) }
         else estRegime += 1
@@ -627,11 +611,6 @@ class ApproxOpsSpec extends SparkSuite {
   test("kmv_overlap: engine equals the straight-line overlap; partial overlap non-vacuous") {
     import graft.ops.StatsOps
     val K = StatsOps.KmvDistinctK
-    def md5h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
     def kminState(users: Seq[String]): Array[Long] = {
       val hs = users.map(md5h60).distinct.sorted.take(K)
       val b = new Array[Long](hs.length + 1)

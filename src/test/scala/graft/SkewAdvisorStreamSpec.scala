@@ -42,20 +42,16 @@ class SkewAdvisorStreamSpec extends SparkSuite {
     // the advisory table: latest row per key wins (upsert semantics)
     val table = mutable.Map[String, (Long, Long, Long)]()
     var refreshes = 0L
+    // drives the PRODUCTION entry point itself (advisories), not an
+    // inline re-implementation of its body
     def drain(): Unit = {
-      val q = counts.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.ops.QualityOps.saltAdvisory(batch).collect().foreach { r =>
-            table(r.getAs[String]("key")) = (r.getAs[Long]("cnt"),
-              r.getAs[Long]("n_salts"), r.getAs[Long]("post_rows_max"))
-          }
-          refreshes += 1
-          ()
+      val q = SkewAdvisorStream.advisories(counts, ck) { (rows, _) =>
+        rows.foreach { r =>
+          table(r.getAs[String]("key")) = (r.getAs[Long]("cnt"),
+            r.getAs[Long]("n_salts"), r.getAs[Long]("post_rows_max"))
         }
-        .trigger(Trigger.AvailableNow())
-        .start()
+        refreshes += 1
+      }
       q.awaitTermination()
     }
 
