@@ -236,6 +236,8 @@ object SparkEntry {
     "kmv_distinct"      -> (StatsOps.kmvDistinct _),
     "kmv_partial_union" -> (StatsOps.kmvPartialUnion _),
     "kmv_overlap"       -> (StatsOps.kmvOverlap _),
+    "cusum_changepoint" -> (StatsOps.cusumChangepoint _),
+    "top_paths"         -> (StatsOps.topPaths _),
     "kll_partial_union" -> (StatsOps.kllPartialUnion _),
     "theta_overlap"     -> (StatsOps.thetaOverlap _),
     "hll_overlap"       -> (StatsOps.hllOverlap _),
@@ -4423,6 +4425,48 @@ object SparkEntry {
          |  COALESCE(e.est_users, CAST(0 AS DOUBLE)) AS est_users
          |FROM d LEFT JOIN e USING (week)""".stripMargin
     },
+    // CUSUM closed form: prefix sum of n_days-scaled deviations minus its
+    // running min; the alarm compares by cross-multiplication against the
+    // public Num/Den threshold — pure integers, no float in hashed output
+    "cusum_changepoint" ->
+      s"""WITH d AS (
+         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, day, n_events,
+         |        count(*) OVER (PARTITION BY event_type) AS nd,
+         |        sum(n_events) OVER (PARTITION BY event_type) AS tot
+         |      FROM d),
+         |p AS (SELECT *,
+         |        sum(nd * n_events - tot) OVER (PARTITION BY event_type
+         |          ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+         |      FROM s),
+         |c AS (SELECT *,
+         |        pp - least(0, min(pp) OVER (PARTITION BY event_type
+         |          ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
+         |      FROM p)
+         |SELECT event_type, day, n_events,
+         |  CAST(nd * n_events - tot AS BIGINT) AS dev_scaled,
+         |  CAST(cus AS BIGINT) AS cusum_scaled,
+         |  cus * ${StatsOps.CusumThresholdDen}
+         |    > tot * ${StatsOps.CusumThresholdNum} AS alarm
+         |FROM c""".stripMargin,
+    // first-TopPathLen journey per user via one ordered window; path
+    // frequencies over the bounded path space, (n desc, path) top-20
+    "top_paths" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |      FROM r WHERE rn <= ${StatsOps.TopPathLen} GROUP BY user_id),
+         |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1)
+         |SELECT path, n_users, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT path, n_users,
+         |    row_number() OVER (ORDER BY n_users DESC, path) AS rk
+         |  FROM g) t WHERE rk <= 20""".stripMargin,
     // KMV overlap replay: k smallest distinct hashes per side, union
     // sketch = k smallest of the raw union (k-min-of-union identity),
     // shared counted by membership in BOTH side sketches, Jaccard and

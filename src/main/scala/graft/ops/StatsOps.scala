@@ -522,6 +522,93 @@ object StatsOps {
         expr("max(us) div 1000000").as("max_sec"))
   }
 
+  /** Alarm threshold for [[cusumChangepoint]] as the exact rational
+    * Num/Den of the mean daily volume — public: the oracle SQL
+    * interpolates both. 1/2 makes both alarm branches fire at the gate
+    * SF (sf0.01 peak CUSUM ratios 0.42–0.64 across event types).
+    */
+  val CusumThresholdNum = 1L
+  val CusumThresholdDen = 2L
+
+  /** CUSUM change detection over the daily event-volume series, per
+    * event type — the SPC (statistical process control) primitive a
+    * monitoring stack runs beside [[graft.ops.IndicatorOps]]'s z-score
+    * anomaly gate: where zscore flags single outlier DAYS, CUSUM
+    * accumulates small persistent drifts until they cross a threshold.
+    * The textbook recursion S_t = max(0, S_{t−1} + x_t − μ) is not a
+    * window function, but its closed form IS:
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the deviation prefix sum P
+    * (the min includes the EMPTY prefix — CusumPathsSpec caught the
+    * version without it on the fixture's above-mean first day) — so the
+    * op is two windows over the day-summary frame, no recursion, no UDF. EXACT integers end to end:
+    * deviations are cleared of the μ = total/n_days division
+    * (dev_scaled = n_days·x_t − total), so cusum_scaled is a pure BIGINT
+    * n_days-scaled CUSUM, and the alarm compares
+    * cusum_scaled·Den > total·Num by cross-multiplication — no float
+    * ever enters the hashed output. Scale: one map-side-combined pass
+    * collapses events to ≤ keys×days rows; both windows run on that
+    * summary frame (the wow_growth discipline).
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("nd", count(lit(1)).over(totals))
+      .withColumn("total", sum(col("n_events")).over(totals))
+      .withColumn("dev_scaled", col("nd") * col("n_events") - col("total"))
+      .withColumn("p", sum(col("dev_scaled")).over(ordered))
+      // the running min must include the EMPTY prefix P_0 = 0, or a
+      // series that starts above the mean never resets against zero
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(ordered)))
+      .withColumn("alarm",
+        col("cusum_scaled") * lit(CusumThresholdDen) >
+          col("total") * lit(CusumThresholdNum))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("dev_scaled"), col("cusum_scaled"), col("alarm"))
+  }
+
+  /** Journey length for [[topPaths]] — public: the oracle interpolates
+    * it. 3 keeps the path space (5³ = 125) well below the user count at
+    * the gate SFs so path frequencies are real counts, not all-ones.
+    */
+  val TopPathLen = 3
+
+  /** Top user journeys: each user's first [[TopPathLen]] events (by
+    * event time, event_id tiebreak) joined into a path string, ranked by
+    * how many users share the journey — the product-analytics "top
+    * paths" report beside [[eventTransitions]]'s Markov matrix (which
+    * loses ORDER beyond pairs; this keeps the actual prefix sequence).
+    * Deterministic: the per-user window has a total order, the path is
+    * an ordered join, and the final rank ties break on the path string.
+    * Scale: ONE user_id window over raw events (rows beyond rank
+    * [[TopPathLen]] drop before any aggregation), then all frames are
+    * user- or path-cardinality-sized; the top-20 is a rank over the
+    * ≤ 5^len path frame.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(perUser))
+      .filter(col("rn") <= TopPathLen)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(rn, event_type))),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+    val byPath = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy(col("n_users").desc, col("path"))
+    byPath
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= 20)
+  }
+
   /** KMV sketch size for [[kmvDistinct]] — public: the oracle SQL
     * interpolates it. 64 puts the per-group user counts at the gate SFs
     * (150 at sf0.01, 1500 at sf0.1) in the ESTIMATOR regime while the

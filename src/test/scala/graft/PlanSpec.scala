@@ -512,6 +512,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cusum_changepoint and top_paths: one scan, windows only on summary frames") {
+    val p1 = plan("cusum_changepoint")
+    assert("Scan parquet".r.findAllIn(p1).length == 1, p1)
+    assert(p1.contains("partial"), s"daily census must combine map-side:\n$p1")
+    val p2 = plan("top_paths")
+    assert("Scan parquet".r.findAllIn(p2).length == 1, p2)
+    // the only corpus-sized window is the user_id-partitioned first-k
+    // rank, and it must run under a PARTIAL WindowGroupLimit so the
+    // user exchange carries <= k rows per (mapper, user), not all events
+    assert(p2.contains("Partial") && p2.contains("WindowGroupLimit"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("dq_quarantine is one scan — every rule evaluates in a single projection") {
     val p = plan("dq_quarantine")
     val scans = "Scan parquet".r.findAllIn(p).length
