@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** `hilbert_index(x, y)`: the d-index of cell (x, y) on the
   * 2^[[HilbertIndex.Bits]]-per-side Hilbert curve — the textbook xy2d
@@ -33,22 +34,41 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * out-of-range masking contract.
   */
 case class HilbertIndex(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  /** Integral arguments (INT columns, integer literals) widen to BIGINT
-    * automatically, matching built-in function ergonomics. Like the
-    * built-ins, this also admits the standard STRING→BIGINT implicit
-    * cast (trapping at runtime under ANSI, NULL otherwise); only
-    * non-castable types (arrays, structs, …) fail analysis.
-    * (Return type left inferred: `AbstractDataType` is `private[sql]`.)
+  /** Integral arguments (TINYINT/SMALLINT/INT/BIGINT columns and literals)
+    * are accepted directly and widen inside the kernel — no analyzer cast,
+    * matching built-in function ergonomics for the common case. Anything
+    * else — and in particular DOUBLE/FLOAT/DECIMAL — FAILS ANALYSIS
+    * instead of implicit-casting: the r16 `ImplicitCastInputTypes` form
+    * admitted the standard fractional→BIGINT implicit cast, which under
+    * non-ANSI semantics silently truncates (`hilbert_index(1.9, 2.3)`
+    * quietly computed the cell for (1, 2)). A curve key built from a
+    * truncated coordinate is a data bug the analyzer should catch; a
+    * caller who really wants floor semantics writes the CAST explicitly.
     */
-  override def inputTypes = Seq(LongType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral(left.dataType) && integral(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires integral (TINYINT/SMALLINT/INT/BIGINT) " +
+          s"arguments, got (${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString}); fractional coordinates would " +
+          "truncate — CAST explicitly if floor semantics are intended")
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    HilbertIndex.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    HilbertIndex.compute(a.asInstanceOf[Number].longValue,
+      b.asInstanceOf[Number].longValue)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (xin, yin) => {

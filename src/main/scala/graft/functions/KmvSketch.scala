@@ -75,8 +75,15 @@ class KmvSketch(val k: Int)
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     val (c1, c2) = (b1(0).toInt, b2(0).toInt)
-    if (c2 == 0) return b1
-    if (c1 == 0) return b2
+    // Defensive copies on the trivial-side fast paths: returning an input
+    // by reference is safe under Spark's two-phase aggregate contract
+    // (update never follows merge on the same buffer), but [[reduce]]
+    // mutates buffers in place, so an aliased return handed back to
+    // reduce by any OTHER caller (driver-side reuse, [[KmvMergeAgg]]
+    // feeding a row's deserialized array) would corrupt shared state.
+    // One k+1-long copy per trivial merge is noise next to the shuffle.
+    if (c2 == 0) return java.util.Arrays.copyOf(b1, b1.length)
+    if (c1 == 0) return java.util.Arrays.copyOf(b2, math.max(b2.length, k + 1))
     val out = new Array[Long](k + 1)
     var (i, j, o) = (1, 1, 0)
     while (o < k && (i <= c1 || j <= c2)) {

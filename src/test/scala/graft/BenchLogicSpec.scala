@@ -109,4 +109,21 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(BenchLogic.totalRemeasured(med, mins, Map("a" -> 0.7),
       Set.empty) == 12.0)
   }
+
+  test("noisyRun self-rejects a deliberately-loaded run (r16 escape)") {
+    // The r16 closing artifact: drift_ratio 1.662 passed the old 2.0 bar
+    // with two headline load-phantom regressions riding it. Under the 1.4
+    // gate that exact run self-rejects.
+    assert(BenchLogic.noisyRun(1.662), "the r16 drifted sweep must trip")
+    // Quiet runs stay canonical…
+    assert(!BenchLogic.noisyRun(1.0))
+    assert(!BenchLogic.noisyRun(1.35))
+    assert(!BenchLogic.noisyRun(0.75))
+    // …and the gate is symmetric: a load spike that DEPARTED before the
+    // probe (probe far faster than the sweep medians) also rejects.
+    assert(BenchLogic.noisyRun(0.5))
+    assert(BenchLogic.noisyRun(2.1))
+    // Bar pinned: drift must come back < 1.4 for a canonical artifact.
+    assert(BenchLogic.NoisyRatio == 1.4)
+  }
 }

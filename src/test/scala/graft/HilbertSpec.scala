@@ -77,15 +77,26 @@ class HilbertSpec extends SparkSuite {
 
   test("SQL ergonomics: integral args widen implicitly; wrong arity fails analysis") {
     graft.functions.GraftFunctions.register(spark)
-    // INT literals (and by extension INT columns) widen to BIGINT via
-    // ImplicitCastInputTypes — no manual CAST required (r15 ADVICE)
+    // INT literals (and by extension INT columns) widen to BIGINT inside
+    // the kernel — no manual CAST required (r15 ADVICE)
     val h = spark.sql("SELECT hilbert_index(3, 7) AS h").collect()(0).getLong(0)
     assert(h == xy2d(3L, 7L))
     // a non-castable argument still fails analysis, not silently truncates
-    // (strings DO implicit-cast and trap at runtime under ANSI — by design)
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT hilbert_index(array(1L), 1L)").collect()
     }
+    // fractional coordinates FAIL ANALYSIS rather than implicit-casting
+    // with silent truncation (r16 ADVICE: the old ImplicitCastInputTypes
+    // form computed the cell for (1, 2) from hilbert_index(1.9, 2.3))
+    val ef = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_index(1.9, 2.3)").collect()
+    }
+    assert(ef.getMessage.contains("integral"), ef.getMessage)
+    // ... and the explicit CAST escape hatch works
+    val hc = spark.sql(
+      "SELECT hilbert_index(CAST(1.9 AS BIGINT), CAST(2.3 AS BIGINT)) AS h")
+      .collect()(0).getLong(0)
+    assert(hc == xy2d(1L, 2L))
     // wrong arity is a clean WRONG_NUM_ARGS analysis error naming the
     // function, not an IndexOutOfBoundsException from the builder
     val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -22,6 +22,17 @@ ref: dict[str, float] = {}
 for path in sys.argv[1:]:
     with open(path) as fh:
         details = json.load(fh)
+    # Self-rejection (r16 verdict): a details file whose run tripped the
+    # drift gate (Bench writes `_meta.noisy_run`) must NEVER refresh the
+    # prior — a loaded prior blinds the regression sentinel exactly where
+    # it must not. Hard-exit so a scripted refresh cannot half-apply.
+    meta = details.pop("_meta", {})
+    if meta.get("noisy_run"):
+        sys.exit(
+            f"REFUSING {path}: _meta.noisy_run=true "
+            f"(drift_ratio={meta.get('drift_ratio')}) — a load-contaminated "
+            "run cannot refresh bench_prior.json; re-run Bench on a quiet "
+            "window (see BenchLogic.NoisyRatio)")
     for name, row in details.items():
         med = row.get("median", -1.0)
         if med and med > 0:
