@@ -235,6 +235,7 @@ object SparkEntry {
     "hll_partial_union" -> (StatsOps.hllPartialUnion _),
     "kmv_distinct"      -> (StatsOps.kmvDistinct _),
     "kmv_partial_union" -> (StatsOps.kmvPartialUnion _),
+    "kmv_rank_union"    -> (StatsOps.kmvRankUnion _),
     "kmv_overlap"       -> (StatsOps.kmvOverlap _),
     "cusum_changepoint" -> (StatsOps.cusumChangepoint _),
     "top_paths"         -> (StatsOps.topPaths _),
@@ -4424,6 +4425,43 @@ object SparkEntry {
          |SELECT d.week, d.n_days,
          |  COALESCE(e.est_users, CAST(0 AS DOUBLE)) AS est_users
          |FROM d LEFT JOIN e USING (week)""".stripMargin
+    },
+    // deterministic rank-sketch replay: the oracle builds the DIRECT
+    // weekly KMV value-sample (k smallest distinct cent-hashes carrying
+    // their values) from raw events, while the Spark side runs the
+    // two-level day→week rollup — hash equality proves merge==recompute
+    // (the k-min-of-union identity) on real data. Quantiles are exact
+    // integer-rank order statistics over the sample, so every output
+    // column is BIGINT/STRING and the compare is exact.
+    "kmv_rank_union" -> {
+      val k = StatsOps.KmvRankK
+      s"""WITH v AS (
+         |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |    strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(floor(value * 100) AS BIGINT) AS cent
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT DISTINCT week, cent FROM v),
+         |h AS (SELECT week, cent,
+         |        ('0x' || substr(md5(CAST(cent AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM s),
+         |r AS (SELECT week, cent,
+         |        row_number() OVER (PARTITION BY week ORDER BY h, cent) AS rk
+         |      FROM h),
+         |sk AS (SELECT week, cent FROM r WHERE rk <= $k),
+         |q AS (SELECT week, cent,
+         |        row_number() OVER (PARTITION BY week ORDER BY cent) AS vr,
+         |        count(*) OVER (PARTITION BY week) AS c_sample
+         |      FROM sk),
+         |p AS (SELECT week, CAST(max(c_sample) AS BIGINT) AS c_sample,
+         |        max(CASE WHEN vr = 1 + ((c_sample - 1) * 50) // 100
+         |            THEN cent END) AS p50_cent,
+         |        max(CASE WHEN vr = 1 + ((c_sample - 1) * 95) // 100
+         |            THEN cent END) AS p95_cent
+         |      FROM q GROUP BY 1),
+         |d AS (SELECT week, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |      FROM v GROUP BY 1)
+         |SELECT p.week, d.n_days, p.c_sample, p.p50_cent, p.p95_cent
+         |FROM p JOIN d USING (week)""".stripMargin
     },
     // CUSUM closed form: prefix sum of n_days-scaled deviations minus its
     // running min; the alarm compares by cross-multiplication against the

@@ -796,6 +796,88 @@ object StatsOps {
         q(0.95)(col("wsk")).as("p95_est"))
   }
 
+  /** Sample size for [[kmvRankUnion]] — public: the oracle SQL
+    * interpolates it. 256 keeps the weekly distinct-cent populations at
+    * both gate SFs in the ESTIMATOR regime (sample full at k) while the
+    * rank error stays ~√(q(1−q)/k) ≈ 3% of the distinct-value range;
+    * RankSketchSpec bounds it against exact distinct-value quantiles.
+    */
+  val KmvRankK = 256
+
+  /** Deterministic mergeable RANK sketch — the hash-checkable twin of
+    * [[kllPartialUnion]] (the hll→kmv graduation pattern applied to
+    * quantiles). The sketch of a value set is its k smallest distinct
+    * md5-hashes CARRYING THEIR VALUES: a uniform (by hash)
+    * without-replacement sample of the distinct values that is a PURE
+    * FUNCTION of the value set — merge is k-min union (associative,
+    * commutative, idempotent), so unlike KLL's randomized compaction and
+    * GK's merge-order-defined summaries, ANY partitioning/merge order
+    * yields the identical state. Quantiles are then EXACT INTEGER-RANK
+    * order statistics over the sample values: p_P = the
+    * (1 + ((c−1)·P div 100))-th smallest sampled cent — no float cut,
+    * no interpolation, so the picked value is bit-identical everywhere.
+    *
+    * Values are integer CENTS (`floor(value·100)` — one IEEE multiply +
+    * exact floor, identical in both engines), so every compared column is
+    * BIGINT/STRING: fully hash-checked at both SFs where kll_partial_union
+    * is rows-only by construction.
+    *
+    * Spark runs the TWO-LEVEL rollup (per-day partial sketches — ≤k rows
+    * leave each day — re-ranked per week), while the DuckDB oracle replays
+    * the DIRECT weekly sketch from raw events: the hash match PROVES the
+    * merge==recompute identity on real data, not just in a spec. Rank
+    * windows are row_number+filter, so Spark plans a partial
+    * WindowGroupLimit per group (PlanSpec-pinned) — at 100 TB each
+    * (day × partition) contributes at most k rows to the shuffle, the
+    * [[hllPartialUnion]] partial-architecture with a relational state.
+    * Accuracy: rank error ~√(q(1−q)/k) over DISTINCT values (k=256 →
+    * ~3% — documented: this sketches the distinct-VALUE distribution,
+    * the right read for price-grid/cardinality profiling; duplicate
+    * frequency needs the KLL lane).
+    */
+  def kmvRankUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val k = KmvRankK
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(col("value") * lit(100)).cast(LongType).as("cent"))
+    // per-day partial sketch: the day's k smallest distinct cent-hashes
+    // (hash ties broken on the value — determinism even under collision)
+    val dayPart = ev.distinct()
+      .withColumn("h", KmvSketch.hash60(col("cent")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("week"), col("day"))
+          .orderBy(col("h"), col("cent"))))
+      .filter(col("rn") <= k)
+    // weekly union of the day partials: re-distinct (a cent sampled on
+    // two days appears twice), re-rank — the k-min-of-union identity
+    // makes this EQUAL the direct weekly sketch
+    val weekSketch = dayPart.select(col("week"), col("cent"), col("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("week")).orderBy(col("h"), col("cent"))))
+      .filter(col("rn") <= k)
+    // exact integer-rank order statistics over the sampled VALUES
+    val q = weekSketch
+      .withColumn("c_sample", count(lit(1)).over(Window.partitionBy(col("week"))))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("week")).orderBy(col("cent"))))
+      .groupBy(col("week"), col("c_sample"))
+      .agg(
+        max(when(col("vr") === lit(1) + expr("(c_sample - 1) * 50 div 100"),
+          col("cent"))).as("p50_cent"),
+        max(when(col("vr") === lit(1) + expr("(c_sample - 1) * 95 div 100"),
+          col("cent"))).as("p95_cent"))
+    val nDays = ev.select(col("week"), col("day")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("n_days"))
+    q.join(broadcast(nDays), Seq("week"))
+      .select(col("week"), col("n_days"), col("c_sample"),
+        col("p50_cent"), col("p95_cent"))
+  }
+
   /** Binary Theta-sketch union — same shape as [[KllMergeAgg]]: rows are
     * serialized per-partition sketches, merges cost O(partitions).
     */

@@ -315,6 +315,71 @@ class ApproxOpsSpec extends SparkSuite {
     }
   }
 
+  test("kmv_rank_union equals a straight-line DIRECT-sketch replay (merge==recompute)") {
+    import org.apache.spark.sql.functions._
+    val k = graft.ops.StatsOps.KmvRankK
+    // raw (week, day, cent) through the SAME Spark derivations the op uses
+    val rows = graft.model.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(col("value") * lit(100)).cast("long").as("cent"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // straight-line SINGLE-LEVEL sketch: per week, k smallest distinct
+    // cent-hashes; quantiles by exact integer rank over the sample values.
+    // The op runs the two-level day→week rollup, so exact equality here
+    // is the merge==recompute identity checked end-to-end.
+    val expected = rows.groupBy(_._1).map { case (w, rs) =>
+      val sample = rs.map(_._3).distinct
+        .map(c => (md5h60(c.toString), c)).sorted.take(k).map(_._2)
+      val c = sample.length
+      val byVal = sample.sorted
+      def pick(p: Int): Long = byVal(((c - 1) * p / 100).toInt)
+      (w, (rs.map(_._2).distinct.length.toLong, c.toLong, pick(50), pick(95)))
+    }
+    val got = SparkEntry.queries("kmv_rank_union")(spark, sf).collect()
+      .map(r => r.getAs[String]("week") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("c_sample"),
+          r.getAs[Long]("p50_cent"), r.getAs[Long]("p95_cent")))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (w, e) => assert(got(w) == e, s"week $w") }
+    // non-vacuity: sf0.001 keeps EVERY week below k — the exact regime
+    // (sample == the full distinct-value set) is what this test pins
+    assert(got.values.forall(_._2 < k), "exact-regime fixture drifted")
+  }
+
+  test("kmv_rank_union estimator regime: sample-full weeks track exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01" // every full week > k distinct cents
+    val k = graft.ops.StatsOps.KmvRankK
+    val exact = graft.model.Tables.events(spark, sf01)
+      .filter(col("value").isNotNull)
+      .select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        floor(col("value") * lit(100)).cast("long").as("cent"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2).sorted }
+    def rankOf(vs: Array[Long], v: Long): Double =
+      vs.count(_ <= v).toDouble / vs.length
+    val got = SparkEntry.queries("kmv_rank_union")(spark, sf01).collect()
+      .map(r => (r.getAs[String]("week"), r.getAs[Long]("c_sample"),
+        r.getAs[Long]("p50_cent"), r.getAs[Long]("p95_cent")))
+    // non-vacuity: the sample-full (c_sample == k) branch must fire
+    assert(got.count(_._2 == k) >= 4, s"estimator regime vacuous: $got")
+    got.filter(_._2 == k).foreach { case (w, _, p50, p95) =>
+      // k=256 ⇒ rank sigma ≈ √(0.25/256) ≈ 3.1%; ±10% ≈ 3σ
+      val vs = exact(w).toArray
+      assert(math.abs(rankOf(vs, p50) - 0.50) <= 0.10,
+        s"week $w p50 rank ${rankOf(vs, p50)}")
+      assert(math.abs(rankOf(vs, p95) - 0.95) <= 0.10,
+        s"week $w p95 rank ${rankOf(vs, p95)}")
+    }
+  }
+
   test("theta_overlap intersects signup∩purchase within 5% of exact") {
     import org.apache.spark.sql.functions._
     val ev = graft.model.Tables.events(spark, sf)

@@ -80,6 +80,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("kmv_rank_union: rank-limit pushdown on both sketch levels, broadcast n_days, no cartesian") {
+    // The rank sketch's per-day and per-week top-k filters must both ride
+    // WindowGroupLimit (shuffle carries <= k rows per group per
+    // partition); the tiny per-week n_days frame joins broadcast.
+    val p = plan("kmv_rank_union")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("subqueries decorrelate to joins: EXISTS -> semi, NOT IN -> (null-aware) anti") {
     assert(plan("exists_subquery").contains("LeftSemi"))
     assert(plan("not_in_subquery").contains("LeftAnti"))
