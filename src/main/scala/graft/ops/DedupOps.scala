@@ -215,8 +215,13 @@ object DedupOps {
     TuningConfigs.map { case (b, r) =>
       // the SAME banding/cap/pair-expansion the shipped generator uses —
       // shared definitions, so the (16,4) row agrees with minhash_neardup
-      // by construction, not by test luck
-      val buckets = bandedBuckets(fp, b, r)
+      // by construction, not by test luck.
+      // ckpt: each config's bucket frame feeds BOTH the capped-count
+      // broadcast and the pair expansion — uncheckpointed, the banding
+      // explode + collect_list agg ran twice per config (4×0.6-1.4 s of
+      // the op's 3.9 s at sf0.1, r17 profile; the lshCandidatePairs
+      // generator already checkpoints its buckets for the same reason)
+      val buckets = Tables.ckpt(bandedBuckets(fp, b, r))
       val capped = buckets.agg(
         coalesce(sum(when(size(col("ds")) > MaxBucket, 1L).otherwise(0L)),
           lit(0L)).as("n_capped_buckets"))
@@ -467,11 +472,24 @@ object DedupOps {
         .filter(col("u") =!= col("v"))
         .distinct())
     var iter = 0
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0
     while (!converged && iter < 64) {
       val next = Tables.ckpt(smallStar(largeStar(edges)))
-      converged = next.except(edges).union(edges.except(next)).isEmpty
+      // Set equality on two DISTINCT frames (both ends of every round are
+      // .distinct() by construction): |next| = |edges| ∧ next∖edges = ∅ ⟺
+      // next = edges. The count is a near-free read of the checkpointed
+      // frame (the previous round's count is carried over), so every
+      // round with a changed cardinality skips the except join entirely —
+      // the old two-except symmetric difference was two extra shuffled
+      // subqueries per round on the op's hot loop (r17 profile:
+      // dedup_clusters_lsh ran ~40 sub-200 ms jobs, most of them
+      // convergence bookkeeping; guide §1.2 "don't compute things you
+      // throw away").
+      val nNext = next.count()
+      converged = nNext == nEdges && next.except(edges).isEmpty
       edges = next
+      nEdges = nNext
       iter += 1
     }
     // at fixpoint every non-root node carries exactly one (node, root) edge
@@ -580,23 +598,34 @@ object DedupOps {
     * above any real near-dup chain.
     */
   def sqlRecursiveClosure(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_rcte")
-    spark.sql(
-      """WITH RECURSIVE
-        |d AS (
+    Tables.balanced(Tables.documents(spark, dir))
+      .createOrReplaceTempView("graft_docs_rcte")
+    // Pre-materialize the adjacent-pair near-dup edge list ONCE behind a
+    // checkpointed temp view: the recursive arm references the pair CTE at
+    // every unrolled step, and an inlined `p` re-ran the whole shingling +
+    // Jaccard self-join per step (4 × ~0.35 s of the op's 2.5 s at sf0.1,
+    // r17 profile — the §3.3 "materialize an intermediate to truncate the
+    // plan" case). The edge definition is byte-identical SQL; the WALK —
+    // the recursion this op exercises — stays a SQL-surface
+    // WITH RECURSIVE, and the DuckDB oracle is unchanged.
+    Tables.ckpt(spark.sql(
+      """WITH d AS (
         |  SELECT doc_id, array_distinct(transform(sequence(0, size(w) - 3),
         |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
         |  FROM (SELECT doc_id, split(trim(text), ' ') AS w FROM graft_docs_rcte)
-        |  WHERE size(w) >= 3),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        |  WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / size(array_union(a.sh, b.sh)) >= 0.5),
+        |  WHERE size(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / size(array_union(a.sh, b.sh)) >= 0.5
+        |""".stripMargin)).createOrReplaceTempView("graft_docs_rcte_pairs")
+    spark.sql(
+      """WITH RECURSIVE
         |walk(doc_id, lab) AS (
         |  SELECT doc_id, doc_id FROM graft_docs_rcte
         |  UNION ALL
-        |  SELECT w.doc_id, p.doc_a FROM walk w JOIN p ON p.doc_b = w.lab)
+        |  SELECT w.doc_id, p.doc_a
+        |  FROM walk w JOIN graft_docs_rcte_pairs p ON p.doc_b = w.lab)
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM (SELECT doc_id, min(lab) AS cluster_id FROM walk GROUP BY doc_id) t

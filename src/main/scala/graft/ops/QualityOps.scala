@@ -65,7 +65,12 @@ object QualityOps {
         min(col(n)).as(s"${n}_min"),
         max(col(n)).as(s"${n}_max"))
     }
-    val one = Tables.events(spark, dir)
+    // balanced: the events parquet is ONE scan split, so the Expand(×7) +
+    // partial multi-distinct aggregation ran on a single task (1.6 s of
+    // profile_columns' 2.6 s at sf0.1, r17 profile). Round-robin to core
+    // count first — the partial agg is the CPU; the repartition is a ~2 MB
+    // shuffle and a no-op at production scale (guide §2.5).
+    val one = Tables.balanced(Tables.events(spark, dir))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val rows = ProfiledCols.map { case (n, dt) =>
       struct(

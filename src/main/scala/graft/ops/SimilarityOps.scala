@@ -249,8 +249,11 @@ object SimilarityOps {
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("dl", (size(col("w")) - 2).cast(LongType))
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams"))
+    // ckpt: stats is consumed through TWO broadcasts in bm25Rank (idf and
+    // the score projection) — uncheckpointed, each broadcast build re-ran
+    // the doc scan + agg (r17 profile)
+    val stats = Tables.ckpt(docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_grams")))
     val exploded = docs.select(
       col("doc_id"), col("dl"),
       explode(expr(
@@ -260,9 +263,16 @@ object SimilarityOps {
     // the corpus explosion map-side before the tf aggregation ever shuffles
     val qset = broadcast(
       exploded.filter(col("doc_id") < 10).select(col("g")).distinct())
-    val grams = exploded.join(qset, "g")
+    // ckpt: grams feeds up to FOUR consumers in the fused retrievers
+    // (overlap leg, BM25 tf leg, BM25 df leg, and the qg broadcast) — each
+    // re-ran the whole corpus explosion + restrict + tf agg when lazy: the
+    // r17 profile showed the identical 0.7-1.4 s stage three times inside
+    // hybrid_rrf3. One materialization, every leg reads the summary
+    // (the r14 link_prediction adjb discipline; guide §2.4 "share one
+    // exchange" taken to its checkpointed conclusion).
+    val grams = Tables.ckpt(exploded.join(qset, "g")
       .groupBy(col("doc_id"), col("dl"), col("g"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val qg = grams.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("g"))
     (grams, qg, stats)

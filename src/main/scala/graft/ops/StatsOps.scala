@@ -1022,11 +1022,25 @@ object StatsOps {
     copurchaseEdges(spark, dir)
 
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    // r17 rewrite (guide §2.4/§2.5): one groupBy(orderkey) collect_set +
+    // in-codegen ordered-pair explode + distinct, replacing the r16
+    // lineitem self-join (BHJ on orderkey). The join shape ran its whole
+    // basket² pair expansion at the scan's split count (3 tasks at sf0.1 —
+    // profiled 1.4-1.6 s of every 3-8 s graph query) and paid a broadcast
+    // build besides; the aggregation shape gets its parallelism from the
+    // exchange itself, sized by AQE at any scale. Interleaved A/B/C
+    // (tools.EdgeBuildAb): self-join 2.00 s, self-join+balanced 1.43 s,
+    // set+explode 1.24 s, with exceptAll-proven identical output. Per-order
+    // sets are basket-bounded (≤7 items at any SF), so collect_set state
+    // and pair fan-out per group are O(1) — no giant-key hazard.
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    l.as("x").join(l.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), b ->
+          |    named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
       .distinct()
   }
 
@@ -1498,9 +1512,16 @@ object StatsOps {
   private val PrScale = 100000000000000000L // 1e17; 17·PrScale < 2^63
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+    // balanced BEFORE the string-key build: the lineitem parquet packs
+    // into 3 scan splits, so the concat + map-side distinct partial ran
+    // 3-way on a 32-core box (profiled 0.8 s of pagerank's 4 s at sf0.1,
+    // r17, guide §2.5 input parallelism). Repartition the raw long ids
+    // (16 B/row), then concat 32-way; a no-op at production scale
+    // (balanced only fires when the scan yields fewer splits than cores).
+    val l = Tables.balanced(Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("pkk"), col("l_suppkey").as("skk")))
+      .select(concat(lit("p"), col("pkk")).as("src"),
+        concat(lit("s"), col("skk")).as("dst"))
     // distinct BEFORE mirroring: dedup shuffles half the rows, and the
     // reversed copy then derives narrowly from the checkpointed base
     val e0 = Tables.ckpt(l.distinct())
