@@ -158,7 +158,13 @@ object AggOps {
     * Spark emits NULL for rolled-up levels; the oracle uses the same ROLLUP.
     */
   def rollupSales(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // balanced + project-first: the grouping-set Expand (×3 here, ×4 for
+    // CUBE) and its partial aggregation fuse into the scan stage, which is
+    // effectively serial on the single-row-group test parquet (cube_sales
+    // profiled 1.6 s on 3 tasks, r17; guide §2.3/§2.5). Repartition just
+    // the three needed columns to core count; no-op at production scale.
+    Tables.balanced(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice")))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
@@ -166,7 +172,8 @@ object AggOps {
 
   /** CUBE variant — full grouping-set lattice. */
   def cubeSales(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.balanced(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),

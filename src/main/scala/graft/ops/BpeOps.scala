@@ -36,7 +36,10 @@ object BpeOps {
     * each segmented into single characters.
     */
   private def wordSegs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // balanced: the corpus explosion + word count ran on the documents
+    // scan's ONE split (0.8 s single-task stage in the r17 bpe_segment
+    // profile); round-robin to core count first — no-op at real scale
+    Tables.balanced(Tables.documents(spark, dir))
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))

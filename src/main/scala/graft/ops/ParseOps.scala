@@ -210,7 +210,10 @@ object ParseOps {
     * exercises a mix of clean and unparseable strings.
     */
   def tryFuncs(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // balanced: four try_* casts/divides per row (props is a JSON string —
+    // try_cast to double walks it) fused into the ONE-split events scan:
+    // profiled 1.4 s on a single task at sf0.1 (r17, guide §2.5)
+    Tables.balanced(Tables.events(spark, dir))
       .select(
         col("event_id"),
         expr("try_divide(value, cast(event_id % 3 as double))").as("per_unit"),

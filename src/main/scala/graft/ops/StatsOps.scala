@@ -130,6 +130,10 @@ object StatsOps {
     * unordered pair counts once.
     */
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    // r17 note: the copurchaseEdges set+explode rewrite was A/B'd here too
+    // (tools.PairsAb) and LOST narrowly (1.41 vs 1.50 s interleaved) —
+    // unlike the edge build, this op's self-join runs on the distinct's
+    // own exchange, so it was never scan-serialized. Kept as-is.
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
@@ -289,7 +293,10 @@ object StatsOps {
     * returnflag, by linestatus, and grand total in one pass.
     */
   def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // balanced + project-first: see AggOps.rollupSales — the grouping-set
+    // Expand otherwise fuses into the near-serial scan stage (r17)
+    Tables.balanced(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice")))
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
@@ -1856,7 +1863,14 @@ object StatsOps {
             .otherwise(1L))
         .withColumn("island", sum(col("new_island")).over(wRun))
         .groupBy(col("user_id"), col("island"))
-        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end")))
+        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+        // spread the checkpoint across the cores: AQE coalesces the tiny
+        // island aggregate to ~2 partitions, and the downstream grid
+        // explode + candidate-join exchange then ran 2-way (1.1 s stage,
+        // r17 profile). The planner forgets a pre-ckpt partitioning
+        // anyway; this only sets the CACHED partition count the next
+        // stage fans out from. No-op-sized shuffle, scale-independent.
+        .repartition(spark.sparkContext.defaultParallelism))
     val W = 3600L * 1000000L // 1-hour grid
     val bucketed = iv.select(col("user_id"), col("i_start"), col("i_end"),
       explode(expr(s"sequence(i_start div $W, i_end div $W)")).as("bucket"))
@@ -1935,14 +1949,27 @@ object StatsOps {
     * basket-size-bounded exactly as in [[copurchasePairs]].
     */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val support = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
-    a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
+    // r17: ONE checkpointed per-order item-set frame feeds everything —
+    // basket count (row count), item supports (set explode), and the pair
+    // counts (the copurchaseEdges set+explode rewrite, EdgeBuildAb-proven
+    // identical to the self-join). Previously the (orderkey, partkey)
+    // distinct re-ran per consumer (profiled twice at 0.5 s each, 3 tasks)
+    // and the pair expansion was a 3-task self-join. collect_set subsumes
+    // the old distinct; per-order derivations off the ~|orders| cached
+    // frame are near-free.
+    val sets = Tables.ckpt(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val nOrders = sets.agg(count(lit(1)).as("n_baskets"))
+    val support = sets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    sets
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), b ->
+          |    named_struct('part_a', a, 'part_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2)
