@@ -109,8 +109,15 @@ object AggOps {
     * decimal-exact sums surfaced as DOUBLE, averages as exact-sum / count.
     */
   def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast(TimestampType))
+    // balanced AFTER the pushed-down filter, projecting the six needed
+    // columns: the decimal-heavy partial agg fused into the near-serial
+    // scan stage (1.0 s on 3 tasks at sf0.1, r17 profile; guide §2.3/§2.5).
+    // Filter pushdown to the parquet scan is unchanged (repartition sits
+    // above the scan; PushedFilters still carries l_shipdate).
+    Tables.balanced(Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast(TimestampType))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),

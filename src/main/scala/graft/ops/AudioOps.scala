@@ -60,6 +60,9 @@ object AudioOps {
   /** documents → genuinely encoded WAV payloads, partition-wise. */
   def audioPayloads(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
+    // NOT balanced (r17): WAV/PCM encode has no entropy coding — the
+    // per-row work is too cheap to buy back a repartition (A/B: 0.18 →
+    // 0.35 s with balanced; contrast the JPEG/AVI slots, where it pays)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[AudioRow]

@@ -110,6 +110,11 @@ object MultimodalOps {
     */
   def mediaPayloads(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // NOT balanced (r17): every consumer of this frame (multimodal_meta,
+    // media_resize/thumbnail, image_features) benches ≤0.23 s — the
+    // ImageCodec slot is too cheap to buy back a repartition. The
+    // JPEG/AVI entropy-coding slots (videoPayloads, jpegFeatures,
+    // videoMeta, avSyncCheck) ARE balanced: 1.4-1.65 → ~0.33 s each.
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[MediaRow]
@@ -354,7 +359,7 @@ object MultimodalOps {
     */
   def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.balanced(Tables.documents(spark, dir)) // r17: 1-split scan serialized the encode/decode slot (guide §2.5)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[MediaRow]
       .mapPartitions(_.map { r =>
@@ -395,6 +400,8 @@ object MultimodalOps {
     */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT balanced (r17): the per-row map is 8 integer ops — repartition
+    // overhead would exceed the work it parallelizes (op benches ~90 ms)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[MediaRow]
@@ -470,6 +477,8 @@ object MultimodalOps {
   def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = Tables.ckpt(
+      // NOT balanced (r17): the dHash slot decodes thumbnail-sized images —
+      // cheaper than the repartition it would ride (A/B: 0.45 → 0.79 s)
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
         .as[MediaRow]
@@ -545,7 +554,7 @@ object MultimodalOps {
     */
   def videoPayloads(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.balanced(Tables.documents(spark, dir)) // r17: 1-split scan serialized the encode/decode slot (guide §2.5)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[MediaRow]
       .mapPartitions(_.map { r =>
@@ -577,7 +586,7 @@ object MultimodalOps {
     * end to end (the 100 TB lever).
     */
   def videoMeta(spark: SparkSession, dir: String): DataFrame =
-    videoMetaRows(Tables.documents(spark, dir))
+    videoMetaRows(Tables.balanced(Tables.documents(spark, dir)))
 
   /** The ONE encode→container-parse definition behind [[videoMeta]] and
     * the streaming twin [[graft.streaming.MediaMetaStream]]: accepts any
@@ -750,5 +759,5 @@ object MultimodalOps {
     * included).
     */
   def avSyncCheck(spark: SparkSession, dir: String): DataFrame =
-    avSyncRows(Tables.documents(spark, dir))
+    avSyncRows(Tables.balanced(Tables.documents(spark, dir)))
 }
