@@ -39,7 +39,11 @@ object IndicatorOps {
       round(col("close_price") * 100).cast(LongType).as("x"),
       round(col("high_price") * 100).cast(LongType).as("hi"),
       round(col("low_price") * 100).cast(LongType).as("lo"),
-      round(col("total_volume")).cast(LongType).as("vol"))
+      round(col("total_volume")).cast(LongType)
+        .as("vol")) // r17: an explicit symbol repartition here A/B'd SLOWER
+                    // (tools.CandleAb) — the candle frame is small enough
+                    // that the coalesced single-task window beats paying an
+                    // uncoalesced exchange; left shared-shape as shipped
 
   private def bySym = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
 
